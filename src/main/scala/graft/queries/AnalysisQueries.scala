@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Common._
+
+/** SURVEY.md §2.B — the six analyses of `/root/reference/Airbnb_Analysis.py`
+  * re-expressed over the testdata. The reference fans out to Mongo regex
+  * queries, collects id lists on the client, and string-concatenates them
+  * into Postgres SQL (`Airbnb_Analysis.py:43-62`) — an O(matches) driver
+  * round-trip. Here each analysis is ONE distributed plan: the text
+  * predicate, the join, and the aggregation all run inside Catalyst, so at
+  * 100 TB the "id list" never leaves the executors.
+  */
+object AnalysisQueries {
+
+  val defs: Map[String, QFn] = Map(
+    // analysis1 (Airbnb_Analysis.py:24-65): regex text match -> join -> address+price
+    "ana_text_price_join" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").rlike("(?i)merge"))
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+      docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(col("doc_id"),
+          concat_ws(",", col("source"), col("lang")).as("address"),
+          col("n_chars"), col("label"))
+    }),
+
+    // analysis2 (Airbnb_Analysis.py:67-82): 3-way equality-filtered join
+    "ana_filtered_join" -> ((s, d) => {
+      val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, d, "nation")
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          money(cents(col("c_acctbal"))).as("acctbal"))
+    }),
+
+    // analysis3 (Airbnb_Analysis.py:84-97): count + interpolated median per group
+    "ana_median_by_group" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), cents(col("l_extendedprice")).as("price_c"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          (expr("percentile(price_c, 0.5)") / lit(100.0)).as("median_price"))),
+
+    // analysis4 (Airbnb_Analysis.py:99-122): compare two grouped averages.
+    // avg(A) < avg(B) is decided by exact integer cross-multiplication
+    // (sum1*n2 < sum2*n1) — no floating division on either engine.
+    "ana_avg_compare" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"), cents(col("c_acctbal")).as("bal_c"))
+      val agg = c.groupBy("c_nationkey").agg(
+        sum(when(col("c_mktsegment") === "BUILDING", col("bal_c"))).as("s1"),
+        count(when(col("c_mktsegment") === "BUILDING", lit(1))).as("n1"),
+        sum(when(col("c_mktsegment") === "MACHINERY", col("bal_c"))).as("s2"),
+        count(when(col("c_mktsegment") === "MACHINERY", lit(1))).as("n2"))
+      agg.filter(col("n1") > 0 && col("n2") > 0 && col("s1") * col("n2") < col("s2") * col("n1"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"))
+    }),
+
+    // analysis5 (Airbnb_Analysis.py:124-183): conjunctive regex + array containment
+    "ana_multiword_count" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(col("text").rlike("(?i)spark") && col("text").rlike("(?i)window") &&
+          array_contains(split(col("text"), " "), "vector"))
+        .groupBy("lang").agg(count(lit(1)).as("n_listings"))),
+
+    // analysis6 (Airbnb_Analysis.py:185-220): regex digit extraction + agg
+    "ana_regex_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"),
+          regexp_extract(col("props"), "(\\d+)", 1).cast("bigint").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ana_text_price_join" ->
+      """SELECT doc_id, concat_ws(',', source, lang) AS address, n_chars, label
+         FROM documents JOIN embeddings ON doc_id = vec_id
+         WHERE regexp_matches(text, '(?i)merge')""",
+    "ana_filtered_join" ->
+      """SELECT c_custkey, c_name, n_name,
+                CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE) / 100.0 AS acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' AND c_mktsegment = 'BUILDING'""",
+    "ana_median_by_group" ->
+      """SELECT l_returnflag, count(*) AS n,
+                percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS median_price
+         FROM lineitem GROUP BY l_returnflag""",
+    "ana_avg_compare" ->
+      """WITH agg AS (
+           SELECT c_nationkey,
+                  sum(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(round(c_acctbal * 100) AS BIGINT) END) AS s1,
+                  count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS n1,
+                  sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN CAST(round(c_acctbal * 100) AS BIGINT) END) AS s2,
+                  count(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS n2
+           FROM customer GROUP BY c_nationkey)
+         SELECT n_name FROM agg JOIN nation ON c_nationkey = n_nationkey
+         WHERE n1 > 0 AND n2 > 0 AND s1 * n2 < s2 * n1""",
+    "ana_multiword_count" ->
+      """SELECT lang, count(*) AS n_listings
+         FROM documents
+         WHERE regexp_matches(text, '(?i)spark') AND regexp_matches(text, '(?i)window')
+           AND list_contains(string_split(text, ' '), 'vector')
+         GROUP BY lang""",
+    "ana_regex_extract" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+                max(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type"""
+  )
+}

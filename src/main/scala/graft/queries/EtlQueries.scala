@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.etl.{Clean, Normalize}
+import Common._
+
+/** SURVEY.md §2.A — the reference's listings/reviews ETL operators
+  * (`/root/reference/Airbnb_Listings_ETL.py`, `Airbnb_Review_ETL.py`)
+  * re-expressed as declarative Spark transforms over the driver's testdata.
+  * Every query has an exact DuckDB oracle.
+  */
+object EtlQueries {
+
+  val defs: Map[String, QFn] = Map(
+    // projection + rename (Listings_ETL.py:40-44)
+    "etl_select_rename" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_mktsegment").as("segment"))),
+
+    // dedup-by-key with deterministic winner (Listings_ETL.py:47-49)
+    "etl_dedup_key" -> ((s, d) =>
+      Clean.dedupByKey(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"),
+        Seq("l_orderkey"), Seq(col("l_linenumber"), col("l_partkey"), col("l_quantity")))),
+
+    // exact whole-row dedup (Review_ETL.py:41-43)
+    "etl_dedup_exact" -> ((s, d) =>
+      Clean.dedupExact(t(s, d, "orders"), Seq("o_orderstatus", "o_orderpriority"))),
+
+    // '$'-strip money parse round-trip (Listings_ETL.py:53-55)
+    "etl_clean_money" -> ((s, d) => {
+      val p = t(s, d, "part")
+      val moneyStr = concat(lit("$"), col("p_retailprice").cast("decimal(18,2)").cast("string"))
+      p.select(col("p_brand"), Clean.parseMoney(moneyStr).as("parsed"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum(col("parsed")).cast("double").as("total"))
+    }),
+
+    // value normalization (Listings_ETL.py:62-70)
+    "etl_normalize_values" -> ((s, d) => {
+      val n = t(s, d, "nation")
+        .select(col("n_nationkey"),
+          Clean.normalizeValues(col("n_name"),
+            Map("NATION_0" -> "N-ZERO", "NATION_1" -> "N-ONE")).as("norm_name"))
+      t(s, d, "customer")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("norm_name").agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // code truncation (Listings_ETL.py:57-60)
+    "etl_truncate_code" -> ((s, d) =>
+      t(s, d, "part")
+        .select(Clean.truncateCode(col("p_type"), 5).as("code"))
+        .groupBy("code").agg(count(lit(1)).as("n"))),
+
+    // dropna on a column (Listings_ETL.py:73)
+    "etl_dropna" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(expr("nullif(o_orderpriority, '4-NOT SPECIFIED')").as("pr"))
+      Clean.dropNullRows(o, Seq("pr")).groupBy("pr").agg(count(lit(1)).as("n"))
+    }),
+
+    // fillna(-1) (Listings_ETL.py:94-95)
+    "etl_fillna" -> ((s, d) => {
+      val l = t(s, d, "lineitem").select(expr("nullif(l_tax, 0.0)").as("tax"))
+      Clean.fillNa(l, -1L, Seq("tax")).groupBy("tax").agg(count(lit(1)).as("n"))
+    }),
+
+    // wide table -> keyed sub-table (Listings_ETL.py:76-81)
+    "etl_split_normalize" -> ((s, d) =>
+      Normalize.splitTables(
+        t(s, d, "lineitem"), "l_orderkey",
+        Map("price_info" -> Seq("l_linenumber", "l_extendedprice", "l_discount", "l_tax"),
+          "facilities" -> Seq("l_linenumber", "l_quantity")))("price_info")),
+
+    // per-key nested accumulation, $addToSet analog (Review_ETL.py:82,102)
+    "etl_nest_collect" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          concat_ws(",", sort_array(collect_list(col("o_orderkey").cast("string")))).as("order_keys"))),
+
+    // document projection + nested struct (Listings_ETL.py:84-86,162)
+    "etl_doc_project" -> ((s, d) =>
+      Normalize.docProject(t(s, d, "documents"),
+          Seq("doc_id", "source"), "meta", Seq("lang", "n_chars"))
+        .select(col("doc_id"), col("source"),
+          concat(col("meta.lang"), lit(":"), col("meta.n_chars").cast("string")).as("meta_s"))),
+
+    // keyed upsert / MERGE (Listings_ETL.py:143-151)
+    "etl_upsert" -> ((s, d) => {
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"), col("o_orderstatus"))
+      val updates = base.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), (col("price_c") * 2).as("price_c"), lit("U").as("o_orderstatus"))
+      Normalize.upsert(base, updates, "o_orderkey")
+        .select(col("o_orderkey"), money(col("price_c")).as("price"), col("o_orderstatus"))
+    }),
+
+    // numeric coercion, errors -> null (Review_ETL.py:77)
+    "etl_numeric_coerce" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderpriority"),
+          Clean.coerceNumeric(regexp_extract(col("o_orderpriority"), "(\\d+)", 1), "bigint").as("num"),
+          Clean.coerceNumeric(col("o_orderstatus"), "bigint").as("bad"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("num")).as("sum_num"), count(col("bad")).as("n_bad")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "etl_select_rename" ->
+      "SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment FROM customer",
+    "etl_dedup_key" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+         FROM lineitem
+         QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_quantity) = 1""",
+    "etl_dedup_exact" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "etl_clean_money" ->
+      """SELECT p_brand, count(*) AS n,
+                CAST(sum(CAST(regexp_replace('$' || CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR), '[$,]', '', 'g') AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM part GROUP BY p_brand""",
+    "etl_normalize_values" ->
+      """SELECT CASE WHEN n_name = 'NATION_0' THEN 'N-ZERO'
+                     WHEN n_name = 'NATION_1' THEN 'N-ONE'
+                     ELSE n_name END AS norm_name,
+                count(*) AS n_customers
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1""",
+    "etl_truncate_code" ->
+      "SELECT substr(p_type, 1, 5) AS code, count(*) AS n FROM part GROUP BY 1",
+    "etl_dropna" ->
+      """SELECT nullif(o_orderpriority, '4-NOT SPECIFIED') AS pr, count(*) AS n
+         FROM orders WHERE nullif(o_orderpriority, '4-NOT SPECIFIED') IS NOT NULL
+         GROUP BY 1""",
+    "etl_fillna" ->
+      """SELECT coalesce(nullif(l_tax, 0.0), -1.0) AS tax, count(*) AS n
+         FROM lineitem GROUP BY 1""",
+    "etl_split_normalize" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax FROM lineitem",
+    "etl_nest_collect" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+                string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_keys
+         FROM orders GROUP BY o_custkey""",
+    "etl_doc_project" ->
+      "SELECT doc_id, source, lang || ':' || CAST(n_chars AS VARCHAR) AS meta_s FROM documents",
+    "etl_upsert" ->
+      """WITH base AS (
+           SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c, o_orderstatus
+           FROM orders),
+         upd AS (
+           SELECT o_orderkey, price_c * 2 AS price_c, 'U' AS o_orderstatus
+           FROM base WHERE o_orderkey % 10 = 0)
+         SELECT o_orderkey, CAST(price_c AS DOUBLE) / 100.0 AS price, o_orderstatus FROM upd
+         UNION ALL
+         SELECT o_orderkey, CAST(price_c AS DOUBLE) / 100.0 AS price, o_orderstatus
+         FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)""",
+    "etl_numeric_coerce" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(try_cast(regexp_extract(o_orderpriority, '(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_num,
+                count(try_cast(o_orderstatus AS BIGINT)) AS n_bad
+         FROM orders GROUP BY o_orderpriority"""
+  )
+}

@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Common._
+
+/** SURVEY.md §2.C — relational core: the join/agg/window/set surface a user
+  * of the reference's Postgres layer (the DDL under `/root/reference/sql/` +
+  * `Airbnb_Analysis.py`) relies on, expressed as single declarative plans.
+  * Scale notes: all dimension joins broadcast; fact aggregations are
+  * map-side partial + one hash shuffle on the group key; windows shuffle
+  * once on their partition key; money math is exact integer cents.
+  */
+object RelationalQueries {
+
+  private val sep1998 = to_timestamp(lit("1998-01-01 00:00:00"))
+
+  val defs: Map[String, QFn] = Map(
+    // TPC-H Q1 shape: full-scan multi-aggregate
+    "q1_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          cents(col("l_quantity")).as("qc"), cents(col("l_extendedprice")).as("pc"),
+          cents(col("l_discount")).as("dc"), cents(col("l_tax")).as("tc"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          (sum(col("qc")).cast("double") / 100.0).as("sum_qty"),
+          (sum(col("pc")).cast("double") / 100.0).as("sum_base_price"),
+          (sum(col("pc") * (lit(100) - col("dc"))).cast("double") / 1e4).as("sum_disc_price"),
+          (sum(col("pc") * (lit(100) - col("dc")) * (lit(100) + col("tc"))).cast("double") / 1e6).as("sum_charge"),
+          (sum(col("qc")).cast("double") / (lit(100.0) * count(lit(1)))).as("avg_qty"),
+          (sum(col("pc")).cast("double") / (lit(100.0) * count(lit(1)))).as("avg_price"),
+          count(lit(1)).as("count_order"))),
+
+    // TPC-H Q3 shape: 3-way join + grouped revenue
+    "q3_shipping_priority" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = t(s, d, "orders").filter(col("o_orderdate") < sep1998)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = t(s, d, "lineitem").filter(col("l_shipdate") > sep1998)
+        .select(col("l_orderkey"), cents(col("l_extendedprice")).as("pc"),
+          cents(col("l_discount")).as("dc"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority"))
+        .agg((sum(col("pc") * (lit(100) - col("dc"))).cast("double") / 1e4).as("revenue"))
+    }),
+
+    // EXISTS
+    "q_semi_join" -> ((s, d) => {
+      val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      t(s, d, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // NOT EXISTS
+    "q_anti_join" -> ((s, d) => {
+      val o = t(s, d, "orders").select("o_custkey")
+      t(s, d, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // LEFT JOIN preserving unmatched + null-safe agg
+    "q_outer_join" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+      t(s, d, "customer").select("c_custkey")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          money(coalesce(sum(col("price_c")), lit(0L))).as("total_spend"))
+    }),
+
+    // window: rank per partition
+    "q_window_rank" -> ((s, d) => {
+      val sup = t(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), cents(col("s_acctbal")).as("bal_c"))
+      val w = Window.partitionBy("n_name").orderBy(col("bal_c").desc, col("s_suppkey"))
+      sup.join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .withColumn("rnk", row_number().over(w))
+        .select(col("n_name"), col("s_name"), money(col("bal_c")).as("acctbal"), col("rnk"))
+    }),
+
+    // window: running sum
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          cents(col("o_totalprice")).as("price_c"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          money(sum(col("price_c")).over(w)).as("running_spend"))
+    }),
+
+    // top-k per group without global sort
+    "q_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("price_c").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), money(col("price_c")).as("price"), col("rnk"))
+    }),
+
+    // ROLLUP grouping sets
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"), cents(col("l_quantity")).as("qc"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg((sum(col("qc")).cast("double") / 100.0).as("sum_qty"), count(lit(1)).as("n"))),
+
+    // pivot via conditional aggregation (column names controlled)
+    "q_pivot" -> ((s, d) => {
+      def cnt(p: String) = count(when(col("o_orderpriority") === p, lit(1)))
+      t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(cnt("1-URGENT").as("p_urgent"), cnt("2-HIGH").as("p_high"),
+          cnt("3-MEDIUM").as("p_medium"), cnt("4-NOT SPECIFIED").as("p_notspec"),
+          cnt("5-LOW").as("p_low"))
+    }),
+
+    // COUNT(DISTINCT)
+    "q_distinct_agg" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_customers"), count(lit(1)).as("n_orders"))),
+
+    // HAVING
+    "q_having" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 12)),
+
+    // UNION/EXCEPT/INTERSECT
+    "q_setops" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      def keys(p: String) = o.filter(col("o_orderpriority") === p).select("o_custkey").distinct()
+      val ex = keys("1-URGENT").except(keys("5-LOW")).withColumn("op", lit("except"))
+      val in = keys("1-URGENT").intersect(keys("2-HIGH")).withColumn("op", lit("intersect"))
+      ex.unionByName(in).select("op", "o_custkey")
+    }),
+
+    // calendar bucketing
+    "q_date_trunc" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"),
+          cents(col("o_totalprice")).as("price_c"))
+        .groupBy("month")
+        .agg(count(lit(1)).as("n_orders"), money(sum(col("price_c"))).as("total")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """WITH l AS (
+           SELECT l_returnflag, l_linestatus,
+                  CAST(round(l_quantity*100) AS BIGINT) qc,
+                  CAST(round(l_extendedprice*100) AS BIGINT) pc,
+                  CAST(round(l_discount*100) AS BIGINT) dc,
+                  CAST(round(l_tax*100) AS BIGINT) tc
+           FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00')
+         SELECT l_returnflag, l_linestatus,
+                CAST(sum(qc) AS DOUBLE)/100.0 AS sum_qty,
+                CAST(sum(pc) AS DOUBLE)/100.0 AS sum_base_price,
+                CAST(sum(pc*(100-dc)) AS DOUBLE)/1e4 AS sum_disc_price,
+                CAST(sum(pc*(100-dc)*(100+tc)) AS DOUBLE)/1e6 AS sum_charge,
+                CAST(sum(qc) AS DOUBLE)/(100.0*count(*)) AS avg_qty,
+                CAST(sum(pc) AS DOUBLE)/(100.0*count(*)) AS avg_price,
+                count(*) AS count_order
+         FROM l GROUP BY l_returnflag, l_linestatus""",
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+                CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/1e4 AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1, 2, 3""",
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+                CAST(coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0) AS DOUBLE)/100.0 AS total_spend
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
+    "q_window_rank" ->
+      """SELECT n_name, s_name,
+                CAST(CAST(round(s_acctbal*100) AS BIGINT) AS DOUBLE)/100.0 AS acctbal,
+                row_number() OVER (PARTITION BY n_name
+                                   ORDER BY CAST(round(s_acctbal*100) AS BIGINT) DESC, s_suppkey) AS rnk
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0 AS running_spend
+         FROM orders""",
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(CAST(round(o_totalprice*100) AS BIGINT) AS DOUBLE)/100.0 AS price,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS rnk
+         FROM orders
+         QUALIFY rnk <= 3""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+                count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+                count(CASE WHEN o_orderpriority='1-URGENT' THEN 1 END) AS p_urgent,
+                count(CASE WHEN o_orderpriority='2-HIGH' THEN 1 END) AS p_high,
+                count(CASE WHEN o_orderpriority='3-MEDIUM' THEN 1 END) AS p_medium,
+                count(CASE WHEN o_orderpriority='4-NOT SPECIFIED' THEN 1 END) AS p_notspec,
+                count(CASE WHEN o_orderpriority='5-LOW' THEN 1 END) AS p_low
+         FROM orders GROUP BY o_orderstatus""",
+    "q_distinct_agg" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+         FROM orders GROUP BY o_orderpriority""",
+    "q_having" ->
+      """SELECT o_custkey, count(*) AS n_orders FROM orders
+         GROUP BY o_custkey HAVING count(*) >= 12""",
+    "q_setops" ->
+      """SELECT 'except' AS op, o_custkey FROM
+           (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority='1-URGENT'
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority='5-LOW')
+         UNION ALL
+         SELECT 'intersect' AS op, o_custkey FROM
+           (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority='1-URGENT'
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority='2-HIGH')""",
+    "q_date_trunc" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+         FROM orders GROUP BY 1"""
+  )
+}

@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pruned parquet readers for the driver's testdata tables.
+  *
+  * The reference extracts CSVs with pandas (`Airbnb_Listings_ETL.py:15-27`);
+  * here every source is a declarative `spark.read` so Catalyst pushes filters
+  * and column pruning into the scan — at 100 TB the scan is the dominant cost
+  * and `ReadSchema`/`PushedFilters` must show only what the query needs.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  def events(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "events")
+
+  /** CSV ingestion, mirroring the reference's extract step
+    * (`Airbnb_Listings_ETL.py:15-27`, `Airbnb_Review_ETL.py:14-27`) but
+    * distributed: header + schema inference off the first file only, then a
+    * parallel scan. Charset matches the reference's ISO-8859-1 reviews read.
+    */
+  def csv(spark: SparkSession, path: String, charset: String = "UTF-8"): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("charset", charset)
+      .option("mode", "PERMISSIVE") // bad rows -> nulls, like pandas NaN
+      .csv(path)
+}
