@@ -12,10 +12,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EtlQueries.defs ++ AnalysisQueries.defs ++ RelationalQueries.defs
+    EtlQueries.defs ++ AnalysisQueries.defs ++ RelationalQueries.defs ++
+      TextQueries.defs ++ SimQueries.defs ++ StreamQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    EtlQueries.oracle ++ AnalysisQueries.oracle ++ RelationalQueries.oracle
+    EtlQueries.oracle ++ AnalysisQueries.oracle ++ RelationalQueries.oracle ++
+      TextQueries.oracle ++ SimQueries.oracle ++ StreamQueries.oracle
 }

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import Common._
+
+/** SURVEY.md §2.D (similarity half) — embedding near-dup, brute-force
+  * top-k, and IVF-bucketed ANN over the `embeddings` table. Oracle dot
+  * products use DuckDB `list_reduce` to replicate Spark's `aggregate`
+  * left-fold order bit-for-bit.
+  */
+object SimQueries {
+
+  val defs: Map[String, QFn] = Map(
+    "dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDups(t(s, d, "embeddings"), "embedding", "vec_id", threshold = 0.45)),
+
+    "sim_topk_cosine" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.topK(e, "embedding", "vec_id", e.filter(col("vec_id") === 0), k = 10)
+    }),
+
+    "sim_ann_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfAssign(e, "embedding", "vec_id",
+        e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid"), "cid")
+    })
+  )
+
+  /** Sequential-fold dot product / squared norm in DuckDB, matching
+    * Spark's `aggregate(zip_with(...), 0.0, _+_)` evaluation order. */
+  private def fold(listExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $listExpr), (acc, x) -> acc + x)"
+
+  private val vecs =
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
+
+  private def normed(src: String) =
+    s"SELECT vec_id, v, sqrt(${fold("list_transform(v, x -> x*x)")}) AS nrm FROM ($src)"
+
+  private val pairDot =
+    fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)])")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_embedding" ->
+      s"""WITH n AS (${normed(vecs)})
+          SELECT id_a, id_b, cosine FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round($pairDot / (a.nrm * b.nrm), 6) AS cosine
+            FROM n a JOIN n b ON a.vec_id < b.vec_id)
+          WHERE cosine >= 0.45""",
+    "sim_topk_cosine" ->
+      s"""WITH n AS (${normed(vecs)}),
+            q AS (SELECT v, nrm FROM n WHERE vec_id = 0)
+          SELECT vec_id, cosine FROM (
+            SELECT a.vec_id AS vec_id,
+                   round(${fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * q.v[CAST(i AS INT)])")} / (a.nrm * q.nrm), 6) AS cosine
+            FROM n a CROSS JOIN q)
+          QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id) <= 10""",
+    "sim_ann_ivf" ->
+      s"""WITH n AS (${normed(vecs)}),
+            c AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 8),
+            scored AS (
+              SELECT a.vec_id, c.centroid_id,
+                     round(${fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * c.v[CAST(i AS INT)])")} / (a.nrm * c.nrm), 6) AS sim
+              FROM n a CROSS JOIN c)
+          SELECT vec_id, centroid_id, sim FROM scored
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1"""
+  )
+}

@@ -1,0 +1,38 @@
+package graft.queries
+
+import graft.streaming.Events
+import Common._
+
+/** SURVEY.md §2.E — batch forms of the streaming transforms (the streaming
+  * spec drives the same column logic through readStream/writeStream).
+  */
+object StreamQueries {
+
+  val defs: Map[String, QFn] = Map(
+    "stream_window_agg" -> ((s, d) => Events.hourlyAgg(t(s, d, "events"))),
+    "stream_sessionize" -> ((s, d) => Events.sessionize(t(s, d, "events")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+                count(*) AS n,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "stream_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         s AS (
+           SELECT user_id, event_id, ts_us,
+                  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM e)
+         SELECT user_id, session_id, count(*) AS n_events,
+                min(ts_us) AS start_us, max(ts_us) AS end_us
+         FROM s GROUP BY user_id, session_id"""
+  )
+}

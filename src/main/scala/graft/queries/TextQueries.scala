@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import Common._
+
+/** SURVEY.md §2.D (text half) — dedup + text-analysis operators over the
+  * `documents` table, each with an exact DuckDB oracle. Oracle SQL for the
+  * hash-heavy ops is generated to mirror the Spark fold order exactly
+  * (DuckDB `list_reduce` ≡ Spark `aggregate` left fold).
+  */
+object TextQueries {
+
+  private val langProfiles = Seq(
+    "proto-a" -> Seq("spark", "query", "join"),
+    "proto-b" -> Seq("window", "stream", "batch"),
+    "proto-c" -> Seq("vector", "hash", "merge"))
+
+  val defs: Map[String, QFn] = Map(
+    "dedup_exact_docs" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "text", "doc_id")),
+
+    "dedup_minhash_sig" -> ((s, d) => {
+      val m = Dedup.minhashed(t(s, d, "documents"), "text", "doc_id", k = 8)
+      m.select(col("doc_id") +: (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
+    }),
+
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashNearDups(t(s, d, "documents"), "text", "doc_id", threshold = 0.8)),
+
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
+        blockCol = "lang", threshold = 0.8)),
+
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashed(t(s, d, "documents"), "text", "doc_id")),
+
+    "ta_langid" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val scored = doc.select(col("doc_id") +: col("lang") +:
+        langProfiles.map { case (l, ws) => tokenCount(col("text"), ws).as(s"s_${l.last}") }: _*)
+      scored.withColumn("guess",
+        when(col("s_a") >= col("s_b") && col("s_a") >= col("s_c"), "proto-a")
+          .when(col("s_b") >= col("s_c"), "proto-b")
+          .otherwise("proto-c"))
+    }),
+
+    "ta_quality" -> ((s, d) => {
+      val w = tokens(col("text"))
+      val nW = size(w).cast("double")
+      val dup = lit(1.0) - size(array_distinct(w)).cast("double") / nW
+      val stop = tokenCount(col("text"), Seq("the", "a")).cast("double") / nW
+      t(s, d, "documents").select(col("doc_id"),
+        length(col("text")).as("n_chars_m"), size(w).as("n_words"),
+        round(dup, 6).as("dup_ratio"), round(stop, 6).as("stop_ratio"),
+        round(lit(0.5) * stop + lit(0.5) * (lit(1.0) - dup), 6).as("quality"))
+    }),
+
+    "ta_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("source"), size(tokens(col("text"))).as("ws"), bpeishCount(col("text")).as("bpe"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("sum_ws"), sum(col("bpe")).as("sum_bpe"))),
+
+    "ta_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), fingerprint(col("text")).as("fp"))),
+
+    "mm_meta" -> ((s, d) =>
+      graft.multimodal.Multimodal.withPayload(t(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
+          col("meta.width").as("width"), col("meta.height").as("height")))
+  )
+
+  // ---- generated oracle fragments ----
+
+  /** DuckDB: per-doc distinct char-3-gram shingle list. */
+  private val duckShingles =
+    "list_distinct(list_transform(range(1, len(text)-1), i -> substr(text, CAST(i AS INT), 3)))"
+
+  private def duckMinhash(seed: Int, listExpr: String): String =
+    s"list_min(list_transform($listExpr, g -> md5('$seed|' || g)))"
+
+  private val duckSimhashHashes =
+    "list_transform(string_split(text, ' '), w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT))"
+
+  private val duckSimhashSum = (0 until 60).map { b =>
+    s"(CASE WHEN 2*CAST(list_sum(list_transform(hs, x -> (x >> $b) & 1)) AS BIGINT) >= len(hs) " +
+      s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+  }.mkString(" + ")
+
+  private val duckJaccard =
+    "round(len(list_intersect(a.s, b.s))*1.0 / len(list_distinct(list_concat(a.s, b.s))), 6)"
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact_docs" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) - 1 AS n_dups
+         FROM documents GROUP BY 1""",
+    "dedup_minhash_sig" -> {
+      val cols = (0 until 8).map(j => duckMinhash(j, "s") + s" AS m$j").mkString(", ")
+      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents)
+          SELECT doc_id, $cols FROM sh"""
+    },
+    "dedup_minhash_lsh" -> {
+      val ms = (0 until 8).map(j => duckMinhash(j, "s") + s" AS m$j").mkString(", ")
+      val bands = (0 until 4).map(b => s"md5(m${2 * b} || '#' || m${2 * b + 1})").mkString("[", ", ", "]")
+      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents WHERE len(text) >= 3),
+            sig AS (SELECT doc_id, s, $ms FROM sh),
+            banded AS (SELECT doc_id, s, $bands AS bands FROM sig)
+          SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, $duckJaccard AS jaccard
+            FROM banded a JOIN banded b
+              ON a.doc_id < b.doc_id AND len(list_intersect(a.bands, b.bands)) > 0)
+          WHERE jaccard >= 0.8"""
+    },
+    "dedup_ngram_jaccard" ->
+      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+            g AS (SELECT doc_id, lang,
+                    list_distinct(list_transform(range(1, len(ws)-1),
+                      i -> ws[CAST(i AS INT)] || '_' || ws[CAST(i AS INT)+1] || '_' || ws[CAST(i AS INT)+2])) AS s
+                  FROM w WHERE len(ws) >= 3)
+          SELECT block, id_a, id_b, jaccard FROM (
+            SELECT a.lang AS block, a.doc_id AS id_a, b.doc_id AS id_b, $duckJaccard AS jaccard
+            FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+          WHERE jaccard >= 0.8""",
+    "dedup_simhash" ->
+      s"""WITH h AS (SELECT doc_id, $duckSimhashHashes AS hs FROM documents)
+          SELECT doc_id, $duckSimhashSum AS simhash, len(hs) AS n_tokens FROM h""",
+    "ta_langid" -> {
+      val scores = langProfiles.map { case (l, ws) =>
+        val set = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(text, ' '), x -> x IN ($set))) AS s_${l.last}"
+      }.mkString(", ")
+      s"""WITH sc AS (SELECT doc_id, lang, $scores FROM documents)
+          SELECT doc_id, lang, s_a, s_b, s_c,
+                 CASE WHEN s_a >= s_b AND s_a >= s_c THEN 'proto-a'
+                      WHEN s_b >= s_c THEN 'proto-b'
+                      ELSE 'proto-c' END AS guess
+          FROM sc"""
+    },
+    "ta_quality" ->
+      """WITH q AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+            m AS (SELECT doc_id, len(text) AS n_chars_m, len(w) AS n_words,
+                    1.0 - len(list_distinct(w))*1.0/len(w) AS dup,
+                    len(list_filter(w, x -> x IN ('the','a')))*1.0/len(w) AS stop
+                  FROM q)
+          SELECT doc_id, n_chars_m, n_words, round(dup, 6) AS dup_ratio,
+                 round(stop, 6) AS stop_ratio,
+                 round(0.5*stop + 0.5*(1.0 - dup), 6) AS quality
+          FROM m""",
+    "ta_tokens" ->
+      """SELECT source, count(*) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws,
+                CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS sum_bpe
+         FROM documents GROUP BY source""",
+    "ta_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(text, ' '),
+                      w -> CAST(ascii(substr(w, 1, 1))*31 + len(w) AS BIGINT))),
+                  (a, b) -> (a*131 + b) % 2147483647) AS fp
+         FROM documents""",
+    "mm_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+                CAST(64 + CAST(concat('0x', substr(md5(text), 1, 6)) AS BIGINT) % 960 AS INT) AS width,
+                CAST(64 + CAST(concat('0x', substr(md5(text), 7, 6)) AS BIGINT) % 960 AS INT) AS height
+         FROM documents"""
+  )
+}

