@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.{Clean, Normalize}
+
+class EtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("etl_dedup_key leaves one row per key, the minimal tiebreak row") {
+    val out = q("etl_dedup_key").cache()
+    assert(out.groupBy("l_orderkey").count().filter($"count" > 1).isEmpty)
+    val src = spark.read.parquet(s"$sf/lineitem.parquet")
+    assert(out.count() === src.select("l_orderkey").distinct().count())
+  }
+
+  test("parseMoney strips $ and , and yields exact decimal") {
+    val df = Seq("$1,234.50", "99.99", "$0.01").toDF("m")
+      .select(Clean.parseMoney($"m").cast("string").as("v"))
+    assert(df.as[String].collect().toSeq === Seq("1234.50", "99.99", "0.01"))
+  }
+
+  test("normalizeValues maps listed values and passes others through") {
+    val df = Seq("Washington DC", "CA").toDF("s")
+      .select(Clean.normalizeValues($"s", Map("Washington DC" -> "DC")).as("v"))
+    assert(df.as[String].collect().toSeq === Seq("DC", "CA"))
+  }
+
+  test("upsert replaces matched keys and keeps both unmatched sides") {
+    val base = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val upd = Seq((2, "B"), (3, "C")).toDF("k", "v")
+    val got = Normalize.upsert(base, upd, "k").orderBy("k").as[(Int, String)].collect().toSeq
+    assert(got === Seq((1, "a"), (2, "B"), (3, "C")))
+  }
+
+  test("etl_upsert doubles price and flags status for keys % 10 == 0") {
+    val out = q("etl_upsert").filter($"o_orderkey" % 10 === 0)
+    assert(out.filter($"o_orderstatus" =!= "U").isEmpty)
+    val orig = spark.read.parquet(s"$sf/orders.parquet")
+      .filter($"o_orderkey" % 10 === 0)
+      .select(sum(round($"o_totalprice" * 100).cast("bigint")).as("s")).as[Long].head()
+    val got = out.select(sum(round($"price" * 100).cast("bigint")).as("s")).as[Long].head()
+    assert(got === 2 * orig)
+  }
+
+  test("etl_nest_collect produces sorted, comma-joined set per key") {
+    val row = q("etl_nest_collect").orderBy("o_custkey").limit(1)
+      .select("order_keys").as[String].head()
+    val parts = row.split(",").toSeq
+    assert(parts === parts.sorted)
+  }
+
+  test("etl_fillna output has no nulls and covers all rows") {
+    val out = q("etl_fillna")
+    assert(out.filter($"tax".isNull).isEmpty)
+    val total = out.agg(sum("n")).as[Long].head()
+    assert(total === spark.read.parquet(s"$sf/lineitem.parquet").count())
+  }
+
+  test("etl_numeric_coerce: bad casts count zero, digit extraction sums") {
+    val out = q("etl_numeric_coerce")
+    assert(out.agg(sum("n_bad")).as[Long].head() === 0L)
+    val urgent = out.filter($"o_orderpriority" === "1-URGENT").select($"n", $"sum_num")
+      .as[(Long, Long)].head()
+    assert(urgent._2 === urgent._1 * 1)
+  }
+}

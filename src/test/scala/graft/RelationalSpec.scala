@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("semi + anti join partition the customer set") {
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    val semi = q("q_semi_join").count()
+    val anti = q("q_anti_join").count()
+    val withOrders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(anti === nCust - withOrders)
+    assert(semi <= withOrders)
+  }
+
+  test("outer join keeps every customer, including zero-order ones") {
+    val out = q("q_outer_join")
+    assert(out.count() === spark.read.parquet(s"$sf/customer.parquet").count())
+    assert(out.filter($"n_orders" === 0 && $"total_spend" =!= 0.0).isEmpty)
+  }
+
+  test("topk_per_group emits at most 3 rows per customer, rank-ordered by price") {
+    val out = q("q_topk_per_group").cache()
+    assert(out.groupBy("o_custkey").count().filter($"count" > 3).isEmpty)
+    val bad = out.as[(Long, Long, Double, Int)].collect().toSeq
+      .groupBy(_._1).values
+      .flatMap(rows => rows.sortBy(_._4).sliding(2).toSeq
+        .filter { case Seq(hi, lo) => hi._3 < lo._3; case _ => false })
+    assert(bad.isEmpty)
+  }
+
+  test("rollup grand-total row equals whole-table aggregate") {
+    val out = q("q_rollup")
+    val grand = out.filter($"l_returnflag".isNull && $"l_linestatus".isNull)
+      .select("n").as[Long].head()
+    assert(grand === spark.read.parquet(s"$sf/lineitem.parquet").count())
+  }
+
+  test("pivot row counts sum to order counts per status") {
+    val out = q("q_pivot")
+    val summed = out.select(($"p_urgent" + $"p_high" + $"p_medium" + $"p_notspec" + $"p_low").as("s"))
+      .agg(sum("s")).as[Long].head()
+    assert(summed === spark.read.parquet(s"$sf/orders.parquet").count())
+  }
+
+  test("running window's final value equals the customer's total spend") {
+    val finals = q("q_window_running").groupBy("o_custkey")
+      .agg(max(round($"running_spend" * 100)).cast("bigint").as("final_c"))
+    val totals = spark.read.parquet(s"$sf/orders.parquet").groupBy("o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("bigint")).as("total_c"))
+    assert(finals.join(totals, "o_custkey").filter($"final_c" =!= $"total_c").isEmpty)
+  }
+
+  test("setops: except and intersect are disjoint on urgent-low vs urgent-high") {
+    val out = q("q_setops").cache()
+    val ex = out.filter($"op" === "except").select("o_custkey").as[Long].collect().toSet
+    val low = spark.read.parquet(s"$sf/orders.parquet")
+      .filter($"o_orderpriority" === "5-LOW").select("o_custkey").as[Long].collect().toSet
+    assert(ex.intersect(low).isEmpty)
+  }
+}

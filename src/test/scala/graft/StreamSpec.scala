@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Events
+
+class StreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming window agg accounts for every event (batch parity)") {
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$sf/events.parque[t]")
+    assert(stream.isStreaming)
+    val agg = Events.windowAggStream(stream)
+    val qy = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("streamspec").start()
+    qy.processAllAvailable(); qy.stop()
+    val viaStream = spark.table("streamspec").agg(sum("n")).as[Long].head()
+    assert(viaStream === spark.read.parquet(s"$sf/events.parquet").count())
+  }
+
+  test("batch hourlyAgg matches streaming window totals per event_type") {
+    val batch = q("stream_window_agg")
+      .groupBy("event_type").agg(sum("n").as("n")).as[(String, Long)].collect().toMap
+    val stream = spark.table("streamspec")
+      .groupBy("event_type").agg(sum("n").as("n")).as[(String, Long)].collect().toMap
+    assert(batch === stream)
+  }
+
+  test("sessionize: constructed gaps produce expected sessions") {
+    def ns(minutes: Long) = minutes * 60L * 1000000000L
+    val events = Seq(
+      (1L, 10L, ns(0)), (2L, 10L, ns(10)), (3L, 10L, ns(50)), // 40min gap -> new session
+      (4L, 20L, ns(0))
+    ).toDF("event_id", "user_id", "ts")
+    val got = Events.sessionize(events, gapMinutes = 30)
+      .select($"user_id", $"session_id", $"n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((10L, 0L, 2L), (10L, 1L, 1L), (20L, 0L, 1L)))
+  }
+
+  test("sessionize covers all events exactly once") {
+    val out = q("stream_sessionize")
+    assert(out.agg(sum("n_events")).as[Long].head() ===
+      spark.read.parquet(s"$sf/events.parquet").count())
+    assert(out.filter($"end_us" < $"start_us").isEmpty)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+
+class TextSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("charShingles/wordNgrams edge cases") {
+    val df = Seq("abcd", "ab", "x y z w", "x").toDF("t")
+      .select(size(charShingles($"t", 3)).as("cs"), size(wordNgrams($"t", 3)).as("wn"))
+      .as[(Int, Int)].collect().toSeq
+    assert(df === Seq((2, 0), (0, 0), (5, 2), (0, 0)))
+  }
+
+  test("jaccard is 1 on identical sets, 0 on disjoint") {
+    val df = Seq(("a b a", "a b a"), ("a b c", "x y z")).toDF("s1", "s2")
+      .select(jaccard(array_distinct(tokens($"s1")), array_distinct(tokens($"s2"))).as("j"))
+      .as[Double].collect().toSeq
+    assert(df === Seq(1.0, 0.0))
+  }
+
+  test("minhash LSH finds planted near-duplicates and respects threshold") {
+    val pairs = q("dedup_minhash_lsh").cache()
+    assert(pairs.count() > 0, "synthetic corpus contains near-dups; LSH must surface them")
+    assert(pairs.filter($"jaccard" < 0.8).isEmpty)
+    // candidates are genuine: verify one pair's jaccard independently
+    val (a, b, j) = pairs.orderBy(desc("jaccard")).as[(Long, Long, Double)].head()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id".isin(a, b))
+      .select(array_distinct(charShingles($"text", 3)).as("s")).as[Seq[String]].collect()
+    val exact = docs(0).toSet.intersect(docs(1).toSet).size.toDouble /
+      docs(0).toSet.union(docs(1).toSet).size
+    assert(math.abs(exact - j) < 1e-6)
+  }
+
+  test("simhash of near-dup pair is hamming-close, of random pair is far") {
+    val sims = Dedup.simhashed(spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id")
+    val pair = q("dedup_minhash_lsh").orderBy(desc("jaccard")).as[(Long, Long, Double)].head()
+    val m = sims.filter($"doc_id".isin(pair._1, pair._2) || $"doc_id".isin(0L, 250L))
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(m(pair._1), m(pair._2)) < ham(m(0L), m(250L)))
+  }
+
+  test("exact dedup accounts for every document") {
+    val out = q("dedup_exact_docs")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.agg(sum($"n_dups") + count(lit(1))).first().getLong(0) === docs)
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val fp = Seq("a b c", "a b c", "c b a").toDF("text")
+      .select(fingerprint($"text")).as[Long].collect()
+    assert(fp(0) === fp(1))
+    assert(fp(0) !== fp(2))
+  }
+
+  test("quality metrics bounded in [0,1]") {
+    val bad = q("ta_quality")
+      .filter($"dup_ratio" < 0 || $"dup_ratio" > 1 || $"stop_ratio" < 0 || $"stop_ratio" > 1 ||
+        $"quality" < 0 || $"quality" > 1)
+    assert(bad.isEmpty)
+  }
+
+  test("topk cosine: query vector ranks itself first with cosine 1") {
+    val top = q("sim_topk_cosine").as[(Long, Double)].collect()
+    assert(top.length === 10)
+    assert(top.head === ((0L, 1.0)))
+    assert(top.map(_._2).sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("IVF assigns every vector; centroids self-assign at sim 1") {
+    val out = q("sim_ann_ivf").cache()
+    assert(out.count() === spark.read.parquet(s"$sf/embeddings.parquet").count())
+    val selfs = out.filter($"vec_id" < 8).as[(Long, Long, Double)].collect()
+    assert(selfs.forall(r => r._2 === r._1 && r._3 === 1.0))
+  }
+
+  test("embedding near-dup pairs all meet the threshold, symmetric-free (a<b)") {
+    val out = q("dedup_embedding").cache()
+    assert(out.filter($"cosine" < 0.45).isEmpty)
+    assert(out.filter($"id_a" >= $"id_b").isEmpty)
+  }
+}
