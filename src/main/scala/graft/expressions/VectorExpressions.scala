@@ -1,0 +1,148 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the embedding hot path (SURVEY.md §2.D).
+  *
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` is semantically right but
+  * allocates an intermediate array and interprets two lambdas per row; at
+  * 2M candidate pairs × 64 dims that dominates the profile. These
+  * expressions generate a single fused Java loop (`doGenCode`), keeping the
+  * whole comparison inside WholeStageCodegen. Summation order is the same
+  * sequential left-fold, so results are bit-identical to the composed form
+  * (and to the DuckDB `list_reduce` oracle).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** L2 norm of a double array — same fused-loop rationale as [[DotProduct]]. */
+case class L2Norm(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    while (i < x.numElements()) { val v = x.getDouble(i); acc += v * v; i += 1 }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $v = $a.getDouble($i);
+         |  $acc += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** One-pass SimHash over pre-hashed tokens (array<bigint> of 60-bit
+  * hashes): bit b of the output is set iff tokens with bit b set are the
+  * (weak) majority — identical semantics to the 60-fold composed form in
+  * `TextFunctions.simhash60`, evaluated in a single traversal instead of 60.
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any = {
+    val hs = a.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 60) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) { if (2 * counts(b) >= n) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $counts = new int[60];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 60; $b++) {
+         |    $counts[$b] += (int) (($h >>> $b) & 1L);
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 60; $b++) {
+         |  if (2 * $counts[$b] >= $n) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-API wrappers. */
+object VectorExpressions {
+  private def c(e: Expression): Column = GraftShim.column(e)
+  private def e(col: Column): Expression = GraftShim.expression(col)
+
+  def dot(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
+  def l2norm(a: Column): Column = c(L2Norm(e(a)))
+  def simhash60Native(tokenHashes: Column): Column = c(SimHash60(e(tokenHashes)))
+}

@@ -21,31 +21,59 @@ object TextFunctions {
       transform(sequence(lit(1), length(c) - lit(n - 1)), i => c.substr(i, lit(n))))
       .otherwise(array())
 
-  /** Word n-grams joined with '_'; empty array below n words. */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val ts = tokens(c)
-    when(size(ts) >= n,
-      transform(sequence(lit(1), size(ts) - lit(n - 1)),
-        i => concat_ws("_", (0 until n).map(k => element_at(ts, i + lit(k))): _*)))
-      .otherwise(array())
-  }
+  /** Word n-grams joined with '_'; empty array below n words.
+    *
+    * The token array is bound as a lambda variable (via a one-element
+    * `transform`) so the split happens ONCE per row; naively referencing
+    * `split(c)` inside the position lambda re-tokenizes the document per
+    * n-gram position — O(len²) per row, ~7× slower on real documents. */
+  def wordNgrams(c: Column, n: Int): Column =
+    element_at(
+      transform(array(tokens(c)), w =>
+        when(size(w) >= n,
+          transform(sequence(lit(1), size(w) - lit(n - 1)),
+            i => concat_ws("_", (0 until n).map(k => element_at(w, i + lit(k))): _*)))
+          .otherwise(array())),
+      1)
 
-  /** One MinHash value: min over shingles of md5(seed|shingle).
-    * Per-row compute only — signatures of a 100 TB corpus need zero
-    * shuffles (contrast: explode+groupBy would shuffle every shingle).
-    */
-  def minhash(shingles: Column, seed: Int): Column =
-    array_min(transform(shingles, sh => md5(concat(lit(s"$seed|"), sh))))
+  /** 31-bit shingle hash: md5 prefix (8 hex chars) reduced mod 2^31-1.
+    * Portable: DuckDB `CAST('0x'||substr(md5(g),1,8) AS BIGINT) % 2147483647`. */
+  def hash31(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("bigint") % lit(2147483647L)
+
+  /** Distinct 31-bit hashes of the shingle set — the representation all
+    * downstream minhash/jaccard work runs on (ints, not strings: one md5
+    * per shingle total, and set intersections over longs). */
+  def shingleHashes(shingles: Column): Column =
+    array_distinct(transform(shingles, hash31(_)))
+
+  // Fixed universal-hash parameters (odd multipliers / offsets, mod 2^31-1):
+  // h_j(x) = (A(j)*x + B(j)) mod p. Pure arithmetic — identical in any engine.
+  private[graft] val MinhashA: IndexedSeq[Long] =
+    Vector(1103571L, 2946901L, 6291469L, 12582917L, 25165843L, 50331653L,
+      100663319L, 201326611L, 402653189L, 805306457L, 1610612741L, 3145739L,
+      786433L, 1572869L, 196613L, 98317L)
+  private[graft] val MinhashB: IndexedSeq[Long] =
+    Vector(12345L, 67891L, 24691L, 13579L, 97531L, 86421L, 75319L, 64207L,
+      53195L, 42083L, 31971L, 20869L, 19757L, 8645L, 75331L, 64219L)
+
+  /** One MinHash value over pre-hashed shingles: min of the j-th universal
+    * hash. Per-row compute only — signatures of a 100 TB corpus need zero
+    * shuffles (contrast: explode+groupBy would shuffle every shingle). */
+  def minhash(hashes: Column, seed: Int): Column =
+    array_min(transform(hashes,
+      h => (lit(MinhashA(seed)) * h + lit(MinhashB(seed))) % lit(2147483647L)))
 
   /** k-element MinHash signature as an array column. */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map(minhash(shingles, _)): _*)
+  def minhashSignature(hashes: Column, k: Int): Column =
+    array((0 until k).map(minhash(hashes, _)): _*)
 
   /** LSH band keys: md5 over `rowsPerBand` consecutive signature values.
     * Docs sharing any band key are near-dup candidates. */
   def lshBands(sig: Column, k: Int, rowsPerBand: Int): Column =
     array((0 until k / rowsPerBand).map { b =>
-      md5(concat_ws("#", (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*))
+      md5(concat_ws("#",
+        (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1).cast("string")): _*))
     }: _*)
 
   /** Jaccard similarity of two (distinct-element) arrays — exact in both

@@ -16,10 +16,8 @@ object Similarity {
   /** Cosine similarity between two double-array columns: element-order
     * sequential fold — deterministic and identical across engines. */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
-    dot / (na * nb)
+    import graft.expressions.VectorExpressions.{dot, l2norm}
+    dot(a, b) / (l2norm(a) * l2norm(b))
   }
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))

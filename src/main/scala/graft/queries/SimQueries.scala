@@ -44,11 +44,11 @@ object SimQueries {
   val oracle: Map[String, String] = Map(
     "dedup_embedding" ->
       s"""WITH n AS (${normed(vecs)})
-          SELECT id_a, id_b, cosine FROM (
+          SELECT id_a, id_b, round(c, 6) AS cosine FROM (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round($pairDot / (a.nrm * b.nrm), 6) AS cosine
+                   $pairDot / (a.nrm * b.nrm) AS c
             FROM n a JOIN n b ON a.vec_id < b.vec_id)
-          WHERE cosine >= 0.45""",
+          WHERE c >= 0.45""",
     "sim_topk_cosine" ->
       s"""WITH n AS (${normed(vecs)}),
             q AS (SELECT v, nrm FROM n WHERE vec_id = 0)

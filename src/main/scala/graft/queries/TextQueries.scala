@@ -78,8 +78,16 @@ object TextQueries {
   private val duckShingles =
     "list_distinct(list_transform(range(1, len(text)-1), i -> substr(text, CAST(i AS INT), 3)))"
 
-  private def duckMinhash(seed: Int, listExpr: String): String =
-    s"list_min(list_transform($listExpr, g -> md5('$seed|' || g)))"
+  /** DuckDB: distinct 31-bit hashes of the shingle set (mirrors
+    * `TextFunctions.shingleHashes`). */
+  private val duckShingleHashes =
+    s"list_distinct(list_transform($duckShingles, g -> CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 2147483647))"
+
+  private def duckMinhash(seed: Int, listExpr: String): String = {
+    val a = graft.functions.TextFunctions.MinhashA(seed)
+    val b = graft.functions.TextFunctions.MinhashB(seed)
+    s"list_min(list_transform($listExpr, h -> ($a*h + $b) % 2147483647))"
+  }
 
   private val duckSimhashHashes =
     "list_transform(string_split(text, ' '), w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT))"
@@ -89,29 +97,32 @@ object TextQueries {
       s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
   }.mkString(" + ")
 
-  private val duckJaccard =
-    "round(len(list_intersect(a.s, b.s))*1.0 / len(list_distinct(list_concat(a.s, b.s))), 6)"
+  private val duckJaccardRaw =
+    "len(list_intersect(a.s, b.s))*1.0 / len(list_distinct(list_concat(a.s, b.s)))"
 
   val oracle: Map[String, String] = Map(
     "dedup_exact_docs" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) - 1 AS n_dups
          FROM documents GROUP BY 1""",
     "dedup_minhash_sig" -> {
-      val cols = (0 until 8).map(j => duckMinhash(j, "s") + s" AS m$j").mkString(", ")
-      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents)
+      val cols = (0 until 8).map(j => duckMinhash(j, "hs") + s" AS m$j").mkString(", ")
+      s"""WITH sh AS (SELECT doc_id, $duckShingleHashes AS hs FROM documents)
           SELECT doc_id, $cols FROM sh"""
     },
     "dedup_minhash_lsh" -> {
-      val ms = (0 until 8).map(j => duckMinhash(j, "s") + s" AS m$j").mkString(", ")
-      val bands = (0 until 4).map(b => s"md5(m${2 * b} || '#' || m${2 * b + 1})").mkString("[", ", ", "]")
-      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents WHERE len(text) >= 3),
-            sig AS (SELECT doc_id, s, $ms FROM sh),
+      val ms = (0 until 16).map(j => duckMinhash(j, "hs") + s" AS m$j").mkString(", ")
+      val bands = (0 until 2).map { b =>
+        val parts = (0 until 8).map(r => s"CAST(m${b * 8 + r} AS VARCHAR)").mkString(" || '#' || ")
+        s"md5($parts)"
+      }.mkString("[", ", ", "]")
+      s"""WITH sh AS (SELECT doc_id, $duckShingleHashes AS hs FROM documents WHERE len(text) >= 3),
+            sig AS (SELECT doc_id, hs AS s, $ms FROM sh),
             banded AS (SELECT doc_id, s, $bands AS bands FROM sig)
-          SELECT id_a, id_b, jaccard FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, $duckJaccard AS jaccard
+          SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, $duckJaccardRaw AS j
             FROM banded a JOIN banded b
               ON a.doc_id < b.doc_id AND len(list_intersect(a.bands, b.bands)) > 0)
-          WHERE jaccard >= 0.8"""
+          WHERE j >= 0.8"""
     },
     "dedup_ngram_jaccard" ->
       s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
@@ -119,10 +130,10 @@ object TextQueries {
                     list_distinct(list_transform(range(1, len(ws)-1),
                       i -> ws[CAST(i AS INT)] || '_' || ws[CAST(i AS INT)+1] || '_' || ws[CAST(i AS INT)+2])) AS s
                   FROM w WHERE len(ws) >= 3)
-          SELECT block, id_a, id_b, jaccard FROM (
-            SELECT a.lang AS block, a.doc_id AS id_a, b.doc_id AS id_b, $duckJaccard AS jaccard
+          SELECT block, id_a, id_b, round(j, 6) AS jaccard FROM (
+            SELECT a.lang AS block, a.doc_id AS id_a, b.doc_id AS id_b, $duckJaccardRaw AS j
             FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-          WHERE jaccard >= 0.8""",
+          WHERE j >= 0.8""",
     "dedup_simhash" ->
       s"""WITH h AS (SELECT doc_id, $duckSimhashHashes AS hs FROM documents)
           SELECT doc_id, $duckSimhashSum AS simhash, len(hs) AS n_tokens FROM h""",

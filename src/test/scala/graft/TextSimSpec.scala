@@ -29,7 +29,8 @@ class TextSimSpec extends SparkSpec {
     val (a, b, j) = pairs.orderBy(desc("jaccard")).as[(Long, Long, Double)].head()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .filter($"doc_id".isin(a, b))
-      .select(array_distinct(charShingles($"text", 3)).as("s")).as[Seq[String]].collect()
+      .select(shingleHashes(array_distinct(charShingles($"text", 3))).as("s"))
+      .as[Seq[Long]].collect()
     val exact = docs(0).toSet.intersect(docs(1).toSet).size.toDouble /
       docs(0).toSet.union(docs(1).toSet).size
     assert(math.abs(exact - j) < 1e-6)
