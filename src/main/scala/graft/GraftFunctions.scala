@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.{DotProduct, L2Norm, SimHash60}
+
+/** SQL-surface registration for graft's native expressions, so
+  * `spark.sql("SELECT graft_dot(a, b) ...")` works alongside the Column
+  * API. Two entry points:
+  *
+  *  - `GraftFunctions.register(spark)` for an existing session;
+  *  - `new GraftExtensions` via
+  *    `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  *    `.withExtensions(...)` at session build time (the deployment path —
+  *    executors and SQL-only clients get the functions without code
+  *    changes).
+  */
+object GraftFunctions {
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (es => DotProduct(es(0), es(1))),
+    "graft_l2norm" -> (es => L2Norm(es.head)),
+    "graft_simhash60" -> (es => SimHash60(es.head)))
+
+  def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
+}

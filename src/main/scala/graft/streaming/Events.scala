@@ -44,9 +44,8 @@ object Events {
   /** 30-minute-gap sessionization (batch form): a session starts when the
     * gap to the previous event of the same user exceeds `gapMinutes`.
     * Two windows over one shuffle on user_id; at scale state is bounded
-    * per key. The streaming form of this state machine is
-    * `flatMapGroupsWithState` keyed by user_id with a session timeout —
-    * exercised in the streaming spec. */
+    * per key. The streaming form of the same state machine is
+    * [[sessionizeStream]]. */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val us = nsToUs(col("ts")) // micros
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
@@ -60,5 +59,46 @@ object Events {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+  }
+
+  final case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long)
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                              start_us: Long, end_us: Long)
+  final case class SessionState(sessionId: Long, nEvents: Long,
+                                        startUs: Long, lastUs: Long)
+
+  /** Streaming sessionization: the same 30-minute-gap state machine as
+    * [[sessionize]], as a `flatMapGroupsWithState` keyed by user —
+    * per-key state is one fixed-size record, so streaming state stays
+    * bounded by the number of active users regardless of event volume.
+    * Emits a session when the gap closes it; call with
+    * `OutputMode.Append` + `GroupStateTimeout.NoTimeout` in tests (a
+    * production deployment would use an event-time timeout to flush
+    * idle sessions). */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[SessionEvent], gapMinutes: Int = 30)
+  : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, it, state) =>
+        val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+        var st = state.getOption.orNull
+        val closed = Seq.newBuilder[SessionOut]
+        sorted.foreach { e =>
+          st match {
+            case null =>
+              st = SessionState(0L, 1L, e.ts_us, e.ts_us)
+            case s if e.ts_us - s.lastUs > gapUs =>
+              closed += SessionOut(user, s.sessionId, s.nEvents, s.startUs, s.lastUs)
+              st = SessionState(s.sessionId + 1, 1L, e.ts_us, e.ts_us)
+            case s =>
+              st = s.copy(nEvents = s.nEvents + 1, lastUs = e.ts_us)
+          }
+        }
+        if (st != null) state.update(st)
+        closed.result().iterator
+      }
   }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Events
+
+class ExtensionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native expressions usable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "graft_l2norm(array(3.0d, 4.0d)) AS n").as[(Double, Double)].head()
+    assert(r === ((11.0, 5.0)))
+    // single token with bits 0..2 set -> majority on exactly those bits
+    val sh = spark.sql("SELECT graft_simhash60(array(CAST(7 AS BIGINT))) AS s")
+      .as[Long].head()
+    assert(sh === 7L)
+  }
+
+  test("streaming sessionization matches the batch state machine") {
+    def ns(m: Long) = m * 60L * 1000000000L
+    val raw = Seq(
+      (1L, 10L, ns(0)), (2L, 10L, ns(10)), (3L, 10L, ns(50)),
+      (4L, 10L, ns(95)), (5L, 20L, ns(0)))
+    // batch reference
+    val batch = Events.sessionize(raw.toDF("event_id", "user_id", "ts"), 30)
+      .select($"user_id", $"session_id", $"n_events").as[(Long, Long, Long)]
+      .collect().toSet
+    // streaming: MemoryStream drive
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Events.SessionEvent]
+    val qy = Events.sessionizeStream(ms.toDS(), 30).writeStream
+      .outputMode("append").format("memory").queryName("sessions").start()
+    ms.addData(raw.map { case (e, u, t) => Events.SessionEvent(u, e, t / 1000) })
+    qy.processAllAvailable(); qy.stop()
+    val streamed = spark.table("sessions")
+      .select($"user_id", $"session_id", $"n_events").as[(Long, Long, Long)]
+      .collect().toSet
+    // streaming emits only CLOSED sessions (append mode): the batch set
+    // minus each user's final open session
+    val open = batch.groupBy(_._1).map { case (_, ss) => ss.maxBy(_._2) }.toSet
+    assert(streamed === batch -- open)
+    assert(streamed.nonEmpty)
+  }
+}
