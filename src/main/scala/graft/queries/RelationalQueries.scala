@@ -144,6 +144,15 @@ object RelationalQueries {
       ex.unionByName(in).select("op", "o_custkey")
     }),
 
+    // salted two-phase aggregation: identical result to a plain groupBy
+    // (the oracle), immune to hot-key reducer skew
+    "q_skew_salted_agg" -> ((s, d) =>
+      graft.operators.Skew.saltedAgg(
+        t(s, d, "events").select(col("event_type"), cents(col("value")).as("vc")),
+        keys = Seq("event_type"), salt = 16,
+        aggs = Seq(("sum_value_c", "sum", col("vc"))))
+        .select(col("event_type"), col("n_rows"), money(col("sum_value_c")).as("sum_value"))),
+
     // calendar bucketing
     "q_date_trunc" -> ((s, d) =>
       t(s, d, "orders")
@@ -241,6 +250,10 @@ object RelationalQueries {
            (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority='1-URGENT'
             INTERSECT
             SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority='2-HIGH')""",
+    "q_skew_salted_agg" ->
+      """SELECT event_type, count(*) AS n_rows,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+         FROM events GROUP BY event_type""",
     "q_date_trunc" ->
       """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
                 count(*) AS n_orders,

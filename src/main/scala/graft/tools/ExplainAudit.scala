@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan audit: for every SparkEntry query, count exchanges (shuffles),
+  * broadcast joins, and scan-level pushdown/pruning, so plan regressions
+  * are visible as data. Run:
+  * `sbt "runMain graft.tools.ExplainAudit /root/testdata/sf0.01"`. */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try {
+        val df = fn(spark, dir)
+        val plan = df.queryExecution.executedPlan.toString
+        val formatted = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        def c(p: String) = p.r.findAllIn(plan).length
+        val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(formatted)
+          .count(!_.contains("[]"))
+        val readSchemas = "ReadSchema: [^\\n]+".r.findAllIn(formatted).toSeq
+        val widest = readSchemas.map(s => s.count(_ == ',') + 1).maxOption.getOrElse(0)
+        f"$name%-22s exch=${c("Exchange")}%2d bcast=${c("BroadcastHashJoin|BroadcastNestedLoop")}%2d smj=${c("SortMergeJoin")}%2d wsc=${c("WholeStageCodegen")}%2d pushedF=$pushed%2d maxReadCols=$widest%2d"
+      } catch { case e: Throwable => f"$name%-22s ERROR ${e.getMessage.take(60)}" }
+    }
+    rows.foreach(r => println("[audit] " + r))
+    spark.stop()
+  }
+}
