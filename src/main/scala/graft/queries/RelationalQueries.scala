@@ -125,6 +125,14 @@ object RelationalQueries {
           cnt("5-LOW").as("p_low"))
     }),
 
+    // approximate COUNT(DISTINCT): HyperLogLog++ sketch vs exact, per
+    // priority. No SQL oracle (DuckDB's HLL differs); the spec bounds the
+    // relative error and the driver records a rows-only check.
+    "q_approx_distinct" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderpriority")
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+          countDistinct(col("o_custkey")).as("exact_customers"))),
+
     // COUNT(DISTINCT)
     "q_distinct_agg" -> ((s, d) =>
       t(s, d, "orders").groupBy("o_orderpriority")

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+class SourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv ingest round-trips the documents table (reference extract step)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/docs_csv"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.write.option("header", "true").mode("overwrite").csv(dir)
+    val back = Tables.csv(spark, dir)
+    assert(back.count() === docs.count())
+    assert(back.columns.sorted.toSeq === docs.columns.sorted.toSeq)
+    // schema inference recovers numeric ids
+    assert(back.schema("doc_id").dataType.typeName === "integer" ||
+      back.schema("doc_id").dataType.typeName === "long")
+    val s1 = back.agg(sum("n_chars")).as[Long].head()
+    val s2 = docs.agg(sum("n_chars")).as[Long].head()
+    assert(s1 === s2)
+  }
+
+  test("approx_count_distinct stays within the configured error bound") {
+    val rows = q("q_approx_distinct").as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.1,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("bucketed tables join without a shuffle on the join key") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("graft_orders_b")
+    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("graft_customer_b")
+    val joined = spark.table("graft_orders_b")
+      .join(spark.table("graft_customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // bucketed co-partitioning: no Exchange feeding the join
+    val exchanges = "Exchange hashpartitioning\\((o_custkey|c_custkey)".r.findAllIn(plan).length
+    assert(exchanges === 0, s"expected shuffle-free bucketed join, plan:\n$plan")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+    spark.sql("DROP TABLE IF EXISTS graft_customer_b")
+  }
+}
