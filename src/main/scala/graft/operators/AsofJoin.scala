@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — attach to each left row the latest right row of the same
+  * key with `t_right <= t_left`. Spark has no native ASOF operator; rather
+  * than a custom SparkPlan, this composes as the classic union-sort-fill:
+  * tag both sides, co-shuffle ONCE on the key, sort each partition by
+  * (t, side), and carry the last-seen right payload forward with
+  * `last(_, ignoreNulls)` over the running window. Linear in rows, one
+  * shuffle, no point lookups — the plan a 1000-executor cluster wants
+  * (a broadcast-range or bucketed variant drops the shuffle when one side
+  * is small/pre-bucketed).
+  *
+  * Contract: `right` must be unique per (key, t) — pre-dedupe otherwise
+  * (ties would be partition-order nondeterministic).
+  */
+object AsofJoin {
+
+  def asof(left: DataFrame, right: DataFrame, key: String, t: String,
+           rightPayload: Seq[String]): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+    val r = right.select((key +: t +: rightPayload).map(col): _*).withColumn("__side", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    // right rows (side 0) sort before left rows at equal t: "<=" semantics
+    val w = Window.partitionBy(key).orderBy(col(t), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightPayload.foldLeft(u) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+}

@@ -152,6 +152,23 @@ object RelationalQueries {
       ex.unionByName(in).select("op", "o_custkey")
     }),
 
+    // as-of join: each purchase matched to the user's latest click at or
+    // before it (union-sort-fill composition; DuckDB native ASOF oracle)
+    "q_asof_join" -> ((s, d) => {
+      val e = t(s, d, "events").select(col("event_id"), col("user_id"),
+        graft.streaming.Events.nsToUs(col("ts")).as("ts_us"), col("event_type"))
+      val clicks = graft.etl.Clean.dedupByKey(
+        e.filter(col("event_type") === "click"), Seq("user_id", "ts_us"), Seq(col("event_id")))
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("click_event_id"), col("ts_us").as("click_ts_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      graft.operators.AsofJoin.asof(purchases, clicks, "user_id", "ts_us",
+        Seq("click_event_id", "click_ts_us"))
+        .select(col("event_id"), col("user_id"), col("click_event_id"),
+          (col("ts_us") - col("click_ts_us")).as("gap_us"))
+    }),
+
     // salted two-phase aggregation: identical result to a plain groupBy
     // (the oracle), immune to hot-key reducer skew
     "q_skew_salted_agg" -> ((s, d) =>
@@ -258,6 +275,13 @@ object RelationalQueries {
            (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority='1-URGENT'
             INTERSECT
             SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority='2-HIGH')""",
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+            c AS (SELECT user_id, ts_us, min(event_id) AS click_event_id
+                  FROM e WHERE event_type = 'click' GROUP BY user_id, ts_us),
+            p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, c.click_event_id, p.ts_us - c.ts_us AS gap_us
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""",
     "q_skew_salted_agg" ->
       """SELECT event_type, count(*) AS n_rows,
                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value

@@ -36,6 +36,9 @@ object TextQueries {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashed(t(s, d, "documents"), "text", "doc_id")),
 
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashNearDups(t(s, d, "documents"), "text", "doc_id", maxHamming = 8)),
+
     "ta_langid" -> ((s, d) => {
       val doc = t(s, d, "documents")
       val scored = doc.select(col("doc_id") +: col("lang") +:
@@ -137,6 +140,19 @@ object TextQueries {
     "dedup_simhash" ->
       s"""WITH h AS (SELECT doc_id, $duckSimhashHashes AS hs FROM documents)
           SELECT doc_id, $duckSimhashSum AS simhash, len(hs) AS n_tokens FROM h""",
+    "dedup_simhash_pairs" -> {
+      // pigeonhole condition mirrors Dedup.simhashNearDups: 9 chunks of 7 bits
+      val shares = (0 until 9).map { i =>
+        s"((a.sh >> ${i * 7}) & 127) = ((b.sh >> ${i * 7}) & 127)"
+      }.mkString("(", " OR ", ")")
+      s"""WITH h AS (SELECT doc_id, $duckSimhashHashes AS hs FROM documents),
+            s AS (SELECT doc_id, $duckSimhashSum AS sh FROM h)
+          SELECT id_a, id_b, hamming FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id AND $shares)
+          WHERE hamming <= 8"""
+    },
     "ta_langid" -> {
       val scores = langProfiles.map { case (l, ws) =>
         val set = ws.map(w => s"'$w'").mkString(", ")
