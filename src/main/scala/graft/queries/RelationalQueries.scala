@@ -169,6 +169,19 @@ object RelationalQueries {
           (col("ts_us") - col("click_ts_us")).as("gap_us"))
     }),
 
+    // binned range join: purchases by the same user within 10 min after
+    // each click (equi-join on (user, time-bin) + exact range filter)
+    "q_range_join" -> ((s, d) => {
+      val e = t(s, d, "events").select(col("event_id"), col("user_id"),
+        graft.streaming.Events.nsToUs(col("ts")).as("ts_us"), col("event_type"))
+      graft.operators.RangeJoin.countInRange(
+        left = e.filter(col("event_type") === "click"),
+        right = e.filter(col("event_type") === "purchase"),
+        key = "user_id", t = "ts_us", idCol = "event_id",
+        lo = 0L, hi = 600000000L)
+        .select(col("event_id"), col("user_id"), col("n_matches").as("n_purchases"))
+    }),
+
     // salted two-phase aggregation: identical result to a plain groupBy
     // (the oracle), immune to hot-key reducer skew
     "q_skew_salted_agg" -> ((s, d) =>
@@ -282,6 +295,14 @@ object RelationalQueries {
             p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase')
          SELECT p.event_id, p.user_id, c.click_event_id, p.ts_us - c.ts_us AS gap_us
          FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""",
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events)
+         SELECT c.event_id, c.user_id, count(p.event_id) AS n_purchases
+         FROM (SELECT * FROM e WHERE event_type = 'click') c
+         LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.ts_us > c.ts_us AND p.ts_us <= c.ts_us + 600000000
+         GROUP BY c.event_id, c.user_id""",
     "q_skew_salted_agg" ->
       """SELECT event_type, count(*) AS n_rows,
                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
