@@ -115,6 +115,13 @@ object TextFunctions {
       lit(0L),
       (acc, w) => (acc * 131 + w) % 2147483647L)
 
+  /** Canonical text normalization for dedup/training-data prep: lowercase,
+    * strip non-alphanumerics, collapse whitespace, trim. The reference
+    * normalizes values ad hoc (`Airbnb_Listings_ETL.py:53-70`); this is
+    * the composable form (and the exact-dedup canonicalization step). */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
   /** Occurrences of any of `words` among the tokens. */
   def tokenCount(c: Column, words: Seq[String]): Column =
     size(filter(tokens(c), t => t.isin(words.map(lit(_)): _*)))

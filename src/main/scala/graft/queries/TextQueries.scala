@@ -60,6 +60,11 @@ object TextQueries {
         round(lit(0.5) * stop + lit(0.5) * (lit(1.0) - dup), 6).as("quality"))
     }),
 
+    "ta_normalize" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        md5(normalizeText(col("text"))).as("norm_hash"),
+        length(normalizeText(col("text"))).as("norm_len"))),
+
     "ta_tokens" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("source"), size(tokens(col("text"))).as("ws"), bpeishCount(col("text")).as("bpe"))
@@ -175,6 +180,11 @@ object TextQueries {
                  round(stop, 6) AS stop_ratio,
                  round(0.5*stop + 0.5*(1.0 - dup), 6) AS quality
           FROM m""",
+    "ta_normalize" ->
+      """SELECT doc_id,
+                md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+                len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_len
+         FROM documents""",
     "ta_tokens" ->
       """SELECT source, count(*) AS n_docs,
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws,

@@ -58,6 +58,12 @@ class TextSimSpec extends SparkSpec {
     assert(fp(0) !== fp(2))
   }
 
+  test("normalizeText lowercases, strips punct, collapses whitespace") {
+    val got = Seq("  Hello,   WORLD!! 42  ").toDF("t")
+      .select(normalizeText($"t")).as[String].head()
+    assert(got === "hello world 42")
+  }
+
   test("quality metrics bounded in [0,1]") {
     val bad = q("ta_quality")
       .filter($"dup_ratio" < 0 || $"dup_ratio" > 1 || $"stop_ratio" < 0 || $"stop_ratio" > 1 ||
