@@ -1,0 +1,69 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.{Clean, Normalize}
+
+/** The reference's two DAGs end-to-end as one declarative program —
+  * what `Airbnb_Listings_ETL.py` + `Airbnb_Review_ETL.py` do with
+  * pandas + row-by-row Postgres/Mongo upserts, as three Spark jobs:
+  *
+  *   extract(csv) → clean → { five keyed tables (upsert-loaded parquet),
+  *                            one nested document projection }
+  *
+  * `run` takes any wide listings-like DataFrame (column subsets are
+  * configurable), so the real Airbnb CSV drops in unchanged via
+  * `graft.sources.Tables.csv`.
+  */
+object ReferencePipeline {
+
+  final case class Config(
+      key: String,
+      moneyCols: Seq[String],
+      truncateCols: Map[String, Int],
+      valueMaps: Map[String, Map[String, String]],
+      requiredCols: Seq[String],
+      fillMinusOne: Seq[String],
+      tableSchema: Map[String, Seq[String]],
+      docFlat: Seq[String],
+      docNested: (String, Seq[String]))
+
+  /** Clean + normalize one extracted batch (Listings_ETL.py:29-87). */
+  def clean(raw: DataFrame, cfg: Config): DataFrame = {
+    val monied = cfg.moneyCols.foldLeft(raw)((df, c) =>
+      df.withColumn(c, Clean.parseMoney(col(c))))
+    val truncated = cfg.truncateCols.foldLeft(monied) { case (df, (c, n)) =>
+      df.withColumn(c, Clean.truncateCode(col(c), n))
+    }
+    val mapped = cfg.valueMaps.foldLeft(truncated) { case (df, (c, m)) =>
+      df.withColumn(c, Clean.normalizeValues(col(c), m))
+    }
+    val filled = Clean.fillNa(mapped, -1L, cfg.fillMinusOne)
+    Clean.dedupByKey(
+      Clean.dropNullRows(filled, cfg.requiredCols),
+      Seq(cfg.key), Seq(col(cfg.key)))
+  }
+
+  /** Full run: returns the five keyed tables + the document projection,
+    * and upsert-loads each table into `outDir` (partition-free keyed
+    * parquet — the Postgres-upsert analog). */
+  def run(spark: SparkSession, raw: DataFrame, cfg: Config, outDir: String): Map[String, DataFrame] = {
+    val cleaned = clean(raw, cfg)
+    val tables = Normalize.splitTables(cleaned, cfg.key, cfg.tableSchema)
+    val docs = Normalize.docProject(cleaned, cfg.docFlat, cfg.docNested._1, cfg.docNested._2)
+    tables.foreach { case (name, df) =>
+      graft.sinks.ParquetSink.upsertInto(spark, s"$outDir/$name", df, cfg.key, Nil)
+    }
+    docs.write.mode("overwrite").parquet(s"$outDir/documents_store")
+    tables + ("documents_store" -> docs)
+  }
+
+  /** Reviews-side accumulation (Review_ETL.py): dedup exact, coerce ids,
+    * nest per listing. */
+  def accumulateReviews(reviews: DataFrame, listingKey: String, reviewCols: Seq[String]): DataFrame = {
+    val deduped = Clean.dedupExact(reviews, listingKey +: reviewCols)
+      .withColumn(listingKey, Clean.coerceNumeric(col(listingKey), "bigint"))
+      .na.drop(Seq(listingKey))
+    Normalize.nestCollect(deduped, listingKey, reviewCols, "reviews")
+  }
+}

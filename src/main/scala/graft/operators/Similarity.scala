@@ -34,6 +34,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Lloyd's k-means for IVF centroid training: deterministic init (first
+    * k rows by id), then `iters` assign→mean rounds. Each round is one
+    * broadcast assignment (map-side) + one shuffle of (cluster, dim)
+    * partial sums — linear in corpus size, constant in k·dim, so training
+    * on a 100 TB embedding table is iters × (scan + tiny shuffle).
+    * Returns (centroid_id, vector). */
+  def kmeansFit(df: DataFrame, vecCol: String, idCol: String,
+                k: Int, iters: Int = 3): DataFrame = {
+    var centroids = df.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("int").as("centroid_id"), asDouble(col(vecCol)).as("c_v"))
+      .select(col("centroid_id"), col("c_v"))
+    var i = 0
+    while (i < iters) {
+      val assigned = ivfAssign(df, vecCol, idCol, centroids.withColumnRenamed("c_v", vecCol), "centroid_id")
+        .select(col(idCol), col("centroid_id"))
+        .join(df.select(col(idCol), asDouble(col(vecCol)).as("v")), Seq(idCol))
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("centroid_id", "dim").agg(avg(col("x")).as("m"))
+        .groupBy("centroid_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("c_v"))
+      i += 1
+    }
+    centroids
+  }
+
+  /** Mean cosine of each vector to its assigned centroid — the clustering
+    * quality score used to validate training. */
+  def assignmentQuality(df: DataFrame, vecCol: String, idCol: String,
+                        centroids: DataFrame, cIdCol: String): Double =
+    ivfAssign(df, vecCol, idCol, centroids, cIdCol)
+      .agg(avg(col("sim"))).head().getDouble(0)
+
   /** IVF assignment: nearest (by cosine) of the broadcast `centroids`
     * (id + vector). Deterministic tiebreak on rounded score then centroid
     * id. Returns corpus rows tagged with `centroid_id`. */

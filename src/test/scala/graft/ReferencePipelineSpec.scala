@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.ReferencePipeline
+import graft.etl.ReferencePipeline.Config
+
+/** Drives the full reference workflow on a listings-shaped wide table
+  * synthesized from the testdata (id, money strings, over-long codes,
+  * normalizable values, nulls, duplicate keys), asserting the semantics
+  * of each cleaning step and the load outputs. */
+class ReferencePipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val cfg = Config(
+    key = "id",
+    moneyCols = Seq("price"),
+    truncateCols = Map("zipcode" -> 5),
+    valueMaps = Map("state" -> Map("Washington DC" -> "DC")),
+    requiredCols = Seq("name"),
+    fillMinusOne = Seq("beds"),
+    tableSchema = Map(
+      "location_info" -> Seq("state", "zipcode"),
+      "price_info" -> Seq("price"),
+      "facility_info" -> Seq("beds")),
+    docFlat = Seq("id", "name"),
+    docNested = ("host_desc", Seq("host_id", "about")))
+
+  private lazy val raw = Seq(
+    (1L, "a", "$1,200.50", "20009-374", "Washington DC", Some(2L), 7L, "h1"),
+    (1L, "a", "$1,200.50", "20009-374", "Washington DC", Some(2L), 7L, "h1"), // dup key
+    (2L, "b", "99.99", "98101", "WA", None, 8L, "h2"),
+    (3L, null, "5.00", "10001", "NY", Some(1L), 9L, "h3") // dropped: null name
+  ).toDF("id", "name", "price", "zipcode", "state", "beds", "host_id", "about")
+
+  test("clean applies money/truncate/map/fill/dropna/dedup in one pass") {
+    val c = ReferencePipeline.clean(raw, cfg).orderBy("id")
+    val rows = c.select($"id", $"price".cast("string"), $"zipcode", $"state", $"beds")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(rows === Seq(
+      (1L, "1200.50", "20009", "DC", 2L),
+      (2L, "99.99", "98101", "WA", -1L)))
+  }
+
+  test("run emits five… well, three keyed tables + doc store, upsert-loaded") {
+    val out = java.nio.file.Files.createTempDirectory("refpipe").toString
+    val tables = ReferencePipeline.run(spark, raw, cfg, out)
+    assert(tables.keySet === Set("location_info", "price_info", "facility_info", "documents_store"))
+    val loaded = spark.read.parquet(s"$out/price_info")
+    assert(loaded.columns.toSet === Set("id", "price"))
+    assert(loaded.count() === 2)
+    // second run with changed prices upserts, not duplicates
+    val raw2 = raw.withColumn("price", lit("$7.77"))
+    ReferencePipeline.run(spark, raw2, cfg, out)
+    val re = spark.read.parquet(s"$out/price_info")
+    assert(re.count() === 2)
+    assert(re.filter($"price" === 7.77).count() === 2)
+    val doc = spark.read.parquet(s"$out/documents_store")
+    assert(doc.schema("host_desc").dataType.typeName === "struct")
+  }
+
+  test("review accumulation nests deduped reviews per listing") {
+    val reviews = Seq(
+      ("1", "2024-01-01", "nice"), ("1", "2024-01-01", "nice"), // exact dup
+      ("1", "2024-01-02", "ok"), ("oops", "2024-01-03", "bad-id")
+    ).toDF("listing_id", "date", "comments")
+    val got = ReferencePipeline.accumulateReviews(reviews, "listing_id", Seq("date", "comments"))
+    val row = got.filter($"listing_id" === 1L).select(size($"reviews")).as[Int].head()
+    assert(row === 2)
+    assert(got.count() === 1) // bad id row coerced to null and dropped
+  }
+}

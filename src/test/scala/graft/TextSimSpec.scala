@@ -85,6 +85,16 @@ class TextSimSpec extends SparkSpec {
     assert(selfs.forall(r => r._2 === r._1 && r._3 === 1.0))
   }
 
+  test("k-means training improves IVF assignment quality over stub centroids") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val stub = e.filter($"vec_id" < 8).withColumnRenamed("vec_id", "cid")
+    val before = Similarity.assignmentQuality(e, "embedding", "vec_id", stub, "cid")
+    val trained = Similarity.kmeansFit(e, "embedding", "vec_id", k = 8, iters = 2)
+      .withColumnRenamed("c_v", "embedding")
+    val after = Similarity.assignmentQuality(e, "embedding", "vec_id", trained, "centroid_id")
+    assert(after > before, s"trained=$after stub=$before")
+  }
+
   test("embedding near-dup pairs all meet the threshold, symmetric-free (a<b)") {
     val out = q("dedup_embedding").cache()
     assert(out.filter($"cosine" < 0.45).isEmpty)
