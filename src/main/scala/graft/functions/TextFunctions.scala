@@ -43,9 +43,11 @@ object TextFunctions {
 
   /** Distinct 31-bit hashes of the shingle set — the representation all
     * downstream minhash/jaccard work runs on (ints, not strings: one md5
-    * per shingle total, and set intersections over longs). */
+    * per shingle total, and set intersections over longs). Uses the
+    * native [[graft.expressions.Md5Prefix31]] (value-identical to
+    * `hash31`, no hex-string round trip). */
   def shingleHashes(shingles: Column): Column =
-    array_distinct(transform(shingles, hash31(_)))
+    array_distinct(transform(shingles, graft.expressions.HashExpressions.md5prefix31(_)))
 
   // Fixed universal-hash parameters (odd multipliers / offsets, mod 2^31-1):
   // h_j(x) = (A(j)*x + B(j)) mod p. Pure arithmetic — identical in any engine.

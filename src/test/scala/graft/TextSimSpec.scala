@@ -45,6 +45,18 @@ class TextSimSpec extends SparkSpec {
     assert(ham(m(pair._1), m(pair._2)) < ham(m(0L), m(250L)))
   }
 
+  test("native hash expressions match their compositional definitions") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val sh = array_distinct(charShingles($"text", 3))
+    val mismatch = docs.select(
+        shingleHashes(sh).as("native_hs"),
+        array_distinct(transform(sh, hash31(_))).as("comp_hs"))
+      .withColumn("sig_n", graft.expressions.HashExpressions.minhashSigNative($"native_hs", 16))
+      .withColumn("sig_c", minhashSignature($"comp_hs", 16))
+      .filter($"native_hs" =!= $"comp_hs" || $"sig_n" =!= $"sig_c")
+    assert(mismatch.isEmpty)
+  }
+
   test("exact dedup accounts for every document") {
     val out = q("dedup_exact_docs")
     val docs = spark.read.parquet(s"$sf/documents.parquet").count()
