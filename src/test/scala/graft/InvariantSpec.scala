@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.{Clean, Normalize}
+import graft.functions.TextFunctions._
+import graft.operators.{AsofJoin, RangeJoin, Skew}
+import scala.util.Random
+
+/** Randomized invariants over generated data (fixed seeds — deterministic
+  * runs). Each operator is checked against its mathematical contract or a
+  * brute-force reference, on shapes the curated specs don't cover:
+  * duplicate timestamps, empty groups, single-element sets, key skew. */
+class InvariantSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rng(seed: Int) = new Random(seed)
+
+  test("upsert is idempotent and keyed-left-total") {
+    val r = rng(1)
+    val base = Seq.tabulate(200)(i => (r.nextInt(50).toLong, r.nextInt(100))).toDF("k", "v")
+    val upd = Seq.tabulate(80)(i => (r.nextInt(60).toLong, 1000 + r.nextInt(100))).toDF("k", "v")
+    val u1 = Normalize.upsert(Clean.dedupByKey(base, Seq("k"), Seq($"v")),
+      Clean.dedupByKey(upd, Seq("k"), Seq($"v")), "k").cache()
+    val u2 = Normalize.upsert(u1, Clean.dedupByKey(upd, Seq("k"), Seq($"v")), "k")
+    assert(u1.exceptAll(u2).isEmpty && u2.exceptAll(u1).isEmpty, "idempotent")
+    assert(u1.groupBy("k").count().filter($"count" > 1).isEmpty, "unique keys")
+  }
+
+  test("saltedAgg equals plain agg on skewed random data") {
+    val r = rng(2)
+    // 90% of rows on one hot key
+    val rows = Seq.tabulate(5000) { i =>
+      val k = if (r.nextInt(10) < 9) "hot" else s"k${r.nextInt(20)}"
+      (k, r.nextInt(1000).toLong)
+    }
+    val df = rows.toDF("k", "v")
+    val salted = Skew.saltedAgg(df, Seq("k"), salt = 8, aggs = Seq(("sv", "sum", $"v")))
+      .select($"k", $"n_rows", $"sv").as[(String, Long, Long)].collect().toSet
+    val plain = df.groupBy("k").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(salted === plain)
+  }
+
+  test("asof equals brute force on random series with duplicate left times") {
+    val r = rng(3)
+    val left = Seq.tabulate(300)(i => (i.toLong, (r.nextInt(3) + 1).toString, r.nextInt(100).toLong))
+    val rightRaw = Seq.tabulate(150)(i => ((r.nextInt(3) + 1).toString, r.nextInt(100).toLong, i.toLong))
+    // contract: right unique per (key, t)
+    val right = rightRaw.groupBy(x => (x._1, x._2)).map(_._2.minBy(_._3)).toSeq
+    val got = AsofJoin.asof(left.toDF("id", "k", "t"), right.toDF("k", "t", "p"), "k", "t", Seq("p"))
+      .select($"id", $"p").as[(Long, Option[Long])].collect().toMap
+    val expected = left.map { case (id, k, t) =>
+      val cand = right.filter(x => x._1 == k && x._2 <= t)
+      id -> (if (cand.isEmpty) None else Some(cand.maxBy(x => (x._2, -x._3))._3))
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("range join equals brute force on random event streams") {
+    val r = rng(4)
+    val left = Seq.tabulate(200)(i => (i.toLong, (r.nextInt(4) + 1).toLong, r.nextInt(1000).toLong))
+      .toDF("id", "k", "t")
+    val right = Seq.tabulate(400)(i => ((r.nextInt(4) + 1).toLong, r.nextInt(1000).toLong))
+      .toDF("k", "t")
+    val got = RangeJoin.countInRange(left, right, "k", "t", "id", lo = 0L, hi = 50L)
+      .select($"id", $"n_matches").as[(Long, Long)].collect().toMap
+    val rrows = right.as[(Long, Long)].collect()
+    val lrows = left.as[(Long, Long, Long)].collect()
+    val expected = lrows.map { case (id, k, t) =>
+      id -> rrows.count(x => x._1 == k && x._2 > t && x._2 <= t + 50).toLong
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("jaccard/normalize/fingerprint algebraic properties on random text") {
+    val r = rng(5)
+    val words = Seq("alpha", "beta", "Gamma!", "DELTA", "x9", ",", "the")
+    val texts = Seq.tabulate(60)(_ => Seq.fill(r.nextInt(20) + 1)(words(r.nextInt(words.size))).mkString(" "))
+    val df = texts.toDF("t").cache()
+    // jaccard(x, x) == 1 for non-empty; normalize idempotent; fingerprint stable
+    val bad = df.select(
+        jaccard(array_distinct(tokens($"t")), array_distinct(tokens($"t"))).as("j"),
+        (normalizeText(normalizeText($"t")) === normalizeText($"t")).as("idem"),
+        (fingerprint($"t") === fingerprint($"t")).as("stable"))
+      .filter($"j" =!= 1.0 || !$"idem" || !$"stable")
+    assert(bad.isEmpty)
+  }
+
+  test("minhash signature similarity tracks jaccard direction on perturbed docs") {
+    val base = Seq.fill(200)(Random.javaRandomToRandom(new java.util.Random(6)).nextInt(50)).map(i => s"w$i").mkString(" ")
+    val near = base + " extra token"
+    val far = Seq.tabulate(100)(i => s"z$i").mkString(" ")
+    val df = Seq((0L, base), (1L, near), (2L, far)).toDF("doc_id", "text")
+    val sigs = graft.operators.Dedup.minhashed(df, "text", "doc_id")
+      .select($"doc_id", $"sig").as[(Long, Seq[Long])].collect().toMap
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count(p => p._1 == p._2)
+    assert(agree(sigs(0L), sigs(1L)) > agree(sigs(0L), sigs(2L)))
+  }
+}
