@@ -66,6 +66,15 @@ object AnalysisQueries {
           array_contains(split(col("text"), " "), "vector"))
         .groupBy("lang").agg(count(lit(1)).as("n_listings"))),
 
+    // JSON payload extraction (the reference stores semi-structured docs
+    // in Mongo; here: typed access into the events' JSON props column)
+    "ana_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"))),
+
     // analysis6 (Airbnb_Analysis.py:185-220): regex digit extraction + agg
     "ana_regex_extract" -> ((s, d) =>
       t(s, d, "events")
@@ -107,6 +116,11 @@ object AnalysisQueries {
          WHERE regexp_matches(text, '(?i)spark') AND regexp_matches(text, '(?i)window')
            AND list_contains(string_split(text, ' '), 'vector')
          GROUP BY lang""",
+    "ana_json_extract" ->
+      """SELECT event_type,
+                count(CAST(props->>'$.k' AS INT)) AS n_with_k,
+                CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k
+         FROM events GROUP BY event_type""",
     "ana_regex_extract" ->
       """SELECT event_type, count(*) AS n,
                 CAST(sum(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,

@@ -99,6 +99,18 @@ object RelationalQueries {
           money(sum(col("price_c")).over(w)).as("running_spend"))
     }),
 
+    // window with a VALUE range frame: trailing-90-day spend per order
+    "q_window_range" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("days"))
+        .rangeBetween(-90, 0)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS BIGINT)").as("days"),
+          cents(col("o_totalprice")).as("pc"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          money(sum(col("pc")).over(w)).as("trailing_90d"))
+    }),
+
     // top-k per group without global sort
     "q_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("price_c").desc, col("o_orderkey"))
@@ -252,6 +264,15 @@ object RelationalQueries {
                      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0 AS running_spend
          FROM orders""",
+    "q_window_range" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+                           CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS days,
+                           CAST(round(o_totalprice*100) AS BIGINT) AS pc
+                    FROM orders)
+         SELECT o_custkey, o_orderkey,
+                CAST(sum(pc) OVER (PARTITION BY o_custkey ORDER BY days
+                     RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0 AS trailing_90d
+         FROM o""",
     "q_topk_per_group" ->
       """SELECT o_custkey, o_orderkey,
                 CAST(CAST(round(o_totalprice*100) AS BIGINT) AS DOUBLE)/100.0 AS price,

@@ -21,6 +21,18 @@ class SourceSpec extends SparkSpec {
     assert(s1 === s2)
   }
 
+  test("orc round-trip preserves data and prunes columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/docs_orc"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() === docs.count())
+    assert(back.agg(sum("n_chars")).as[Long].head() ===
+      docs.agg(sum("n_chars")).as[Long].head())
+    val plan = back.select("doc_id").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"))
+  }
+
   test("approx_count_distinct stays within the configured error bound") {
     val rows = q("q_approx_distinct").as[(String, Long, Long)].collect()
     assert(rows.nonEmpty)
