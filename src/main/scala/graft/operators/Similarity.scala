@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (SURVEY.md §2.D).
@@ -47,9 +46,8 @@ object Similarity {
       .select(col("centroid_id"), col("c_v"))
     var i = 0
     while (i < iters) {
-      val assigned = ivfAssign(df, vecCol, idCol, centroids.withColumnRenamed("c_v", vecCol), "centroid_id")
-        .select(col(idCol), col("centroid_id"))
-        .join(df.select(col(idCol), asDouble(col(vecCol)).as("v")), Seq(idCol))
+      val assigned = ivfAssign(df, vecCol, idCol,
+        centroids.withColumnRenamed("c_v", vecCol), "centroid_id", keepVec = true)
       centroids = assigned
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("centroid_id", "dim").agg(avg(col("x")).as("m"))
@@ -70,16 +68,44 @@ object Similarity {
 
   /** IVF assignment: nearest (by cosine) of the broadcast `centroids`
     * (id + vector). Deterministic tiebreak on rounded score then centroid
-    * id. Returns corpus rows tagged with `centroid_id`. */
+    * id. Returns corpus rows tagged with `centroid_id`.
+    *
+    * Zero-shuffle plan: the K centroids are packed into ONE row (a
+    * cid-sorted array of (cid, vector, norm) structs), broadcast, and the
+    * per-row argmax is a single `aggregate` fold over that array — the
+    * corpus never enters an Exchange. (The alternative — crossJoin the K
+    * centroid rows then `row_number` over a per-id window — shuffles n×K
+    * rows to answer a map-side question; at K=4096 that is a 4096×
+    * data-amplified exchange.) Fold order is cid-ascending with a strict
+    * `>` improvement test, so ties keep the lowest cid — identical to
+    * ordering by (sim DESC, centroid_id). */
   def ivfAssign(df: DataFrame, vecCol: String, idCol: String,
-                centroids: DataFrame, cIdCol: String): DataFrame = {
-    val c = broadcast(centroids.select(col(cIdCol).as("centroid_id"), asDouble(col(vecCol)).as("c_v")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("centroid_id"))
-    df.select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .crossJoin(c)
-      .select(col(idCol), col("centroid_id"), round(cosine(col("v"), col("c_v")), 6).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("centroid_id"), col("sim"))
+                centroids: DataFrame, cIdCol: String,
+                keepVec: Boolean = false): DataFrame = {
+    import graft.expressions.VectorExpressions.{dot, l2norm}
+    val packed = broadcast(
+      centroids
+        .select(struct(col(cIdCol).as("cid"), asDouble(col(vecCol)).as("cv"),
+          l2norm(asDouble(col(vecCol))).as("cn")).as("c"))
+        .agg(array_sort(collect_list(col("c"))).as("cs")))
+    val best = aggregate(
+      col("cs"),
+      struct(lit(Double.NegativeInfinity).as("sim"),
+        element_at(col("cs"), 1).getField("cid").as("cid")),
+      (b, c) => {
+        val s = round(dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn")), 6)
+        when(s > b.getField("sim"), struct(s.as("sim"), c.getField("cid").as("cid")))
+          .otherwise(b)
+      })
+    val out = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .crossJoin(packed)
+      .withColumn("b", best)
+    // keepVec lets consumers that need the vector (bucketed near-dup,
+    // k-means update) avoid re-joining the corpus by id — one less shuffle
+    if (keepVec)
+      out.select(col(idCol), col("b.cid").as("centroid_id"), col("b.sim").as("sim"), col("v"))
+    else
+      out.select(col(idCol), col("b.cid").as("centroid_id"), col("b.sim").as("sim"))
   }
 }

@@ -12,8 +12,17 @@ import Common._
 object SimQueries {
 
   val defs: Map[String, QFn] = Map(
-    "dedup_embedding" -> ((s, d) =>
-      Dedup.embeddingNearDups(t(s, d, "embeddings"), "embedding", "vec_id", threshold = 0.45)),
+    // scale path: IVF-assign each vector to its nearest centroid (zero
+    // shuffle), then near-dup pairs only WITHIN a centroid bucket — the
+    // all-pairs cartesian never exists in the plan. The oracle mirrors the
+    // same bucketing (like LSH's band condition), so parity is exact.
+    "dedup_embedding" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid")
+      val assigned = Similarity.ivfAssign(e, "embedding", "vec_id", cents, "cid", keepVec = true)
+      Dedup.embeddingNearDups(assigned, "v", "vec_id",
+        threshold = 0.45, blockCol = Some("centroid_id"))
+    }),
 
     "sim_topk_cosine" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -43,11 +52,22 @@ object SimQueries {
 
   val oracle: Map[String, String] = Map(
     "dedup_embedding" ->
-      s"""WITH n AS (${normed(vecs)})
+      s"""WITH n AS (${normed(vecs)}),
+            c AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 8),
+            scored AS (
+              SELECT a.vec_id, c.centroid_id,
+                     round(${fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * c.v[CAST(i AS INT)])")} / (a.nrm * c.nrm), 6) AS sim
+              FROM n a CROSS JOIN c),
+            assigned AS (
+              SELECT vec_id, centroid_id FROM scored
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1),
+            na AS (SELECT n.vec_id, n.v, n.nrm, a.centroid_id
+                   FROM n JOIN assigned a ON n.vec_id = a.vec_id)
           SELECT id_a, id_b, round(c, 6) AS cosine FROM (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    $pairDot / (a.nrm * b.nrm) AS c
-            FROM n a JOIN n b ON a.vec_id < b.vec_id)
+            FROM na a JOIN na b
+              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
           WHERE c >= 0.45""",
     "sim_topk_cosine" ->
       s"""WITH n AS (${normed(vecs)}),
