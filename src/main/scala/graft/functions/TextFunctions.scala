@@ -49,15 +49,22 @@ object TextFunctions {
   def shingleHashes(shingles: Column): Column =
     array_distinct(transform(shingles, graft.expressions.HashExpressions.md5prefix31(_)))
 
-  // Fixed universal-hash parameters (odd multipliers / offsets, mod 2^31-1):
-  // h_j(x) = (A(j)*x + B(j)) mod p. Pure arithmetic — identical in any engine.
+  // Fixed universal-hash parameters, mod p = 2^31-1: h_j(x) = (A(j)*x + B(j))
+  // mod p. Pure arithmetic — identical in any engine (the DuckDB oracle SQL
+  // is *generated* from these same values). First 16 are hand-picked; the
+  // rest extend deterministically to k=128 (production LSH sizing — see
+  // Dedup.minhashNearDups). p prime and 2654435761 ∤ p ⇒ every extended
+  // A(j) is nonzero.
+  private[graft] val MinhashP = 2147483647L
   private[graft] val MinhashA: IndexedSeq[Long] =
     Vector(1103571L, 2946901L, 6291469L, 12582917L, 25165843L, 50331653L,
       100663319L, 201326611L, 402653189L, 805306457L, 1610612741L, 3145739L,
-      786433L, 1572869L, 196613L, 98317L)
+      786433L, 1572869L, 196613L, 98317L) ++
+      (16 until 128).map(j => (2654435761L * (2 * j + 1)) % MinhashP)
   private[graft] val MinhashB: IndexedSeq[Long] =
     Vector(12345L, 67891L, 24691L, 13579L, 97531L, 86421L, 75319L, 64207L,
-      53195L, 42083L, 31971L, 20869L, 19757L, 8645L, 75331L, 64219L)
+      53195L, 42083L, 31971L, 20869L, 19757L, 8645L, 75331L, 64219L) ++
+      (16 until 128).map(j => (40503L * j + 987654321L) % MinhashP)
 
   /** One MinHash value over pre-hashed shingles: min of the j-th universal
     * hash. Per-row compute only — signatures of a 100 TB corpus need zero
@@ -88,6 +95,12 @@ object TextFunctions {
     * engines (DuckDB: `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`). */
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
+  /** Companion 60-bit hash from md5 hex chars 16..30 — disjoint digest
+    * bits from [[hash60]], so the two behave as independent hash functions
+    * (used for the 120-bit wide simhash). */
+  def hash60b(c: Column): Column =
+    conv(substring(md5(c), 16, 15), 16, 10).cast("bigint")
 
   /** SimHash over 60-bit token hashes: bit b of the result is set iff
     * tokens with bit b set are the majority. Pure per-row fold —

@@ -100,10 +100,17 @@ object TextQueries {
   private val duckSimhashHashes =
     "list_transform(string_split(text, ' '), w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT))"
 
-  private val duckSimhashSum = (0 until 60).map { b =>
-    s"(CASE WHEN 2*CAST(list_sum(list_transform(hs, x -> (x >> $b) & 1)) AS BIGINT) >= len(hs) " +
+  /** Second independent 60-bit token hash (md5 hex chars 16..30) — the
+    * `hi` half of the 120-bit wide simhash. */
+  private val duckSimhashHashesB =
+    "list_transform(string_split(text, ' '), w -> CAST(concat('0x', substr(md5(w), 16, 15)) AS BIGINT))"
+
+  private def duckSimhashSumOf(l: String): String = (0 until 60).map { b =>
+    s"(CASE WHEN 2*CAST(list_sum(list_transform($l, x -> (x >> $b) & 1)) AS BIGINT) >= len($l) " +
       s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
   }.mkString(" + ")
+
+  private val duckSimhashSum = duckSimhashSumOf("hs")
 
   private val duckJaccardRaw =
     "len(list_intersect(a.s, b.s))*1.0 / len(list_distinct(list_concat(a.s, b.s)))"
@@ -118,8 +125,8 @@ object TextQueries {
           SELECT doc_id, $cols FROM sh"""
     },
     "dedup_minhash_lsh" -> {
-      val ms = (0 until 16).map(j => duckMinhash(j, "hs") + s" AS m$j").mkString(", ")
-      val bands = (0 until 2).map { b =>
+      val ms = (0 until 128).map(j => duckMinhash(j, "hs") + s" AS m$j").mkString(", ")
+      val bands = (0 until 16).map { b =>
         val parts = (0 until 8).map(r => s"CAST(m${b * 8 + r} AS VARCHAR)").mkString(" || '#' || ")
         s"md5($parts)"
       }.mkString("[", ", ", "]")
@@ -145,19 +152,19 @@ object TextQueries {
     "dedup_simhash" ->
       s"""WITH h AS (SELECT doc_id, $duckSimhashHashes AS hs FROM documents)
           SELECT doc_id, $duckSimhashSum AS simhash, len(hs) AS n_tokens FROM h""",
-    "dedup_simhash_pairs" -> {
-      // pigeonhole condition mirrors Dedup.simhashNearDups: 9 chunks of 7 bits
-      val shares = (0 until 9).map { i =>
-        s"((a.sh >> ${i * 7}) & 127) = ((b.sh >> ${i * 7}) & 127)"
-      }.mkString("(", " OR ", ")")
-      s"""WITH h AS (SELECT doc_id, $duckSimhashHashes AS hs FROM documents),
-            s AS (SELECT doc_id, $duckSimhashSum AS sh FROM h)
+    // brute-force ALL-pairs hamming over the wide hash — no pigeonhole
+    // condition baked in, so this checks the Spark candidate generator's
+    // completeness, not just its verification arithmetic
+    "dedup_simhash_pairs" ->
+      s"""WITH h AS (SELECT doc_id, $duckSimhashHashes AS hs,
+                            $duckSimhashHashesB AS hs2 FROM documents),
+            s AS (SELECT doc_id, ${duckSimhashSumOf("hs")} AS lo,
+                         ${duckSimhashSumOf("hs2")} AS hi FROM h)
           SELECT id_a, id_b, hamming FROM (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-            FROM s a JOIN s b ON a.doc_id < b.doc_id AND $shares)
-          WHERE hamming <= 8"""
-    },
+                   CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id)
+          WHERE hamming <= 8""",
     "ta_langid" -> {
       val scores = langProfiles.map { case (l, ws) =>
         val set = ws.map(w => s"'$w'").mkString(", ")

@@ -31,14 +31,27 @@ class AsofSimhashSpec extends SparkSpec {
   test("simhash pigeonhole join finds all close pairs a brute-force scan finds") {
     val out = q("dedup_simhash_pairs")
       .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect().toSet
-    // brute-force reference over the same simhashes
+    // brute-force reference over the same 120-bit wide simhashes
     val sims = graft.operators.Dedup
-      .simhashed(spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id")
-      .select($"doc_id", $"simhash").as[(Long, Long)].collect()
+      .simhashedWide(spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id")
+      .select($"doc_id", $"sh_lo", $"sh_hi").as[(Long, Long, Long)].collect()
     val brute = (for {
-      (ia, ha) <- sims; (ib, hb) <- sims if ia < ib
-      h = java.lang.Long.bitCount(ha ^ hb) if h <= 8
+      (ia, la, ha) <- sims; (ib, lb, hb) <- sims if ia < ib
+      h = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb) if h <= 8
     } yield (ia, ib, h)).toSet
     assert(out === brute, "pigeonhole candidate generation must be complete for h <= maxHamming")
+  }
+
+  test("simhash candidate volume stays far below all-pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n = docs.count()
+    val wide = graft.operators.Dedup.simhashedWide(docs, "text", "doc_id")
+    val cand = graft.operators.Dedup.simhashCandidates(wide, "doc_id")
+      .select($"id_a", $"id_b").distinct().count()
+    val allPairs = n * (n - 1) / 2
+    // two-chunk (24-bit) agreement: unrelated docs collide w.p. ~45/2^24;
+    // vocabulary-correlated docs push that up, but a quadratic generator
+    // yields ~allPairs — n²/16 is a ceiling only sub-quadratic plans meet.
+    assert(cand < allPairs / 16, s"candidates=$cand vs allPairs=$allPairs")
   }
 }

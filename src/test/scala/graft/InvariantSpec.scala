@@ -86,6 +86,35 @@ class InvariantSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("nsToUs is exact integer division, including composite-expression arguments") {
+    val ns = 1755000000123456789L // > 2^53: double division would corrupt
+    val got = Seq(ns).toDF("ts")
+      .select(graft.streaming.Events.nsToUs($"ts" + lit(111)).as("us"),
+        graft.streaming.Events.nsToUs($"ts").as("us0"))
+      .as[(Long, Long)].head()
+    assert(got === ((ns + 111) / 1000, ns / 1000))
+  }
+
+  test("LSH recall vs brute-force jaccard pairs at tau=0.8 is >= 0.9") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val m = graft.operators.Dedup.minhashed(docs, "text", "doc_id")
+      .filter(size($"hs") > 0)
+      .select($"doc_id", $"hs", size($"hs").as("n")).cache()
+    val a = m.select($"doc_id".as("id_a"), $"hs".as("ha"), $"n".as("na"))
+    val b = m.select($"doc_id".as("id_b"), $"hs".as("hb"), $"n".as("nb"))
+    // brute-force ground truth (size-ratio prune is sound at tau=0.8)
+    val brute = a.crossJoin(b)
+      .filter($"id_a" < $"id_b" && $"na" >= $"nb" * 0.8 && $"nb" >= $"na" * 0.8)
+      .filter(jaccard($"ha", $"hb") >= 0.8)
+      .count()
+    // LSH output is exact-verified, so it is a subset of brute — recall is
+    // just the count ratio
+    val lsh = graft.operators.Dedup.minhashNearDups(docs, "text", "doc_id", 0.8).count()
+    assert(brute > 0, "ground truth must be non-empty for the recall bound to mean anything")
+    assert(lsh <= brute)
+    assert(lsh.toDouble / brute >= 0.9, s"LSH recall $lsh/$brute below 0.9")
+  }
+
   test("minhash signature similarity tracks jaccard direction on perturbed docs") {
     val base = Seq.fill(200)(Random.javaRandomToRandom(new java.util.Random(6)).nextInt(50)).map(i => s"w$i").mkString(" ")
     val near = base + " extra token"
