@@ -49,6 +49,12 @@ object Clean {
     * reproducible winner at any partition count.
     */
   def dedupByKey(df: DataFrame, keys: Seq[String], tiebreak: Seq[Column]): DataFrame = {
+    // ordering by the partition key alone is vacuous — every row in the
+    // partition compares equal and the "winner" is partition-order
+    // nondeterministic, breaking the deterministic-representative contract
+    require(tiebreak.nonEmpty, "dedupByKey needs a tiebreak ordering")
+    require(tiebreak.map(_.toString) != keys.map(k => col(k).toString),
+      s"tiebreak ${tiebreak.mkString(",")} must order within the key partition, not just repeat the key")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(tiebreak: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }

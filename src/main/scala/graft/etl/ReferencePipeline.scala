@@ -39,9 +39,12 @@ object ReferencePipeline {
       df.withColumn(c, Clean.normalizeValues(col(c), m))
     }
     val filled = Clean.fillNa(mapped, -1L, cfg.fillMinusOne)
-    Clean.dedupByKey(
-      Clean.dropNullRows(filled, cfg.requiredCols),
-      Seq(cfg.key), Seq(col(cfg.key)))
+    val base = Clean.dropNullRows(filled, cfg.requiredCols)
+    // tiebreak on ALL non-key columns: duplicate keys with different
+    // payloads still elect one deterministic representative (ordering by
+    // the key itself would be vacuous inside its own partition)
+    Clean.dedupByKey(base, Seq(cfg.key),
+      base.columns.filterNot(_ == cfg.key).map(col).toSeq)
   }
 
   /** Full run: returns the five keyed tables + the document projection,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Range (interval) join — pair left rows with right rows of the same key
@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Exact floor division in long arithmetic: `floor(col / w)` evaluates
+    * as double division, which is lossy above 2^53 — epoch-nanos
+    * (~1.7e18) would land in wrong bins and silently miss boundary
+    * matches. `a - pmod(a, w)` is an exact multiple of w, so integral
+    * `div` gives the true floor at any magnitude (pmod ≥ 0 handles
+    * negatives). */
+  private def floorDiv(a: Column, w: Long): Column =
+    call_function("div", a - pmod(a, lit(w)), lit(w))
+
   /** Count right matches per left row (zero-preserving).
     * Both inputs need columns `key`, `t` (long), and `left` an `idCol`. */
   def countInRange(left: DataFrame, right: DataFrame, key: String, t: String,
@@ -21,10 +30,10 @@ object RangeJoin {
     require(hi > lo, "empty range")
     val w = hi - lo
     val r = right.select(col(key), col(t).as("__rt"))
-      .withColumn("__bin", floor(col("__rt") / w))
+      .withColumn("__bin", floorDiv(col("__rt"), w))
     val probes = left.select(col(idCol), col(key), col(t))
       .withColumn("__bin", explode(array(
-        floor((col(t) + lo) / w), floor((col(t) + hi) / w))))
+        floorDiv(col(t) + lo, w), floorDiv(col(t) + hi, w))))
       .dropDuplicates(idCol, "__bin")
     val counts = probes.join(r, Seq(key, "__bin"))
       .filter(col("__rt") > col(t) + lo && col("__rt") <= col(t) + hi)

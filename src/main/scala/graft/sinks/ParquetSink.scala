@@ -26,27 +26,36 @@ object ParquetSink {
 
   /** Keyed upsert into a partitioned parquet table: read-modify-write of
     * base ∪ updates with updates winning per key — the lake-native form of
-    * the reference's `insert_rows(replace=True, replace_index='id')`. */
+    * the reference's `insert_rows(replace=True, replace_index='id')`.
+    *
+    * All directory manipulation goes through the Hadoop `FileSystem` API,
+    * so the same code works on file://, HDFS, or an S3A-style object store
+    * (`java.io.File.renameTo` is local-only and fails silently elsewhere).
+    * Leftover `.tmp`/`.old` dirs from a crashed prior run are cleared up
+    * front — a stale `.old` would otherwise make the dst→old rename fail
+    * and lose the upsert — and every rename result is checked. */
   def upsertInto(spark: SparkSession, path: String, updates: DataFrame,
                  key: String, partitionCols: Seq[String]): Unit = {
-    val merged = if (new java.io.File(path).exists()) {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + ".tmp")
+    val old = new Path(path + ".old")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    val merged = if (fs.exists(dst)) {
       graft.etl.Normalize.upsert(spark.read.parquet(path), updates, key)
     } else updates
     // write to a temp dir then swap: the source partition being overwritten
     // is also an input — direct overwrite would corrupt it mid-scan
-    val tmp = path + ".tmp"
-    writePartitioned(merged, tmp, partitionCols)
-    val dst = new java.io.File(path)
-    if (dst.exists()) {
-      val old = new java.io.File(path + ".old")
-      dst.renameTo(old)
-      new java.io.File(tmp).renameTo(dst)
-      deleteRecursively(old)
-    } else new java.io.File(tmp).renameTo(dst)
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
+    writePartitioned(merged, tmp.toString, partitionCols)
+    def mv(from: Path, to: Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"upsertInto: rename $from -> $to failed")
+    if (fs.exists(dst)) {
+      mv(dst, old)
+      mv(tmp, dst)
+      fs.delete(old, true): Unit
+    } else mv(tmp, dst)
   }
 }

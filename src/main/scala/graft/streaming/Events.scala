@@ -16,8 +16,10 @@ object Events {
 
   /** Epoch-nanos → epoch-micros. MUST be integer division: epoch-nanos
     * (~1.7e18) exceeds double's 2^53 exact range, so `/ 1000` via double
-    * would corrupt timestamps. */
-  def nsToUs(c: Column): Column = expr(s"CAST(${c.toString} DIV 1000 AS BIGINT)")
+    * would corrupt timestamps. `div` is invoked through the function
+    * registry — expression-safe for any argument (a string-interpolated
+    * `expr(c.toString)` breaks on composite columns). */
+  def nsToUs(c: Column): Column = call_function("div", c.cast("long"), lit(1000L))
 
   /** Epoch-nanos → timestamp (UTC session). */
   def tsCol(c: Column): Column = timestamp_micros(nsToUs(c))
