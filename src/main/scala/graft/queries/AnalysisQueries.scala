@@ -14,14 +14,47 @@ import Common._
 object AnalysisQueries {
 
   val defs: Map[String, QFn] = Map(
-    // analysis1 (Airbnb_Analysis.py:24-65): regex text match -> join -> address+price
+    // analysis1 (Airbnb_Analysis.py:24-65): the reference ORs one regex over
+    // FOUR fields, one of them inside the nested per-listing reviews array
+    // (Airbnb_Analysis.py:31-37) — here: two flat text fields, a code
+    // field, and an exists() over the nested review array, then the join
+    // to the price side. The whole predicate (nested exists included) runs
+    // inside Catalyst — no per-match driver round-trip.
     "ana_text_price_join" -> ((s, d) => {
-      val docs = t(s, d, "documents").filter(col("text").rlike("(?i)merge"))
+      val docs = t(s, d, "documents")
+      val revs = graft.etl.Normalize.nestCollect(
+        t(s, d, "events").select(col("user_id"), col("props")),
+        "user_id", Seq("props"), "reviews")
+      val hit = col("text").rlike("(?i)merge") || col("lang").rlike("^es$") ||
+        col("source").rlike("^src1$") ||
+        exists(col("reviews"), r => r.getField("props").rlike("\"k\": 4\\d"))
       val emb = t(s, d, "embeddings").select(col("vec_id"), col("label"))
-      docs.join(emb, docs("doc_id") === emb("vec_id"))
+      docs.join(revs, docs("doc_id") === revs("user_id"), "left")
+        .filter(hit)
+        .join(emb, docs("doc_id") === emb("vec_id"))
         .select(col("doc_id"),
           concat_ws(",", col("source"), col("lang")).as("address"),
           col("n_chars"), col("label"))
+    }),
+
+    // analysis6 (Airbnb_Analysis.py:185-220): regex INSIDE the nested
+    // array-of-struct review column — exists() filters listings whose
+    // reviews match, filter() projects the matching subset, and the digit
+    // extraction folds over it; nested fields project back out
+    "ana_nested_review_match" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), col("event_id"), col("props"))
+      val nested = graft.etl.Normalize.nestCollect(ev, "user_id", Seq("event_id", "props"), "reviews")
+      val isMatch = (r: org.apache.spark.sql.Column) => r.getField("props").rlike("\"k\": 4\\d")
+      nested
+        .filter(exists(col("reviews"), isMatch))
+        .withColumn("matched", filter(col("reviews"), isMatch))
+        .select(col("user_id"),
+          size(col("reviews")).cast("bigint").as("n_reviews"),
+          size(col("matched")).cast("bigint").as("n_matching"),
+          element_at(col("matched"), 1).getField("event_id").as("first_event"),
+          aggregate(col("matched"), lit(0L), (acc, r) =>
+            acc + coalesce(regexp_extract(r.getField("props"), "(\\d+)", 1).cast("bigint"),
+              lit(0L))).as("sum_k"))
     }),
 
     // analysis2 (Airbnb_Analysis.py:67-82): 3-way equality-filtered join
@@ -88,7 +121,20 @@ object AnalysisQueries {
     "ana_text_price_join" ->
       """SELECT doc_id, concat_ws(',', source, lang) AS address, n_chars, label
          FROM documents JOIN embeddings ON doc_id = vec_id
-         WHERE regexp_matches(text, '(?i)merge')""",
+         WHERE regexp_matches(text, '(?i)merge') OR lang = 'es' OR source = 'src1'
+            OR EXISTS (SELECT 1 FROM events e WHERE e.user_id = documents.doc_id
+                       AND regexp_matches(e.props, '"k": 4[0-9]'))""",
+    "ana_nested_review_match" ->
+      """WITH m AS (SELECT user_id, event_id, props,
+                           regexp_matches(props, '"k": 4[0-9]') AS is_m
+                    FROM events)
+         SELECT user_id,
+                count(*) AS n_reviews,
+                count(CASE WHEN is_m THEN 1 END) AS n_matching,
+                min(CASE WHEN is_m THEN event_id END) AS first_event,
+                CAST(sum(CASE WHEN is_m THEN coalesce(try_cast(regexp_extract(props, '(\d+)', 1) AS BIGINT), 0) END) AS BIGINT) AS sum_k
+         FROM m GROUP BY user_id
+         HAVING count(CASE WHEN is_m THEN 1 END) > 0""",
     "ana_filtered_join" ->
       """SELECT c_custkey, c_name, n_name,
                 CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE) / 100.0 AS acctbal

@@ -5,11 +5,29 @@ import org.apache.spark.sql.functions._
 class AnalysisSpec extends SparkSpec {
   import spark.implicits._
 
-  test("ana_text_price_join only returns docs matching the regex") {
+  test("ana_text_price_join returns exactly the docs hit by the 4-field OR") {
     val out = q("ana_text_price_join")
-    val matching = spark.read.parquet(s"$sf/documents.parquet")
-      .filter(lower($"text").contains("merge")).count()
-    assert(out.count() === matching)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nestedHit = spark.read.parquet(s"$sf/events.parquet")
+      .filter($"props".rlike("\"k\": 4\\d"))
+      .select($"user_id".as("doc_id")).distinct()
+    val expected = docs
+      .filter(lower($"text").contains("merge") || $"lang" === "es" || $"source" === "src1")
+      .select("doc_id")
+      .union(docs.join(nestedHit, Seq("doc_id"), "left_semi").select("doc_id"))
+      .distinct().count()
+    assert(out.count() === expected)
+  }
+
+  test("ana_nested_review_match mirrors the flat per-user match counts") {
+    val out = q("ana_nested_review_match")
+    val flat = spark.read.parquet(s"$sf/events.parquet")
+      .filter($"props".rlike("\"k\": 4\\d"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("m"), min("event_id").as("fe"))
+    assert(out.count() === flat.count())
+    assert(out.join(flat, Seq("user_id"))
+      .filter($"n_matching" =!= $"m" || $"first_event" =!= $"fe").isEmpty)
   }
 
   test("ana_median_by_group median lies within group min/max") {
