@@ -1,17 +1,23 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Multimodal column plumbing (SURVEY.md §2.D `mm_meta`).
+/** Multimodal column plumbing (SURVEY.md §2.D `mm_meta`, `mm_decode`).
   *
   * Design: media travel as opaque `BINARY` payload columns next to a typed
   * metadata struct; decode/feature-extract runs per-partition in batches so
-  * a real codec drops in without changing the plan shape. The codec itself
-  * is STUBBED (this container has no image/audio libs): `fakeDecode` is a
-  * deterministic md5-derived stand-in, clearly marked. Everything around
-  * it — schema, batch iteration, partitioning — is the real Spark-side
-  * pipeline.
+  * heavier codecs/models drop in without changing the plan shape. The
+  * image codec is REAL — `javax.imageio` (in the JDK, no extra deps)
+  * encodes and decodes PNG bytes; PNG is lossless, so decode∘encode is the
+  * identity on pixels and `mm_decode` can be checked against an arithmetic
+  * oracle. Non-image payloads (e.g. the text bytes `withPayload` attaches)
+  * take a deterministic fallback featurizer, so one pipeline handles mixed
+  * corpora.
   */
 object Multimodal {
 
@@ -31,21 +37,89 @@ object Multimodal {
 
   final case class MediaRow(id: Long, payload: Array[Byte], byte_len: Int, width: Int, height: Int)
   final case class MediaFeature(id: Long, width: Int, height: Int, feature: Array[Float])
+  final case class ImagePayload(doc_id: Long, payload: Array[Byte])
+  final case class ImageDecoded(doc_id: Long, width: Int, height: Int, sum_gray: Long)
 
-  /** Batched per-partition "decode + featurize". A real implementation
-    * would decode `payload` with an image codec and run a model per batch;
-    * the STUB derives a deterministic 4-float feature from the payload
-    * bytes so tests can assert the plumbing (batching, schema, encoder
-    * round-trip) end to end. */
+  /** Deterministic synthetic grayscale image for id: w×h from the id, pixel
+    * (x,y) = (id·31 + y·7 + x·13) mod 256 — pure integer arithmetic, so an
+    * SQL oracle can recompute the decoded pixel sum exactly. */
+  private[multimodal] def syntheticPng(id: Long): Array[Byte] = {
+    val w = 4 + (id % 13).toInt
+    val h = 4 + (id % 11).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.getRaster.setSample(x, y, 0, (((id * 31 + y * 7 + x * 13) % 256 + 256) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Encode one PNG per id — per-partition compute, no shuffle. Stands in
+    * for reading an image column off a lake table. */
+  def synthesizePngs(df: DataFrame, idCol: String): Dataset[ImagePayload] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => ImagePayload(id, syntheticPng(id))))
+  }
+
+  /** REAL codec: decode PNG payloads with `javax.imageio` and extract
+    * (width, height, pixel sum). Batched per partition — the batch is where
+    * a vectorized decoder or model inference would slot in. */
+  def decodePngs(ds: Dataset[ImagePayload], batchSize: Int = 64): Dataset[ImageDecoded] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+          require(img != null, s"payload of ${m.doc_id} is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var s = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { s += img.getRaster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          ImageDecoded(m.doc_id, w, h, s)
+        }
+      }
+    }
+  }
+
+  /** Batched per-partition decode + featurize over a MIXED corpus: image
+    * payloads decode through `javax.imageio` (feature = [width, height,
+    * mean gray, byte_len]); non-image payloads (ImageIO returns null) fall
+    * back to a deterministic byte-hash feature so text rows flow through
+    * the same pipeline instead of failing it. */
   def decodeFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // STUB CODEC: replace with real decode(batch) — deterministic fake:
         batch.map { m =>
-          val s = m.payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000003L)
-          MediaFeature(m.id, m.width, m.height,
-            Array(s.toFloat, m.byte_len.toFloat, m.width.toFloat, m.height.toFloat))
+          val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+          if (img != null) {
+            var s = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { s += img.getRaster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            MediaFeature(m.id, img.getWidth, img.getHeight,
+              Array(img.getWidth.toFloat, img.getHeight.toFloat,
+                s.toFloat / (img.getWidth * img.getHeight), m.byte_len.toFloat))
+          } else {
+            val f = m.payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000003L)
+            MediaFeature(m.id, m.width, m.height,
+              Array(f.toFloat, m.byte_len.toFloat, m.width.toFloat, m.height.toFloat))
+          }
         }
       }
     }

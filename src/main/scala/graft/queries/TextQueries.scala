@@ -77,7 +77,15 @@ object TextQueries {
     "mm_meta" -> ((s, d) =>
       graft.multimodal.Multimodal.withPayload(t(s, d, "documents"), "text", "doc_id")
         .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
-          col("meta.width").as("width"), col("meta.height").as("height")))
+          col("meta.width").as("width"), col("meta.height").as("height"))),
+
+    // REAL image codec round-trip: synthesize one PNG per doc, decode with
+    // javax.imageio, emit (dims, pixel sum). PNG is lossless, so the
+    // arithmetic oracle recomputes the decoded pixel sum exactly.
+    "mm_decode" -> ((s, d) => {
+      val m = graft.multimodal.Multimodal
+      m.decodePngs(m.synthesizePngs(t(s, d, "documents"), "doc_id")).toDF()
+    })
   )
 
   // ---- generated oracle fragments ----
@@ -209,6 +217,14 @@ object TextQueries {
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
                 CAST(64 + CAST(concat('0x', substr(md5(text), 1, 6)) AS BIGINT) % 960 AS INT) AS width,
                 CAST(64 + CAST(concat('0x', substr(md5(text), 7, 6)) AS BIGINT) % 960 AS INT) AS height
+         FROM documents""",
+    "mm_decode" ->
+      """SELECT doc_id,
+                CAST(4 + doc_id % 13 AS INT) AS width,
+                CAST(4 + doc_id % 11 AS INT) AS height,
+                CAST(list_sum(flatten(list_transform(range(0, 4 + doc_id % 11), y ->
+                       list_transform(range(0, 4 + doc_id % 13), x ->
+                         (doc_id*31 + y*7 + x*13) % 256)))) AS BIGINT) AS sum_gray
          FROM documents"""
   )
 }
