@@ -23,7 +23,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // append to the repo-tracked history so later rounds can diff per-query
+    // regressions mechanically; never let history I/O fail the bench
+    try {
+      val hist = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_HISTORY", "bench_history.jsonl"))
+      val stamped = s"""{"at":"${java.time.Instant.now()}",""" + line.drop(1) + "\n"
+      java.nio.file.Files.write(hist, stamped.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -27,11 +27,46 @@ object HashUtil {
     u % 2147483647L
   }
 
+  // unboxed copies of the universal-hash parameters: the k×|shingles| inner
+  // loop must not pay Vector boxing per access
+  private val A: Array[Long] = graft.functions.TextFunctions.MinhashA.toArray
+  private val B: Array[Long] = graft.functions.TextFunctions.MinhashB.toArray
+  private final val P = 2147483647L
+
+  /** x mod (2^31−1) for 0 ≤ x < 2^63, by Mersenne folding: 2^31 ≡ 1
+    * (mod p), so x = q·2^31 + r ≡ q + r. Two folds bring x under 2p; one
+    * conditional subtract finishes. Value-identical to `x % p` (the DuckDB
+    * oracle's form) at ~3× the throughput of hardware 64-bit modulo. */
+  @inline private def modP(x: Long): Long = {
+    var y = (x >>> 31) + (x & P)
+    y = (y >>> 31) + (y & P)
+    if (y >= P) y - P else y
+  }
+
+  /** Intersection size of two SORTED long arrays by linear merge — no
+    * hash-set allocation per row (Spark's `array_intersect` builds one),
+    * which dominates when millions of candidate pairs each intersect
+    * ~1000-element shingle sets. */
+  def sortedIntersect(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** One-pass k-way minhash over pre-hashed shingles, using the fixed
-    * universal-hash parameters from `TextFunctions.MinhashA/B`. */
+    * universal-hash parameters from `TextFunctions.MinhashA/B`.
+    * (A(j) < p and h < p, so A(j)·h + B(j) < 2^62 + 2^31 — no overflow.) */
   def minhashSig(hs: ArrayData, k: Int): ArrayData = {
-    val A = graft.functions.TextFunctions.MinhashA
-    val B = graft.functions.TextFunctions.MinhashB
     val mins = Array.fill(k)(Long.MaxValue)
     val n = hs.numElements()
     var i = 0
@@ -39,7 +74,7 @@ object HashUtil {
       val h = hs.getLong(i)
       var j = 0
       while (j < k) {
-        val v = (A(j) * h + B(j)) % 2147483647L
+        val v = modP(A(j) * h + B(j))
         if (v < mins(j)) mins(j) = v
         j += 1
       }
@@ -78,8 +113,25 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** |A ∩ B| for two sorted long-array columns (see HashUtil.sortedIntersect).
+  * Callers guarantee sortedness (arrays built with `array_sort`). */
+case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashUtil.sortedIntersect(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.HashUtil.sortedIntersect($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object HashExpressions {
   def md5prefix31(c: Column): Column = GraftShim.column(Md5Prefix31(GraftShim.expression(c)))
   def minhashSigNative(hashes: Column, k: Int): Column =
     GraftShim.column(MinHashSig(GraftShim.expression(hashes), k))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftShim.column(SortedIntersectCount(GraftShim.expression(a), GraftShim.expression(b)))
 }

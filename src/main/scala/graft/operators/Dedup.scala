@@ -17,6 +17,14 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Fan a narrow input out to `n` partitions BEFORE a CPU-heavy per-row
+    * sketching stage. Local/bench inputs often arrive as one small parquet
+    * split, which would serialize the hashing on a single task; a
+    * corpus-scale input is already partitioned, so callers there leave
+    * n = 0 (no-op — no shuffle enters the plan). */
+  private def fanOut(df: DataFrame, n: Int): DataFrame =
+    if (n > 0) df.repartition(n) else df
+
   /** Exact dedup: group by content digest, keep the smallest id.
     * Reference analog: `drop_duplicates` (Airbnb_Listings_ETL.py:47-49),
     * hardened for scale by hashing the text before the shuffle. */
@@ -31,7 +39,10 @@ object Dedup {
   def minhashed(df: DataFrame, textCol: String, idCol: String,
                 k: Int = 128, rowsPerBand: Int = 8, shingleN: Int = 3): DataFrame = {
     val sh = array_distinct(charShingles(col(textCol), shingleN))
-    df.select(col(idCol), shingleHashes(sh).as("hs"))
+    // hs kept SORTED: signatures are order-independent, and sortedness lets
+    // pair verification run a native merge-intersect instead of per-pair
+    // hash-set builds
+    df.select(col(idCol), array_sort(shingleHashes(sh)).as("hs"))
       .withColumn("sig", graft.expressions.HashExpressions.minhashSigNative(col("hs"), k))
       .withColumn("bands", lshBands(col("sig"), k, rowsPerBand))
   }
@@ -56,8 +67,8 @@ object Dedup {
     * Spark's NaN-largest semantics, emitting spurious pairs. */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       threshold: Double, k: Int = 128, rowsPerBand: Int = 8,
-                      shingleN: Int = 3): DataFrame = {
-    val m = minhashed(df, textCol, idCol, k, rowsPerBand, shingleN)
+                      shingleN: Int = 3, sketchParallelism: Int = 0): DataFrame = {
+    val m = minhashed(fanOut(df, sketchParallelism), textCol, idCol, k, rowsPerBand, shingleN)
       .filter(size(col("hs")) > 0).cache()
     val e = m.select(col(idCol), size(col("hs")).as("n_sh"), explode(col("bands")).as("band"))
     // candidate generation shuffles only (id, size, 16-byte band key) —
@@ -67,12 +78,19 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       // sound prune: j >= t implies t*|B| <= |A| (and symmetrically)
       .filter(col("na") >= col("nb") * threshold && col("nb") >= col("na") * threshold)
-      .select("id_a", "id_b").distinct()
-    // verification re-joins the (small per-candidate) hash arrays by id
+      .select("id_a", "id_b", "na", "nb").distinct()
+    // verification re-joins the (small per-candidate) hash arrays by id;
+    // |A∩B| via native merge over the sorted arrays, and
+    // |A∪B| = |A| + |B| − |A∩B| — value-identical to
+    // size(array_intersect)/size(array_union) on distinct arrays
+    val inter = graft.expressions.HashExpressions.sortedIntersectCount(col("sh_a"), col("sh_b"))
     candidates
       .join(m.select(col(idCol).as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
       .join(m.select(col(idCol).as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .withColumn("inter", inter)
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("j"))
       .filter(col("j") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
   }
@@ -86,7 +104,9 @@ object Dedup {
     * exploded *prefixes* on the gram value, then verified exactly.
     * Candidate volume scales with gram-frequency, not n². */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        blockCol: String, threshold: Double, n: Int = 3): DataFrame = {
+                        blockCol: String, threshold: Double, n: Int = 3,
+                        sketchParallelism: Int = 0): DataFrame = {
+    val in = fanOut(df, sketchParallelism)
     // Global gram order = (hash31(gram), gram): prefixes under a plain
     // lexicographic order all start with the same alphabetically-early
     // grams, so prefix buckets degenerate and the join tends to n²; a
@@ -94,7 +114,7 @@ object Dedup {
     // frequency ordering — classic AllPairs — prunes slightly better but
     // costs two extra shuffles over the gram corpus; hash order is pure
     // per-row compute.)
-    val g = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+    val g = in.select(col(idCol).as("id"), col(blockCol).as("block"),
         transform(
           array_sort(transform(array_distinct(wordNgrams(col(textCol), n)),
             gr => struct(graft.expressions.HashExpressions.md5prefix31(gr).as("h"), gr.as("g")))),
@@ -183,10 +203,10 @@ object Dedup {
     * candidate — never all-pairs. Complete for maxHamming ≤ 8 (10 chunks,
     * 2-chunk agreement). */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 6): DataFrame = {
+                      maxHamming: Int = 6, sketchParallelism: Int = 0): DataFrame = {
     require(maxHamming <= WideChunks - 2,
       s"2-of-$WideChunks chunk agreement is complete only for hamming <= ${WideChunks - 2}")
-    simhashCandidates(simhashedWide(df, textCol, idCol), idCol)
+    simhashCandidates(simhashedWide(fanOut(df, sketchParallelism), textCol, idCol), idCol)
       .select(col("id_a"), col("id_b"),
         (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
           bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).as("hamming"))

@@ -26,18 +26,24 @@ object TextQueries {
       m.select(col("doc_id") +: (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
     }),
 
+    // sketchParallelism: the testdata parquet is one tiny split, which
+    // would serialize the per-row hashing on one core; corpus-scale inputs
+    // arrive pre-partitioned and would pass 0 (no repartition)
     "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashNearDups(t(s, d, "documents"), "text", "doc_id", threshold = 0.8)),
+      Dedup.minhashNearDups(t(s, d, "documents"), "text", "doc_id", threshold = 0.8,
+        sketchParallelism = s.sparkContext.defaultParallelism)),
 
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
-        blockCol = "lang", threshold = 0.8)),
+        blockCol = "lang", threshold = 0.8,
+        sketchParallelism = s.sparkContext.defaultParallelism)),
 
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashed(t(s, d, "documents"), "text", "doc_id")),
 
     "dedup_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashNearDups(t(s, d, "documents"), "text", "doc_id", maxHamming = 8)),
+      Dedup.simhashNearDups(t(s, d, "documents"), "text", "doc_id", maxHamming = 8,
+        sketchParallelism = s.sparkContext.defaultParallelism)),
 
     "ta_langid" -> ((s, d) => {
       val doc = t(s, d, "documents")
