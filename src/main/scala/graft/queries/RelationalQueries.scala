@@ -145,6 +145,13 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
           countDistinct(col("o_custkey")).as("exact_customers"))),
 
+    // deterministic hash sample (TABLESAMPLE analog that is reproducible
+    // across engines, partitionings, and reruns — rand() is none of those)
+    "q_hash_sample" -> ((s, d) =>
+      graft.etl.Sampling.sampleByHash(t(s, d, "orders"), "o_orderkey", 10)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), money(sum(cents(col("o_totalprice")))).as("total"))),
+
     // COUNT(DISTINCT)
     "q_distinct_agg" -> ((s, d) =>
       t(s, d, "orders").groupBy("o_orderpriority")
@@ -213,6 +220,12 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_hash_sample" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+         FROM orders
+         WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+         GROUP BY 1""",
     "q1_pricing_summary" ->
       """WITH l AS (
            SELECT l_returnflag, l_linestatus,

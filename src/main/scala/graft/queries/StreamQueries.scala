@@ -10,7 +10,12 @@ object StreamQueries {
 
   val defs: Map[String, QFn] = Map(
     "stream_window_agg" -> ((s, d) => Events.hourlyAgg(t(s, d, "events"))),
-    "stream_sessionize" -> ((s, d) => Events.sessionize(t(s, d, "events")))
+    "stream_sessionize" -> ((s, d) => Events.sessionize(t(s, d, "events"))),
+    "stream_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Events.dedupByKeys(t(s, d, "events"), Seq("user_id", "event_type"))
+        .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -33,6 +38,8 @@ object StreamQueries {
            FROM e)
          SELECT user_id, session_id, count(*) AS n_events,
                 min(ts_us) AS start_us, max(ts_us) AS end_us
-         FROM s GROUP BY user_id, session_id"""
+         FROM s GROUP BY user_id, session_id""",
+    "stream_dedup" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1"
   )
 }

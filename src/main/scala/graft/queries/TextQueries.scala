@@ -45,6 +45,23 @@ object TextQueries {
       Dedup.simhashNearDups(t(s, d, "documents"), "text", "doc_id", maxHamming = 8,
         sketchParallelism = s.sparkContext.defaultParallelism)),
 
+    // transitive dup-cluster resolution: pairwise near-dups -> disjoint
+    // clusters (min-label propagation); the step between "found pairs"
+    // and "kept one representative per group"
+    "dedup_components" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
+        blockCol = "lang", threshold = 0.8,
+        sketchParallelism = s.sparkContext.defaultParallelism)
+      graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
+    }),
+
+    // deterministic md5-bucket train/validation/test assignment — a doc
+    // never migrates between splits across runs, engines, or partitionings
+    "ta_split_sample" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("split", graft.etl.Sampling.splitLabel(col("doc_id")))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n"))),
+
     "ta_langid" -> ((s, d) => {
       val doc = t(s, d, "documents")
       val scored = doc.select(col("doc_id") +: col("lang") +:
@@ -129,6 +146,14 @@ object TextQueries {
   private val duckJaccardRaw =
     "len(list_intersect(a.s, b.s))*1.0 / len(list_distinct(list_concat(a.s, b.s)))"
 
+  /** Shared CTEs producing per-doc distinct word-3-gram sets (`g`). */
+  private val duckNgramCtes =
+    """w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       g AS (SELECT doc_id, lang,
+               list_distinct(list_transform(range(1, len(ws)-1),
+                 i -> ws[CAST(i AS INT)] || '_' || ws[CAST(i AS INT)+1] || '_' || ws[CAST(i AS INT)+2])) AS s
+             FROM w WHERE len(ws) >= 3)"""
+
   val oracle: Map[String, String] = Map(
     "dedup_exact_docs" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) - 1 AS n_dups
@@ -154,15 +179,33 @@ object TextQueries {
           WHERE j >= 0.8"""
     },
     "dedup_ngram_jaccard" ->
-      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
-            g AS (SELECT doc_id, lang,
-                    list_distinct(list_transform(range(1, len(ws)-1),
-                      i -> ws[CAST(i AS INT)] || '_' || ws[CAST(i AS INT)+1] || '_' || ws[CAST(i AS INT)+2])) AS s
-                  FROM w WHERE len(ws) >= 3)
+      s"""WITH $duckNgramCtes
           SELECT block, id_a, id_b, round(j, 6) AS jaccard FROM (
             SELECT a.lang AS block, a.doc_id AS id_a, b.doc_id AS id_b, $duckJaccardRaw AS j
             FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id)
           WHERE j >= 0.8""",
+    // transitive closure of the same pair graph, via recursive CTE — the
+    // exact reference for the Spark min-label-propagation fixpoint
+    "dedup_components" ->
+      s"""WITH RECURSIVE $duckNgramCtes,
+            p AS (SELECT id_a, id_b FROM (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b, $duckJaccardRaw AS j
+                    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+                  WHERE j >= 0.8),
+            e AS (SELECT id_a AS es, id_b AS ed FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            reach AS (SELECT es AS v, ed AS r FROM e
+                      UNION SELECT reach.v, e.ed FROM reach JOIN e ON reach.r = e.es)
+          SELECT v AS id, least(v, min(r)) AS comp FROM reach GROUP BY v""",
+    "ta_split_sample" ->
+      """SELECT CASE WHEN b < 80 THEN 'train'
+                     WHEN b < 90 THEN 'validation'
+                     ELSE 'test' END AS split,
+                lang, count(*) AS n
+         FROM (SELECT lang,
+                      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+               FROM documents)
+         GROUP BY 1, 2""",
     "dedup_simhash" ->
       s"""WITH h AS (SELECT doc_id, $duckSimhashHashes AS hs FROM documents)
           SELECT doc_id, $duckSimhashSum AS simhash, len(hs) AS n_tokens FROM h""",

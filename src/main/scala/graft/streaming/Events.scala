@@ -43,6 +43,14 @@ object Events {
       .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Exact event dedup by key columns — batch form. The streaming form is
+    * the same logic as `readStream → withWatermark → dropDuplicates`:
+    * state holds ONE entry per key inside the watermark horizon, so it
+    * stays bounded by key cardinality, not event volume (StreamSpec
+    * drives the parity check). */
+  def dedupByKeys(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.dropDuplicates(keys)
+
   /** 30-minute-gap sessionization (batch form): a session starts when the
     * gap to the previous event of the same user exceeds `gapMinutes`.
     * Two windows over one shuffle on user_id; at scale state is bounded

@@ -86,6 +86,39 @@ class InvariantSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("connected components equal brute-force union-find on random graphs") {
+    val r = rng(7)
+    val edges = Seq.tabulate(60)(_ => (r.nextInt(40).toLong, r.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val got = graft.operators.Components
+      .connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val root = find(p); parent(x) = root; root }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min root survives
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> find(n)).toMap
+    assert(got === expected)
+  }
+
+  test("hash sampling is stable, stratified-close, and split labels partition") {
+    val df = spark.range(0, 5000).select($"id")
+    val s1 = graft.etl.Sampling.sampleByHash(df, "id", 10).as[Long].collect().toSet
+    val s2 = graft.etl.Sampling.sampleByHash(df, "id", 10).as[Long].collect().toSet
+    assert(s1 === s2, "same keys kept on rerun")
+    assert(math.abs(s1.size - 500) < 100, s"~10% expected, got ${s1.size}")
+    val splits = df.select(graft.etl.Sampling.splitLabel($"id").as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(splits.keySet === Set("train", "validation", "test"))
+    assert(splits.values.sum === 5000L)
+    assert(splits("train") > splits("validation") && splits("train") > splits("test"))
+  }
+
   test("nsToUs is exact integer division, including composite-expression arguments") {
     val ns = 1755000000123456789L // > 2^53: double division would corrupt
     val got = Seq(ns).toDF("ts")

@@ -26,6 +26,20 @@ class StreamSpec extends SparkSpec {
     assert(batch === stream)
   }
 
+  test("streaming dropDuplicates matches batch dedup (bounded state parity)") {
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$sf/events.parque[t]")
+    val dd = stream.withColumn("ts_t", Events.tsCol($"ts"))
+      .withWatermark("ts_t", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+    val qy = dd.writeStream.outputMode("append").format("memory")
+      .queryName("streamdedup").start()
+    qy.processAllAvailable(); qy.stop()
+    val batch = Events.dedupByKeys(
+      spark.read.parquet(s"$sf/events.parquet"), Seq("user_id", "event_type")).count()
+    assert(spark.table("streamdedup").count() === batch)
+  }
+
   test("sessionize: constructed gaps produce expected sessions") {
     def ns(minutes: Long) = minutes * 60L * 1000000000L
     val events = Seq(
