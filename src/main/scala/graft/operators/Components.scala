@@ -31,8 +31,13 @@ object Components {
     val half = pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
     val edges = half.union(half.select(col("d").as("s"), col("s").as("d")))
       .distinct().cache()
+    // localCheckpoint (eager) after every round: an iterative fixpoint must
+    // TRUNCATE lineage, not just cache — otherwise the logical plan grows
+    // with each iteration and planning cost compounds. (For fault-tolerant
+    // production runs, swap in reliable checkpoint(); localCheckpoint
+    // trades re-computability for speed, the standard Pregel-loop choice.)
     var labels = edges.select(col("s").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).cache()
+      .select(col("id"), col("id").as("comp")).localCheckpoint()
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -42,11 +47,10 @@ object Components {
         .agg(min(col("dcomp")).as("nmin"))
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .cache()
+        .localCheckpoint()
       converged = next
         .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
         .filter(col("comp") =!= col("prev")).isEmpty
-      labels.unpersist()
       labels = next
       i += 1
     }

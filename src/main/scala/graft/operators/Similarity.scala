@@ -66,6 +66,26 @@ object Similarity {
     ivfAssign(df, vecCol, idCol, centroids, cIdCol)
       .agg(avg(col("sim"))).head().getDouble(0)
 
+  /** Full IVF ANN search: assign the corpus and the query vector to
+    * centroids (both zero-shuffle broadcast folds), then rank ONLY the
+    * query's cluster — the plan never scores the whole corpus against the
+    * query. At scale, storing the corpus partitioned by centroid turns the
+    * cluster filter into partition pruning: the scan itself skips
+    * (K−1)/K of the data. Includes the query row itself when it is part
+    * of `df` (same convention as [[topK]]). */
+  def ivfSearch(df: DataFrame, vecCol: String, idCol: String,
+                centroids: DataFrame, cIdCol: String,
+                query: DataFrame, k: Int): DataFrame = {
+    val assigned = ivfAssign(df, vecCol, idCol, centroids, cIdCol, keepVec = true)
+    val q = broadcast(
+      ivfAssign(query, vecCol, idCol, centroids, cIdCol, keepVec = true)
+        .select(col("centroid_id").as("q_cid"), col("v").as("q_v")))
+    assigned.join(q, col("centroid_id") === col("q_cid"))
+      .select(col(idCol), round(cosine(col("v"), col("q_v")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF assignment: nearest (by cosine) of the broadcast `centroids`
     * (id + vector). Deterministic tiebreak on rounded score then centroid
     * id. Returns corpus rows tagged with `centroid_id`.

@@ -33,6 +33,15 @@ object SimQueries {
       val e = t(s, d, "embeddings")
       Similarity.ivfAssign(e, "embedding", "vec_id",
         e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid"), "cid")
+    }),
+
+    // end-to-end ANN: probe the query's centroid, rank only that cluster —
+    // the whole-corpus scoring never appears in the plan
+    "sim_ann_search" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfSearch(e, "embedding", "vec_id",
+        e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid"), "cid",
+        query = e.filter(col("vec_id") === 0), k = 10)
     })
   )
 
@@ -85,6 +94,26 @@ object SimQueries {
                      round(${fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * c.v[CAST(i AS INT)])")} / (a.nrm * c.nrm), 6) AS sim
               FROM n a CROSS JOIN c)
           SELECT vec_id, centroid_id, sim FROM scored
-          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1"""
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1""",
+    "sim_ann_search" ->
+      s"""WITH n AS (${normed(vecs)}),
+            c AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 8),
+            scored AS (
+              SELECT a.vec_id, c.centroid_id,
+                     round(${fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * c.v[CAST(i AS INT)])")} / (a.nrm * c.nrm), 6) AS sim
+              FROM n a CROSS JOIN c),
+            assigned AS (
+              SELECT vec_id, centroid_id FROM scored
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1),
+            na AS (SELECT n.vec_id, n.v, n.nrm, a.centroid_id
+                   FROM n JOIN assigned a ON n.vec_id = a.vec_id),
+            qa AS (SELECT centroid_id FROM assigned WHERE vec_id = 0),
+            q AS (SELECT v, nrm FROM n WHERE vec_id = 0)
+          SELECT vec_id, cosine FROM (
+            SELECT a.vec_id,
+                   round($pairDot / (a.nrm * b.nrm), 6) AS cosine
+            FROM na a CROSS JOIN (SELECT v, nrm FROM q) b
+            JOIN qa ON a.centroid_id = qa.centroid_id)
+          QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id) <= 10"""
   )
 }
