@@ -61,12 +61,15 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Encode one PNG per id — per-partition compute, no shuffle. Stands in
-    * for reading an image column off a lake table. */
-  def synthesizePngs(df: DataFrame, idCol: String): Dataset[ImagePayload] = {
+  /** Encode one PNG per id — per-partition compute. `parallelism` fans a
+    * single-split local input out before the CPU-heavy codec work (0 =
+    * no-op for corpus-scale inputs that arrive already partitioned).
+    * Stands in for reading an image column off a lake table. */
+  def synthesizePngs(df: DataFrame, idCol: String, parallelism: Int = 0): Dataset[ImagePayload] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long")).as[Long]
-      .mapPartitions(_.map(id => ImagePayload(id, syntheticPng(id))))
+    val ids = df.select(col(idCol).cast("long")).as[Long]
+    val fanned = if (parallelism > 0) ids.repartition(parallelism) else ids
+    fanned.mapPartitions(_.map(id => ImagePayload(id, syntheticPng(id))))
   }
 
   /** REAL codec: decode PNG payloads with `javax.imageio` and extract

@@ -114,6 +114,9 @@ object Dedup {
     // frequency ordering — classic AllPairs — prunes slightly better but
     // costs two extra shuffles over the gram corpus; hash order is pure
     // per-row compute.)
+    // cached: the gram pipeline feeds the prefix explode, BOTH sides of
+    // the candidate self-join, and BOTH verification joins — uncached it
+    // recomputes the per-row n-gram build up to 5×
     val g = in.select(col(idCol).as("id"), col(blockCol).as("block"),
         transform(
           array_sort(transform(array_distinct(wordNgrams(col(textCol), n)),
@@ -121,6 +124,7 @@ object Dedup {
           s => s.getField("g")).as("grams"))
       .withColumn("sz", size(col("grams")))
       .filter(col("sz") > 0)
+      .cache()
     // prefix length |A| - ceil(t*|A|) + 1
     val pref = g.withColumn("plen", (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))
       .select(col("id"), col("block"), col("sz"),

@@ -145,6 +145,13 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
           countDistinct(col("o_custkey")).as("exact_customers"))),
 
+    // CUBE: all grouping-set combinations in one pass (ROLLUP's sibling —
+    // partial aggregation still applies map-side per grouping set)
+    "q_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), money(sum(cents(col("o_totalprice")))).as("total"))),
+
     // deterministic hash sample (TABLESAMPLE analog that is reproducible
     // across engines, partitionings, and reruns — rand() is none of those)
     "q_hash_sample" -> ((s, d) =>
@@ -220,6 +227,10 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
     "q_hash_sample" ->
       """SELECT o_orderstatus, count(*) AS n,
                 CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total

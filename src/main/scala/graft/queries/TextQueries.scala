@@ -107,7 +107,8 @@ object TextQueries {
     // arithmetic oracle recomputes the decoded pixel sum exactly.
     "mm_decode" -> ((s, d) => {
       val m = graft.multimodal.Multimodal
-      m.decodePngs(m.synthesizePngs(t(s, d, "documents"), "doc_id")).toDF()
+      m.decodePngs(m.synthesizePngs(t(s, d, "documents"), "doc_id",
+        parallelism = s.sparkContext.defaultParallelism)).toDF()
     })
   )
 
