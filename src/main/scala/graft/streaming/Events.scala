@@ -93,6 +93,11 @@ object Events {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, it, state) =>
+        // per-key per-micro-batch sort: state size is one record, but the
+        // BATCH of a single hot user materializes on one task here. Bounded
+        // by (events per user per trigger interval) — with second-to-minute
+        // triggers that is small; a pathological hot key needs an upstream
+        // per-user rate cap, not a bigger executor.
         val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
         var st = state.getOption.orNull
         val closed = Seq.newBuilder[SessionOut]
