@@ -65,12 +65,29 @@ object Dedup {
     * the oracle's WHERE len(text) >= shingleN. Without this, all-null
     * signatures band-collide with each other and NaN ≥ τ is true under
     * Spark's NaN-largest semantics, emitting spurious pairs. */
+  /** `maxBandBucket` (0 = off) drops bands whose bucket exceeds the cap —
+    * the 100 TB guard against a degenerate band (boilerplate shared by
+    * millions of docs) turning the band join quadratic. A capped bucket of
+    * B docs would have contributed B·(B−1)/2 candidate pairs from that one
+    * key. Exact-duplicate mass should be removed by [[exact]] BEFORE LSH;
+    * the cap protects against the residue. Capping can only drop pairs
+    * whose EVERY shared band is degenerate — for near-dups that is
+    * vanishingly rare with 16 bands (their probability mass is spread), so
+    * recall loss concentrates exactly on the mass the cap exists to shed. */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       threshold: Double, k: Int = 128, rowsPerBand: Int = 8,
-                      shingleN: Int = 3, sketchParallelism: Int = 0): DataFrame = {
+                      shingleN: Int = 3, sketchParallelism: Int = 0,
+                      maxBandBucket: Int = 0): DataFrame = {
     val m = minhashed(fanOut(df, sketchParallelism), textCol, idCol, k, rowsPerBand, shingleN)
       .filter(size(col("hs")) > 0).cache()
-    val e = m.select(col(idCol), size(col("hs")).as("n_sh"), explode(col("bands")).as("band"))
+    val e0 = m.select(col(idCol), size(col("hs")).as("n_sh"), explode(col("bands")).as("band"))
+    val e = if (maxBandBucket > 0) {
+      // hot bands are few by construction (each holds > cap docs), so the
+      // anti-join side broadcasts
+      val hot = e0.groupBy("band").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > maxBandBucket).select("band")
+      e0.join(broadcast(hot), Seq("band"), "left_anti")
+    } else e0
     // candidate generation shuffles only (id, size, 16-byte band key) —
     // never the shingle arrays
     val candidates = e.select(col(idCol).as("id_a"), col("n_sh").as("na"), col("band"))

@@ -148,6 +148,22 @@ class InvariantSpec extends SparkSpec {
     assert(lsh.toDouble / brute >= 0.9, s"LSH recall $lsh/$brute below 0.9")
   }
 
+  test("LSH band cap sheds a degenerate bucket but keeps ordinary near-dup pairs") {
+    val boiler = Seq.tabulate(80)(i => s"same boilerplate text repeated for every doc $i")
+      .map(_.split(" ").dropRight(1).mkString(" ")) // identical after dropping the counter
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    val near = base + "extra"
+    val docs = (boiler ++ Seq(base, near)).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val capped = graft.operators.Dedup
+      .minhashNearDups(docs, "text", "doc_id", 0.8, maxBandBucket = 40)
+      .as[(Long, Long, Double)].collect()
+    // the 80-doc identical bucket (3160 pairs) is shed...
+    assert(capped.length < 100, s"degenerate mass must be capped, got ${capped.length}")
+    // ...but the ordinary near-dup pair survives (its bands are not hot)
+    assert(capped.exists(p => p._1 == 80L && p._2 == 81L), "real near-dup pair lost by cap")
+  }
+
   test("minhash signature similarity tracks jaccard direction on perturbed docs") {
     val base = Seq.fill(200)(Random.javaRandomToRandom(new java.util.Random(6)).nextInt(50)).map(i => s"w$i").mkString(" ")
     val near = base + " extra token"
