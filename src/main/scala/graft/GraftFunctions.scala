@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotProduct, L2Norm, SimHash60}
+import graft.expressions.{DotProduct, L2Norm, Md5Prefix31, SimHash60, SortedIntersectCount}
 
 /** SQL-surface registration for graft's native expressions, so
   * `spark.sql("SELECT graft_dot(a, b) ...")` works alongside the Column
@@ -22,7 +22,9 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "graft_l2norm" -> (es => L2Norm(es.head)),
-    "graft_simhash60" -> (es => SimHash60(es.head)))
+    "graft_simhash60" -> (es => SimHash60(es.head)),
+    "graft_md5prefix31" -> (es => Md5Prefix31(es.head)),
+    "graft_sorted_intersect" -> (es => SortedIntersectCount(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

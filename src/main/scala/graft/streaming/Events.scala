@@ -72,6 +72,8 @@ object Events {
   }
 
   final case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long)
+  final case class TimedEvent(user_id: Long, event_id: Long, ts_us: Long,
+                              ts_t: java.sql.Timestamp)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
                               start_us: Long, end_us: Long)
   final case class SessionState(sessionId: Long, nEvents: Long,
@@ -114,6 +116,52 @@ object Events {
         }
         if (st != null) state.update(st)
         closed.result().iterator
+      }
+  }
+
+  /** Production sessionization: [[sessionizeStream]]'s state machine plus
+    * an EVENT-TIME TIMEOUT — a user who goes quiet has their open session
+    * flushed once the watermark passes `lastUs + gap`, so state and output
+    * latency stay bounded even for users who never return (the NoTimeout
+    * form only emits a session when a later event closes it). Requires a
+    * watermark on `ts_t`; the timeout timestamp is the session-gap
+    * deadline itself. */
+  def sessionizeStreamTimeout(events: org.apache.spark.sql.Dataset[TimedEvent],
+                              gapMinutes: Int = 30)
+  : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events
+      .withWatermark("ts_t", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (user, it, state) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator(SessionOut(user, s.sessionId, s.nEvents, s.startUs, s.lastUs))
+        } else {
+          val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption.orNull
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            st match {
+              case null =>
+                st = SessionState(0L, 1L, e.ts_us, e.ts_us)
+              case s if e.ts_us - s.lastUs > gapUs =>
+                closed += SessionOut(user, s.sessionId, s.nEvents, s.startUs, s.lastUs)
+                st = SessionState(s.sessionId + 1, 1L, e.ts_us, e.ts_us)
+              case s =>
+                st = s.copy(nEvents = s.nEvents + 1, lastUs = e.ts_us)
+            }
+          }
+          if (st != null) {
+            state.update(st)
+            state.setTimeoutTimestamp((st.lastUs + gapUs) / 1000) // epoch millis
+          }
+          closed.result().iterator
+        }
       }
   }
 }

@@ -16,6 +16,11 @@ class ExtensionSpec extends SparkSpec {
     val sh = spark.sql("SELECT graft_simhash60(array(CAST(7 AS BIGINT))) AS s")
       .as[Long].head()
     assert(sh === 7L)
+    val (h, ic) = spark.sql(
+      "SELECT graft_md5prefix31('abc') AS h, " +
+        "graft_sorted_intersect(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS i")
+      .as[(Long, Long)].head()
+    assert(h >= 0 && h < 2147483647L && ic === 2L)
   }
 
   test("streaming sessionization matches the batch state machine") {

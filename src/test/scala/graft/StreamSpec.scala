@@ -52,6 +52,30 @@ class StreamSpec extends SparkSpec {
     assert(got === Set((10L, 0L, 2L), (10L, 1L, 1L), (20L, 0L, 1L)))
   }
 
+  test("event-time timeout flushes an idle user's open session") {
+    // real epoch base: timestamp 0 would collide with the initial watermark
+    // (epoch 0) and be dropped as late
+    def us(minutes: Long) = 1600000000L * 1000000L + minutes * 60L * 1000000L
+    def ev(u: Long, e: Long, m: Long) =
+      Events.TimedEvent(u, e, us(m), new java.sql.Timestamp(us(m) / 1000))
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Events.TimedEvent]
+    val qy = Events.sessionizeStreamTimeout(ms.toDS(), 30).writeStream
+      .outputMode("append").format("memory").queryName("timeout_sessions").start()
+    ms.addData(ev(10L, 1L, 0), ev(10L, 2L, 10)) // user 10 goes idle after minute 10
+    qy.processAllAvailable()
+    ms.addData(ev(20L, 3L, 120)) // advances watermark to minute 90 > 10+30
+    qy.processAllAvailable()
+    ms.addData(ev(20L, 4L, 121)) // next batch runs the pending timeout
+    qy.processAllAvailable(); qy.stop()
+    val flushed = spark.table("timeout_sessions")
+      .filter($"user_id" === 10L)
+      .select($"session_id", $"n_events", $"start_us", $"end_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(flushed === Set((0L, 2L, us(0), us(10))),
+      "idle session must flush via event-time timeout without a closing event")
+  }
+
   test("sessionize covers all events exactly once") {
     val out = q("stream_sessionize")
     assert(out.agg(sum("n_events")).as[Long].head() ===
