@@ -32,4 +32,24 @@ object Skew {
       aggs.map { case (name, _, _) => sum(col(s"__p_$name")).as(name) }
     partial.groupBy(keys.map(col): _*).agg(finals.head, finals.tail: _*)
   }
+
+  /** Skew-immune inner equi-join: the big side gets a per-row salt, the
+    * small side is replicated `salt` times, and the join key becomes
+    * (key, salt) — a hot key's rows spread over `salt` reducers instead of
+    * pinning one. Result is identical to `big.join(small, key)` for any
+    * salt (each big row meets each matching small row exactly once, on its
+    * own salt value).
+    *
+    * When to reach for this: the small side is too big to broadcast AND
+    * key skew defeats the sort-merge path. AQE's skew-join split covers
+    * many such cases at runtime; the explicit form is for aggregation-
+    * feeding joins where AQE cannot rebalance (or engines without AQE).
+    * `small` must be small enough to replicate `salt`× through a shuffle. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
+    val bigS = big.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    val smallS = small.withColumn("__salt",
+      explode(array((0 until salt).map(lit(_)): _*)))
+    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+  }
 }

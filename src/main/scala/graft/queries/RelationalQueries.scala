@@ -145,6 +145,17 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
           countDistinct(col("o_custkey")).as("exact_customers"))),
 
+    // skew-immune join: hot event_type keys spread over 8 salted reducers;
+    // result identical to the plain join (oracle is the unsalted SQL)
+    "q_skew_salted_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("type_label", upper(col("event_type")))
+      graft.operators.Skew.saltedJoin(ev, dim, "event_type", salt = 8)
+        .groupBy("type_label")
+        .agg(count(lit(1)).as("n"), money(sum(cents(col("value")))).as("sum_value"))
+    }),
+
     // CUBE: all grouping-set combinations in one pass (ROLLUP's sibling —
     // partial aggregation still applies map-side per grouping set)
     "q_cube" -> ((s, d) =>
@@ -227,6 +238,12 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_skew_salted_join" ->
+      """WITH dim AS (SELECT DISTINCT event_type, upper(event_type) AS type_label FROM events)
+         SELECT type_label, count(*) AS n,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+         FROM events JOIN dim USING (event_type)
+         GROUP BY 1""",
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                 CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total

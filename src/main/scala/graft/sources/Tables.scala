@@ -36,4 +36,15 @@ object Tables {
       .option("charset", charset)
       .option("mode", "PERMISSIVE") // bad rows -> nulls, like pandas NaN
       .csv(path)
+
+  /** JSON-lines ingestion — the reference's document store is Mongo, and a
+    * mongoexport-style dump is JSONL. Pass an explicit schema at scale:
+    * inference costs a full extra pass over 100 TB and can widen types
+    * from a skewed sample. PERMISSIVE mode nulls bad records like the
+    * pandas path. */
+  def jsonl(spark: SparkSession, path: String,
+            schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.option("mode", "PERMISSIVE")
+    schema.fold(r)(sc => r.schema(sc)).json(path)
+  }
 }

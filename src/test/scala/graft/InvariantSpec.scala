@@ -41,6 +41,19 @@ class InvariantSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("saltedJoin equals plain join on skewed keys") {
+    val r = rng(8)
+    val big = Seq.tabulate(5000) { i =>
+      (if (r.nextInt(10) < 9) "hot" else s"k${r.nextInt(20)}", i.toLong)
+    }.toDF("k", "v")
+    val small = ("hot" +: (0 until 20).map("k" + _)).map(k => (k, k.length)).toDF("k", "w")
+    val salted = graft.operators.Skew.saltedJoin(big, small, "k", salt = 8)
+      .select($"k", $"v", $"w").as[(String, Long, Int)].collect().toSet
+    val plain = big.join(small, Seq("k"))
+      .select($"k", $"v", $"w").as[(String, Long, Int)].collect().toSet
+    assert(salted === plain)
+  }
+
   test("asof equals brute force on random series with duplicate left times") {
     val r = rng(3)
     val left = Seq.tabulate(300)(i => (i.toLong, (r.nextInt(3) + 1).toString, r.nextInt(100).toLong))

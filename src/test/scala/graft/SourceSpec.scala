@@ -33,6 +33,15 @@ class SourceSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint>"))
   }
 
+  test("jsonl ingest round-trips the documents table (mongoexport shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/docs"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.write.json(dir)
+    val back = graft.sources.Tables.jsonl(spark, dir, Some(docs.schema))
+    assert(back.schema === docs.schema, "explicit schema must be honored")
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
   test("approx_count_distinct stays within the configured error bound") {
     val rows = q("q_approx_distinct").as[(String, Long, Long)].collect()
     assert(rows.nonEmpty)
