@@ -55,6 +55,15 @@ object TextQueries {
       graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
     }),
 
+    // token-budget packing: docs -> fixed-budget packs per lang (window
+    // cumsum, the distributed form of greedy sequence packing)
+    "ta_pack_budget" -> ((s, d) =>
+      graft.etl.Packing.withPackId(
+        t(s, d, "documents").withColumn("tk", size(tokens(col("text")))),
+        "tk", budget = 2000, partitionCols = Seq("lang"), orderCol = "doc_id")
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tk")).cast("bigint").as("sum_tokens"))),
+
     // deterministic md5-bucket train/validation/test assignment — a doc
     // never migrates between splits across runs, engines, or partitionings
     "ta_split_sample" -> ((s, d) =>
@@ -198,6 +207,13 @@ object TextQueries {
             reach AS (SELECT es AS v, ed AS r FROM e
                       UNION SELECT reach.v, e.ed FROM reach JOIN e ON reach.r = e.es)
           SELECT v AS id, least(v, min(r)) AS comp FROM reach GROUP BY v""",
+    "ta_pack_budget" ->
+      """WITH t AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS tk FROM documents),
+            c AS (SELECT lang, doc_id, tk,
+                         sum(tk) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM t)
+         SELECT lang, CAST((cum - tk) // 2000 AS BIGINT) AS pack_id,
+                count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS sum_tokens
+         FROM c GROUP BY 1, 2""",
     "ta_split_sample" ->
       """SELECT CASE WHEN b < 80 THEN 'train'
                      WHEN b < 90 THEN 'validation'
