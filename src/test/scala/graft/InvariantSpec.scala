@@ -119,6 +119,22 @@ class InvariantSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("packing matches a sequential greedy fill per group") {
+    val r = rng(9)
+    val rows = Seq.tabulate(400)(i => (s"g${r.nextInt(3)}", i.toLong, (r.nextInt(900) + 1).toLong))
+    val got = graft.etl.Packing
+      .withPackId(rows.toDF("g", "id", "tk"), "tk", budget = 1000, Seq("g"), "id")
+      .select($"g", $"id", $"pack_id").as[(String, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> x._3).toMap
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      var cum = 0L
+      rs.sortBy(_._2).map { case (_, id, tk) =>
+        val pack = cum / 1000; cum += tk; (g, id) -> pack
+      }
+    }
+    assert(got === expected)
+  }
+
   test("hash sampling is stable, stratified-close, and split labels partition") {
     val df = spark.range(0, 5000).select($"id")
     val s1 = graft.etl.Sampling.sampleByHash(df, "id", 10).as[Long].collect().toSet
