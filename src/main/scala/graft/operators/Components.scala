@@ -57,4 +57,16 @@ object Components {
     edges.unpersist()
     labels
   }
+
+  /** Corpus dedup, completed: keep exactly ONE representative (the
+    * min-id member) per duplicate cluster, plus every row with no
+    * near-dup pair at all. `left_anti` against the non-representative
+    * members — ids only cross the wire, never document bodies. */
+  def keepRepresentatives(df: DataFrame, idCol: String,
+                          pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val nonReps = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    df.join(nonReps, Seq(idCol), "left_anti")
+  }
 }

@@ -15,6 +15,19 @@ object StreamQueries {
       import org.apache.spark.sql.functions._
       Events.dedupByKeys(t(s, d, "events"), Seq("user_id", "event_type"))
         .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    }),
+    // click→purchase correlation: the batch form of the stream-stream
+    // watermarked join (identical column logic on both paths)
+    "stream_stream_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), Events.tsCol(col("ts")).as("c_t"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), Events.tsCol(col("ts")).as("p_t"))
+      Events.timeWindowJoin(clicks, purchases, "c_user", "p_user", "c_t", "p_t", 30)
+        .groupBy(col("c_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
     })
   )
 
@@ -40,6 +53,13 @@ object StreamQueries {
                 min(ts_us) AS start_us, max(ts_us) AS end_us
          FROM s GROUP BY user_id, session_id""",
     "stream_dedup" ->
-      "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1"
+      "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+    "stream_stream_join" ->
+      """SELECT c.user_id, count(*) AS n_pairs
+         FROM (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click') c
+         JOIN (SELECT user_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND c.c_us > p.p_us - 1800000000 AND c.c_us <= p.p_us
+         GROUP BY 1"""
   )
 }

@@ -55,6 +55,17 @@ object TextQueries {
       graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
     }),
 
+    // the complete corpus-dedup pipeline: near-dup pairs -> clusters ->
+    // one representative kept per cluster (plus all unpaired docs)
+    "dedup_keep_representatives" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        blockCol = "lang", threshold = 0.8,
+        sketchParallelism = s.sparkContext.defaultParallelism)
+      graft.operators.Components.keepRepresentatives(docs, "doc_id", pairs, "id_a", "id_b")
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    }),
+
     // token-budget packing: docs -> fixed-budget packs per lang (window
     // cumsum, the distributed form of greedy sequence packing)
     "ta_pack_budget" -> ((s, d) =>
@@ -207,6 +218,21 @@ object TextQueries {
             reach AS (SELECT es AS v, ed AS r FROM e
                       UNION SELECT reach.v, e.ed FROM reach JOIN e ON reach.r = e.es)
           SELECT v AS id, least(v, min(r)) AS comp FROM reach GROUP BY v""",
+    "dedup_keep_representatives" ->
+      s"""WITH RECURSIVE $duckNgramCtes,
+            p AS (SELECT id_a, id_b FROM (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b, $duckJaccardRaw AS j
+                    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+                  WHERE j >= 0.8),
+            e AS (SELECT id_a AS es, id_b AS ed FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            reach AS (SELECT es AS v, ed AS r FROM e
+                      UNION SELECT reach.v, e.ed FROM reach JOIN e ON reach.r = e.es),
+            comp AS (SELECT v AS id, least(v, min(r)) AS comp FROM reach GROUP BY v)
+          SELECT lang, count(*) AS n_kept
+          FROM documents
+          WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)
+          GROUP BY lang""",
     "ta_pack_budget" ->
       """WITH t AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS tk FROM documents),
             c AS (SELECT lang, doc_id, tk,

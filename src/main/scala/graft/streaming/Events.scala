@@ -43,6 +43,20 @@ object Events {
       .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Inner join pairing each right event with left events of the same key
+    * inside `(t_right − window, t_right]`. One definition serves batch AND
+    * stream-stream: with a watermark on both inputs, Spark bounds the join
+    * state to window + watermark horizon, so an unbounded click/purchase
+    * correlation runs with finite state (StreamSpec drives the parity).
+    * Column names must be disjoint across the two inputs. */
+  def timeWindowJoin(left: DataFrame, right: DataFrame,
+                     keyL: String, keyR: String, tL: String, tR: String,
+                     windowMinutes: Int): DataFrame =
+    left.join(right,
+      col(keyL) === col(keyR) &&
+        col(tL) > col(tR) - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col(tL) <= col(tR))
+
   /** Exact event dedup by key columns — batch form. The streaming form is
     * the same logic as `readStream → withWatermark → dropDuplicates`:
     * state holds ONE entry per key inside the watermark horizon, so it

@@ -19,6 +19,7 @@ object ExplainAudit {
     val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         val df = fn(spark, dir)
+        df.count() // finalize AQE so the audited plan is the executed one
         val plan = df.queryExecution.executedPlan.toString
         val formatted = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
@@ -27,7 +28,10 @@ object ExplainAudit {
           .count(!_.contains("[]"))
         val readSchemas = "ReadSchema: [^\\n]+".r.findAllIn(formatted).toSeq
         val widest = readSchemas.map(s => s.count(_ == ',') + 1).maxOption.getOrElse(0)
-        f"$name%-22s exch=${c("Exchange")}%2d bcast=${c("BroadcastHashJoin|BroadcastNestedLoop")}%2d smj=${c("SortMergeJoin")}%2d wsc=${c("WholeStageCodegen")}%2d pushedF=$pushed%2d maxReadCols=$widest%2d"
+        // codegen spans: formatted explain annotates "[codegen id : n]"
+        // (the tree string loses the markers under AQE wrapping)
+        val wsc = "codegen id : (\\d+)".r.findAllMatchIn(formatted).map(_.group(1)).toSet.size
+        f"$name%-22s exch=${c("Exchange")}%2d bcast=${c("BroadcastHashJoin|BroadcastNestedLoop")}%2d smj=${c("SortMergeJoin")}%2d wsc=$wsc%2d pushedF=$pushed%2d maxReadCols=$widest%2d"
       } catch { case e: Throwable => f"$name%-22s ERROR ${e.getMessage.take(60)}" }
     }
     rows.foreach(r => println("[audit] " + r))

@@ -52,6 +52,22 @@ class StreamSpec extends SparkSpec {
     assert(got === Set((10L, 0L, 2L), (10L, 1L, 1L), (20L, 0L, 1L)))
   }
 
+  test("stream-stream time-window join matches the batch join") {
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    def src = spark.readStream.schema(schema).parquet(s"$sf/events.parque[t]")
+    val c = src.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), Events.tsCol($"ts").as("c_t"))
+      .withWatermark("c_t", "1 hour")
+    val p = src.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), Events.tsCol($"ts").as("p_t"))
+      .withWatermark("p_t", "1 hour")
+    val qy = Events.timeWindowJoin(c, p, "c_user", "p_user", "c_t", "p_t", 30)
+      .writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    qy.processAllAvailable(); qy.stop()
+    val batchPairs = q("stream_stream_join").agg(sum($"n_pairs")).as[Long].head()
+    assert(spark.table("ssj").count() === batchPairs)
+  }
+
   test("event-time timeout flushes an idle user's open session") {
     // real epoch base: timestamp 0 would collide with the initial watermark
     // (epoch 0) and be dropped as late
