@@ -141,6 +141,32 @@ object TextFunctions {
   def tokenCount(c: Column, words: Seq[String]): Column =
     size(filter(tokens(c), t => t.isin(words.map(lit(_)): _*)))
 
+  // PII patterns for training-data scrubbing. Order matters: emails and
+  // URLs (which may embed digits) are replaced before bare number runs.
+  private[graft] val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+" -> "<URL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\d{6,}" -> "<NUM>")
+
+  /** Redact common PII shapes (emails, URLs, IPv4s, long digit runs) —
+    * the scrubbing pass a training corpus takes before packing. Pure
+    * codegen'd regexp pipeline; patterns are RE2-portable so an SQL
+    * oracle applies the identical rewrites. */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (p, tag)) => regexp_replace(acc, p, tag) }
+
+  /** Count of PII redactions that [[redactPii]] performs — each pattern is
+    * counted on the string with all EARLIER patterns already redacted, so
+    * the count equals the number of tags actually inserted (a digit run
+    * inside an email must not double-count). */
+  def piiCount(c: Column): Column = {
+    val (total, _) = PiiPatterns.foldLeft((lit(0), c)) { case ((cnt, cur), (p, tag)) =>
+      (cnt + regexp_count(cur, lit(p)), regexp_replace(cur, p, tag))
+    }
+    total
+  }
+
   /** BPE-ish subword count: letter runs, digit runs, or single symbols. */
   def bpeishCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))

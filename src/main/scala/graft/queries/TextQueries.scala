@@ -55,6 +55,22 @@ object TextQueries {
       graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
     }),
 
+    // PII scrubbing: synthesize deterministic PII (email/url/ip/id) per doc
+    // so the redaction actually fires, then hash the scrubbed text and
+    // count insertions — both engines build and scrub the same string
+    "ta_redact_pii" -> ((s, d) => {
+      val id = col("doc_id")
+      val synth = concat(
+        lit("contact user"), id.cast("string"),
+        lit("@example.com visit https://ex.com/p"), id.cast("string"),
+        lit(" from 10.0.0."), (id % 256).cast("string"),
+        lit(" id "), (id * 1000003).cast("string"),
+        lit(" end "), col("text"))
+      t(s, d, "documents").select(id,
+        md5(redactPii(synth)).as("redacted_hash"),
+        piiCount(synth).as("n_pii"))
+    }),
+
     // the complete corpus-dedup pipeline: near-dup pairs -> clusters ->
     // one representative kept per cluster (plus all unpaired docs)
     "dedup_keep_representatives" -> ((s, d) => {
@@ -218,6 +234,26 @@ object TextQueries {
             reach AS (SELECT es AS v, ed AS r FROM e
                       UNION SELECT reach.v, e.ed FROM reach JOIN e ON reach.r = e.es)
           SELECT v AS id, least(v, min(r)) AS comp FROM reach GROUP BY v""",
+    "ta_redact_pii" -> {
+      val steps = graft.functions.TextFunctions.PiiPatterns
+      def red(expr: String, upTo: Int): String =
+        steps.take(upTo).foldLeft(expr) { case (e, (p, tag)) =>
+          s"regexp_replace($e, '$p', '$tag', 'g')"
+        }
+      val counts = steps.zipWithIndex.map { case ((p, _), i) =>
+        s"len(regexp_extract_all(${red("s0", i)}, '$p'))"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT doc_id,
+              concat('contact user', CAST(doc_id AS VARCHAR),
+                     '@example.com visit https://ex.com/p', CAST(doc_id AS VARCHAR),
+                     ' from 10.0.0.', CAST(doc_id % 256 AS VARCHAR),
+                     ' id ', CAST(doc_id * 1000003 AS VARCHAR),
+                     ' end ', text) AS s0
+            FROM documents)
+          SELECT doc_id, md5(${red("s0", steps.size)}) AS redacted_hash,
+                 CAST($counts AS INT) AS n_pii
+          FROM b"""
+    },
     "dedup_keep_representatives" ->
       s"""WITH RECURSIVE $duckNgramCtes,
             p AS (SELECT id_a, id_b FROM (
