@@ -145,6 +145,19 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
           countDistinct(col("o_custkey")).as("exact_customers"))),
 
+    // correlated scalar subquery through the spark.sql surface (Catalyst
+    // rewrites it to an aggregate + left join — no per-row execution)
+    "q_scalar_subquery" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("v_orders")
+      t(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """SELECT o_orderkey, o_orderstatus,
+                  (SELECT coalesce(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0, 0.0)
+                   FROM v_lineitem WHERE l_orderkey = o_orderkey) AS total_qty
+           FROM v_orders
+           WHERE o_orderkey % 100 = 0""")
+    }),
+
     // skew-immune join: hot event_type keys spread over 8 salted reducers;
     // result identical to the plain join (oracle is the unsalted SQL)
     "q_skew_salted_join" -> ((s, d) => {
@@ -238,6 +251,12 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_orderstatus,
+                (SELECT coalesce(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0, 0.0)
+                 FROM lineitem WHERE l_orderkey = o_orderkey) AS total_qty
+         FROM orders
+         WHERE o_orderkey % 100 = 0""",
     "q_skew_salted_join" ->
       """WITH dim AS (SELECT DISTINCT event_type, upper(event_type) AS type_label FROM events)
          SELECT type_label, count(*) AS n,
