@@ -85,6 +85,22 @@ class InvariantSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("range join is exact for negative and epoch-nano-magnitude timestamps") {
+    val r = rng(10)
+    val base = 1755000000000000000L // epoch nanos: beyond double's 2^53 exactness
+    val ts = Seq.tabulate(200)(i => base + r.nextInt(2000).toLong - 1000L) ++
+      Seq.tabulate(100)(i => r.nextInt(2000).toLong - 1000L) // negatives near zero
+    val left = ts.zipWithIndex.map { case (t, i) => (i.toLong, 1L, t) }.toDF("id", "k", "t")
+    val right = ts.map(t => (1L, t + r.nextInt(100) - 50)).toDF("k", "t")
+    val got = RangeJoin.countInRange(left, right, "k", "t", "id", lo = 0L, hi = 40L)
+      .select($"id", $"n_matches").as[(Long, Long)].collect().toMap
+    val rrows = right.as[(Long, Long)].collect()
+    val expected = left.as[(Long, Long, Long)].collect().map { case (id, _, t) =>
+      id -> rrows.count(x => x._2 > t && x._2 <= t + 40).toLong
+    }.toMap
+    assert(got === expected)
+  }
+
   test("jaccard/normalize/fingerprint algebraic properties on random text") {
     val r = rng(5)
     val words = Seq("alpha", "beta", "Gamma!", "DELTA", "x9", ",", "the")
