@@ -66,21 +66,31 @@ object Similarity {
     ivfAssign(df, vecCol, idCol, centroids, cIdCol)
       .agg(avg(col("sim"))).head().getDouble(0)
 
-  /** Full IVF ANN search: assign the corpus and the query vector to
-    * centroids (both zero-shuffle broadcast folds), then rank ONLY the
-    * query's cluster — the plan never scores the whole corpus against the
-    * query. At scale, storing the corpus partitioned by centroid turns the
-    * cluster filter into partition pruning: the scan itself skips
-    * (K−1)/K of the data. Includes the query row itself when it is part
-    * of `df` (same convention as [[topK]]). */
+  /** Full IVF ANN search: assign the corpus to centroids (zero-shuffle
+    * broadcast fold), route the query vector to its `nProbe` nearest
+    * centroids, then rank ONLY those clusters — the plan never scores the
+    * whole corpus against the query. `nProbe` is the recall/cost dial:
+    * probing P of K clusters scans ~P/K of the corpus and recovers
+    * neighbors that straddle a cluster boundary. The query-side ranking
+    * crossJoins ONE row against K broadcast centroid rows — trivial by
+    * construction. At scale, storing the corpus partitioned by centroid
+    * turns the cluster filter into partition pruning. Includes the query
+    * row itself when it is part of `df` (same convention as [[topK]]). */
   def ivfSearch(df: DataFrame, vecCol: String, idCol: String,
                 centroids: DataFrame, cIdCol: String,
-                query: DataFrame, k: Int): DataFrame = {
+                query: DataFrame, k: Int, nProbe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val assigned = ivfAssign(df, vecCol, idCol, centroids, cIdCol, keepVec = true)
-    val q = broadcast(
-      ivfAssign(query, vecCol, idCol, centroids, cIdCol, keepVec = true)
-        .select(col("centroid_id").as("q_cid"), col("v").as("q_v")))
-    assigned.join(q, col("centroid_id") === col("q_cid"))
+    val c = broadcast(centroids.select(col(cIdCol).as("q_cid"), asDouble(col(vecCol)).as("c_v")))
+    val probes = query.select(asDouble(col(vecCol)).as("q_v"))
+      .crossJoin(c)
+      .select(col("q_cid"), col("q_v"),
+        round(cosine(col("q_v"), col("c_v")), 6).as("q_sim"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("q_sim").desc, col("q_cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_cid"), col("q_v"))
+    assigned.join(broadcast(probes), col("centroid_id") === col("q_cid"))
       .select(col(idCol), round(cosine(col("v"), col("q_v")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)

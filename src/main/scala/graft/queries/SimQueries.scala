@@ -35,13 +35,13 @@ object SimQueries {
         e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid"), "cid")
     }),
 
-    // end-to-end ANN: probe the query's centroid, rank only that cluster —
-    // the whole-corpus scoring never appears in the plan
+    // end-to-end ANN: probe the query's 2 nearest centroids, rank only
+    // those clusters — whole-corpus scoring never appears in the plan
     "sim_ann_search" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.ivfSearch(e, "embedding", "vec_id",
         e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid"), "cid",
-        query = e.filter(col("vec_id") === 0), k = 10)
+        query = e.filter(col("vec_id") === 0), k = 10, nProbe = 2)
     })
   )
 
@@ -107,7 +107,8 @@ object SimQueries {
               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1),
             na AS (SELECT n.vec_id, n.v, n.nrm, a.centroid_id
                    FROM n JOIN assigned a ON n.vec_id = a.vec_id),
-            qa AS (SELECT centroid_id FROM assigned WHERE vec_id = 0),
+            qa AS (SELECT centroid_id FROM scored WHERE vec_id = 0
+                   QUALIFY row_number() OVER (ORDER BY sim DESC, centroid_id) <= 2),
             q AS (SELECT v, nrm FROM n WHERE vec_id = 0)
           SELECT vec_id, cosine FROM (
             SELECT a.vec_id,
