@@ -43,6 +43,28 @@ object HashUtil {
     if (y >= P) y - P else y
   }
 
+  /** Fused char-n-gram shingle → 31-bit-hash set: one pass over the text,
+    * one md5 per position, dedup + ascending sort via TreeSet — replaces
+    * the four-op HOF pipeline (substring transform, distinct, hash
+    * transform, sort) and its per-shingle string allocations. Value-
+    * identical to `array_sort(array_distinct(transform(shingles,
+    * md5prefix31)))` over `charShingles(text, n)`. */
+  def shingleHashes31(s: UTF8String, n: Int): ArrayData = {
+    val len = s.numChars()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 1
+    while (i <= len - n + 1) {
+      set.add(md5Prefix31(s.substringSQL(i, n)))
+      i += 1
+    }
+    val out = new Array[Any](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Intersection size of two SORTED long arrays by linear merge — no
     * hash-set allocation per row (Spark's `array_intersect` builds one),
     * which dominates when millions of candidate pairs each intersect
@@ -128,8 +150,24 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
     copy(left = l, right = r)
 }
 
+/** Sorted distinct 31-bit shingle-hash set of a text column (see
+  * HashUtil.shingleHashes31). */
+case class ShingleHashes31(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.shingleHashes31(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashUtil.shingleHashes31($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object HashExpressions {
   def md5prefix31(c: Column): Column = GraftShim.column(Md5Prefix31(GraftShim.expression(c)))
+  def shingleHashes31Native(text: Column, n: Int): Column =
+    GraftShim.column(ShingleHashes31(GraftShim.expression(text), n))
   def minhashSigNative(hashes: Column, k: Int): Column =
     GraftShim.column(MinHashSig(GraftShim.expression(hashes), k))
   def sortedIntersectCount(a: Column, b: Column): Column =

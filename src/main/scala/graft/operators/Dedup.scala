@@ -38,11 +38,13 @@ object Dedup {
     * mins over the int array. */
   def minhashed(df: DataFrame, textCol: String, idCol: String,
                 k: Int = 128, rowsPerBand: Int = 8, shingleN: Int = 3): DataFrame = {
-    val sh = array_distinct(charShingles(col(textCol), shingleN))
     // hs kept SORTED: signatures are order-independent, and sortedness lets
     // pair verification run a native merge-intersect instead of per-pair
-    // hash-set builds
-    df.select(col(idCol), array_sort(shingleHashes(sh)).as("hs"))
+    // hash-set builds. The fused expression replaces the substring/
+    // distinct/hash/sort HOF chain (value-identical, one pass, no
+    // intermediate string arrays).
+    df.select(col(idCol),
+        graft.expressions.HashExpressions.shingleHashes31Native(col(textCol), shingleN).as("hs"))
       .withColumn("sig", graft.expressions.HashExpressions.minhashSigNative(col("hs"), k))
       .withColumn("bands", lshBands(col("sig"), k, rowsPerBand))
   }
