@@ -11,6 +11,7 @@ object StreamQueries {
   val defs: Map[String, QFn] = Map(
     "stream_window_agg" -> ((s, d) => Events.hourlyAgg(t(s, d, "events"))),
     "stream_sessionize" -> ((s, d) => Events.sessionize(t(s, d, "events"))),
+    "stream_sliding_agg" -> ((s, d) => Events.slidingAgg(t(s, d, "events"))),
     "stream_dedup" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       Events.dedupByKeys(t(s, d, "events"), Seq("user_id", "event_type"))
@@ -52,6 +53,15 @@ object StreamQueries {
          SELECT user_id, session_id, count(*) AS n_events,
                 min(ts_us) AS start_us, max(ts_us) AS end_us
          FROM s GROUP BY user_id, session_id""",
+    "stream_sliding_agg" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type,
+                           CAST(round(value*100) AS BIGINT) AS vc FROM events),
+            w AS (SELECT time_bucket(INTERVAL 30 MINUTE, t) AS ws, event_type, vc FROM e
+                  UNION ALL
+                  SELECT time_bucket(INTERVAL 30 MINUTE, t) - INTERVAL 30 MINUTE, event_type, vc FROM e)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+                count(*) AS n, CAST(sum(vc) AS DOUBLE)/100.0 AS sum_value
+         FROM w GROUP BY 1, 2""",
     "stream_dedup" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
     "stream_stream_join" ->

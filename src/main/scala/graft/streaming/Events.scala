@@ -34,6 +34,18 @@ object Events {
       .groupBy("hour", "event_type")
       .agg(count(lit(1)).as("n"), graft.queries.Common.money(sum(col("value_c"))).as("sum_value"))
 
+  /** Sliding-window aggregation (1 h window every 30 min): each event
+    * contributes to exactly TWO windows. Uses the same `window()` that the
+    * streaming path uses, so batch/stream parity is by construction. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .select(tsCol(col("ts")).as("ts_t"), col("event_type"),
+        graft.queries.Common.cents(col("value")).as("value_c"))
+      .groupBy(window(col("ts_t"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.queries.Common.money(sum(col("value_c"))).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** The same aggregation as a streaming query over a timestamp column,
     * with a watermark bounding state. Used by the streaming spec. */
   def windowAggStream(events: DataFrame): DataFrame =

@@ -23,6 +23,28 @@ class ExtensionSpec extends SparkSpec {
     assert(h >= 0 && h < 2147483647L && ic === 2L)
   }
 
+  test("GraftExtensions injects functions into a fresh session (deployment path)") {
+    val orig = spark
+    // getOrCreate returns the active session unchanged, so clear the
+    // defaults to force a NEW session (same SparkContext, fresh
+    // sessionState) that actually goes through extension injection
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne orig)
+      val d = s2.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .collect()(0).getDouble(0)
+      assert(d === 11.0)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(orig)
+      org.apache.spark.sql.SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("streaming sessionization matches the batch state machine") {
     def ns(m: Long) = m * 60L * 1000000000L
     val raw = Seq(

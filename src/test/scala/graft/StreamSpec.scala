@@ -52,6 +52,12 @@ class StreamSpec extends SparkSpec {
     assert(got === Set((10L, 0L, 2L), (10L, 1L, 1L), (20L, 0L, 1L)))
   }
 
+  test("sliding windows cover every event exactly twice") {
+    val out = q("stream_sliding_agg")
+    val events = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(out.agg(sum($"n")).as[Long].head() === 2 * events)
+  }
+
   test("stream-stream time-window join matches the batch join") {
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
     def src = spark.readStream.schema(schema).parquet(s"$sf/events.parque[t]")
