@@ -98,6 +98,24 @@ object Similarity {
         }).as("codes"))
   }
 
+  /** Inverse of [[scalarQuantize]]: x̂ = lo + code/255·(hi−lo), per-dim
+    * max error (hi−lo)/510. Distance math must run on dequantized values
+    * — raw codes are all-positive with a per-dim offset, which wrecks
+    * angular measures. */
+  def dequantize(df: DataFrame, codesCol: String, idCol: String,
+                 stats: DataFrame): DataFrame = {
+    val packed = broadcast(stats
+      .select(struct(col("dim"), col("lo"), col("hi")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("st")))
+    df.crossJoin(packed)
+      .select(col(idCol),
+        transform(col(codesCol), (c, i) => {
+          val st = element_at(col("st"), i + 1)
+          st.getField("lo") +
+            c.cast("double") / 255.0 * (st.getField("hi") - st.getField("lo"))
+        }).as("v"))
+  }
+
   /** Full IVF ANN search: assign the corpus to centroids (zero-shuffle
     * broadcast fold), route the query vector to its `nProbe` nearest
     * centroids, then rank ONLY those clusters — the plan never scores the

@@ -98,6 +98,20 @@ object EtlQueries {
         .select(col("o_orderkey"), money(col("price_c")).as("price"), col("o_orderstatus"))
     }),
 
+    // data-quality expectations gate: N constraints fused into ONE
+    // aggregation pass + a referential anti-join check
+    "etl_validate" -> ((s, d) => {
+      import graft.etl.Validate
+      val o = t(s, d, "orders")
+      val single = Validate.run(o, Seq(
+        Validate.uniqueness("orderkey_unique", col("o_orderkey")),
+        Validate.completeness("totalprice_complete", col("o_totalprice")),
+        Validate.satisfies("totalprice_positive", col("o_totalprice") > 0, atLeast = 1.0)))
+      val ref = Validate.referential("custkey_in_customer",
+        o, "o_custkey", t(s, d, "customer"), "c_custkey")
+      single.unionByName(ref)
+    }),
+
     // numeric coercion, errors -> null (Review_ETL.py:77)
     "etl_numeric_coerce" -> ((s, d) =>
       t(s, d, "orders")
@@ -156,6 +170,22 @@ object EtlQueries {
          UNION ALL
          SELECT o_orderkey, CAST(price_c AS DOUBLE) / 100.0 AS price, o_orderstatus
          FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)""",
+    "etl_validate" ->
+      """SELECT 'orderkey_unique' AS check, round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(o_orderkey), 6) AS metric,
+                count(DISTINCT o_orderkey) = count(o_orderkey) AS passed FROM orders
+         UNION ALL
+         SELECT 'totalprice_complete', round(avg(CASE WHEN o_totalprice IS NOT NULL THEN 1.0 ELSE 0.0 END), 6),
+                avg(CASE WHEN o_totalprice IS NOT NULL THEN 1.0 ELSE 0.0 END) >= 1.0 FROM orders
+         UNION ALL
+         SELECT 'totalprice_positive', round(avg(CASE WHEN coalesce(o_totalprice > 0, false) THEN 1.0 ELSE 0.0 END), 6),
+                avg(CASE WHEN coalesce(o_totalprice > 0, false) THEN 1.0 ELSE 0.0 END) >= 1.0 FROM orders
+         UNION ALL
+         SELECT 'custkey_in_customer',
+                round(1.0 - CAST((SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+                                  AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) AS DOUBLE)
+                      / (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL), 6),
+                (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+                 AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0""",
     "etl_numeric_coerce" ->
       """SELECT o_orderpriority, count(*) AS n,
                 CAST(sum(try_cast(regexp_extract(o_orderpriority, '(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_num,

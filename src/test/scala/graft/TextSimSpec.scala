@@ -112,4 +112,20 @@ class TextSimSpec extends SparkSpec {
     assert(out.filter($"cosine" < 0.45).isEmpty)
     assert(out.filter($"id_a" >= $"id_b").isEmpty)
   }
+
+  test("int8 quantization preserves nearest-neighbor structure") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val stats = Similarity.quantizeStats(e, "embedding")
+    val deq = Similarity.dequantize(
+        Similarity.scalarQuantize(e, "embedding", "vec_id", stats),
+        "codes", "vec_id", stats)
+      .withColumnRenamed("v", "embedding")
+    // exact top-2 (query itself + true NN) vs encode→decode top-2: the
+    // true nearest neighbor must survive 8-bit round-tripping
+    val exact = Similarity.topK(e, "embedding", "vec_id",
+      e.filter($"vec_id" === 0), k = 2).select("vec_id").as[Long].collect().toSet
+    val quant = Similarity.topK(deq, "embedding", "vec_id",
+      deq.filter($"vec_id" === 0), k = 2).select("vec_id").as[Long].collect().toSet
+    assert(quant === exact, "top-2 after int8 round-trip must match exact")
+  }
 }
