@@ -52,6 +52,21 @@ class StreamSpec extends SparkSpec {
     assert(got === Set((10L, 0L, 2L), (10L, 1L, 1L), (20L, 0L, 1L)))
   }
 
+  test("stream-static enrichment join matches batch (broadcast dim against a stream)") {
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$sf/events.parque[t]")
+    val dim = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_type").distinct()
+      .withColumn("type_label", upper($"event_type")) // static side: plain DataFrame
+    val qy = stream.join(broadcast(dim), Seq("event_type"))
+      .writeStream.outputMode("append").format("memory").queryName("enrich").start()
+    qy.processAllAvailable(); qy.stop()
+    assert(spark.table("enrich").count() ===
+      spark.read.parquet(s"$sf/events.parquet").count(),
+      "every event must be enriched exactly once")
+    assert(spark.table("enrich").filter($"type_label" =!= upper($"event_type")).isEmpty)
+  }
+
   test("sliding windows cover every event exactly twice") {
     val out = q("stream_sliding_agg")
     val events = spark.read.parquet(s"$sf/events.parquet").count()
