@@ -45,16 +45,23 @@ object Components {
         .join(labels.select(col("id").as("d"), col("comp").as("dcomp")), Seq("d"))
         .groupBy(col("s").as("id"))
         .agg(min(col("dcomp")).as("nmin"))
+      // the convergence flag rides INSIDE the label-update row (computed in
+      // the same job that materializes the checkpoint); the probe is then a
+      // filter over local checkpoint blocks — no second join per round
+      val newComp = least(col("comp"), coalesce(col("nmin"), col("comp")))
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .select(col("id"), newComp.as("comp"), (newComp < col("comp")).as("__changed"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
-        .filter(col("comp") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("__changed")).isEmpty
+      labels = next.drop("__changed")
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did NOT converge within maxIter=$maxIter rounds " +
+          "(component diameter exceeds maxIter); labels are partially propagated " +
+          "and the 'comp = min reachable id' contract does not hold — raise maxIter")
     labels
   }
 

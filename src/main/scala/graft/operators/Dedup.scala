@@ -103,7 +103,7 @@ object Dedup {
     // |A∪B| = |A| + |B| − |A∩B| — value-identical to
     // size(array_intersect)/size(array_union) on distinct arrays
     val inter = graft.expressions.HashExpressions.sortedIntersectCount(col("sh_a"), col("sh_b"))
-    candidates
+    val out = candidates
       .join(m.select(col(idCol).as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
       .join(m.select(col(idCol).as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
       .withColumn("inter", inter)
@@ -112,6 +112,13 @@ object Dedup {
           (col("na") + col("nb") - col("inter")).cast("double")).as("j"))
       .filter(col("j") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+    // The pair output is tiny (near-dups only); materialize it eagerly so
+    // the cached signature frame can be RELEASED before returning — a
+    // lazily-returned plan would pin `m` in the block store for the
+    // caller's lifetime (the round-2 bench leak). Materialization also
+    // means iterative consumers (connected components) never re-run the
+    // sketch pipeline.
+    try out.localCheckpoint() finally m.unpersist()
   }
 
   /** Near-dup pairs by word-n-gram Jaccard inside a blocking key (e.g.
@@ -154,12 +161,15 @@ object Dedup {
       .filter(col("id_a") < col("id_b") &&
         col("na") >= col("nb") * threshold && col("nb") >= col("na") * threshold)
       .select("block", "id_a", "id_b").distinct()
-    candidates
+    val out = candidates
       .join(g.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
       .join(g.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
       .select(col("block"), col("id_a"), col("id_b"), jaccard(col("g_a"), col("g_b")).as("j"))
       .filter(col("j") >= threshold)
       .select(col("block"), col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+    // eager materialize-and-release, same rationale as minhashNearDups:
+    // don't pin the cached gram frame beyond this call
+    try out.localCheckpoint() finally g.unpersist()
   }
 
   /** Per-doc 60-bit SimHash (+ token count). Zero-shuffle projection;

@@ -131,13 +131,20 @@ object Similarity {
                 query: DataFrame, k: Int, nProbe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = ivfAssign(df, vecCol, idCol, centroids, cIdCol, keepVec = true)
+    // single-query contract: the result schema carries no query id, so a
+    // multi-row `query` would silently select nProbe probes across ALL
+    // queries combined — enforce it (limit(2) bounds the probe's cost)
+    require(query.limit(2).count() == 1,
+      "ivfSearch expects exactly one query row; for batched queries carry a query id and rank per query")
     val c = broadcast(centroids.select(col(cIdCol).as("q_cid"), asDouble(col(vecCol)).as("c_v")))
     val probes = query.select(asDouble(col(vecCol)).as("q_v"))
       .crossJoin(c)
       .select(col("q_cid"), col("q_v"),
         round(cosine(col("q_v"), col("c_v")), 6).as("q_sim"))
       .withColumn("rn", row_number().over(
-        Window.orderBy(col("q_sim").desc, col("q_cid"))))
+        // partitioned by the query vector: correct for the enforced one-row
+        // query, and the rank never funnels through one global partition
+        Window.partitionBy(col("q_v")).orderBy(col("q_sim").desc, col("q_cid"))))
       .filter(col("rn") <= nProbe)
       .select(col("q_cid"), col("q_v"))
     assigned.join(broadcast(probes), col("centroid_id") === col("q_cid"))

@@ -41,6 +41,19 @@ object ParquetSink {
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + ".tmp")
     val old = new Path(path + ".old")
+    def mv(from: Path, to: Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"upsertInto: rename $from -> $to failed")
+    // Crash recovery BEFORE any cleanup: if a prior run died mid-swap
+    // (between mv(dst, old) and mv(tmp, dst)), the base table exists only
+    // as .old and the fully-written merged result as .tmp — deleting them
+    // blindly would silently lose the whole base table. A .tmp alongside
+    // .old is trustworthy (renames start only after the write commits);
+    // a .tmp with NEITHER dst nor old is a half-written initial create.
+    if (!fs.exists(dst) && fs.exists(old)) {
+      if (fs.exists(tmp)) { mv(tmp, dst); fs.delete(old, true): Unit }
+      else mv(old, dst)
+    }
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(old)) fs.delete(old, true)
     val merged = if (fs.exists(dst)) {
@@ -49,9 +62,6 @@ object ParquetSink {
     // write to a temp dir then swap: the source partition being overwritten
     // is also an input — direct overwrite would corrupt it mid-scan
     writePartitioned(merged, tmp.toString, partitionCols)
-    def mv(from: Path, to: Path): Unit =
-      if (!fs.rename(from, to))
-        throw new java.io.IOException(s"upsertInto: rename $from -> $to failed")
     if (fs.exists(dst)) {
       mv(dst, old)
       mv(tmp, dst)
