@@ -28,31 +28,42 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     val failed = scala.collection.mutable.ListBuffer[String]()
+    // even pass counts average the two middle elements — s(n/2) alone
+    // biases the recorded time high
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
-      s(s.size / 2)
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to passes).map { _ =>
+      val times = (1 to passes).flatMap { _ =>
         // no cross-query (or cross-pass) state: drop cached frames and nudge
         // the collector so leaked blocks from a prior query can't tax this one
         spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        // a throwing pass records NO time: time-to-failure folded into a
+        // median would make a broken query look cheap in the artifact
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
           if (!failed.contains(name)) {
             failed += name
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           }
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> median(times)
+      (name, if (times.isEmpty) Double.NaN else median(times), times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def num(v: Double): String = if (v.isNaN) "\"NaN\"" else v.toString
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // total spans successful queries only; `failed` flags the broken ones
+    val total = results.map(_._2).filterNot(_.isNaN).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val passesJson = results.map { case (k, _, ts) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"passes":$passes,"sf":"$sfDir"}"""
     println(line)
     // append to the repo-tracked history so later rounds can diff per-query
@@ -60,7 +71,10 @@ object Bench {
     try {
       val hist = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_HISTORY", "bench_history.jsonl"))
-      val stamped = s"""{"at":"${java.time.Instant.now()}",""" + line.drop(1) + "\n"
+      // history (not the driver artifact) also carries every raw pass time,
+      // so cross-round variance is inspectable without rerunning
+      val stamped = s"""{"at":"${java.time.Instant.now()}","pass_times":$passesJson,""" +
+        line.drop(1) + "\n"
       java.nio.file.Files.write(hist, stamped.getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: Throwable => () }

@@ -12,4 +12,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Release the block-store blocks behind a `localCheckpoint()`ed frame.
+    * `Dataset.unpersist` only touches the CacheManager, which never sees
+    * checkpoint RDDs — without this, an iterative fixpoint accumulates one
+    * snapshot of blocks per round until the driver GC gets around to them. */
+  def unpersistCheckpoint(df: Dataset[_]): Unit = df.queryExecution.analyzed match {
+    case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false): Unit
+    case _ => ()
+  }
 }

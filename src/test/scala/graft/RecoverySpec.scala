@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Components, Similarity}
+import graft.sinks.ParquetSink
+
+/** Executes the failure/guard paths that round 3 shipped untested: the
+  * ParquetSink crash-recovery state machine (every crash window staged on
+  * disk), the Components non-convergence contract (observable by the
+  * caller, not just a WARN line), and the ivfSearch single-query guard. */
+class RecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Components convergence contract ----
+
+  private def chain(n: Int) =
+    (0 until n).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+
+  test("components run reports non-convergence on a chain longer than maxIter allows") {
+    val r = Components.run(chain(40), "id_a", "id_b", maxIter = 2)
+    assert(!r.converged)
+    assert(r.rounds === 2)
+    // partial labels: at least one node still points above the true root 0
+    assert(r.labels.filter($"comp" =!= 0L).count() > 0)
+  }
+
+  test("keepRepresentatives throws on non-convergence instead of under-deduping") {
+    val docs = (0L to 40L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Components.keepRepresentatives(docs, "doc_id", chain(40), "id_a", "id_b", maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("pointer jumping converges a 1000-node chain in O(log n) rounds") {
+    val r = Components.run(chain(1000), "id_a", "id_b", maxIter = 20)
+    assert(r.converged, s"not converged in ${r.rounds} rounds")
+    assert(r.rounds <= 15, s"expected O(log 1000) ~ 10 rounds, got ${r.rounds}")
+    assert(r.labels.filter($"comp" =!= 0L).isEmpty, "all nodes must reach root 0")
+  }
+
+  test("keepRepresentativesFromLabels equals the one-call form on a converged graph") {
+    val docs = (0L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val labels = Components.run(pairs, "id_a", "id_b").labels
+    val viaLabels = Components.keepRepresentativesFromLabels(docs, "doc_id", labels)
+      .select("doc_id").as[Long].collect().toSet
+    val oneCall = Components.keepRepresentatives(docs, "doc_id", pairs, "id_a", "id_b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaLabels === oneCall)
+    assert(viaLabels === Set(0L, 3L, 4L, 5L, 7L, 8L, 9L))
+  }
+
+  // ---- ivfSearch single-query guard ----
+
+  test("ivfSearch rejects a multi-row and an empty query frame") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(0.0, 1.0)), (4L, Seq(0.1, 0.9))
+    ).toDF("vec_id", "vec")
+    val centroids = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))).toDF("centroid_id", "vec")
+    val multi = corpus.limit(2)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfSearch(corpus, "vec", "vec_id", centroids, "centroid_id", multi, k = 2)
+    }
+    assert(e.getMessage.contains("exactly one query row"))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfSearch(corpus, "vec", "vec_id", centroids, "centroid_id",
+        corpus.limit(0), k = 2)
+    }
+    // and the guard passes a genuine one-row query through
+    val ok = Similarity.ivfSearch(corpus, "vec", "vec_id", centroids, "centroid_id",
+      corpus.filter($"vec_id" === 1L), k = 2)
+    assert(ok.count() === 2)
+  }
+
+  // ---- ParquetSink crash-window recovery ----
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_crash").toString + "/t"
+
+  private def writeTable(path: String, rows: Seq[(Long, String, String)]): Unit =
+    rows.toDF("id", "lang", "v").write.partitionBy("lang").parquet(path)
+
+  private def readIds(path: String): Set[(Long, String)] =
+    spark.read.parquet(path).select("id", "v").as[(Long, String)].collect().toSet
+
+  private val base = Seq((1L, "en", "x"), (2L, "de", "y"))
+  private val mergedByCrashedRun = Seq((1L, "en", "x"), (2L, "de", "Y2"), (3L, "fr", "z"))
+  private val upd = Seq((4L, "en", "w"))
+
+  test("crash window: dst renamed to .old, complete .tmp present -> tmp is promoted") {
+    val dir = freshDir()
+    // the crashed run died between mv(dst, old) and mv(tmp, dst)
+    writeTable(dir + ".old", base)
+    writeTable(dir + ".tmp", mergedByCrashedRun)
+    ParquetSink.upsertInto(spark, dir, upd.toDF("id", "lang", "v"), "id", Seq("lang"))
+    assert(readIds(dir) === Set((1L, "x"), (2L, "Y2"), (3L, "z"), (4L, "w")),
+      "the crashed run's committed merge must survive, plus the new updates")
+  }
+
+  test("crash window: only .old remains -> base table is restored") {
+    val dir = freshDir()
+    writeTable(dir + ".old", base)
+    ParquetSink.upsertInto(spark, dir, upd.toDF("id", "lang", "v"), "id", Seq("lang"))
+    assert(readIds(dir) === Set((1L, "x"), (2L, "y"), (4L, "w")),
+      "the base table must be restored from .old, not silently lost")
+  }
+
+  test("crash window: dst and stale .old both present -> dst wins, .old is discarded") {
+    val dir = freshDir()
+    // the crashed run died between mv(tmp, dst) and delete(old)
+    writeTable(dir, mergedByCrashedRun)
+    writeTable(dir + ".old", base)
+    ParquetSink.upsertInto(spark, dir, upd.toDF("id", "lang", "v"), "id", Seq("lang"))
+    assert(readIds(dir) === Set((1L, "x"), (2L, "Y2"), (3L, "z"), (4L, "w")))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".tmp")))
+  }
+
+  test("crash window: orphan .tmp with neither dst nor .old -> treated as fresh create") {
+    val dir = freshDir()
+    // a half-written initial create is untrustworthy — it must be discarded
+    writeTable(dir + ".tmp", mergedByCrashedRun)
+    ParquetSink.upsertInto(spark, dir, upd.toDF("id", "lang", "v"), "id", Seq("lang"))
+    assert(readIds(dir) === Set((4L, "w")))
+  }
+
+  test("crash window: dst intact with leftover complete .tmp -> tmp is discarded") {
+    val dir = freshDir()
+    // died after writing tmp but BEFORE mv(dst, old): dst is still the truth
+    writeTable(dir, base)
+    writeTable(dir + ".tmp", mergedByCrashedRun)
+    ParquetSink.upsertInto(spark, dir, upd.toDF("id", "lang", "v"), "id", Seq("lang"))
+    assert(readIds(dir) === Set((1L, "x"), (2L, "y"), (4L, "w")),
+      "an uncommitted tmp must not override the live table")
+  }
+}
