@@ -7,24 +7,42 @@ import org.apache.spark.sql.functions._
 /** Token-budget packing for training-data prep: assign documents to
   * fixed-budget packs (the distributed approximation of greedy sequence
   * packing). Each partition's docs are ordered deterministically, the
-  * running token total is a window cumsum, and a doc lands in pack
-  * `floor(cum_before / budget)` — one shuffle on the partition columns,
-  * no sequential driver loop. Docs longer than the budget get a pack to
-  * themselves plus spill; exact bin-packing is NP-hard and inherently
-  * sequential, so pipelines use exactly this cumsum approximation.
+  * running token total is a window cumsum, and a doc lands in the pack its
+  * START offset falls in (`floor(cum_before / budget)`), densely
+  * renumbered — one shuffle on the partition columns, no sequential
+  * driver loop. Exact bin-packing is NP-hard and inherently sequential,
+  * so pipelines use exactly this cumsum approximation.
+  *
+  * Contract (spec-enforced, including oversized docs):
+  *  - pack ids are contiguous 0..P−1 within each group and monotone
+  *    non-decreasing in `orderCol` — a doc longer than the budget can no
+  *    longer burn a range of skipped ids (the round-2 gap: its cumsum jump
+  *    used to leave holes in the id sequence);
+  *  - a pack's payload can overshoot `budget` by at most its last doc's
+  *    size (every doc STARTS inside the pack's budget window); only packs
+  *    containing a doc with tk ≥ budget can overshoot by more than the
+  *    largest normal doc. Downstream truncation/splitting of oversized
+  *    docs is a tokenizer decision, not a packing one.
   */
 object Packing {
 
   /** Adds `pack_id` per (partitionCols) group, filling packs of `budget`
     * tokens in `orderCol` order. Integer arithmetic throughout (`div`) —
-    * exact at any cumulative-sum magnitude. */
+    * exact at any cumulative-sum magnitude. Two window passes over ONE
+    * shuffle (same partitioning; `__rawpack` is monotone in `orderCol`, so
+    * the second sort is a no-op ordering-wise). */
   def withPackId(df: DataFrame, tokenCol: String, budget: Long,
                  partitionCols: Seq[String], orderCol: String): DataFrame = {
     require(budget > 0, "budget must be positive")
     val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    // dense renumbering: raw pack indices skip values whenever one doc's
+    // cumsum jump crosses more than one budget boundary (tk > budget);
+    // dense_rank over the raw index closes the holes
+    val wDense = Window.partitionBy(partitionCols.map(col): _*).orderBy(col("__rawpack"))
     df.withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
-      .withColumn("pack_id",
+      .withColumn("__rawpack",
         call_function("div", col("__cum") - col(tokenCol).cast("long"), lit(budget)))
-      .drop("__cum")
+      .withColumn("pack_id", (dense_rank().over(wDense) - 1).cast("bigint"))
+      .drop("__cum", "__rawpack")
   }
 }

@@ -68,13 +68,27 @@ object AnalysisQueries {
           money(cents(col("c_acctbal"))).as("acctbal"))
     }),
 
-    // analysis3 (Airbnb_Analysis.py:84-97): count + interpolated median per group
-    "ana_median_by_group" -> ((s, d) =>
+    // analysis3 (Airbnb_Analysis.py:84-97): count + interpolated median per
+    // group, composed END-TO-END through the money-STRING parse the
+    // reference actually runs (`percentile_cont(0.5)` over
+    // `replace(substring(price from 2),',','')::real`, Airbnb_Analysis.py:89).
+    // The price column is first rendered as the reference's '$1,234.56'
+    // format (testdata has no string money column), then parsed back with
+    // Clean.parseMoney — parse and median are exercised in ONE plan, not as
+    // two separately-tested operators.
+    "ana_median_by_group" -> ((s, d) => {
+      val c0 = cents(col("l_extendedprice"))
+      val moneyStr = concat(lit("$"),
+        format_number(call_function("div", c0, lit(100L)), 0),
+        lit("."), lpad((c0 % 100).cast("string"), 2, "0"))
       t(s, d, "lineitem")
-        .select(col("l_returnflag"), cents(col("l_extendedprice")).as("price_c"))
+        .select(col("l_returnflag"), moneyStr.as("price"))
+        .select(col("l_returnflag"),
+          (graft.etl.Clean.parseMoney(col("price")) * 100).cast("bigint").as("price_c"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          (expr("percentile(price_c, 0.5)") / lit(100.0)).as("median_price"))),
+          (expr("percentile(price_c, 0.5)") / lit(100.0)).as("median_price"))
+    }),
 
     // analysis4 (Airbnb_Analysis.py:99-122): compare two grouped averages.
     // avg(A) < avg(B) is decided by exact integer cross-multiplication
@@ -143,9 +157,16 @@ object AnalysisQueries {
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA' AND c_mktsegment = 'BUILDING'""",
     "ana_median_by_group" ->
-      """SELECT l_returnflag, count(*) AS n,
-                percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS median_price
-         FROM lineitem GROUP BY l_returnflag""",
+      """WITH m AS (SELECT l_returnflag,
+                           '$' || format('{:,}', CAST(round(l_extendedprice * 100) AS BIGINT) // 100)
+                               || '.' || lpad(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS price
+                    FROM lineitem),
+            p AS (SELECT l_returnflag,
+                         CAST(CAST(replace(replace(price, '$', ''), ',', '') AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+                  FROM m)
+         SELECT l_returnflag, count(*) AS n,
+                percentile_cont(0.5) WITHIN GROUP (ORDER BY price_c) / 100.0 AS median_price
+         FROM p GROUP BY l_returnflag""",
     "ana_avg_compare" ->
       """WITH agg AS (
            SELECT c_nationkey,

@@ -287,10 +287,14 @@ object TextQueries {
     "ta_pack_budget" ->
       """WITH t AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS tk FROM documents),
             c AS (SELECT lang, doc_id, tk,
-                         sum(tk) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM t)
-         SELECT lang, CAST((cum - tk) // 2000 AS BIGINT) AS pack_id,
+                         sum(tk) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM t),
+            r AS (SELECT lang, doc_id, tk, (cum - tk) // 2000 AS rawpack FROM c),
+            d AS (SELECT lang, tk,
+                         dense_rank() OVER (PARTITION BY lang ORDER BY rawpack) - 1 AS pack_id
+                  FROM r)
+         SELECT lang, CAST(pack_id AS BIGINT) AS pack_id,
                 count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS sum_tokens
-         FROM c GROUP BY 1, 2""",
+         FROM d GROUP BY 1, 2""",
     "ta_split_sample" ->
       """SELECT CASE WHEN b < 80 THEN 'train'
                      WHEN b < 90 THEN 'validation'

@@ -142,6 +142,7 @@ class InvariantSpec extends SparkSpec {
       .withPackId(rows.toDF("g", "id", "tk"), "tk", budget = 1000, Seq("g"), "id")
       .select($"g", $"id", $"pack_id").as[(String, Long, Long)].collect()
       .map(x => (x._1, x._2) -> x._3).toMap
+    // no doc here exceeds the budget, so raw cumsum packs are already dense
     val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
       var cum = 0L
       rs.sortBy(_._2).map { case (_, id, tk) =>
@@ -149,6 +150,23 @@ class InvariantSpec extends SparkSpec {
       }
     }
     assert(got === expected)
+  }
+
+  test("packing with oversized docs keeps pack ids contiguous and monotone") {
+    // docs 3 and 7 blow way past the budget — the round-2 gap: their cumsum
+    // jump used to leave holes in the pack-id sequence
+    val rows = Seq(
+      ("g", 1L, 400L), ("g", 2L, 400L), ("g", 3L, 5000L), ("g", 4L, 400L),
+      ("g", 5L, 400L), ("g", 6L, 400L), ("g", 7L, 9000L), ("g", 8L, 400L))
+    val got = graft.etl.Packing
+      .withPackId(rows.toDF("g", "id", "tk"), "tk", budget = 1000, Seq("g"), "id")
+      .select($"id", $"pack_id").as[(Long, Long)].collect().sortBy(_._1)
+    val packs = got.map(_._2)
+    assert(packs === packs.sorted, "pack ids must be monotone in doc order")
+    assert(packs.distinct === (0L until packs.distinct.length).toArray.toSeq,
+      s"pack ids must be dense 0..P-1, got ${packs.mkString(",")}")
+    // an oversized doc never pushes a LATER doc's id past the dense sequence
+    assert(packs.max < rows.length)
   }
 
   test("hash sampling is stable, stratified-close, and split labels partition") {
