@@ -98,6 +98,24 @@ object EtlQueries {
         .select(col("o_orderkey"), money(col("price_c")).as("price"), col("o_orderstatus"))
     }),
 
+    // document-store merge (Review_ETL.py:58-106): two doc loads with
+    // overlapping nested arrays merge $addToSet-style — scalars from the
+    // update win, arrays set-union; exercised as a pure transform so the
+    // sink's merge core gets an exact oracle row
+    "etl_doc_merge" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), col("event_id"), col("props"))
+      def docs(f: org.apache.spark.sql.Column, loader: String) =
+        Normalize.nestCollect(ev.filter(f), "user_id", Seq("event_id", "props"), "reviews")
+          .withColumn("loader", lit(loader))
+      val base = docs(col("event_id") % 2 === 0, "base")
+      val upd = docs(col("event_id") % 3 === 0, "upd") // overlaps base at %6=0
+      graft.sinks.DocStoreSink.mergeDocs(base, upd, "user_id", "reviews")
+        .select(col("user_id"),
+          size(col("reviews")).cast("bigint").as("n_reviews"),
+          element_at(col("reviews"), 1).getField("event_id").as("first_event"),
+          col("loader"))
+    }),
+
     // data-quality expectations gate: N constraints fused into ONE
     // aggregation pass + a referential anti-join check
     "etl_validate" -> ((s, d) => {
@@ -170,6 +188,17 @@ object EtlQueries {
          UNION ALL
          SELECT o_orderkey, CAST(price_c AS DOUBLE) / 100.0 AS price, o_orderstatus
          FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)""",
+    "etl_doc_merge" ->
+      """WITH ev AS (SELECT user_id, event_id, props FROM events),
+            m AS (SELECT user_id, event_id FROM ev WHERE event_id % 2 = 0
+                  UNION SELECT user_id, event_id FROM ev WHERE event_id % 3 = 0),
+            l AS (SELECT user_id,
+                         max(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS has_upd
+                  FROM ev GROUP BY user_id)
+         SELECT m.user_id, count(*) AS n_reviews, min(m.event_id) AS first_event,
+                CASE WHEN l.has_upd = 1 THEN 'upd' ELSE 'base' END AS loader
+         FROM m JOIN l ON m.user_id = l.user_id
+         GROUP BY m.user_id, l.has_upd""",
     "etl_validate" ->
       """SELECT 'orderkey_unique' AS check, round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(o_orderkey), 6) AS metric,
                 count(DISTINCT o_orderkey) = count(o_orderkey) AS passed FROM orders

@@ -148,6 +148,22 @@ object TextQueries {
     "ta_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), fingerprint(col("text")).as("fp"))),
 
+    // the flagship LLM-pipeline deliverable, oracle-checked END-TO-END:
+    // normalize -> exact dedup -> LSH near-dup clusters -> one
+    // representative per cluster -> quality floor -> md5 split ->
+    // token-budget packing, all in ONE call; the result is summarized
+    // per (lang, split) so the oracle can replay the whole composition
+    "pipeline_corpus_prep" -> ((s, d) => {
+      val out = graft.etl.CorpusPipeline.prepare(t(s, d, "documents"),
+        graft.etl.CorpusPipeline.Config(
+          sketchParallelism = s.sparkContext.defaultParallelism))
+      out.withColumn("tk", size(tokens(col("text"))))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("pack_id")).as("n_packs"),
+          sum(col("tk")).cast("bigint").as("sum_tokens"))
+    }),
+
     "mm_meta" -> ((s, d) =>
       graft.multimodal.Multimodal.withPayload(t(s, d, "documents"), "text", "doc_id")
         .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
@@ -360,6 +376,62 @@ object TextQueries {
                       w -> CAST(ascii(substr(w, 1, 1))*31 + len(w) AS BIGINT))),
                   (a, b) -> (a*131 + b) % 2147483647) AS fp
          FROM documents""",
+    // the full corpus-prep composition, replayed stage by stage: every CTE
+    // below is the already-verified oracle of one pipeline stage (exact
+    // dedup <- ek; LSH banding <- dedup_minhash_lsh; closure <-
+    // dedup_components; split <- ta_split_sample; packing <- ta_pack_budget)
+    "pipeline_corpus_prep" -> {
+      val norm =
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+      val ms = (0 until 128).map(j => duckMinhash(j, "hs") + s" AS m$j").mkString(", ")
+      val bands = (0 until 16).map { b =>
+        val parts = (0 until 8).map(r => s"CAST(m${b * 8 + r} AS VARCHAR)").mkString(" || '#' || ")
+        s"md5($parts)"
+      }.mkString("[", ", ", "]")
+      val bucket = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+      s"""WITH RECURSIVE
+            ek AS (SELECT doc_id, lang, text FROM (
+                     SELECT doc_id, lang, text,
+                            min(doc_id) OVER (PARTITION BY md5($norm)) AS keep
+                     FROM documents) WHERE doc_id = keep),
+            sh AS (SELECT doc_id, $duckShingleHashes AS hs FROM ek WHERE len(text) >= 3),
+            sig AS (SELECT doc_id, hs AS s, $ms FROM sh),
+            banded AS (SELECT doc_id, s, $bands AS bands FROM sig),
+            p AS (SELECT id_a, id_b FROM (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b, $duckJaccardRaw AS j
+                    FROM banded a JOIN banded b
+                      ON a.doc_id < b.doc_id AND len(list_intersect(a.bands, b.bands)) > 0)
+                  WHERE j >= 0.8),
+            e AS (SELECT id_a AS es, id_b AS ed FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            reach AS (SELECT es AS v, ed AS r FROM e
+                      UNION SELECT reach.v, e.ed FROM reach JOIN e ON reach.r = e.es),
+            comp AS (SELECT v AS id, least(v, min(r)) AS comp FROM reach GROUP BY v),
+            reps AS (SELECT doc_id, lang, text FROM ek
+                     WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)),
+            qual AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS tk
+                     FROM reps
+                     WHERE len(string_split(text, ' ')) >= 5
+                       AND 1.0 - len(list_distinct(string_split(text, ' ')))*1.0
+                                 / len(string_split(text, ' ')) <= 0.6),
+            sp AS (SELECT doc_id, lang, tk,
+                          CASE WHEN $bucket < 80 THEN 'train'
+                               WHEN $bucket < 90 THEN 'validation'
+                               ELSE 'test' END AS split
+                   FROM qual),
+            c AS (SELECT lang, split, doc_id, tk,
+                         sum(tk) OVER (PARTITION BY lang, split ORDER BY doc_id) AS cum
+                  FROM sp),
+            rw AS (SELECT lang, split, tk, (cum - tk) // 2000 AS rawpack FROM c),
+            dn AS (SELECT lang, split, tk,
+                          dense_rank() OVER (PARTITION BY lang, split ORDER BY rawpack) - 1 AS pack_id
+                   FROM rw)
+          SELECT lang, split, count(*) AS n_docs,
+                 CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+                 CAST(sum(tk) AS BIGINT) AS sum_tokens
+          FROM dn GROUP BY lang, split"""
+    },
+
     "mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
                 CAST(64 + CAST(concat('0x', substr(md5(text), 1, 6)) AS BIGINT) % 960 AS INT) AS width,

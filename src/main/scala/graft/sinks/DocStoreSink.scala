@@ -1,0 +1,78 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document-store sink: keyed upsert where one column is a nested
+  * array-of-structs that MERGES like a set instead of being replaced —
+  * the reference's Mongo load semantics
+  * (`Airbnb_Listings_ETL.py:154-188` upserts listing docs by id;
+  * `Airbnb_Review_ETL.py:58-106` `$addToSet`s review structs into the
+  * doc's nested array, one round-trip per review). Here the whole merge
+  * is ONE distributed plan: union + hash aggregation on the key — linear
+  * shuffles of (key, scalars, array) rows, no per-doc round-trips, and
+  * the array is canonicalized (distinct + sorted) so a distributed
+  * "$addToSet" has a stable order any engine reproduces.
+  *
+  * Scale notes: the aggregation shuffles each doc's array once; at 100 TB
+  * the arrays ride the same key shuffle an upsert already pays — no extra
+  * exchange vs [[ParquetSink.upsertInto]]. Degenerate docs (one key
+  * accumulating millions of nested records) surface as a skewed group —
+  * the same AQE skew handling as any hot aggregation key applies.
+  */
+object DocStoreSink {
+
+  /** Merge `updates` into `base` by `key` with document semantics:
+    *  - scalar columns: the update row wins where the key exists in both;
+    *  - `arrayCol`: set-union of both sides' arrays (distinct + sorted —
+    *    the `$addToSet` analog), null arrays contributing nothing;
+    *  - keys present in only one side pass through (arrays canonicalized).
+    *
+    * Contract: each side holds at most one row per key (dedup upstream
+    * with `Clean.dedupByKey` otherwise — same contract as
+    * `Normalize.upsert`). Pure transform — unit-tested directly and
+    * exposed through the `etl_doc_merge` oracle query. */
+  def mergeDocs(base: DataFrame, updates: DataFrame, key: String,
+                arrayCol: String): DataFrame = {
+    require(base.columns.sorted.sameElements(updates.columns.sorted),
+      s"mergeDocs: schemas differ: ${base.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
+    val scalars = base.columns.filterNot(c => c == key || c == arrayCol).toSeq
+    val tagged = updates.withColumn("__src", lit(0))
+      .unionByName(base.withColumn("__src", lit(1)))
+    // collect_list drops null arrays; flatten + distinct + sort canonicalize
+    // regardless of aggregation order, so the result is partition-count- and
+    // rerun-stable
+    val mergedArray =
+      sort_array(array_distinct(flatten(collect_list(col(arrayCol))))).as(arrayCol)
+    val grouped =
+      if (scalars.isEmpty)
+        tagged.groupBy(col(key)).agg(mergedArray)
+      else
+        tagged.groupBy(col(key))
+          // min_by over the whole struct keeps the winning row's scalars
+          // ATOMIC (no cross-row column mixing on malformed dup-key input)
+          .agg(min_by(struct(scalars.map(col): _*), col("__src")).as("__doc"), mergedArray)
+          .select(col(key) +:
+            scalars.map(c => col("__doc").getField(c).as(c)) :+ col(arrayCol): _*)
+    grouped.select(base.columns.map(col): _*)
+  }
+
+  /** One row per key with the array column canonicalized — what an initial
+    * load writes so that later merges compare equal element-wise. */
+  private def canonical(df: DataFrame, arrayCol: String): DataFrame =
+    df.withColumn(arrayCol, sort_array(array_distinct(col(arrayCol))))
+
+  /** Upsert documents into a parquet-backed doc table with
+    * [[mergeDocs]] semantics, using the same crash-safe atomic swap as
+    * [[ParquetSink.upsertInto]] (every crash window recovers — spec'd in
+    * RecoverySpec). Loading the same batch twice is a no-op beyond the
+    * first load: scalars overwrite with equal values and the array union
+    * adds nothing (round-trip spec'd in DocStoreSpec). */
+  def upsertDocsInto(spark: SparkSession, path: String, updates: DataFrame,
+                     key: String, arrayCol: String,
+                     partitionCols: Seq[String]): Unit =
+    ParquetSink.swapWrite(spark, path, partitionCols) {
+      case Some(base) => mergeDocs(base, updates, key, arrayCol)
+      case None       => canonical(updates, arrayCol)
+    }
+}

@@ -26,7 +26,17 @@ object ParquetSink {
 
   /** Keyed upsert into a partitioned parquet table: read-modify-write of
     * base ∪ updates with updates winning per key — the lake-native form of
-    * the reference's `insert_rows(replace=True, replace_index='id')`.
+    * the reference's `insert_rows(replace=True, replace_index='id')`. */
+  def upsertInto(spark: SparkSession, path: String, updates: DataFrame,
+                 key: String, partitionCols: Seq[String]): Unit =
+    swapWrite(spark, path, partitionCols) {
+      case Some(base) => graft.etl.Normalize.upsert(base, updates, key)
+      case None       => updates
+    }
+
+  /** Atomic read-modify-write swap shared by every keyed sink: recover any
+    * crashed prior swap, hand the current base table (if any) to `merge`,
+    * write the result to `.tmp`, then promote it with checked renames.
     *
     * All directory manipulation goes through the Hadoop `FileSystem` API,
     * so the same code works on file://, HDFS, or an S3A-style object store
@@ -34,8 +44,9 @@ object ParquetSink {
     * Leftover `.tmp`/`.old` dirs from a crashed prior run are cleared up
     * front — a stale `.old` would otherwise make the dst→old rename fail
     * and lose the upsert — and every rename result is checked. */
-  def upsertInto(spark: SparkSession, path: String, updates: DataFrame,
-                 key: String, partitionCols: Seq[String]): Unit = {
+  private[sinks] def swapWrite(spark: SparkSession, path: String,
+                               partitionCols: Seq[String])
+                              (merge: Option[DataFrame] => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -43,7 +54,7 @@ object ParquetSink {
     val old = new Path(path + ".old")
     def mv(from: Path, to: Path): Unit =
       if (!fs.rename(from, to))
-        throw new java.io.IOException(s"upsertInto: rename $from -> $to failed")
+        throw new java.io.IOException(s"swapWrite: rename $from -> $to failed")
     // Crash recovery BEFORE any cleanup: if a prior run died mid-swap
     // (between mv(dst, old) and mv(tmp, dst)), the base table exists only
     // as .old and the fully-written merged result as .tmp — deleting them
@@ -56,9 +67,7 @@ object ParquetSink {
     }
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(old)) fs.delete(old, true)
-    val merged = if (fs.exists(dst)) {
-      graft.etl.Normalize.upsert(spark.read.parquet(path), updates, key)
-    } else updates
+    val merged = merge(if (fs.exists(dst)) Some(spark.read.parquet(path)) else None)
     // write to a temp dir then swap: the source partition being overwritten
     // is also an input — direct overwrite would corrupt it mid-scan
     writePartitioned(merged, tmp.toString, partitionCols)

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sinks.DocStoreSink
+
+/** Round-trip contract for the document-store sink: upsert-by-id with
+  * `$addToSet`-style nested-array merge (the reference's Mongo load,
+  * Airbnb_Listings_ETL.py:154-188 / Airbnb_Review_ETL.py:58-106). */
+class DocStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, name: String, reviews: Seq[(Long, String)]) =
+    (id, name, reviews)
+
+  private def toDocs(rows: Seq[(Long, String, Seq[(Long, String)])]) =
+    rows.toDF("id", "name", "reviews")
+      .withColumn("reviews", transform($"reviews",
+        r => struct(r.getField("_1").as("rid"), r.getField("_2").as("body"))))
+
+  private def readDocs(dir: String) =
+    spark.read.parquet(dir)
+      .select($"id", $"name",
+        transform($"reviews", r => struct(r.getField("rid"), r.getField("body"))).as("reviews"))
+      .as[(Long, String, Seq[(Long, String)])].collect().toMap2
+
+  implicit private class MapOps(rows: Array[(Long, String, Seq[(Long, String)])]) {
+    def toMap2: Map[Long, (String, Seq[(Long, String)])] =
+      rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
+  test("loading the same batch twice is idempotent: one doc per id, arrays deduped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_doc").toString + "/docs"
+    val batch = toDocs(Seq(
+      doc(1L, "a", Seq((10L, "r10"), (11L, "r11"))),
+      doc(2L, "b", Seq((20L, "r20")))))
+    DocStoreSink.upsertDocsInto(spark, dir, batch, "id", "reviews", Nil)
+    DocStoreSink.upsertDocsInto(spark, dir, batch, "id", "reviews", Nil)
+    val got = readDocs(dir)
+    assert(got.keySet === Set(1L, 2L), "one doc per id after a double load")
+    assert(got(1L) === (("a", Seq((10L, "r10"), (11L, "r11")))))
+    assert(got(2L) === (("b", Seq((20L, "r20")))))
+  }
+
+  test("second load merges nested arrays set-wise and lets update scalars win") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_doc").toString + "/docs"
+    DocStoreSink.upsertDocsInto(spark, dir, toDocs(Seq(
+      doc(1L, "a", Seq((11L, "r11"), (10L, "r10"))),
+      doc(2L, "b", Seq((20L, "r20"))))), "id", "reviews", Nil)
+    // doc 1: new name, one duplicate review + one new review; doc 3: new
+    DocStoreSink.upsertDocsInto(spark, dir, toDocs(Seq(
+      doc(1L, "a2", Seq((10L, "r10"), (12L, "r12"))),
+      doc(3L, "c", Seq((30L, "r30"))))), "id", "reviews", Nil)
+    val got = readDocs(dir)
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L)._1 === "a2", "update scalar wins")
+    assert(got(1L)._2 === Seq((10L, "r10"), (11L, "r11"), (12L, "r12")),
+      "$addToSet analog: union, dedup, canonical sort order")
+    assert(got(2L) === (("b", Seq((20L, "r20")))), "untouched doc survives")
+    assert(got(3L) === (("c", Seq((30L, "r30")))), "new doc inserted")
+  }
+
+  test("mergeDocs handles key-only-in-one-side and null arrays") {
+    val base = Seq((1L, "a", Seq((10L, "x"))), (2L, "b", null.asInstanceOf[Seq[(Long, String)]]))
+      .toDF("id", "name", "reviews")
+    val upd = Seq((2L, "b2", Seq((20L, "y"))), (3L, "c", Seq((30L, "z"))))
+      .toDF("id", "name", "reviews")
+    val got = DocStoreSink.mergeDocs(base, upd, "id", "reviews")
+      .as[(Long, String, Seq[(Long, String)])].collect().toMap2
+    assert(got(1L) === (("a", Seq((10L, "x")))))
+    assert(got(2L) === (("b2", Seq((20L, "y")))), "null base array contributes nothing")
+    assert(got(3L) === (("c", Seq((30L, "z")))))
+  }
+
+  test("mergeDocs rejects mismatched schemas") {
+    val base = Seq((1L, "a")).toDF("id", "name")
+    val upd = Seq((1L, 2L)).toDF("id", "other")
+    intercept[IllegalArgumentException] {
+      DocStoreSink.mergeDocs(base, upd, "id", "name")
+    }
+  }
+}
