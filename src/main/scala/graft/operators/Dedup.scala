@@ -76,12 +76,13 @@ object Dedup {
     * whose EVERY shared band is degenerate — for near-dups that is
     * vanishingly rare with 16 bands (their probability mass is spread), so
     * recall loss concentrates exactly on the mass the cap exists to shed. */
-  def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
-                      threshold: Double, k: Int = 128, rowsPerBand: Int = 8,
-                      shingleN: Int = 3, sketchParallelism: Int = 0,
-                      maxBandBucket: Int = 0): DataFrame = {
-    val m = minhashed(fanOut(df, sketchParallelism), textCol, idCol, k, rowsPerBand, shingleN)
-      .filter(size(col("hs")) > 0).cache()
+  /** LSH band-bucket candidate generation over a [[minhashed]] frame:
+    * (id_a, id_b, na, nb) for every pair sharing ≥1 band and passing the
+    * sound size-ratio prune. Exposed so scale runs can measure the
+    * candidate volume (the quantity that must grow LINEARLY with corpus
+    * size for the plan to survive 100 TB) separately from verified pairs. */
+  def minhashBandCandidates(m: DataFrame, idCol: String, threshold: Double,
+                            maxBandBucket: Int = 0): DataFrame = {
     val e0 = m.select(col(idCol), size(col("hs")).as("n_sh"), explode(col("bands")).as("band"))
     val e = if (maxBandBucket > 0) {
       // hot bands are few by construction (each holds > cap docs), so the
@@ -92,12 +93,21 @@ object Dedup {
     } else e0
     // candidate generation shuffles only (id, size, 16-byte band key) —
     // never the shingle arrays
-    val candidates = e.select(col(idCol).as("id_a"), col("n_sh").as("na"), col("band"))
+    e.select(col(idCol).as("id_a"), col("n_sh").as("na"), col("band"))
       .join(e.select(col(idCol).as("id_b"), col("n_sh").as("nb"), col("band")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
       // sound prune: j >= t implies t*|B| <= |A| (and symmetrically)
       .filter(col("na") >= col("nb") * threshold && col("nb") >= col("na") * threshold)
       .select("id_a", "id_b", "na", "nb").distinct()
+  }
+
+  def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
+                      threshold: Double, k: Int = 128, rowsPerBand: Int = 8,
+                      shingleN: Int = 3, sketchParallelism: Int = 0,
+                      maxBandBucket: Int = 0): DataFrame = {
+    val m = minhashed(fanOut(df, sketchParallelism), textCol, idCol, k, rowsPerBand, shingleN)
+      .filter(size(col("hs")) > 0).cache()
+    val candidates = minhashBandCandidates(m, idCol, threshold, maxBandBucket)
     // verification re-joins the (small per-candidate) hash arrays by id;
     // |A∩B| via native merge over the sorted arrays, and
     // |A∪B| = |A| + |B| − |A∩B| — value-identical to
@@ -117,7 +127,11 @@ object Dedup {
     // lazily-returned plan would pin `m` in the block store for the
     // caller's lifetime (the round-2 bench leak). Materialization also
     // means iterative consumers (connected components) never re-run the
-    // sketch pipeline.
+    // sketch pipeline. CONTRACT NOTE: the returned frame is EAGER — the
+    // full pair set is computed now (even if the caller only counts or
+    // filters further; pushdown below this point is deliberately given
+    // up) and its checkpoint blocks stay resident until the frame is
+    // GC'd or explicitly released via GraftShim.unpersistCheckpoint.
     try out.localCheckpoint() finally m.unpersist()
   }
 
@@ -143,24 +157,8 @@ object Dedup {
     // cached: the gram pipeline feeds the prefix explode, BOTH sides of
     // the candidate self-join, and BOTH verification joins — uncached it
     // recomputes the per-row n-gram build up to 5×
-    val g = in.select(col(idCol).as("id"), col(blockCol).as("block"),
-        transform(
-          array_sort(transform(array_distinct(wordNgrams(col(textCol), n)),
-            gr => struct(graft.expressions.HashExpressions.md5prefix31(gr).as("h"), gr.as("g")))),
-          s => s.getField("g")).as("grams"))
-      .withColumn("sz", size(col("grams")))
-      .filter(col("sz") > 0)
-      .cache()
-    // prefix length |A| - ceil(t*|A|) + 1
-    val pref = g.withColumn("plen", (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))
-      .select(col("id"), col("block"), col("sz"),
-        explode(slice(col("grams"), lit(1), greatest(col("plen"), lit(1)))).as("gram"))
-    val candidates = pref.select(col("block"), col("gram"), col("id").as("id_a"), col("sz").as("na"))
-      .join(pref.select(col("block"), col("gram"), col("id").as("id_b"), col("sz").as("nb")),
-        Seq("block", "gram"))
-      .filter(col("id_a") < col("id_b") &&
-        col("na") >= col("nb") * threshold && col("nb") >= col("na") * threshold)
-      .select("block", "id_a", "id_b").distinct()
+    val g = ngramGramFrame(in, textCol, idCol, blockCol, n).cache()
+    val candidates = ngramPrefixCandidates(g, threshold)
     val out = candidates
       .join(g.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
       .join(g.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
@@ -171,6 +169,36 @@ object Dedup {
     // don't pin the cached gram frame beyond this call
     try out.localCheckpoint() finally g.unpersist()
   }
+
+  /** PPJoin prefix-filter candidate generation over the hash-ordered gram
+    * frame (id, block, grams, sz): (block, id_a, id_b) pairs sharing a
+    * prefix gram within a block, size-ratio pruned. Exposed (like
+    * [[minhashBandCandidates]]) so scale runs can measure candidate
+    * volume independently of exact verification. */
+  def ngramPrefixCandidates(g: DataFrame, threshold: Double): DataFrame = {
+    // prefix length |A| - ceil(t*|A|) + 1
+    val pref = g.withColumn("plen", (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))
+      .select(col("id"), col("block"), col("sz"),
+        explode(slice(col("grams"), lit(1), greatest(col("plen"), lit(1)))).as("gram"))
+    pref.select(col("block"), col("gram"), col("id").as("id_a"), col("sz").as("na"))
+      .join(pref.select(col("block"), col("gram"), col("id").as("id_b"), col("sz").as("nb")),
+        Seq("block", "gram"))
+      .filter(col("id_a") < col("id_b") &&
+        col("na") >= col("nb") * threshold && col("nb") >= col("na") * threshold)
+      .select("block", "id_a", "id_b").distinct()
+  }
+
+  /** The gram frame [[ngramPrefixCandidates]] consumes — the first stage
+    * of [[ngramJaccardPairs]], exposed for instrumentation. */
+  def ngramGramFrame(df: DataFrame, textCol: String, idCol: String,
+                     blockCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), col(blockCol).as("block"),
+        transform(
+          array_sort(transform(array_distinct(wordNgrams(col(textCol), n)),
+            gr => struct(graft.expressions.HashExpressions.md5prefix31(gr).as("h"), gr.as("g")))),
+          s => s.getField("g")).as("grams"))
+      .withColumn("sz", size(col("grams")))
+      .filter(col("sz") > 0)
 
   /** Per-doc 60-bit SimHash (+ token count). Zero-shuffle projection;
     * near-dup = small hamming distance, found at scale by joining on

@@ -133,7 +133,12 @@ object Similarity {
     val assigned = ivfAssign(df, vecCol, idCol, centroids, cIdCol, keepVec = true)
     // single-query contract: the result schema carries no query id, so a
     // multi-row `query` would silently select nProbe probes across ALL
-    // queries combined — enforce it (limit(2) bounds the probe's cost)
+    // queries combined — enforce it. Deliberate fail-fast tradeoff: the
+    // guard is one extra Spark action per call, bounded by limit(2) but
+    // still a scan-start on a filtered corpus; hot paths that already
+    // hold a validated single row should pass a one-row local frame
+    // (spark.createDataFrame of the collected row), which makes the
+    // probe a trivial local-relation job.
     require(query.limit(2).count() == 1,
       "ivfSearch expects exactly one query row; for batched queries carry a query id and rank per query")
     val c = broadcast(centroids.select(col(cIdCol).as("q_cid"), asDouble(col(vecCol)).as("c_v")))

@@ -75,4 +75,18 @@ object DocStoreSink {
       case Some(base) => mergeDocs(base, updates, key, arrayCol)
       case None       => canonical(updates, arrayCol)
     }
+
+  /** Streaming form of the reference's continuous review load: pass to
+    * `stream.writeStream.foreachBatch(...)`. Each micro-batch's records
+    * are nested per key (`Normalize.nestCollect`) and merged into the doc
+    * table with [[mergeDocs]] semantics. Because the array merge is a SET
+    * union, a replayed micro-batch (foreachBatch's at-least-once
+    * delivery) is idempotent — the `$addToSet` analog is exactly what
+    * makes streaming doc accumulation safe without a transaction log. */
+  def appendRecordsInto(path: String, key: String, nested: Seq[String],
+                        arrayCol: String, partitionCols: Seq[String])
+                       (batch: DataFrame, batchId: Long): Unit = {
+    val docs = graft.etl.Normalize.nestCollect(batch, key, nested, arrayCol)
+    upsertDocsInto(batch.sparkSession, path, docs, key, arrayCol, partitionCols)
+  }
 }

@@ -71,6 +71,32 @@ class DocStoreSpec extends SparkSpec {
     assert(got(3L) === (("c", Seq((30L, "z")))))
   }
 
+  test("streaming foreachBatch load accumulates reviews set-wise and replays idempotently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docstream").toString + "/docs"
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)](spark)
+    val sink = graft.sinks.DocStoreSink.appendRecordsInto(
+      dir, "id", Seq("rid", "body"), "reviews", Nil) _
+    val qy = ms.toDS().toDF("id", "rid", "body")
+      .writeStream.foreachBatch(sink).start()
+    ms.addData((1L, 10L, "r10"), (1L, 11L, "r11"), (2L, 20L, "r20"))
+    qy.processAllAvailable()
+    ms.addData((1L, 11L, "r11"), (1L, 12L, "r12"), (3L, 30L, "r30")) // one replayed record
+    qy.processAllAvailable(); qy.stop()
+    val got = spark.read.parquet(dir)
+      .select($"id", transform($"reviews", r => struct(r.getField("rid"), r.getField("body"))).as("reviews"))
+      .as[(Long, Seq[(Long, String)])].collect().toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) === Seq((10L, "r10"), (11L, "r11"), (12L, "r12")),
+      "replayed record must not duplicate; new records accumulate in canonical order")
+    assert(got(2L) === Seq((20L, "r20")) && got(3L) === Seq((30L, "r30")))
+    // at-least-once replay of a whole batch is a no-op (set semantics)
+    sink(Seq((1L, 12L, "r12"), (3L, 30L, "r30")).toDF("id", "rid", "body"), 99L)
+    val again = spark.read.parquet(dir)
+      .select($"id", transform($"reviews", r => struct(r.getField("rid"), r.getField("body"))).as("reviews"))
+      .as[(Long, Seq[(Long, String)])].collect().toMap
+    assert(again === got)
+  }
+
   test("mergeDocs rejects mismatched schemas") {
     val base = Seq((1L, "a")).toDF("id", "name")
     val upd = Seq((1L, 2L)).toDF("id", "other")
