@@ -158,6 +158,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched IVF ANN search: one top-k result set PER query row — the
+    * batched form [[ivfSearch]]'s single-query guard points callers to.
+    * `queries` carries (qIdCol, vecCol); the result carries (q_id, id,
+    * cosine, rank ≤ k).
+    *
+    * Plan shape at scale: the corpus is assigned once (zero-shuffle
+    * broadcast fold); query→centroid routing crossJoins each query row
+    * with the K broadcast centroids (map-side, Q×K tiny rows) and ranks
+    * per query id — no per-query Spark jobs, no driver loop. The
+    * candidate join then shuffles corpus rows and probes on centroid_id:
+    * total candidate volume is Σ_q (corpus mass of its nProbe clusters),
+    * the same ~nProbe/K fraction per query as the single-query path. A
+    * corpus vector reaches a given query at most once (its single
+    * centroid matches at most one of the query's probes), so no dedup
+    * pass is needed. Left unhinted: AQE broadcasts the probe side when Q
+    * is small and shuffles both sides when Q is itself corpus-sized. */
+  def ivfSearchBatch(df: DataFrame, vecCol: String, idCol: String,
+                     centroids: DataFrame, cIdCol: String,
+                     queries: DataFrame, qIdCol: String,
+                     k: Int, nProbe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssign(df, vecCol, idCol, centroids, cIdCol, keepVec = true)
+    val c = broadcast(centroids.select(col(cIdCol).as("q_cid"), asDouble(col(vecCol)).as("c_v")))
+    val probes = queries.select(col(qIdCol).as("q_id"), asDouble(col(vecCol)).as("q_v"))
+      .crossJoin(c)
+      .select(col("q_id"), col("q_v"), col("q_cid"),
+        round(cosine(col("q_v"), col("c_v")), 6).as("q_sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("q_sim").desc, col("q_cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("q_cid"), col("q_v"))
+    assigned.join(probes, col("centroid_id") === col("q_cid"))
+      .select(col("q_id"), col(idCol),
+        round(cosine(col("v"), col("q_v")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col(idCol))))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF assignment: nearest (by cosine) of the broadcast `centroids`
     * (id + vector). Deterministic tiebreak on rounded score then centroid
     * id. Returns corpus rows tagged with `centroid_id`.

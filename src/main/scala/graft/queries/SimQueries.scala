@@ -54,6 +54,16 @@ object SimQueries {
       Similarity.ivfSearch(e, "embedding", "vec_id",
         e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid"), "cid",
         query = e.filter(col("vec_id") === 0), k = 10, nProbe = 2)
+    }),
+
+    // BATCHED ANN: one top-k per query row, all queries in one plan (no
+    // per-query jobs, no driver loop) — the API the single-query guard
+    // points to
+    "sim_ann_batch" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfSearchBatch(e, "embedding", "vec_id",
+        e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid"), "cid",
+        queries = e.filter(col("vec_id") < 3), "vec_id", k = 5, nProbe = 2)
     })
   )
 
@@ -148,6 +158,33 @@ object SimQueries {
                    round($pairDot / (a.nrm * b.nrm), 6) AS cosine
             FROM na a CROSS JOIN (SELECT v, nrm FROM q) b
             JOIN qa ON a.centroid_id = qa.centroid_id)
-          QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id) <= 10"""
+          QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id) <= 10""",
+    "sim_ann_batch" ->
+      s"""WITH n AS (${normed(vecs)}),
+            c AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 8),
+            scored AS (
+              SELECT a.vec_id, c.centroid_id,
+                     round(${fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * c.v[CAST(i AS INT)])")} / (a.nrm * c.nrm), 6) AS sim
+              FROM n a CROSS JOIN c),
+            assigned AS (
+              SELECT vec_id, centroid_id FROM scored
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1),
+            na AS (SELECT n.vec_id, n.v, n.nrm, a.centroid_id
+                   FROM n JOIN assigned a ON n.vec_id = a.vec_id),
+            qs AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id < 3),
+            qa AS (SELECT s.vec_id AS q_id, s.centroid_id FROM scored s
+                   WHERE s.vec_id < 3
+                   QUALIFY row_number() OVER (PARTITION BY s.vec_id
+                                              ORDER BY s.sim DESC, s.centroid_id) <= 2)
+          SELECT q_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, vec_id) AS rank
+          FROM (
+            SELECT b.q_id, a.vec_id,
+                   round($pairDot / (a.nrm * b.nrm), 6) AS cosine
+            FROM na a
+            JOIN qa ON a.centroid_id = qa.centroid_id
+            JOIN qs b ON b.q_id = qa.q_id)
+          QUALIFY rank <= 5"""
   )
 }

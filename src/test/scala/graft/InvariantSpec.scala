@@ -227,6 +227,25 @@ class InvariantSpec extends SparkSpec {
     assert(capped.exists(p => p._1 == 80L && p._2 == 81L), "real near-dup pair lost by cap")
   }
 
+  test("batched ANN matches the single-query path per query id") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = e.filter($"vec_id" < 8).withColumnRenamed("vec_id", "cid")
+    val batch = graft.operators.Similarity
+      .ivfSearchBatch(e, "embedding", "vec_id", cents, "cid",
+        e.filter($"vec_id" < 3), "vec_id", k = 5, nProbe = 2)
+      .select($"q_id", $"vec_id", $"cosine", $"rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(batch.map(_._1).distinct.sorted === Array(0L, 1L, 2L))
+    (0L to 2L).foreach { qid =>
+      val single = graft.operators.Similarity
+        .ivfSearch(e, "embedding", "vec_id", cents, "cid",
+          e.filter($"vec_id" === qid), k = 5, nProbe = 2)
+        .as[(Long, Double)].collect().toSeq
+      val got = batch.filter(_._1 == qid).sortBy(_._4).map(r => (r._2, r._3)).toSeq
+      assert(got === single, s"query $qid: batch != single")
+    }
+  }
+
   test("minhash signature similarity tracks jaccard direction on perturbed docs") {
     val base = Seq.fill(200)(Random.javaRandomToRandom(new java.util.Random(6)).nextInt(50)).map(i => s"w$i").mkString(" ")
     val near = base + " extra token"
