@@ -96,6 +96,41 @@ object Multimodal {
     }
   }
 
+  /** REAL image transform: nearest-neighbor resize to (tw × th), batched
+    * per partition, re-encoded as PNG — the standard "normalize image
+    * sizes before the vision encoder" prep step. Source pixel = integer
+    * floor sampling (x·w/tw, y·h/th): pure integer arithmetic, so the
+    * resized pixel sum has an exact SQL oracle (`mm_resize`). Resizing to
+    * an image's own dimensions is the identity (spec'd). */
+  def resizePngs(ds: Dataset[ImagePayload], tw: Int, th: Int,
+                 batchSize: Int = 64): Dataset[ImagePayload] = {
+    import ds.sparkSession.implicits._
+    require(tw > 0 && th > 0, "target dims must be positive")
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+          require(img != null, s"payload of ${m.doc_id} is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val out = new BufferedImage(tw, th, BufferedImage.TYPE_BYTE_GRAY)
+          var y = 0
+          while (y < th) {
+            var x = 0
+            while (x < tw) {
+              out.getRaster.setSample(x, y, 0,
+                img.getRaster.getSample(x * w / tw, y * h / th, 0))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(out, "png", bos)
+          ImagePayload(m.doc_id, bos.toByteArray)
+        }
+      }
+    }
+  }
+
   /** Batched per-partition decode + featurize over a MIXED corpus: image
     * payloads decode through `javax.imageio` (feature = [width, height,
     * mean gray, byte_len]); non-image payloads (ImageIO returns null) fall

@@ -176,6 +176,15 @@ object TextQueries {
       val m = graft.multimodal.Multimodal
       m.decodePngs(m.synthesizePngs(t(s, d, "documents"), "doc_id",
         parallelism = s.sparkContext.defaultParallelism)).toDF()
+    }),
+
+    // REAL resize in the codec chain: encode -> decode -> nearest-neighbor
+    // resize -> re-encode -> decode; integer floor sampling makes the
+    // resized pixel sum arithmetically reproducible in SQL
+    "mm_resize" -> ((s, d) => {
+      val m = graft.multimodal.Multimodal
+      m.decodePngs(m.resizePngs(m.synthesizePngs(t(s, d, "documents"), "doc_id",
+        parallelism = s.sparkContext.defaultParallelism), tw = 8, th = 6)).toDF()
     })
   )
 
@@ -444,6 +453,15 @@ object TextQueries {
                 CAST(list_sum(flatten(list_transform(range(0, 4 + doc_id % 11), y ->
                        list_transform(range(0, 4 + doc_id % 13), x ->
                          (doc_id*31 + y*7 + x*13) % 256)))) AS BIGINT) AS sum_gray
+         FROM documents""",
+    // the resized image samples source pixel (x*w//8, y*h//6) — identical
+    // integer floor arithmetic to the Java raster loop
+    "mm_resize" ->
+      """SELECT doc_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+                CAST(list_sum(flatten(list_transform(range(0, 6), y ->
+                       list_transform(range(0, 8), x ->
+                         (doc_id*31 + ((y * (4 + doc_id % 11)) // 6)*7
+                                    + ((x * (4 + doc_id % 13)) // 8)*13) % 256)))) AS BIGINT) AS sum_gray
          FROM documents"""
   )
 }

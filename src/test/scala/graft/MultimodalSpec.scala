@@ -27,6 +27,30 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.map(_.feature.toSeq).toSeq === f2.map(_.feature.toSeq).toSeq)
   }
 
+  test("resize to an image's own dimensions is the identity; downsize samples exactly") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(20)
+    val pngs = Multimodal.synthesizePngs(docs, "doc_id")
+    // per-id dims: w = 4 + id%13, h = 4 + id%11 — resize each to ITSELF
+    val orig = Multimodal.decodePngs(pngs).collect().sortBy(_.doc_id)
+    orig.foreach { o =>
+      val one = pngs.filter($"doc_id" === o.doc_id)
+      val same = Multimodal.decodePngs(
+        Multimodal.resizePngs(one, o.width, o.height)).head()
+      assert(same === o, s"identity resize changed doc ${o.doc_id}")
+    }
+    // fixed-target downsize: every output is exactly 8x6 with floor sampling
+    val resized = Multimodal.decodePngs(Multimodal.resizePngs(pngs, 8, 6))
+      .collect().sortBy(_.doc_id)
+    assert(resized.forall(r => r.width === 8 && r.height === 6))
+    val expected = orig.map { o =>
+      val id = o.doc_id
+      val (w, h) = (4 + (id % 13).toInt, 4 + (id % 11).toInt)
+      (0 until 6).flatMap(y => (0 until 8).map(x =>
+        (id * 31 + (y * h / 6) * 7 + (x * w / 8) * 13) % 256)).sum
+    }
+    assert(resized.map(_.sum_gray).toSeq === expected.map(_.toLong).toSeq)
+  }
+
   test("javax.imageio decodes real PNG bytes back to the encoded pixels") {
     val ids = spark.read.parquet(s"$sf/documents.parquet").select($"doc_id")
     val decoded = Multimodal.decodePngs(Multimodal.synthesizePngs(ids, "doc_id"))
