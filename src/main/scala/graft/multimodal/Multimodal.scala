@@ -41,9 +41,10 @@ object Multimodal {
   final case class ImageDecoded(doc_id: Long, width: Int, height: Int, sum_gray: Long)
 
   /** Deterministic synthetic grayscale image for id: w×h from the id, pixel
-    * (x,y) = (id·31 + y·7 + x·13) mod 256 — pure integer arithmetic, so an
-    * SQL oracle can recompute the decoded pixel sum exactly. */
-  private[multimodal] def syntheticPng(id: Long): Array[Byte] = {
+    * (x,y) = (id·31 + extra + y·7 + x·13) mod 256 — pure integer
+    * arithmetic, so an SQL oracle can recompute the decoded pixel sum
+    * exactly (`extra` = frame offset for video frames, 0 for stills). */
+  private def pngBytes(id: Long, extra: Long): Array[Byte] = {
     val w = 4 + (id % 13).toInt
     val h = 4 + (id % 11).toInt
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
@@ -51,7 +52,8 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        img.getRaster.setSample(x, y, 0, (((id * 31 + y * 7 + x * 13) % 256 + 256) % 256).toInt)
+        img.getRaster.setSample(x, y, 0,
+          (((id * 31 + extra + y * 7 + x * 13) % 256 + 256) % 256).toInt)
         x += 1
       }
       y += 1
@@ -60,6 +62,8 @@ object Multimodal {
     ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
+
+  private[multimodal] def syntheticPng(id: Long): Array[Byte] = pngBytes(id, 0L)
 
   /** Encode one PNG per id — per-partition compute. `parallelism` fans a
     * single-split local input out before the CPU-heavy codec work (0 =
@@ -91,6 +95,69 @@ object Multimodal {
             y += 1
           }
           ImageDecoded(m.doc_id, w, h, s)
+        }
+      }
+    }
+  }
+
+  final case class VideoPayload(doc_id: Long, payload: Array[Byte], n_frames: Int)
+  final case class FrameDecoded(doc_id: Long, frame_idx: Int, width: Int, height: Int, sum_gray: Long)
+
+  /** Synthesize one "video" per id: a length-prefixed container of
+    * `3 + id mod 5` PNG frames (4-byte big-endian frame length + frame
+    * bytes — the same framing any packetized media container uses).
+    * Frame f's pixel (x,y) = (id·31 + f·17 + y·7 + x·13) mod 256, so
+    * sampled-frame sums have an exact SQL oracle. */
+  def synthesizeVideos(df: DataFrame, idCol: String, parallelism: Int = 0): Dataset[VideoPayload] = {
+    import df.sparkSession.implicits._
+    val ids = df.select(col(idCol).cast("long")).as[Long]
+    val fanned = if (parallelism > 0) ids.repartition(parallelism) else ids
+    fanned.mapPartitions(_.map { id =>
+      val n = 3 + (id % 5).toInt
+      val frames = (0 until n).map(f => pngBytes(id, f * 17L))
+      val bos = new ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      frames.foreach { fb => out.writeInt(fb.length); out.write(fb) }
+      VideoPayload(id, bos.toByteArray, n)
+    })
+  }
+
+  /** Frame sampling — the video-pipeline prep step: parse the container,
+    * DECODE ONLY every `stride`-th frame (frames 0, stride, 2·stride …;
+    * skipped frames are seeked past by their length prefix, never
+    * decoded), and emit (frame_idx, dims, pixel sum) per kept frame.
+    * Batched per partition like [[decodePngs]]; one input row fans out to
+    * ceil(n_frames/stride) output rows — at scale the follow-up
+    * repartition is the caller's choice (a frame row is small; the heavy
+    * payload column is gone after this projection). */
+  def sampleFrames(ds: Dataset[VideoPayload], stride: Int,
+                   batchSize: Int = 64): Dataset[FrameDecoded] = {
+    import ds.sparkSession.implicits._
+    require(stride > 0, "stride must be positive")
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { v =>
+          val in = new java.io.DataInputStream(new ByteArrayInputStream(v.payload))
+          (0 until v.n_frames).flatMap { f =>
+            val len = in.readInt()
+            if (f % stride == 0) {
+              val fb = new Array[Byte](len)
+              in.readFully(fb)
+              val img = ImageIO.read(new ByteArrayInputStream(fb))
+              require(img != null, s"frame $f of ${v.doc_id} is not decodable")
+              var s = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) { s += img.getRaster.getSample(x, y, 0); x += 1 }
+                y += 1
+              }
+              Some(FrameDecoded(v.doc_id, f, img.getWidth, img.getHeight, s))
+            } else {
+              in.skipBytes(len): Unit // seek past, never decode
+              None
+            }
+          }
         }
       }
     }

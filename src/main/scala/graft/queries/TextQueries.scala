@@ -185,6 +185,14 @@ object TextQueries {
       val m = graft.multimodal.Multimodal
       m.decodePngs(m.resizePngs(m.synthesizePngs(t(s, d, "documents"), "doc_id",
         parallelism = s.sparkContext.defaultParallelism), tw = 8, th = 6)).toDF()
+    }),
+
+    // video-pipeline frame sampling: length-prefixed multi-frame container
+    // -> decode every 2nd frame (skipped frames seeked past, not decoded)
+    "mm_frame_sample" -> ((s, d) => {
+      val m = graft.multimodal.Multimodal
+      m.sampleFrames(m.synthesizeVideos(t(s, d, "documents"), "doc_id",
+        parallelism = s.sparkContext.defaultParallelism), stride = 2).toDF()
     })
   )
 
@@ -462,6 +470,17 @@ object TextQueries {
                        list_transform(range(0, 8), x ->
                          (doc_id*31 + ((y * (4 + doc_id % 11)) // 6)*7
                                     + ((x * (4 + doc_id % 13)) // 8)*13) % 256)))) AS BIGINT) AS sum_gray
-         FROM documents"""
+         FROM documents""",
+    // every 2nd frame of the 3 + id%5 frame container; frame f's pixels
+    // add f*17 to the still-image formula
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+                CAST(4 + doc_id % 13 AS INT) AS width,
+                CAST(4 + doc_id % 11 AS INT) AS height,
+                CAST(list_sum(flatten(list_transform(range(0, 4 + doc_id % 11), y ->
+                       list_transform(range(0, 4 + doc_id % 13), x ->
+                         (doc_id*31 + f*17 + y*7 + x*13) % 256)))) AS BIGINT) AS sum_gray
+         FROM documents, unnest(range(0, 3 + doc_id % 5)) AS r(f)
+         WHERE f % 2 = 0"""
   )
 }

@@ -51,6 +51,24 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.map(_.sum_gray).toSeq === expected.map(_.toLong).toSeq)
   }
 
+  test("frame sampling decodes only the sampled frames and matches full decode") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(20)
+    val vids = Multimodal.synthesizeVideos(docs, "doc_id")
+    val all = Multimodal.sampleFrames(vids, stride = 1).collect()
+    val sampled = Multimodal.sampleFrames(vids, stride = 2, batchSize = 3).collect()
+    // stride=2 keeps exactly the even frames of the full decode
+    val expect = all.filter(_.frame_idx % 2 == 0).sortBy(f => (f.doc_id, f.frame_idx)).toSeq
+    assert(sampled.sortBy(f => (f.doc_id, f.frame_idx)).toSeq === expect)
+    // frame counts: 3 + id%5 per video, ceil(n/2) sampled
+    val n = all.groupBy(_.doc_id).view.mapValues(_.length).toMap
+    assert(n.forall { case (id, c) => c === 3 + (id % 5).toInt })
+    assert(sampled.groupBy(_.doc_id).forall { case (id, fs) => fs.length === (n(id) + 1) / 2 })
+    // frame 0 equals the still-image decode (same pixel formula at f=0)
+    val stills = Multimodal.decodePngs(Multimodal.synthesizePngs(docs, "doc_id"))
+      .collect().map(s => s.doc_id -> s.sum_gray).toMap
+    all.filter(_.frame_idx == 0).foreach(f => assert(f.sum_gray === stills(f.doc_id)))
+  }
+
   test("javax.imageio decodes real PNG bytes back to the encoded pixels") {
     val ids = spark.read.parquet(s"$sf/documents.parquet").select($"doc_id")
     val decoded = Multimodal.decodePngs(Multimodal.synthesizePngs(ids, "doc_id"))
