@@ -163,6 +163,68 @@ object Multimodal {
     }
   }
 
+  final case class AudioPayload(doc_id: Long, payload: Array[Byte])
+  final case class AudioDecoded(doc_id: Long, n_samples: Int, sample_rate: Int, sum_abs: Long)
+
+  /** Synthesize one WAV clip per id — REAL audio container via the JDK's
+    * `javax.sound.sampled` (no extra deps): 16-bit little-endian PCM mono
+    * at 8 kHz, `100 + id mod 50` samples, sample i = (id·31 + i·13) mod
+    * 65536 − 32768. Pure integer arithmetic ⇒ the decoded |sample| sum
+    * has an exact SQL oracle. */
+  def synthesizeWavs(df: DataFrame, idCol: String, parallelism: Int = 0): Dataset[AudioPayload] = {
+    import df.sparkSession.implicits._
+    val ids = df.select(col(idCol).cast("long")).as[Long]
+    val fanned = if (parallelism > 0) ids.repartition(parallelism) else ids
+    fanned.mapPartitions(_.map { id =>
+      val n = 100 + (id % 50).toInt
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = ((((id * 31 + i * 13) % 65536) + 65536) % 65536).toInt - 32768
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      AudioPayload(id, bos.toByteArray)
+    })
+  }
+
+  /** REAL audio decode: parse the WAV container with `AudioSystem`, read
+    * the PCM frames back, and extract (n_samples, rate, Σ|sample|) —
+    * the shape an audio featurizer (VAD, loudness, spectral prep) slots
+    * into. Batched per partition like [[decodePngs]]. */
+  def decodeWavs(ds: Dataset[AudioPayload], batchSize: Int = 64): Dataset[AudioDecoded] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { a =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(a.payload))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"unexpected format for ${a.doc_id}: $fmt")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var sum = 0L
+          var i = 0
+          while (i < n) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1).toInt // sign-extends: 16-bit signed sample
+            sum += math.abs((hi << 8) | lo)
+            i += 1
+          }
+          AudioDecoded(a.doc_id, n, fmt.getSampleRate.toInt, sum)
+        }
+      }
+    }
+  }
+
   /** REAL image transform: nearest-neighbor resize to (tw × th), batched
     * per partition, re-encoded as PNG — the standard "normalize image
     * sizes before the vision encoder" prep step. Source pixel = integer

@@ -193,6 +193,14 @@ object TextQueries {
       val m = graft.multimodal.Multimodal
       m.sampleFrames(m.synthesizeVideos(t(s, d, "documents"), "doc_id",
         parallelism = s.sparkContext.defaultParallelism), stride = 2).toDF()
+    }),
+
+    // REAL audio codec round-trip: 16-bit PCM WAV encode + AudioSystem
+    // decode (JDK javax.sound.sampled, no extra deps)
+    "mm_audio_decode" -> ((s, d) => {
+      val m = graft.multimodal.Multimodal
+      m.decodeWavs(m.synthesizeWavs(t(s, d, "documents"), "doc_id",
+        parallelism = s.sparkContext.defaultParallelism)).toDF()
     })
   )
 
@@ -481,6 +489,13 @@ object TextQueries {
                        list_transform(range(0, 4 + doc_id % 13), x ->
                          (doc_id*31 + f*17 + y*7 + x*13) % 256)))) AS BIGINT) AS sum_gray
          FROM documents, unnest(range(0, 3 + doc_id % 5)) AS r(f)
-         WHERE f % 2 = 0"""
+         WHERE f % 2 = 0""",
+    // 16-bit PCM samples round-trip losslessly through the WAV container
+    "mm_audio_decode" ->
+      """SELECT doc_id, CAST(100 + doc_id % 50 AS INT) AS n_samples,
+                CAST(8000 AS INT) AS sample_rate,
+                CAST(list_sum(list_transform(range(0, 100 + doc_id % 50), i ->
+                       abs((doc_id*31 + i*13) % 65536 - 32768))) AS BIGINT) AS sum_abs
+         FROM documents"""
   )
 }

@@ -69,6 +69,20 @@ class MultimodalSpec extends SparkSpec {
     all.filter(_.frame_idx == 0).foreach(f => assert(f.sum_gray === stills(f.doc_id)))
   }
 
+  test("WAV codec round-trips 16-bit PCM samples losslessly") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(20)
+    val decoded = Multimodal.decodeWavs(
+      Multimodal.synthesizeWavs(docs, "doc_id"), batchSize = 7).collect().sortBy(_.doc_id)
+    assert(decoded.length === 20)
+    decoded.foreach { a =>
+      val n = 100 + (a.doc_id % 50).toInt
+      assert(a.n_samples === n && a.sample_rate === 8000)
+      val expect = (0 until n).map(i =>
+        math.abs((((a.doc_id * 31 + i * 13) % 65536 + 65536) % 65536) - 32768)).sum
+      assert(a.sum_abs === expect, s"doc ${a.doc_id}: lossy round-trip")
+    }
+  }
+
   test("javax.imageio decodes real PNG bytes back to the encoded pixels") {
     val ids = spark.read.parquet(s"$sf/documents.parquet").select($"doc_id")
     val decoded = Multimodal.decodePngs(Multimodal.synthesizePngs(ids, "doc_id"))
