@@ -113,6 +113,12 @@ object TextQueries {
         .withColumn("split", graft.etl.Sampling.splitLabel(col("doc_id")))
         .groupBy("split", "lang").agg(count(lit(1)).as("n"))),
 
+    // fixed-window chunking with overlap (size 32, stride 24) — the
+    // embedding/RAG prep step; per-chunk hash enables chunk-level dedup
+    "ta_chunk_windows" -> ((s, d) =>
+      graft.etl.Chunking.chunkWindows(t(s, d, "documents"), "text", "doc_id",
+        size = 32, stride = 24)),
+
     "ta_langid" -> ((s, d) => {
       val doc = t(s, d, "documents")
       val scored = doc.select(col("doc_id") +: col("lang") +:
@@ -361,6 +367,12 @@ object TextQueries {
                    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
             FROM s a JOIN s b ON a.doc_id < b.doc_id)
           WHERE hamming <= 8""",
+    "ta_chunk_windows" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         SELECT doc_id, CAST(r.i AS INT) AS chunk_idx,
+                CAST(len(list_slice(ws, CAST(r.i*24 + 1 AS INT), CAST(r.i*24 + 32 AS INT))) AS INT) AS n_tokens,
+                md5(array_to_string(list_slice(ws, CAST(r.i*24 + 1 AS INT), CAST(r.i*24 + 32 AS INT)), ' ')) AS chunk_hash
+         FROM w, unnest(range(0, ((len(ws) - 1) // 24) + 1)) AS r(i)""",
     "ta_langid" -> {
       val scores = langProfiles.map { case (l, ws) =>
         val set = ws.map(w => s"'$w'").mkString(", ")

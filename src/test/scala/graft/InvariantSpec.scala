@@ -227,6 +227,27 @@ class InvariantSpec extends SparkSpec {
     assert(capped.exists(p => p._1 == 80L && p._2 == 81L), "real near-dup pair lost by cap")
   }
 
+  test("chunk windows cover every token with the declared overlap") {
+    val r = rng(11)
+    val texts = Seq.tabulate(40)(i =>
+      Seq.fill(r.nextInt(80) + 1)(s"w${r.nextInt(30)}").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = graft.etl.Chunking.chunkWindows(df, "text", "doc_id", size = 32, stride = 24)
+      .select($"doc_id", $"chunk_idx", $"n_tokens").as[(Long, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val n = t.split(" ").length
+      val chunks = got(i.toLong)
+      assert(chunks.length === (n - 1) / 24 + 1, s"doc $i: wrong window count for n=$n")
+      chunks.foreach { case (_, idx, tk) =>
+        assert(tk === math.min(32, n - idx * 24), s"doc $i chunk $idx wrong size")
+      }
+      // coverage: windows starting every 24 tokens with size 32 span [0, n)
+      val covered = chunks.flatMap(c => (c._2 * 24) until (c._2 * 24 + c._3)).toSet
+      assert(covered === (0 until n).toSet)
+    }
+  }
+
   test("batched ANN matches the single-query path per query id") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val cents = e.filter($"vec_id" < 8).withColumnRenamed("vec_id", "cid")
