@@ -140,6 +140,23 @@ object TextQueries {
         round(lit(0.5) * stop + lit(0.5) * (lit(1.0) - dup), 6).as("quality"))
     }),
 
+    // Gopher-style repetition signals (Rae et al. 2021 §A1.1): fraction
+    // of word-2-gram / word-3-gram occurrences that are repeats of an
+    // already-seen gram — high values flag boilerplate/spam docs that
+    // slip past length and stopword filters
+    "ta_repetition" -> ((s, d) => {
+      def repRatio(n: Int) = {
+        val grams = wordNgrams(col("text"), n)
+        val total = size(grams).cast("double")
+        when(size(grams) > 0,
+          round(lit(1.0) - size(array_distinct(grams)).cast("double") / total, 6))
+          .otherwise(lit(0.0))
+      }
+      t(s, d, "documents").select(col("doc_id"),
+        repRatio(2).as("dup_2gram"), repRatio(3).as("dup_3gram"),
+        (repRatio(2) > 0.2 || repRatio(3) > 0.18).as("flagged"))
+    }),
+
     "ta_normalize" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         md5(normalizeText(col("text"))).as("norm_hash"),
@@ -395,6 +412,20 @@ object TextQueries {
                  round(stop, 6) AS stop_ratio,
                  round(0.5*stop + 0.5*(1.0 - dup), 6) AS quality
           FROM m""",
+    "ta_repetition" -> {
+      def g(n: Int) = {
+        val parts = (0 until n).map(k => s"ws[CAST(i AS INT)+$k]").mkString(" || '_' || ")
+        s"list_transform(range(1, len(ws) - ${n - 2}), i -> $parts)"
+      }
+      def ratio(n: Int) =
+        s"""CASE WHEN len(${g(n)}) > 0
+                 THEN round(1.0 - len(list_distinct(${g(n)}))*1.0 / len(${g(n)}), 6)
+                 ELSE 0.0 END"""
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+          SELECT doc_id, ${ratio(2)} AS dup_2gram, ${ratio(3)} AS dup_3gram,
+                 (${ratio(2)} > 0.2 OR ${ratio(3)} > 0.18) AS flagged
+          FROM w"""
+    },
     "ta_normalize" ->
       """SELECT doc_id,
                 md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
