@@ -57,7 +57,9 @@ object ReferencePipeline {
     tables.foreach { case (name, df) =>
       graft.sinks.ParquetSink.upsertInto(spark, s"$outDir/$name", df, cfg.key, Nil)
     }
-    docs.write.mode("overwrite").parquet(s"$outDir/documents_store")
+    // the reference UPSERTS docs into its Mongo collection (Listings_ETL
+    // .py:154-188) — an overwrite would drop docs absent from this batch
+    graft.sinks.ParquetSink.upsertInto(spark, s"$outDir/documents_store", docs, cfg.key, Nil)
     tables + ("documents_store" -> docs)
   }
 
@@ -69,4 +71,14 @@ object ReferencePipeline {
       .na.drop(Seq(listingKey))
     Normalize.nestCollect(deduped, listingKey, reviewCols, "reviews")
   }
+
+  /** PERSISTENT review load — the full Review DAG including its store
+    * side (`Airbnb_Review_ETL.py:58-106` `$addToSet`s each review into
+    * the per-listing doc): each batch merges set-wise into the review
+    * document table, so re-running a day's batch (Airflow retry,
+    * backfill) adds nothing twice. */
+  def loadReviews(spark: SparkSession, reviews: DataFrame, path: String,
+                  listingKey: String, reviewCols: Seq[String]): Unit =
+    graft.sinks.DocStoreSink.upsertDocsInto(spark, path,
+      accumulateReviews(reviews, listingKey, reviewCols), listingKey, "reviews", Nil)
 }

@@ -68,4 +68,22 @@ class ReferencePipelineSpec extends SparkSpec {
     assert(row === 2)
     assert(got.count() === 1) // bad id row coerced to null and dropped
   }
+
+  test("persistent review load merges daily batches $addToSet-wise and survives retries") {
+    val store = java.nio.file.Files.createTempDirectory("revstore").toString + "/reviews"
+    val day1 = Seq(("1", "2024-01-01", "nice"), ("2", "2024-01-01", "meh"))
+      .toDF("listing_id", "date", "comments")
+    // day 2 re-delivers one day-1 review (at-least-once) + adds new ones
+    val day2 = Seq(("1", "2024-01-01", "nice"), ("1", "2024-01-02", "ok"),
+      ("3", "2024-01-02", "new")).toDF("listing_id", "date", "comments")
+    ReferencePipeline.loadReviews(spark, day1, store, "listing_id", Seq("date", "comments"))
+    ReferencePipeline.loadReviews(spark, day2, store, "listing_id", Seq("date", "comments"))
+    // an Airflow retry replays day 2 wholesale — must change nothing
+    ReferencePipeline.loadReviews(spark, day2, store, "listing_id", Seq("date", "comments"))
+    val got = spark.read.parquet(store)
+      .select($"listing_id", size($"reviews").as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 2, 2L -> 1, 3L -> 1),
+      "replayed review must not double-count; new reviews accumulate")
+  }
 }
