@@ -55,7 +55,10 @@ object Bench {
       }
       (name, if (times.isEmpty) Double.NaN else median(times), times)
     }
-    def num(v: Double): String = if (v.isNaN) "\"NaN\"" else v.toString
+    // a failed query serializes as JSON null (not the string "NaN") so
+    // downstream tooling (compare_bench.py) treats it as absent instead
+    // of crashing on a string-typed timing
+    def num(v: Double): String = if (v.isNaN) "null" else v.toString
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     // total spans successful queries only; `failed` flags the broken ones

@@ -207,7 +207,10 @@ object Multimodal {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new ByteArrayInputStream(a.payload))
           val fmt = ais.getFormat
-          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          // the sample assembly below is little-endian — a big-endian
+          // stream (e.g. an AIFF payload) would silently decode swapped
+          // bytes, so reject it like the other format mismatches
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
             s"unexpected format for ${a.doc_id}: $fmt")
           val bytes = ais.readAllBytes()
           val n = bytes.length / 2

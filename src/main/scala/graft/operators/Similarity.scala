@@ -41,19 +41,28 @@ object Similarity {
     * Returns (centroid_id, vector). */
   def kmeansFit(df: DataFrame, vecCol: String, idCol: String,
                 k: Int, iters: Int = 3): DataFrame = {
+    val shim = org.apache.spark.sql.GraftShim
+    // localCheckpoint per round: same iterative-fixpoint rule as
+    // connectedComponents — without truncation each round's plan embeds
+    // the previous round's whole assign+agg tree and planning cost
+    // compounds with iters. The centroid frame is k rows — the
+    // checkpoint is trivially cheap next to the corpus scan it guards.
     var centroids = df.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("int").as("centroid_id"), asDouble(col(vecCol)).as("c_v"))
-      .select(col("centroid_id"), col("c_v"))
+      .localCheckpoint()
     var i = 0
     while (i < iters) {
       val assigned = ivfAssign(df, vecCol, idCol,
         centroids.withColumnRenamed("c_v", vecCol), "centroid_id", keepVec = true)
-      centroids = assigned
+      val next = assigned
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("centroid_id", "dim").agg(avg(col("x")).as("m"))
         .groupBy("centroid_id")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m")).as("c_v"))
+        .localCheckpoint()
+      shim.unpersistCheckpoint(centroids)
+      centroids = next
       i += 1
     }
     centroids

@@ -17,5 +17,12 @@ object Inventory {
     val missing = (queries -- inSurvey).toSeq.sorted
     if (missing.nonEmpty) println(s"NOT IN SURVEY: ${missing.mkString(", ")}")
     else println("survey: every query key mentioned")
+    // reverse direction: a §2 TABLE ROW naming a key that no longer exists
+    // in the code (renamed/deleted query) is doc drift too
+    val section2 = survey.split("## §3")(0)
+    val tableKeys = "(?m)^\\| `([a-z0-9_]+)`".r.findAllMatchIn(section2).map(_.group(1)).toSet
+    val stale = (tableKeys -- queries).toSeq.sorted
+    if (stale.nonEmpty) println(s"STALE SURVEY ROWS (no such query): ${stale.mkString(", ")}")
+    else println("survey: every §2 table row maps to a live query key")
   }
 }

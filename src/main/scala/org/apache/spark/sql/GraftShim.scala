@@ -16,9 +16,16 @@ object GraftShim {
   /** Release the block-store blocks behind a `localCheckpoint()`ed frame.
     * `Dataset.unpersist` only touches the CacheManager, which never sees
     * checkpoint RDDs — without this, an iterative fixpoint accumulates one
-    * snapshot of blocks per round until the driver GC gets around to them. */
-  def unpersistCheckpoint(df: Dataset[_]): Unit = df.queryExecution.analyzed match {
-    case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false): Unit
-    case _ => ()
-  }
+    * snapshot of blocks per round until the driver GC gets around to them.
+    *
+    * Unpersists EVERY `LogicalRDD` leaf under the frame's plan, so it
+    * works on projected/filtered views of a checkpoint too (a top-node
+    * match alone silently no-ops on `ck.drop(...)` — the trap the round-4
+    * review caught in Components). Callers own the safety argument: no
+    * other live frame may share those checkpoint leaves. */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
 }

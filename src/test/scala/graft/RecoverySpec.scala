@@ -51,6 +51,17 @@ class RecoverySpec extends SparkSpec {
     assert(viaLabels === Set(0L, 3L, 4L, 5L, 7L, 8L, 9L))
   }
 
+  test("unpersistCheckpoint releases blocks even through projected views") {
+    val ck = spark.range(0, 1000).toDF("id").withColumn("v", $"id" * 2).localCheckpoint()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // the iterative-loop shape that leaked in round 4: a drop/filter view
+    // over the checkpoint, not the bare checkpointed frame
+    val view = ck.drop("v").filter($"id" > 10)
+    org.apache.spark.sql.GraftShim.unpersistCheckpoint(view)
+    assert(spark.sparkContext.getPersistentRDDs.size === before - 1,
+      "a projected view must still release its underlying checkpoint RDD")
+  }
+
   // ---- ivfSearch single-query guard ----
 
   test("ivfSearch rejects a multi-row and an empty query frame") {
