@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Components, Dedup, Similarity}
+
+/** Empty- and degenerate-input behavior: every operator must return a
+  * well-formed empty (or identity) result, never throw — at 100 TB an
+  * empty partition-slice, a filter that matches nothing, or a corpus
+  * with no near-dups are everyday inputs, not corner cases. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+
+  test("dedup family yields empty results on an empty corpus") {
+    assert(Dedup.exact(noDocs, "text", "doc_id").isEmpty)
+    assert(Dedup.minhashNearDups(noDocs, "text", "doc_id", 0.8).isEmpty)
+    assert(Dedup.ngramJaccardPairs(noDocs, "text", "doc_id", "text", 0.8).isEmpty)
+    assert(Dedup.simhashNearDups(noDocs, "text", "doc_id").isEmpty)
+  }
+
+  test("components on an empty pair graph converges immediately; keepRepresentatives is identity") {
+    val r = Components.run(noPairs, "id_a", "id_b")
+    assert(r.converged && r.labels.isEmpty)
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val kept = Components.keepRepresentatives(docs, "doc_id", noPairs, "id_a", "id_b")
+    assert(kept.as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")),
+      "no pairs -> every doc is its own representative")
+  }
+
+  test("docs below the shingle/ngram size produce no pairs, not NaN pairs") {
+    val tiny = Seq((1L, "ab"), (2L, "ab"), (3L, "x y")).toDF("doc_id", "text")
+    // all texts shorter than 3 chars / 3 words: no shingles or grams exist
+    assert(Dedup.minhashNearDups(tiny, "text", "doc_id", 0.8).isEmpty)
+    assert(Dedup.ngramJaccardPairs(tiny, "text", "doc_id", "text", 0.8).isEmpty)
+  }
+
+  test("packing and chunking handle empty frames and single-token docs") {
+    val emptyPack = graft.etl.Packing.withPackId(
+      Seq.empty[(String, Long, Long)].toDF("g", "id", "tk"), "tk", 100, Seq("g"), "id")
+    assert(emptyPack.isEmpty && emptyPack.columns.contains("pack_id"))
+    val one = graft.etl.Chunking.chunkWindows(
+      Seq((1L, "solo")).toDF("doc_id", "text"), "text", "doc_id", 32, 24)
+      .as[(Long, Int, Int, String)].collect()
+    assert(one.length === 1 && one.head._3 === 1, "single-token doc = one 1-token chunk")
+    assert(graft.etl.Chunking.chunkWindows(noDocs, "text", "doc_id", 32, 24).isEmpty)
+  }
+
+  test("similarity search over an empty corpus returns empty top-k") {
+    val noVecs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "vec")
+    val q = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "vec")
+    assert(Similarity.topK(noVecs, "vec", "vec_id", q, 5).isEmpty)
+    val cents = Seq((0, Seq(1.0, 0.0))).toDF("centroid_id", "vec")
+    assert(Similarity.ivfSearch(noVecs, "vec", "vec_id", cents, "centroid_id", q, 5).isEmpty)
+    assert(Similarity.ivfSearchBatch(noVecs, "vec", "vec_id", cents, "centroid_id",
+      q, "vec_id", 5).isEmpty)
+  }
+
+  test("doc merge with an empty updates (or base) side passes the other through") {
+    val docs = Seq((1L, "a", Seq((10L, "x")))).toDF("id", "name", "reviews")
+    val none = Seq.empty[(Long, String, Seq[(Long, String)])].toDF("id", "name", "reviews")
+    val viaEmptyUpd = graft.sinks.DocStoreSink.mergeDocs(docs, none, "id", "reviews")
+      .as[(Long, String, Seq[(Long, String)])].collect()
+    assert(viaEmptyUpd.toSeq === Seq((1L, "a", Seq((10L, "x")))))
+    val viaEmptyBase = graft.sinks.DocStoreSink.mergeDocs(none, docs, "id", "reviews")
+      .as[(Long, String, Seq[(Long, String)])].collect()
+    assert(viaEmptyBase.toSeq === Seq((1L, "a", Seq((10L, "x")))))
+  }
+}
