@@ -2,6 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -109,6 +110,14 @@ object HashUtil {
 
 /** `hash31` as a native expression: md5-prefix 31-bit hash of a string. */
 case class Md5Prefix31(child: Expression) extends UnaryExpression {
+  // declared input contract: wrong-typed SQL input (through the
+  // graft_* registry) must fail analysis, not reinterpret bytes
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"expects STRING, got ${t.simpleString}")
+    }
   override def dataType: DataType = LongType
 
   override def nullSafeEval(v: Any): Any =
@@ -124,6 +133,14 @@ case class Md5Prefix31(child: Expression) extends UnaryExpression {
   * hashes. Replaces k separate `transform`+`array_min` passes (k·n
   * interpreted lambda calls per row) with one fused loop. */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  // declared input contract: wrong-typed SQL input (through the
+  // graft_* registry) must fail analysis, not reinterpret bytes
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"expects ARRAY<BIGINT>, got ${t.simpleString}")
+    }
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
 
   override def nullSafeEval(v: Any): Any =
@@ -137,7 +154,14 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
 /** |A ∩ B| for two sorted long-array columns (see HashUtil.sortedIntersect).
   * Callers guarantee sortedness (arrays built with `array_sort`). */
-case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"expects two ARRAY<BIGINT>, got ${l.simpleString} and ${r.simpleString}")
+    }
   override def dataType: DataType = LongType
 
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -153,6 +177,14 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
 /** Sorted distinct 31-bit shingle-hash set of a text column (see
   * HashUtil.shingleHashes31). */
 case class ShingleHashes31(child: Expression, n: Int) extends UnaryExpression {
+  // declared input contract: wrong-typed SQL input (through the
+  // graft_* registry) must fail analysis, not reinterpret bytes
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"expects STRING, got ${t.simpleString}")
+    }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(v: Any): Any =

@@ -2,6 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -21,12 +22,29 @@ import org.apache.spark.sql.types._
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // declared input contract makes wrong-typed SQL input (array<int>
+  // through graft_dot) an analysis-time error instead of silent byte
+  // reinterpretation through UnsafeArrayData.getDouble
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"expects two ARRAY<DOUBLE>, got ${l.simpleString} and ${r.simpleString}")
+    }
+
   override def dataType: DataType = DoubleType
+
+  // mismatched dimensionality returns NULL — the same answer the composed
+  // aggregate(zip_with(...)) form (and the DuckDB oracle) gives; a
+  // truncated partial dot product would silently rank a corrupt vector
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -39,12 +57,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -54,6 +76,13 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** L2 norm of a double array — same fused-loop rationale as [[DotProduct]]. */
 case class L2Norm(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"expects ARRAY<DOUBLE>, got ${t.simpleString}")
+    }
 
   override def dataType: DataType = DoubleType
 
@@ -89,6 +118,13 @@ case class L2Norm(child: Expression) extends UnaryExpression {
   * `TextFunctions.simhash60`, evaluated in a single traversal instead of 60.
   */
 case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"expects ARRAY<BIGINT>, got ${t.simpleString}")
+    }
 
   override def dataType: DataType = LongType
 

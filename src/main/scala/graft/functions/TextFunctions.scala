@@ -15,11 +15,14 @@ object TextFunctions {
   /** Whitespace tokens. */
   def tokens(c: Column): Column = split(c, " ")
 
-  /** Character n-gram shingles (positions 1..len-n+1); empty array below n. */
+  /** Character n-gram shingles (positions 1..len-n+1); empty array below
+    * n; NULL text stays NULL (matching the native `ShingleHashes31`'s
+    * null-propagating UnaryExpression semantics — the old
+    * `.otherwise(array())` silently turned NULL docs into empty docs). */
   def charShingles(c: Column, n: Int): Column =
     when(length(c) >= n,
       transform(sequence(lit(1), length(c) - lit(n - 1)), i => c.substr(i, lit(n))))
-      .otherwise(array())
+      .otherwise(when(c.isNotNull, array()))
 
   /** Word n-grams joined with '_'; empty array below n words.
     *
@@ -78,12 +81,17 @@ object TextFunctions {
     array((0 until k).map(minhash(hashes, _)): _*)
 
   /** LSH band keys: md5 over `rowsPerBand` consecutive signature values.
-    * Docs sharing any band key are near-dup candidates. */
-  def lshBands(sig: Column, k: Int, rowsPerBand: Int): Column =
+    * Docs sharing any band key are near-dup candidates. `rowsPerBand`
+    * must divide k — silently dropping the trailing k mod rowsPerBand
+    * minhashes would lower recall below the b=k/r sizing math. */
+  def lshBands(sig: Column, k: Int, rowsPerBand: Int): Column = {
+    require(k % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide k=$k (trailing minhashes would be dropped)")
     array((0 until k / rowsPerBand).map { b =>
       md5(concat_ws("#",
         (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1).cast("string")): _*))
     }: _*)
+  }
 
   /** Jaccard similarity of two (distinct-element) arrays — exact in both
     * engines: integer sizes, one IEEE division. */
@@ -141,11 +149,14 @@ object TextFunctions {
   def tokenCount(c: Column, words: Seq[String]): Column =
     size(filter(tokens(c), t => t.isin(words.map(lit(_)): _*)))
 
-  // PII patterns for training-data scrubbing. Order matters: emails and
-  // URLs (which may embed digits) are replaced before bare number runs.
+  // PII patterns for training-data scrubbing. Order matters twice: URLs
+  // go FIRST (a URL may embed an email in its userinfo — redacting the
+  // email first would leave the count claiming two insertions where one
+  // <URL> tag lands), and both go before bare number runs (which they may
+  // embed).
   private[graft] val PiiPatterns: Seq[(String, String)] = Seq(
-    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "https?://[^\\s]+" -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
     "\\d{6,}" -> "<NUM>")
 

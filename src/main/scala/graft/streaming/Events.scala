@@ -47,13 +47,16 @@ object Events {
         col("event_type"), col("n"), col("sum_value"))
 
   /** The same aggregation as a streaming query over a timestamp column,
-    * with a watermark bounding state. Used by the streaming spec. */
+    * with a watermark bounding state. Sums EXACT integer cents like the
+    * batch [[hourlyAgg]] — a raw double sum would be accumulation-order-
+    * dependent and could diverge from the batch side in the last ulp. */
   def windowAggStream(events: DataFrame): DataFrame =
     events
       .withColumn("ts_t", tsCol(col("ts")))
       .withWatermark("ts_t", "1 hour")
       .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Common.money(sum(graft.queries.Common.cents(col("value")))).as("sum_value"))
 
   /** Inner join pairing each right event with left events of the same key
     * inside `(t_right − window, t_right]`. One definition serves batch AND
@@ -105,6 +108,35 @@ object Events {
   final case class SessionState(sessionId: Long, nEvents: Long,
                                         startUs: Long, lastUs: Long)
 
+  /** The shared per-key session fold: applies a sorted micro-batch of one
+    * user's events to the session state machine, returning the new state
+    * and the sessions closed by gaps inside this batch. A state with
+    * `nEvents == 0` is a TOMBSTONE left by a timeout flush: it carries the
+    * next session id so a returning user never reuses a flushed session's
+    * number (round-4 review: `state.remove()` on timeout reset the counter
+    * and duplicated (user_id, session_id) keys). One definition serves
+    * both streaming variants — the two copies of this 15-line block had
+    * already been flagged as a divergence hazard. */
+  private def foldSessions(user: Long, sorted: Seq[SessionEvent],
+                           st0: SessionState, gapUs: Long): (SessionState, Seq[SessionOut]) = {
+    var st = st0
+    val closed = Seq.newBuilder[SessionOut]
+    sorted.foreach { e =>
+      st match {
+        case null =>
+          st = SessionState(0L, 1L, e.ts_us, e.ts_us)
+        case s if s.nEvents == 0L => // tombstone: open the next session
+          st = SessionState(s.sessionId, 1L, e.ts_us, e.ts_us)
+        case s if e.ts_us - s.lastUs > gapUs =>
+          closed += SessionOut(user, s.sessionId, s.nEvents, s.startUs, s.lastUs)
+          st = SessionState(s.sessionId + 1, 1L, e.ts_us, e.ts_us)
+        case s =>
+          st = s.copy(nEvents = s.nEvents + 1, lastUs = e.ts_us)
+      }
+    }
+    (st, closed.result())
+  }
+
   /** Streaming sessionization: the same 30-minute-gap state machine as
     * [[sessionize]], as a `flatMapGroupsWithState` keyed by user —
     * per-key state is one fixed-size record, so streaming state stays
@@ -115,7 +147,7 @@ object Events {
     * idle sessions). */
   def sessionizeStream(events: org.apache.spark.sql.Dataset[SessionEvent], gapMinutes: Int = 30)
   : org.apache.spark.sql.Dataset[SessionOut] = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60 * 1000000
     events.groupByKey(_.user_id)
@@ -127,21 +159,9 @@ object Events {
         // triggers that is small; a pathological hot key needs an upstream
         // per-user rate cap, not a bigger executor.
         val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
-        var st = state.getOption.orNull
-        val closed = Seq.newBuilder[SessionOut]
-        sorted.foreach { e =>
-          st match {
-            case null =>
-              st = SessionState(0L, 1L, e.ts_us, e.ts_us)
-            case s if e.ts_us - s.lastUs > gapUs =>
-              closed += SessionOut(user, s.sessionId, s.nEvents, s.startUs, s.lastUs)
-              st = SessionState(s.sessionId + 1, 1L, e.ts_us, e.ts_us)
-            case s =>
-              st = s.copy(nEvents = s.nEvents + 1, lastUs = e.ts_us)
-          }
-        }
+        val (st, closed) = foldSessions(user, sorted, state.getOption.orNull, gapUs)
         if (st != null) state.update(st)
-        closed.result().iterator
+        closed.iterator
       }
   }
 
@@ -165,28 +185,25 @@ object Events {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (user, it, state) =>
         if (state.hasTimedOut) {
           val s = state.get
-          state.remove()
+          // keep a TOMBSTONE carrying the next session id instead of
+          // remove(): a returning user must not reuse this session's
+          // number. No new timeout is set, so the tombstone (one fixed
+          // 32-byte record) lives until the user returns — state becomes
+          // bounded by observed-user cardinality, the same bound streaming
+          // dedup accepts; re-key by (user, day) if even that must expire.
+          state.update(SessionState(s.sessionId + 1, 0L, 0L, 0L))
           Iterator(SessionOut(user, s.sessionId, s.nEvents, s.startUs, s.lastUs))
         } else {
           val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
-          var st = state.getOption.orNull
-          val closed = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            st match {
-              case null =>
-                st = SessionState(0L, 1L, e.ts_us, e.ts_us)
-              case s if e.ts_us - s.lastUs > gapUs =>
-                closed += SessionOut(user, s.sessionId, s.nEvents, s.startUs, s.lastUs)
-                st = SessionState(s.sessionId + 1, 1L, e.ts_us, e.ts_us)
-              case s =>
-                st = s.copy(nEvents = s.nEvents + 1, lastUs = e.ts_us)
-            }
-          }
+          val (st, closed) = foldSessions(
+            user, sorted.map(e => SessionEvent(e.user_id, e.event_id, e.ts_us)),
+            state.getOption.orNull, gapUs)
           if (st != null) {
             state.update(st)
-            state.setTimeoutTimestamp((st.lastUs + gapUs) / 1000) // epoch millis
+            if (st.nEvents > 0L)
+              state.setTimeoutTimestamp((st.lastUs + gapUs) / 1000) // epoch millis
           }
-          closed.result().iterator
+          closed.iterator
         }
       }
   }

@@ -84,6 +84,38 @@ class RecoverySpec extends SparkSpec {
     assert(ok.count() === 2)
   }
 
+  // ---- native-expression input contracts ----
+
+  test("dot product is NULL on mismatched dimensionality, not a truncated partial sum") {
+    import graft.expressions.VectorExpressions.dot
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 1.0))).toDF("a", "b")
+    assert(df.select(dot($"a", $"b")).head().isNullAt(0),
+      "a corrupt short vector must surface as NULL like zip_with, not rank normally")
+    assert(df.select(dot($"a", $"a")).as[Double].head() === 14.0)
+  }
+
+  test("SQL-registered native expressions reject wrong-typed input at analysis time") {
+    graft.GraftFunctions.register(spark)
+    // array<int> through graft_dot used to reinterpret int bits as doubles
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot(array(1, 2), array(3, 4))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array<double>") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"))
+    // correctly-typed input still works
+    val ok = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))").as[Double].head()
+    assert(ok === 11.0)
+  }
+
+  test("piiCount counts one insertion for an email embedded in a URL") {
+    import graft.functions.TextFunctions.{piiCount, redactPii}
+    val df = Seq("see https://bob@example.com/x end").toDF("t")
+    val (n, red) = df.select(piiCount($"t"), redactPii($"t")).as[(Int, String)].head()
+    assert(red === "see <URL> end")
+    assert(n === 1, "the URL swallows the email: one tag, one count")
+  }
+
   // ---- ParquetSink crash-window recovery ----
 
   private def freshDir(): String =

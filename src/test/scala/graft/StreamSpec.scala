@@ -113,6 +113,32 @@ class StreamSpec extends SparkSpec {
       "idle session must flush via event-time timeout without a closing event")
   }
 
+  test("a user returning after a timeout flush gets the NEXT session id, not a reused one") {
+    def us(minutes: Long) = 1600000000L * 1000000L + minutes * 60L * 1000000L
+    def ev(u: Long, e: Long, m: Long) =
+      Events.TimedEvent(u, e, us(m), new java.sql.Timestamp(us(m) / 1000))
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Events.TimedEvent]
+    val qy = Events.sessionizeStreamTimeout(ms.toDS(), 30).writeStream
+      .outputMode("append").format("memory").queryName("timeout_resume").start()
+    ms.addData(ev(10L, 1L, 0), ev(10L, 2L, 10)) // session 0, then idle
+    qy.processAllAvailable()
+    ms.addData(ev(20L, 3L, 120)) // watermark passes 10+30 -> flush pending
+    qy.processAllAvailable()
+    ms.addData(ev(20L, 4L, 121)) // runs the timeout for user 10
+    qy.processAllAvailable()
+    ms.addData(ev(10L, 5L, 200), ev(10L, 6L, 205)) // user 10 RETURNS
+    qy.processAllAvailable()
+    ms.addData(ev(20L, 7L, 300)) // watermark past 205+30
+    qy.processAllAvailable()
+    ms.addData(ev(20L, 8L, 301)) // flush the second session
+    qy.processAllAvailable(); qy.stop()
+    val got = spark.table("timeout_resume").filter($"user_id" === 10L)
+      .select($"session_id", $"n_events").as[(Long, Long)].collect().toSet
+    assert(got === Set((0L, 2L), (1L, 2L)),
+      "the post-timeout session must be numbered 1 — reusing 0 duplicates the key")
+  }
+
   test("sessionize covers all events exactly once") {
     val out = q("stream_sessionize")
     assert(out.agg(sum("n_events")).as[Long].head() ===
