@@ -23,7 +23,12 @@ object Chunking {
       s"need size >= stride > 0, got size=$size stride=$stride")
     val toks = split(col(textCol), " ")
     val starts = sequence(lit(0), greatest(org.apache.spark.sql.functions.size(toks) - 1, lit(0)), lit(stride))
-    df.select(col(idCol),
+    // null/empty docs produce NO chunks: without the filter, a null text
+    // emits one phantom (n_tokens NULL, md5("")) chunk and an empty text a
+    // bogus 1-token chunk sharing the same hash — chunk-level hash dedup
+    // would merge them into one fake identity
+    df.filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(idCol),
         posexplode(transform(starts, st => slice(toks, st + 1, lit(size)))).as(Seq("chunk_idx", "chunk")))
       .select(col(idCol), col("chunk_idx"),
         org.apache.spark.sql.functions.size(col("chunk")).as("n_tokens"),

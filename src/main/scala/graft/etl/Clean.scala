@@ -17,9 +17,11 @@ object Clean {
     * `Airbnb_Analysis.py:89` (`replace(substring(price from 2),',','')::real`).
     * Returns DECIMAL(18,2) so downstream SUM/AVG are exact (bit-reproducible
     * across engines and partition orders — double sums are neither).
-    */
+    * `try_cast`: a malformed residue ("N/A") nulls like pandas NaN instead
+    * of killing the whole load under Spark 4's default ANSI cast — same
+    * errors->null philosophy as [[coerceNumeric]]. */
   def parseMoney(c: Column): Column =
-    regexp_replace(c, "[$,]", "").cast("decimal(18,2)")
+    regexp_replace(c, "[$,]", "").try_cast("decimal(18,2)")
 
   /** Truncate an over-long code column: zipcode `20009-374 -> 20009`.
     * Reference: `Airbnb_Listings_ETL.py:57-60`. */

@@ -49,9 +49,16 @@ object CorpusPipeline {
     val pairs = Dedup.minhashNearDups(exactKept, cfg.textCol, cfg.idCol,
       cfg.jaccardThreshold, sketchParallelism = cfg.sketchParallelism)
     val reps = Components.keepRepresentatives(exactKept, cfg.idCol, pairs, "id_a", "id_b")
+    // the fixpoint above materialized its labels; the eager pair frame's
+    // checkpoint blocks have no further reader — release them now
+    org.apache.spark.sql.GraftShim.unpersistCheckpoint(pairs)
 
-    // 3. quality filter: token floor + repeated-token ceiling
-    val w = tokens(text)
+    // 3. quality filter: token floor + repeated-token ceiling, over the
+    // NORMALIZED tokenization — tokens() contracts single-space-normalized
+    // input, and this pipeline's own step 1 proves raw text may not be
+    // (raw tokens would count empty strings between double spaces and fuse
+    // newline-separated words)
+    val w = tokens(normalizeText(text))
     val nW = size(w).cast("double")
     val dupRatio = lit(1.0) - size(array_distinct(w)).cast("double") / nW
     val filtered = reps

@@ -34,7 +34,14 @@ object Packing {
   def withPackId(df: DataFrame, tokenCol: String, budget: Long,
                  partitionCols: Seq[String], orderCol: String): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // explicit ROWS frame: the default RANGE frame gives every row TIED on
+    // orderCol the cumulative sum of all its peers, merging them into one
+    // overfull pack. With ROWS, ties split correctly; their relative order
+    // (hence pack boundary placement among equals) is only deterministic
+    // when orderCol is unique per group — callers wanting rerun-stable
+    // packs must order by a unique column (the queries use doc_id).
     val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // dense renumbering: raw pack indices skip values whenever one doc's
     // cumsum jump crosses more than one budget boundary (tk > budget);
     // dense_rank over the raw index closes the holes

@@ -51,16 +51,20 @@ object ReferencePipeline {
     * and upsert-loads each table into `outDir` (partition-free keyed
     * parquet — the Postgres-upsert analog). */
   def run(spark: SparkSession, raw: DataFrame, cfg: Config, outDir: String): Map[String, DataFrame] = {
-    val cleaned = clean(raw, cfg)
-    val tables = Normalize.splitTables(cleaned, cfg.key, cfg.tableSchema)
-    val docs = Normalize.docProject(cleaned, cfg.docFlat, cfg.docNested._1, cfg.docNested._2)
-    tables.foreach { case (name, df) =>
-      graft.sinks.ParquetSink.upsertInto(spark, s"$outDir/$name", df, cfg.key, Nil)
-    }
-    // the reference UPSERTS docs into its Mongo collection (Listings_ETL
-    // .py:154-188) — an overwrite would drop docs absent from this batch
-    graft.sinks.ParquetSink.upsertInto(spark, s"$outDir/documents_store", docs, cfg.key, Nil)
-    tables + ("documents_store" -> docs)
+    // each sink write is its own Spark action; uncached, the whole
+    // scan+clean+window-dedup chain would re-execute once per table
+    val cleaned = clean(raw, cfg).cache()
+    try {
+      val tables = Normalize.splitTables(cleaned, cfg.key, cfg.tableSchema)
+      val docs = Normalize.docProject(cleaned, cfg.docFlat, cfg.docNested._1, cfg.docNested._2)
+      tables.foreach { case (name, df) =>
+        graft.sinks.ParquetSink.upsertInto(spark, s"$outDir/$name", df, cfg.key, Nil)
+      }
+      // the reference UPSERTS docs into its Mongo collection (Listings_ETL
+      // .py:154-188) — an overwrite would drop docs absent from this batch
+      graft.sinks.ParquetSink.upsertInto(spark, s"$outDir/documents_store", docs, cfg.key, Nil)
+      tables + ("documents_store" -> docs)
+    } finally { cleaned.unpersist(): Unit }
   }
 
   /** Reviews-side accumulation (Review_ETL.py): dedup exact, coerce ids,

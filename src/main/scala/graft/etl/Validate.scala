@@ -23,12 +23,19 @@ object Validate {
   def satisfies(name: String, pred: Column, atLeast: Double): Check =
     Check(name, avg(when(coalesce(pred, lit(false)), 1.0).otherwise(0.0)), _ >= atLeast)
 
-  /** 1.0 iff `c` has no duplicate values (distinct count == count). */
+  /** 1.0 iff `c` has no duplicate values (distinct count == count).
+    * Empty input yields a null metric (ANSI would throw on 0/0), which
+    * [[run]] fails closed. */
   def uniqueness(name: String, c: Column): Check =
-    Check(name, (countDistinct(c).cast("double") / count(c).cast("double")), _ >= 1.0)
+    Check(name, when(count(c) > 0,
+      countDistinct(c).cast("double") / count(c).cast("double")), _ >= 1.0)
 
   /** Run all checks in one aggregation pass; returns
-    * (check, metric, passed) rows. */
+    * (check, metric, passed) rows. FAILS CLOSED: a null metric (empty
+    * table, all-null column) yields passed = false, never NULL — a gate
+    * filtering on `passed === false` must see the problem, and a gate
+    * filtering on `passed` must exclude the row; a three-valued NULL
+    * satisfied neither. */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "no checks declared")
     val agg = df.agg(checks.head.metric.as(checks.head.name),
@@ -36,7 +43,7 @@ object Validate {
     val rows = checks.map { c =>
       struct(lit(c.name).as("check"),
         round(col(c.name).cast("double"), 6).as("metric"),
-        c.passIf(col(c.name).cast("double")).as("passed"))
+        coalesce(c.passIf(col(c.name).cast("double")), lit(false)).as("passed"))
     }
     agg.select(explode(array(rows: _*)).as("r"))
       .select(col("r.check"), col("r.metric"), col("r.passed"))

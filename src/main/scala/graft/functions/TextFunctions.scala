@@ -12,7 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens. */
+  /** Single-space tokens. CONTRACT: input is single-space-normalized text
+    * (the testdata's shape; raw text should pass through [[normalizeText]]
+    * first). Deliberately NOT `\\s+`: the split must match the SQL oracle's
+    * `string_split(text, ' ')` exactly, and a regex split differs on
+    * leading/trailing whitespace in ways the two engines disagree about.
+    * On non-normalized input, runs of spaces yield empty tokens and
+    * newline-separated words stay fused — normalize first. */
   def tokens(c: Column): Column = split(c, " ")
 
   /** Character n-gram shingles (positions 1..len-n+1); empty array below

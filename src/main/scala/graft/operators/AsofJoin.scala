@@ -21,6 +21,13 @@ object AsofJoin {
 
   def asof(left: DataFrame, right: DataFrame, key: String, t: String,
            rightPayload: Seq[String]): DataFrame = {
+    // a payload column that also exists on the left would be silently
+    // corrupted: unionByName merges the columns and the running
+    // last(ignoreNulls) fill would carry LEFT rows' own values forward as
+    // if they were right-side observations
+    val overlap = rightPayload.filter(left.columns.contains)
+    require(overlap.isEmpty,
+      s"asof: left already has payload column(s) ${overlap.mkString(", ")} — rename one side")
     val l = left.withColumn("__side", lit(1))
     val r = right.select((key +: t +: rightPayload).map(col): _*).withColumn("__side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)

@@ -25,6 +25,11 @@ object Similarity {
     * cross-engine-stable ordering; unique id tiebreak). */
   def topK(df: DataFrame, vecCol: String, idCol: String,
            query: DataFrame, k: Int): DataFrame = {
+    // same single-query contract as ivfSearch: with several query rows the
+    // crossJoin would rank all queries' scores in ONE combined top-k with
+    // no error — use ivfSearchBatch for batched queries
+    require(query.limit(2).count() == 1,
+      "topK expects exactly one query row; use ivfSearchBatch for batched queries")
     val q = broadcast(query.select(asDouble(col(vecCol)).as("q_v")))
     df.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .crossJoin(q)
@@ -54,12 +59,18 @@ object Similarity {
     while (i < iters) {
       val assigned = ivfAssign(df, vecCol, idCol,
         centroids.withColumnRenamed("c_v", vecCol), "centroid_id", keepVec = true)
-      val next = assigned
+      val means = assigned
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("centroid_id", "dim").agg(avg(col("x")).as("m"))
         .groupBy("centroid_id")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m")).as("c_v"))
+      // a centroid that won zero assignments this round keeps its previous
+      // vector instead of silently vanishing — the caller asked for k
+      // centroids and downstream nProbe/recall math assumes k
+      val next = centroids.select(col("centroid_id"), col("c_v").as("__prev"))
+        .join(means.withColumnRenamed("c_v", "__new"), Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("__new"), col("__prev")).as("c_v"))
         .localCheckpoint()
       shim.unpersistCheckpoint(centroids)
       centroids = next

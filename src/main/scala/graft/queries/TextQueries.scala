@@ -186,7 +186,7 @@ object TextQueries {
       val out = graft.etl.CorpusPipeline.prepare(t(s, d, "documents"),
         graft.etl.CorpusPipeline.Config(
           sketchParallelism = s.sparkContext.defaultParallelism))
-      out.withColumn("tk", size(tokens(col("text"))))
+      out.withColumn("tk", size(tokens(normalizeText(col("text")))))
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("pack_id")).as("n_packs"),
@@ -357,7 +357,8 @@ object TextQueries {
     "ta_pack_budget" ->
       """WITH t AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS tk FROM documents),
             c AS (SELECT lang, doc_id, tk,
-                         sum(tk) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM t),
+                         sum(tk) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
             r AS (SELECT lang, doc_id, tk, (cum - tk) // 2000 AS rawpack FROM c),
             d AS (SELECT lang, tk,
                          dense_rank() OVER (PARTITION BY lang ORDER BY rawpack) - 1 AS pack_id
@@ -391,7 +392,8 @@ object TextQueries {
             FROM s a JOIN s b ON a.doc_id < b.doc_id)
           WHERE hamming <= 8""",
     "ta_chunk_windows" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                    WHERE text IS NOT NULL AND text <> '')
          SELECT doc_id, CAST(r.i AS INT) AS chunk_idx,
                 CAST(len(list_slice(ws, CAST(r.i*24 + 1 AS INT), CAST(r.i*24 + 32 AS INT))) AS INT) AS n_tokens,
                 md5(array_to_string(list_slice(ws, CAST(r.i*24 + 1 AS INT), CAST(r.i*24 + 32 AS INT)), ' ')) AS chunk_hash
@@ -483,18 +485,19 @@ object TextQueries {
             comp AS (SELECT v AS id, least(v, min(r)) AS comp FROM reach GROUP BY v),
             reps AS (SELECT doc_id, lang, text FROM ek
                      WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)),
-            qual AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS tk
+            qual AS (SELECT doc_id, lang, len(string_split($norm, ' ')) AS tk
                      FROM reps
-                     WHERE len(string_split(text, ' ')) >= 5
-                       AND 1.0 - len(list_distinct(string_split(text, ' ')))*1.0
-                                 / len(string_split(text, ' ')) <= 0.6),
+                     WHERE len(string_split($norm, ' ')) >= 5
+                       AND 1.0 - len(list_distinct(string_split($norm, ' ')))*1.0
+                                 / len(string_split($norm, ' ')) <= 0.6),
             sp AS (SELECT doc_id, lang, tk,
                           CASE WHEN $bucket < 80 THEN 'train'
                                WHEN $bucket < 90 THEN 'validation'
                                ELSE 'test' END AS split
                    FROM qual),
             c AS (SELECT lang, split, doc_id, tk,
-                         sum(tk) OVER (PARTITION BY lang, split ORDER BY doc_id) AS cum
+                         sum(tk) OVER (PARTITION BY lang, split ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
                   FROM sp),
             rw AS (SELECT lang, split, tk, (cum - tk) // 2000 AS rawpack FROM c),
             dn AS (SELECT lang, split, tk,

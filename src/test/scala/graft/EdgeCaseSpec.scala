@@ -57,6 +57,51 @@ class EdgeCaseSpec extends SparkSpec {
       q, "vec_id", 5).isEmpty)
   }
 
+  test("validation gate fails closed on an empty table, never NULL") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+    val got = graft.etl.Validate.run(empty, Seq(
+        graft.etl.Validate.completeness("v_complete", col("v")),
+        graft.etl.Validate.uniqueness("id_unique", col("id"))))
+      .select($"check", $"passed").as[(String, Boolean)].collect().toMap
+    assert(got === Map("v_complete" -> false, "id_unique" -> false),
+      "a gate must not load an empty/broken extract because passed was NULL")
+  }
+
+  test("chunking emits no chunks for null or empty text") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "real text here"))
+      .toDF("doc_id", "text")
+    val got = graft.etl.Chunking.chunkWindows(docs, "text", "doc_id", 32, 24)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got === Seq(3L), "null/empty docs must not produce phantom chunk identities")
+  }
+
+  test("asof rejects a payload column that already exists on the left") {
+    val left = Seq((1L, "k", 10L, 5.0)).toDF("id", "k", "t", "price")
+    val right = Seq(("k", 9L, 7.0)).toDF("k", "t", "price")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.AsofJoin.asof(left, right, "k", "t", Seq("price"))
+    }
+    assert(e.getMessage.contains("price"))
+  }
+
+  test("kmeansFit returns exactly k centroids even when a centroid wins nothing") {
+    // first two init rows are identical vectors: the duplicate centroid
+    // loses every tie and would previously vanish from the codebook
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.0, 1.0)), (3L, Seq(0.1, 0.9)), (4L, Seq(0.9, 0.1))
+    ).toDF("vec_id", "vec")
+    val cents = Similarity.kmeansFit(vecs, "vec", "vec_id", k = 2, iters = 2)
+    assert(cents.count() === 2, "empty clusters must keep their previous centroid")
+  }
+
+  test("topK rejects a multi-row query frame like ivfSearch") {
+    val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("vec_id", "vec")
+    intercept[IllegalArgumentException] {
+      Similarity.topK(corpus, "vec", "vec_id", corpus, k = 2)
+    }
+  }
+
   test("doc merge with an empty updates (or base) side passes the other through") {
     val docs = Seq((1L, "a", Seq((10L, "x")))).toDF("id", "name", "reviews")
     val none = Seq.empty[(Long, String, Seq[(Long, String)])].toDF("id", "name", "reviews")
