@@ -45,8 +45,10 @@ object Multimodal {
     * arithmetic, so an SQL oracle can recompute the decoded pixel sum
     * exactly (`extra` = frame offset for video frames, 0 for stills). */
   private def pngBytes(id: Long, extra: Long): Array[Byte] = {
-    val w = 4 + (id % 13).toInt
-    val h = 4 + (id % 11).toInt
+    // floorMod: a negative id must map into [0, n) like the pixel formula's
+    // double-mod — plain % would give negative dims and crash BufferedImage
+    val w = 4 + java.lang.Math.floorMod(id, 13L).toInt
+    val h = 4 + java.lang.Math.floorMod(id, 11L).toInt
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     var y = 0
     while (y < h) {
@@ -113,7 +115,7 @@ object Multimodal {
     val ids = df.select(col(idCol).cast("long")).as[Long]
     val fanned = if (parallelism > 0) ids.repartition(parallelism) else ids
     fanned.mapPartitions(_.map { id =>
-      val n = 3 + (id % 5).toInt
+      val n = 3 + java.lang.Math.floorMod(id, 5L).toInt
       val frames = (0 until n).map(f => pngBytes(id, f * 17L))
       val bos = new ByteArrayOutputStream()
       val out = new java.io.DataOutputStream(bos)
@@ -176,7 +178,7 @@ object Multimodal {
     val ids = df.select(col(idCol).cast("long")).as[Long]
     val fanned = if (parallelism > 0) ids.repartition(parallelism) else ids
     fanned.mapPartitions(_.map { id =>
-      val n = 100 + (id % 50).toInt
+      val n = 100 + java.lang.Math.floorMod(id, 50L).toInt
       val pcm = new Array[Byte](n * 2)
       var i = 0
       while (i < n) {

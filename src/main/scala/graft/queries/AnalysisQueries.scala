@@ -123,10 +123,12 @@ object AnalysisQueries {
         .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"))),
 
     // analysis6 (Airbnb_Analysis.py:185-220): regex digit extraction + agg
+    // try_cast: a digit-free props row must null (matching the oracle's
+    // TRY_CAST), not abort the scan under ANSI
     "ana_regex_extract" -> ((s, d) =>
       t(s, d, "events")
         .select(col("event_type"),
-          regexp_extract(col("props"), "(\\d+)", 1).cast("bigint").as("k"))
+          regexp_extract(col("props"), "(\\d+)", 1).try_cast("bigint").as("k"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k")))
   )
@@ -190,8 +192,8 @@ object AnalysisQueries {
          FROM events GROUP BY event_type""",
     "ana_regex_extract" ->
       """SELECT event_type, count(*) AS n,
-                CAST(sum(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
-                max(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS max_k
+                CAST(sum(TRY_CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+                max(TRY_CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS max_k
          FROM events GROUP BY event_type"""
   )
 }

@@ -148,13 +148,17 @@ object RelationalQueries {
     // correlated scalar subquery through the spark.sql surface (Catalyst
     // rewrites it to an aggregate + left join — no per-row execution)
     "q_scalar_subquery" -> ((s, d) => {
-      t(s, d, "orders").createOrReplaceTempView("v_orders")
-      t(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      // view names carry the sf-dir hash: a fixed name is catalog-global
+      // state, so two callers on different dirs sharing one session would
+      // race and silently read each other's scale (every other QFn is pure)
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      t(s, d, "orders").createOrReplaceTempView(s"v_orders_$tag")
+      t(s, d, "lineitem").createOrReplaceTempView(s"v_lineitem_$tag")
       s.sql(
-        """SELECT o_orderkey, o_orderstatus,
+        s"""SELECT o_orderkey, o_orderstatus,
                   (SELECT coalesce(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0, 0.0)
-                   FROM v_lineitem WHERE l_orderkey = o_orderkey) AS total_qty
-           FROM v_orders
+                   FROM v_lineitem_$tag WHERE l_orderkey = o_orderkey) AS total_qty
+           FROM v_orders_$tag
            WHERE o_orderkey % 100 = 0""")
     }),
 

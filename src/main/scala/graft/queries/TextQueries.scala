@@ -30,10 +30,15 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
 
   /** The shared component LABELS. Only the labels survive in the memo:
-    * both consumers read labels exclusively, so the (larger) pair frame's
+    * both consumers read labels exclusively, so the pair frame's
     * checkpoint blocks are released as soon as the labeling materializes
     * — holding them application-lifetime with zero readers would be a
-    * leak (round-4 review finding). */
+    * leak (round-4 review finding). The labels themselves ARE retained
+    * deliberately: they are the shared stage both queries re-read on
+    * every bench pass, and they are small — one (id, comp) row per doc
+    * that HAS a near-dup, not per doc. Bound: entries per (app, sf dir)
+    * actually queried; a session cycling through many dirs can clear the
+    * map between dirs if even that matters. */
   private def preparedLabels(s: org.apache.spark.sql.SparkSession, d: String) =
     pairGraphCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
       val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",

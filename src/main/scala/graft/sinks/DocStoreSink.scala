@@ -86,7 +86,13 @@ object DocStoreSink {
   def appendRecordsInto(path: String, key: String, nested: Seq[String],
                         arrayCol: String, partitionCols: Seq[String])
                        (batch: DataFrame, batchId: Long): Unit = {
-    val docs = graft.etl.Normalize.nestCollect(batch, key, nested, arrayCol)
+    // partition columns must SURVIVE the nesting: grouping by key alone
+    // (plain nestCollect) would drop them and the partitioned write below
+    // would fail on its first micro-batch. They become per-doc scalars
+    // (update wins on conflict), so they must be functionally dependent on
+    // the key within a batch.
+    val docs = batch.groupBy((key +: partitionCols).map(col): _*)
+      .agg(sort_array(collect_list(struct(nested.map(col): _*))).as(arrayCol))
     upsertDocsInto(batch.sparkSession, path, docs, key, arrayCol, partitionCols)
   }
 }

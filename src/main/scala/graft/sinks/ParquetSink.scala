@@ -38,9 +38,14 @@ object ParquetSink {
     * crashed prior swap, hand the current base table (if any) to `merge`,
     * write the result to `.tmp`, then promote it with checked renames.
     *
-    * All directory manipulation goes through the Hadoop `FileSystem` API,
-    * so the same code works on file://, HDFS, or an S3A-style object store
+    * All directory manipulation goes through the Hadoop `FileSystem` API
     * (`java.io.File.renameTo` is local-only and fails silently elsewhere).
+    * ATOMICITY SCOPE: the swap is crash-safe where directory rename is
+    * atomic — local filesystems and HDFS. On an S3A-style object store,
+    * rename is copy-then-delete, so a crash mid-promotion can leave a
+    * partially-copied dst that recovery cannot distinguish from a complete
+    * one; object-store deployments need a commit-marker protocol (or a
+    * table format like Iceberg/Delta) on top.
     * Leftover `.tmp`/`.old` dirs from a crashed prior run are cleared up
     * front — a stale `.old` would otherwise make the dst→old rename fail
     * and lose the upsert — and every rename result is checked. */

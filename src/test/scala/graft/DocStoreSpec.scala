@@ -97,6 +97,24 @@ class DocStoreSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("streaming load with partition columns carries them through the nesting") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docpart").toString + "/docs"
+    val sink = graft.sinks.DocStoreSink.appendRecordsInto(
+      dir, "id", Seq("rid", "body"), "reviews", Seq("lang")) _
+    sink(Seq((1L, "en", 10L, "r10"), (2L, "de", 20L, "r20"))
+      .toDF("id", "lang", "rid", "body"), 0L)
+    sink(Seq((1L, "en", 11L, "r11"), (3L, "fr", 30L, "r30"))
+      .toDF("id", "lang", "rid", "body"), 1L)
+    val back = spark.read.parquet(dir)
+    assert(back.columns.toSet === Set("id", "lang", "reviews"))
+    val got = back.select($"id", $"lang", size($"reviews").as("n"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(got === Set((1L, "en", 2), (2L, "de", 1), (3L, "fr", 1)))
+    // the write is actually partitioned: lang=... directories exist
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("lang=")), s"expected lang= partition dirs, got $dirs")
+  }
+
   test("mergeDocs rejects mismatched schemas") {
     val base = Seq((1L, "a")).toDF("id", "name")
     val upd = Seq((1L, 2L)).toDF("id", "other")
