@@ -39,4 +39,31 @@ object AsofJoin {
     }
     filled.filter(col("__side") === 1).drop("__side")
   }
+
+  /** The broadcast variant [[asof]]'s scaladoc promises: when `right` is
+    * dimension-sized (a quotes/rates/config table), pack it into one
+    * sorted array per key, broadcast-join, and pick the latest entry with
+    * `t <= t_left` by a per-row array scan — the BIG side never enters an
+    * Exchange (the union-sort form co-shuffles both sides). Per-row cost
+    * is O(right rows per key); use the shuffle form when the right side
+    * is also fact-sized. Same contract as [[asof]]: right unique per
+    * (key, t), payload names must not collide with left columns. */
+  def asofBroadcast(left: DataFrame, right: DataFrame, key: String, t: String,
+                    rightPayload: Seq[String]): DataFrame = {
+    val overlap = rightPayload.filter(left.columns.contains)
+    require(overlap.isEmpty,
+      s"asofBroadcast: left already has payload column(s) ${overlap.mkString(", ")} — rename one side")
+    val packed = right
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(
+        struct(col(t).as("__t") +: rightPayload.map(col): _*))).as("__arr"))
+    // latest entry at or before the left timestamp; try_element_at(_, -1)
+    // of the filtered prefix — null when no entry qualifies (same as
+    // asof; plain element_at throws on the empty array under ANSI)
+    val hit = try_element_at(
+      filter(col("__arr"), e => e.getField("__t") <= col(t)), lit(-1))
+    left.join(broadcast(packed), Seq(key), "left")
+      .select(left.columns.map(col) ++
+        rightPayload.map(p => hit.getField(p).as(p)): _*)
+  }
 }

@@ -69,6 +69,25 @@ class InvariantSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("broadcast asof equals the shuffle asof on random series, with no left-side exchange") {
+    val r = rng(12)
+    val left = Seq.tabulate(300)(i => (i.toLong, (r.nextInt(3) + 1).toString, r.nextInt(100).toLong))
+      .toDF("id", "k", "t")
+    val right = Seq.tabulate(150)(i => ((r.nextInt(3) + 1).toString, r.nextInt(100).toLong, i.toLong))
+      .groupBy(x => (x._1, x._2)).map(_._2.minBy(_._3)).toSeq // unique per (key, t)
+      .toDF("k", "t", "p")
+    val viaShuffle = AsofJoin.asof(left, right, "k", "t", Seq("p"))
+      .select($"id", $"p").as[(Long, Option[Long])].collect().toMap
+    val viaBroadcast = AsofJoin.asofBroadcast(left, right, "k", "t", Seq("p"))
+    assert(viaBroadcast.select($"id", $"p").as[(Long, Option[Long])].collect().toMap
+      === viaShuffle)
+    viaBroadcast.count()
+    val plan = viaBroadcast.queryExecution.executedPlan.toString
+    // only the packed right side may exchange (its groupBy); the big left
+    // side must reach the join shuffle-free
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
   test("range join equals brute force on random event streams") {
     val r = rng(4)
     val left = Seq.tabulate(200)(i => (i.toLong, (r.nextInt(4) + 1).toLong, r.nextInt(1000).toLong))
