@@ -67,7 +67,12 @@ object Bench {
     val passesJson = results.map { case (k, _, ts) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"passes":$passes,"sf":"$sfDir"}"""
+    // memoized queries' medians measure re-reading a shared stage, not
+    // rebuilding it (the build cost is the first pass, kept in pass_times)
+    // — flagged so cross-round deltas on them aren't misread as speedups
+    val memoJson = SparkEntry.memoizedQueries.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"memoized":$memoJson,"passes":$passes,"sf":"$sfDir"}"""
     println(line)
     // append to the repo-tracked history so later rounds can diff per-query
     // regressions mechanically; never let history I/O fail the bench

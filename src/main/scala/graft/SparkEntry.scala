@@ -20,4 +20,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     EtlQueries.oracle ++ AnalysisQueries.oracle ++ RelationalQueries.oracle ++
       TextQueries.oracle ++ SimQueries.oracle ++ StreamQueries.oracle
+
+  /** Queries that read an application-lifetime memoized stage (the shared
+    * pair-graph labeling): their bench medians measure re-reading the
+    * memoized result, not rebuilding it — the build cost lands in the
+    * FIRST pass of the first such query (visible in pass_times). Bench
+    * flags them in its JSON so cross-round timing diffs aren't misread. */
+  def memoizedQueries: Set[String] = TextQueries.memoized
 }

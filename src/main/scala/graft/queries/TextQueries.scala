@@ -29,6 +29,10 @@ object TextQueries {
   private val pairGraphCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
 
+  /** Query keys whose plans read [[pairGraphCache]] — surfaced through
+    * `SparkEntry.memoizedQueries` so Bench can flag them in its artifact. */
+  val memoized: Set[String] = Set("dedup_components", "dedup_keep_representatives")
+
   /** The shared component LABELS. Only the labels survive in the memo:
     * both consumers read labels exclusively, so the pair frame's
     * checkpoint blocks are released as soon as the labeling materializes

@@ -30,8 +30,11 @@ object DocStoreSink {
     *
     * Contract: each side holds at most one row per key (dedup upstream
     * with `Clean.dedupByKey` otherwise — same contract as
-    * `Normalize.upsert`). Pure transform — unit-tested directly and
-    * exposed through the `etl_doc_merge` oracle query. */
+    * `Normalize.upsert`) — ENFORCED: per-side row counts ride the same
+    * aggregation (zero extra shuffle) and a violated key raises at
+    * execution instead of letting an arbitrary scalar row win silently.
+    * Pure transform — unit-tested directly and exposed through the
+    * `etl_doc_merge` oracle query. */
   def mergeDocs(base: DataFrame, updates: DataFrame, key: String,
                 arrayCol: String): DataFrame = {
     require(base.columns.sorted.sameElements(updates.columns.sorted),
@@ -44,23 +47,39 @@ object DocStoreSink {
     // rerun-stable
     val mergedArray =
       sort_array(array_distinct(flatten(collect_list(col(arrayCol))))).as(arrayCol)
+    // dup-key guard: counted inside the one aggregation pass, raised through
+    // the key column (coalesce keeps it in the plan — NullType when-branch
+    // never matches on healthy input)
+    val sideCounts = Seq(
+      sum(when(col("__src") === 0, 1).otherwise(0)).as("__n_upd"),
+      sum(when(col("__src") === 1, 1).otherwise(0)).as("__n_base"))
+    val guardedKey = coalesce(
+      when(col("__n_upd") > 1 || col("__n_base") > 1,
+        raise_error(concat(lit(s"mergeDocs: >1 row for key in one side ($key="),
+          col(key).cast("string"), lit(") — dedup upstream")))),
+      col(key)).as(key)
     val grouped =
       if (scalars.isEmpty)
-        tagged.groupBy(col(key)).agg(mergedArray)
+        tagged.groupBy(col(key)).agg(mergedArray, sideCounts: _*)
+          .select(guardedKey, col(arrayCol))
       else
         tagged.groupBy(col(key))
           // min_by over the whole struct keeps the winning row's scalars
           // ATOMIC (no cross-row column mixing on malformed dup-key input)
-          .agg(min_by(struct(scalars.map(col): _*), col("__src")).as("__doc"), mergedArray)
-          .select(col(key) +:
+          .agg(min_by(struct(scalars.map(col): _*), col("__src")).as("__doc"),
+            mergedArray +: sideCounts: _*)
+          .select(guardedKey +:
             scalars.map(c => col("__doc").getField(c).as(c)) :+ col(arrayCol): _*)
     grouped.select(base.columns.map(col): _*)
   }
 
   /** One row per key with the array column canonicalized — what an initial
-    * load writes so that later merges compare equal element-wise. */
-  private def canonical(df: DataFrame, arrayCol: String): DataFrame =
-    df.withColumn(arrayCol, sort_array(array_distinct(col(arrayCol))))
+    * load writes so that later merges compare equal element-wise. Routed
+    * through [[mergeDocs]] against an empty base so the dup-key guard
+    * covers the first load too (a narrow canonicalize would let duplicate
+    * keys straight into the doc table). */
+  private def canonical(df: DataFrame, key: String, arrayCol: String): DataFrame =
+    mergeDocs(df.limit(0), df, key, arrayCol)
 
   /** Upsert documents into a parquet-backed doc table with
     * [[mergeDocs]] semantics, using the same crash-safe atomic swap as
@@ -73,7 +92,7 @@ object DocStoreSink {
                      partitionCols: Seq[String]): Unit =
     ParquetSink.swapWrite(spark, path, partitionCols) {
       case Some(base) => mergeDocs(base, updates, key, arrayCol)
-      case None       => canonical(updates, arrayCol)
+      case None       => canonical(updates, key, arrayCol)
     }
 
   /** Streaming form of the reference's continuous review load: pass to
@@ -90,7 +109,9 @@ object DocStoreSink {
     // (plain nestCollect) would drop them and the partitioned write below
     // would fail on its first micro-batch. They become per-doc scalars
     // (update wins on conflict), so they must be functionally dependent on
-    // the key within a batch.
+    // the key within a batch — a batch violating that yields >1 doc row
+    // per key here, which mergeDocs' fused dup-key guard raises on (the
+    // constraint is enforced, not just documented).
     val docs = batch.groupBy((key +: partitionCols).map(col): _*)
       .agg(sort_array(collect_list(struct(nested.map(col): _*))).as(arrayCol))
     upsertDocsInto(batch.sparkSession, path, docs, key, arrayCol, partitionCols)

@@ -24,5 +24,16 @@ object Inventory {
     val stale = (tableKeys -- queries).toSeq.sorted
     if (stale.nonEmpty) println(s"STALE SURVEY ROWS (no such query): ${stale.mkString(", ")}")
     else println("survey: every §2 table row maps to a live query key")
+    // README carries one headline count too — it drifted in the same PR
+    // that added this checker (round-4 advice), so check it mechanically
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    "(\\d+) oracle-checked queries".r.findFirstMatchIn(readme) match {
+      case Some(m) if m.group(1).toInt == queries.size =>
+        println("readme: headline count matches")
+      case Some(m) =>
+        println(s"README STALE: says ${m.group(1)} queries, code has ${queries.size}")
+      case None => println("README: no 'N oracle-checked queries' line found")
+    }
   }
 }

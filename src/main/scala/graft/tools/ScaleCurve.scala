@@ -35,7 +35,11 @@ object ScaleCurve {
     val par = spark.sparkContext.defaultParallelism
 
     val alphabet = "abcdefghijklmnopqrstuvwxyz"
-    def blowUp(docs: DataFrame, factor: Int): DataFrame =
+    def blowUp(docs: DataFrame, factor: Int): DataFrame = {
+      // shift = k % 26 means copies k and k+26 would share a Caesar map and
+      // reintroduce the quadratic cross-copy dup mass this tool exists to
+      // avoid — refuse factors the 26-cycle can't keep disjoint
+      require(factor <= 26, s"blowUp: factor $factor > 26 would reuse Caesar maps")
       (0 until factor).map { k =>
         val shift = k % 26
         docs.select((col("doc_id") * factor + k).as("doc_id"),
@@ -43,6 +47,7 @@ object ScaleCurve {
             alphabet.drop(shift) + alphabet.take(shift)).as("text"),
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _)
+    }
 
     val base01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val base1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")

@@ -22,10 +22,19 @@ object GraftShim {
     * works on projected/filtered views of a checkpoint too (a top-node
     * match alone silently no-ops on `ck.drop(...)` — the trap the round-4
     * review caught in Components). Callers own the safety argument: no
-    * other live frame may share those checkpoint leaves. */
-  def unpersistCheckpoint(df: Dataset[_]): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false): Unit
-      case _ => ()
+    * other live frame may share those checkpoint leaves — and must state
+    * it via `expectedLeaves`: if the plan holds MORE checkpoint leaves
+    * than the caller claimed (e.g. a view joining the intended checkpoint
+    * with a second one some other consumer still reads), this throws
+    * instead of silently releasing a stranger's blocks. */
+  def unpersistCheckpoint(df: Dataset[_], expectedLeaves: Int = 1): Unit = {
+    val leaves = df.queryExecution.analyzed.collect {
+      case lr: execution.LogicalRDD => lr.rdd
     }
+    require(leaves.size <= expectedLeaves,
+      s"unpersistCheckpoint: plan holds ${leaves.size} checkpoint leaves but the " +
+        s"caller claimed $expectedLeaves — refusing to release blocks another " +
+        "consumer may still hold; pass the real count if all are yours")
+    leaves.foreach(_.unpersist(blocking = false))
+  }
 }

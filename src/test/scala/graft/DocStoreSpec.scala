@@ -122,4 +122,36 @@ class DocStoreSpec extends SparkSpec {
       DocStoreSink.mergeDocs(base, upd, "id", "name")
     }
   }
+
+  test("mergeDocs raises on duplicate keys within one side instead of merging silently") {
+    val clean = toDocs(Seq(doc(1L, "a", Seq((10L, "x")))))
+    val dup = toDocs(Seq(
+      doc(2L, "b", Seq((20L, "y"))),
+      doc(2L, "b-conflict", Seq((21L, "z")))))
+    // dup keys in the UPDATES side
+    val e1 = intercept[Exception] {
+      DocStoreSink.mergeDocs(clean, dup, "id", "reviews").collect()
+    }
+    assert(e1.getMessage.contains(">1 row for key"), s"got: ${e1.getMessage}")
+    // dup keys in the BASE side
+    val e2 = intercept[Exception] {
+      DocStoreSink.mergeDocs(dup, clean, "id", "reviews").collect()
+    }
+    assert(e2.getMessage.contains(">1 row for key"))
+    // healthy input still merges (the guard costs no correctness)
+    val ok = DocStoreSink.mergeDocs(clean, toDocs(Seq(doc(2L, "b", Seq((20L, "y"))))),
+      "id", "reviews")
+    assert(ok.count() === 2)
+  }
+
+  test("initial doc load with duplicate keys raises instead of writing dup docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docdup").toString + "/docs"
+    val dup = toDocs(Seq(
+      doc(1L, "a", Seq((10L, "x"))),
+      doc(1L, "a2", Seq((11L, "y")))))
+    intercept[Exception] {
+      DocStoreSink.upsertDocsInto(spark, dir, dup, "id", "reviews", Nil)
+    }
+    assert(!new java.io.File(dir).exists(), "failed first load must leave no table behind")
+  }
 }

@@ -62,6 +62,24 @@ class RecoverySpec extends SparkSpec {
       "a projected view must still release its underlying checkpoint RDD")
   }
 
+  test("unpersistCheckpoint refuses a plan with more checkpoint leaves than claimed") {
+    val ckA = spark.range(0, 100).toDF("id").localCheckpoint()
+    val ckB = spark.range(50, 150).toDF("id").localCheckpoint()
+    val joined = ckA.join(ckB, "id")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // default claim is ONE leaf: a derived frame secretly holding a second
+    // live checkpoint must throw, not release a stranger's blocks
+    val e = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.GraftShim.unpersistCheckpoint(joined)
+    }
+    assert(e.getMessage.contains("2 checkpoint leaves"))
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "a refused release must not have unpersisted anything")
+    // an honest claim releases both
+    org.apache.spark.sql.GraftShim.unpersistCheckpoint(joined, expectedLeaves = 2)
+    assert(spark.sparkContext.getPersistentRDDs.size === before - 2)
+  }
+
   // ---- ivfSearch single-query guard ----
 
   test("ivfSearch rejects a multi-row and an empty query frame") {
