@@ -45,25 +45,89 @@ object HashUtil {
   }
 
   /** Fused char-n-gram shingle → 31-bit-hash set: one pass over the text,
-    * one md5 per position, dedup + ascending sort via TreeSet — replaces
-    * the four-op HOF pipeline (substring transform, distinct, hash
-    * transform, sort) and its per-shingle string allocations. Value-
-    * identical to `array_sort(array_distinct(transform(shingles,
-    * md5prefix31)))` over `charShingles(text, n)`. */
+    * one md5 per position, dedup + ascending sort — replaces the four-op
+    * HOF pipeline (substring transform, distinct, hash transform, sort)
+    * and its per-shingle string allocations. Value-identical to
+    * `array_sort(array_distinct(transform(shingles, md5prefix31)))` over
+    * `charShingles(text, n)`.
+    *
+    * Allocation profile (this sits under ~10M calls per 5k docs): the
+    * text's bytes are materialized ONCE, each shingle is digested straight
+    * from that buffer via (offset, length) — no per-shingle UTF8String or
+    * byte[] — the 16-byte digest lands in a reused thread-local buffer,
+    * and dedup+sort runs on a primitive long[] (sort + unique scan)
+    * instead of a boxing TreeSet. Shingle positions step CODE POINTS (the
+    * same positions `substring` would produce): for pure-ASCII text byte
+    * offsets are char offsets; multi-byte text walks UTF-8 lead bytes. */
+  private val digestBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
+
+  /** UTF-8 length of the code point starting at `b(i)` — delegated to
+    * Spark's own table so char stepping is bit-identical to `substring`'s
+    * (including its treatment of invalid lead bytes). */
+  @inline private def cpLen(b: Array[Byte], i: Int): Int =
+    UTF8String.numBytesForFirstByte(b(i))
+
   def shingleHashes31(s: UTF8String, n: Int): ArrayData = {
-    val len = s.numChars()
-    if (len < n) return new GenericArrayData(Array.empty[Any])
-    val set = new java.util.TreeSet[java.lang.Long]()
-    var i = 1
-    while (i <= len - n + 1) {
-      set.add(md5Prefix31(s.substringSQL(i, n)))
-      i += 1
+    val bytes = s.getBytes
+    // char starts: for ASCII, identity; else walk UTF-8 lead bytes once
+    var nChars = 0
+    var ascii = true
+    var i = 0
+    while (i < bytes.length) {
+      val step = cpLen(bytes, i)
+      if (step > 1) ascii = false
+      i += step
+      nChars += 1
     }
-    val out = new Array[Any](set.size)
-    val it = set.iterator()
+    if (nChars < n) return new GenericArrayData(Array.empty[Any])
+    val nOut = nChars - n + 1
+    val hs = new Array[Long](nOut)
+    val md = md5Pool.get()
+    val out16 = digestBuf.get()
+    if (ascii) {
+      var p = 0
+      while (p < nOut) {
+        md.reset()
+        md.update(bytes, p, n)
+        md.digest(out16, 0, 16)
+        val u = ((out16(0) & 0xffL) << 24) | ((out16(1) & 0xffL) << 16) |
+          ((out16(2) & 0xffL) << 8) | (out16(3) & 0xffL)
+        hs(p) = u % 2147483647L
+        p += 1
+      }
+    } else {
+      // starts(c) = byte offset of char c; shingle c spans starts(c) until
+      // starts(c+n) (exclusive)
+      val starts = new Array[Int](nChars + 1)
+      var c = 0
+      var b = 0
+      while (b < bytes.length) { starts(c) = b; b += cpLen(bytes, b); c += 1 }
+      starts(nChars) = bytes.length
+      var p = 0
+      while (p < nOut) {
+        md.reset()
+        md.update(bytes, starts(p), starts(p + n) - starts(p))
+        md.digest(out16, 0, 16)
+        val u = ((out16(0) & 0xffL) << 24) | ((out16(1) & 0xffL) << 16) |
+          ((out16(2) & 0xffL) << 8) | (out16(3) & 0xffL)
+        hs(p) = u % 2147483647L
+        p += 1
+      }
+    }
+    java.util.Arrays.sort(hs)
+    // in-place unique scan over the sorted primitives
+    var w = 0
+    var r = 0
+    while (r < nOut) {
+      if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    val boxed = new Array[Any](w)
     var j = 0
-    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
-    new GenericArrayData(out)
+    while (j < w) { boxed(j) = hs(j); j += 1 }
+    new GenericArrayData(boxed)
   }
 
   /** Intersection size of two SORTED long arrays by linear merge — no
@@ -82,6 +146,21 @@ object HashUtil {
       if (x == y) { c += 1; i += 1; j += 1 }
       else if (x < y) i += 1
       else j += 1
+    }
+    c
+  }
+
+  /** Count of positions where two equal-length long arrays agree —
+    * the minhash-signature agreement statistic (agree/k is an unbiased
+    * jaccard estimator with sd sqrt(j(1-j)/k)). Null elements never
+    * match. */
+  def positionalAgree(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var c = 0L
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
     }
     c
   }
@@ -174,6 +253,28 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Positional agreement count of two minhash signatures (see
+  * HashUtil.positionalAgree). */
+case class PositionalAgree(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"expects two ARRAY<BIGINT>, got ${l.simpleString} and ${r.simpleString}")
+    }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashUtil.positionalAgree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.HashUtil.positionalAgree($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Sorted distinct 31-bit shingle-hash set of a text column (see
   * HashUtil.shingleHashes31). */
 case class ShingleHashes31(child: Expression, n: Int) extends UnaryExpression {
@@ -204,4 +305,6 @@ object HashExpressions {
     GraftShim.column(MinHashSig(GraftShim.expression(hashes), k))
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftShim.column(SortedIntersectCount(GraftShim.expression(a), GraftShim.expression(b)))
+  def positionalAgree(a: Column, b: Column): Column =
+    GraftShim.column(PositionalAgree(GraftShim.expression(a), GraftShim.expression(b)))
 }

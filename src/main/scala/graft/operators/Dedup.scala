@@ -101,6 +101,17 @@ object Dedup {
       .select("id_a", "id_b", "na", "nb").distinct()
   }
 
+  /** Signature-agreement floor for the verification prefilter: a pair with
+    * true jaccard ≥ τ has expected agreement τ·k with sd sqrt(τ(1−τ)k), so
+    * requiring agree ≥ floor(k·τ − 5·sqrt(τ(1−τ)k)) rejects essentially no
+    * true pair (P < 1e-6 at k=128, τ=0.8) while discarding the j≈0.5
+    * band-collision mass (its agreement sits ~4σ below the floor). A
+    * DETERMINISTIC function of the two texts — the DuckDB oracle replays
+    * it exactly, so this is part of the operator's definition, not a
+    * heuristic. */
+  def minAgree(k: Int, threshold: Double): Int =
+    math.floor(k * threshold - 5 * math.sqrt(threshold * (1 - threshold) * k)).toInt
+
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       threshold: Double, k: Int = 128, rowsPerBand: Int = 8,
                       shingleN: Int = 3, sketchParallelism: Int = 0,
@@ -108,12 +119,25 @@ object Dedup {
     val m = minhashed(fanOut(df, sketchParallelism), textCol, idCol, k, rowsPerBand, shingleN)
       .filter(size(col("hs")) > 0).cache()
     val candidates = minhashBandCandidates(m, idCol, threshold, maxBandBucket)
-    // verification re-joins the (small per-candidate) hash arrays by id;
-    // |A∩B| via native merge over the sorted arrays, and
-    // |A∪B| = |A| + |B| − |A∩B| — value-identical to
+    // Verification is TWO-STAGE to keep the big exchange small. Stage 1
+    // joins only the fixed-size signatures (k longs) and drops candidates
+    // whose positional agreement can't support j ≥ τ — at τ=0.8 this
+    // discards ~99.9% of band collisions, so the expensive stage 2 join of
+    // the full shingle arrays (unbounded, ~10-100× a signature) runs over
+    // a candidate set the size of the true pair set. At corpus scale the
+    // array join is THE verify bottleneck: shipping arrays to every raw
+    // band collision is O(candidates·doc_len) shuffle bytes.
+    val agree = graft.expressions.HashExpressions.positionalAgree(col("sig_a"), col("sig_b"))
+    val plausible = candidates
+      .join(m.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(m.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .filter(agree >= minAgree(k, threshold))
+      .select("id_a", "id_b", "na", "nb")
+    // stage 2: exact verify — |A∩B| via native merge over the sorted
+    // arrays, |A∪B| = |A| + |B| − |A∩B| — value-identical to
     // size(array_intersect)/size(array_union) on distinct arrays
     val inter = graft.expressions.HashExpressions.sortedIntersectCount(col("sh_a"), col("sh_b"))
-    val out = candidates
+    val out = plausible
       .join(m.select(col(idCol).as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
       .join(m.select(col(idCol).as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
       .withColumn("inter", inter)

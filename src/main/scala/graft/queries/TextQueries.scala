@@ -259,6 +259,18 @@ object TextQueries {
     s"list_min(list_transform($listExpr, h -> ($a*h + $b) % 2147483647))"
   }
 
+  /** The 128-slot signature as a DuckDB list (for the agreement replay). */
+  private val duckSigList = (0 until 128).map(j => s"m$j").mkString("[", ", ", "]")
+
+  /** Replay of the operator's signature-agreement prefilter
+    * (`Dedup.minAgree`): count of positions where two signatures agree —
+    * deterministic in both engines, so it is part of the LSH operator's
+    * definition, not a lossy heuristic. */
+  private def duckSigAgree(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 129), i -> CASE WHEN " +
+      s"$a.sg[CAST(i AS INT)] = $b.sg[CAST(i AS INT)] THEN 1 ELSE 0 END)) >= " +
+      graft.operators.Dedup.minAgree(128, 0.8)
+
   private val duckSimhashHashes =
     "list_transform(string_split(text, ' '), w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT))"
 
@@ -302,11 +314,12 @@ object TextQueries {
       }.mkString("[", ", ", "]")
       s"""WITH sh AS (SELECT doc_id, $duckShingleHashes AS hs FROM documents WHERE len(text) >= 3),
             sig AS (SELECT doc_id, hs AS s, $ms FROM sh),
-            banded AS (SELECT doc_id, s, $bands AS bands FROM sig)
+            banded AS (SELECT doc_id, s, $duckSigList AS sg, $bands AS bands FROM sig)
           SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, $duckJaccardRaw AS j
             FROM banded a JOIN banded b
-              ON a.doc_id < b.doc_id AND len(list_intersect(a.bands, b.bands)) > 0)
+              ON a.doc_id < b.doc_id AND len(list_intersect(a.bands, b.bands)) > 0
+             AND ${duckSigAgree("a", "b")})
           WHERE j >= 0.8"""
     },
     "dedup_ngram_jaccard" ->
@@ -481,11 +494,12 @@ object TextQueries {
                      FROM documents) WHERE doc_id = keep),
             sh AS (SELECT doc_id, $duckShingleHashes AS hs FROM ek WHERE len(text) >= 3),
             sig AS (SELECT doc_id, hs AS s, $ms FROM sh),
-            banded AS (SELECT doc_id, s, $bands AS bands FROM sig),
+            banded AS (SELECT doc_id, s, $duckSigList AS sg, $bands AS bands FROM sig),
             p AS (SELECT id_a, id_b FROM (
                     SELECT a.doc_id AS id_a, b.doc_id AS id_b, $duckJaccardRaw AS j
                     FROM banded a JOIN banded b
-                      ON a.doc_id < b.doc_id AND len(list_intersect(a.bands, b.bands)) > 0)
+                      ON a.doc_id < b.doc_id AND len(list_intersect(a.bands, b.bands)) > 0
+                     AND ${duckSigAgree("a", "b")})
                   WHERE j >= 0.8),
             e AS (SELECT id_a AS es, id_b AS ed FROM p
                   UNION SELECT id_b, id_a FROM p),
