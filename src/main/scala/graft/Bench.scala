@@ -13,6 +13,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional args = query names: bench only those (local iteration on one
+    // query without paying the full suite); no args = the full suite
+    val only: Set[String] = args.toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
@@ -35,7 +38,9 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val times = (1 to passes).flatMap { _ =>
         // no cross-query (or cross-pass) state: drop cached frames and nudge
         // the collector so leaked blocks from a prior query can't tax this one
@@ -75,8 +80,10 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"memoized":$memoJson,"passes":$passes,"sf":"$sfDir"}"""
     println(line)
     // append to the repo-tracked history so later rounds can diff per-query
-    // regressions mechanically; never let history I/O fail the bench
-    try {
+    // regressions mechanically; never let history I/O fail the bench.
+    // Filtered (partial) runs stay out of history — their totals aren't
+    // comparable with full-suite entries.
+    try { if (only.isEmpty) {
       val hist = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_HISTORY", "bench_history.jsonl"))
       // history (not the driver artifact) also carries every raw pass time,
@@ -85,7 +92,7 @@ object Bench {
         line.drop(1) + "\n"
       java.nio.file.Files.write(hist, stamped.getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    } catch { case _: Throwable => () }
+    } } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -26,5 +26,5 @@ object SparkEntry {
     * memoized result, not rebuilding it — the build cost lands in the
     * FIRST pass of the first such query (visible in pass_times). Bench
     * flags them in its JSON so cross-round timing diffs aren't misread. */
-  def memoizedQueries: Set[String] = TextQueries.memoized
+  def memoizedQueries: Set[String] = TextQueries.memoized ++ SimQueries.memoized
 }

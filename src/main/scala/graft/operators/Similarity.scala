@@ -148,9 +148,28 @@ object Similarity {
     * row itself when it is part of `df` (same convention as [[topK]]). */
   def ivfSearch(df: DataFrame, vecCol: String, idCol: String,
                 centroids: DataFrame, cIdCol: String,
-                query: DataFrame, k: Int, nProbe: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val assigned = ivfAssign(df, vecCol, idCol, centroids, cIdCol, keepVec = true)
+                query: DataFrame, k: Int, nProbe: Int = 1): DataFrame =
+    ivfSearchAssigned(ivfAssign(df, vecCol, idCol, centroids, cIdCol, keepVec = true),
+      idCol, centroids, cIdCol, vecCol, query, k, nProbe)
+
+  /** [[ivfSearch]] over an ALREADY-ASSIGNED corpus — the entry point for a
+    * prebuilt [[graft.sinks.AnnStore]]: `assigned` carries (idCol,
+    * centroid_id, v).
+    *
+    * Probe routing is DRIVER-SIDE by design: ranking K centroids against
+    * ONE query vector is a constant-size problem (one crossJoin of a row
+    * with K broadcast rows), and collecting the nProbe winning ids lets
+    * the cluster filter be a foldable `IN` predicate — on a
+    * centroid-partitioned store that is STATIC partition pruning, the
+    * planner lists only the probed directories before reading a byte.
+    * (The join-based alternative needs dynamic partition pruning, whose
+    * broadcast-reuse heuristics are planner-version-dependent; a
+    * query-layer route of ≤ nProbe ints is how production vector stores
+    * do it. The collect here is bounded by nProbe — it is routing
+    * metadata, not data.) AnnStoreSpec proves the pruned scan. */
+  def ivfSearchAssigned(assigned: DataFrame, idCol: String,
+                        centroids: DataFrame, cIdCol: String, vecCol: String,
+                        query: DataFrame, k: Int, nProbe: Int = 1): DataFrame = {
     // single-query contract: the result schema carries no query id, so a
     // multi-row `query` would silently select nProbe probes across ALL
     // queries combined — enforce it. Deliberate fail-fast tradeoff: the
@@ -162,17 +181,16 @@ object Similarity {
     require(query.limit(2).count() == 1,
       "ivfSearch expects exactly one query row; for batched queries carry a query id and rank per query")
     val c = broadcast(centroids.select(col(cIdCol).as("q_cid"), asDouble(col(vecCol)).as("c_v")))
-    val probes = query.select(asDouble(col(vecCol)).as("q_v"))
+    val probeIds = query.select(asDouble(col(vecCol)).as("q_v"))
       .crossJoin(c)
-      .select(col("q_cid"), col("q_v"),
-        round(cosine(col("q_v"), col("c_v")), 6).as("q_sim"))
-      .withColumn("rn", row_number().over(
-        // partitioned by the query vector: correct for the enforced one-row
-        // query, and the rank never funnels through one global partition
-        Window.partitionBy(col("q_v")).orderBy(col("q_sim").desc, col("q_cid"))))
-      .filter(col("rn") <= nProbe)
-      .select(col("q_cid"), col("q_v"))
-    assigned.join(broadcast(probes), col("centroid_id") === col("q_cid"))
+      .select(col("q_cid"), round(cosine(col("q_v"), col("c_v")), 6).as("q_sim"))
+      .orderBy(col("q_sim").desc, col("q_cid"))
+      .limit(nProbe)
+      .collect().map(_.get(0))
+    val q = broadcast(query.select(asDouble(col(vecCol)).as("q_v")))
+    assigned
+      .filter(col("centroid_id").isin(probeIds: _*))
+      .crossJoin(q)
       .select(col(idCol), round(cosine(col("v"), col("q_v")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)

@@ -130,6 +130,22 @@ object EtlQueries {
       single.unionByName(ref)
     }),
 
+    // SCD type-2 history build: the reference's upsert-on-id load keeps
+    // only the latest state (Listings_ETL.py:143-151); the lake-native form
+    // keeps every state TRANSITION as a versioned row. Orders act as a
+    // change feed of each customer's priority: runs of identical
+    // observations collapse, each change opens a version with
+    // valid_from/valid_to/is_current
+    "etl_scd2" -> ((s, d) =>
+      graft.etl.Scd2.history(
+        t(s, d, "orders").select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"),
+        key = "o_custkey", ts = "o_orderdate", tiebreak = "o_orderkey",
+        attrs = Seq("o_orderpriority"))
+        .select(col("o_custkey"), col("o_orderpriority"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+          col("is_current"))),
+
     // numeric coercion, errors -> null (Review_ETL.py:77)
     "etl_numeric_coerce" -> ((s, d) =>
       t(s, d, "orders")
@@ -215,6 +231,20 @@ object EtlQueries {
                       / (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL), 6),
                 (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
                  AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0""",
+    "etl_scd2" ->
+      """WITH ob AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+                lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev,
+                row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+              FROM orders),
+            v AS (SELECT * FROM ob WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority),
+            h AS (SELECT o_custkey, o_orderpriority, o_orderdate AS vf,
+                lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS vt
+              FROM v)
+         SELECT o_custkey, o_orderpriority,
+                strftime(vf, '%Y-%m-%d') AS valid_from,
+                strftime(vt, '%Y-%m-%d') AS valid_to,
+                vt IS NULL AS is_current
+         FROM h""",
     "etl_numeric_coerce" ->
       """SELECT o_orderpriority, count(*) AS n,
                 CAST(sum(try_cast(regexp_extract(o_orderpriority, '(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_num,

@@ -253,6 +253,33 @@ object RelationalQueries {
         aggs = Seq(("sum_value_c", "sum", col("vc"))))
         .select(col("event_type"), col("n_rows"), money(col("sum_value_c")).as("sum_value"))),
 
+    // explicit GROUPING SETS: two independent 1-D aggregates in ONE scan —
+    // the non-hierarchical case neither ROLLUP nor CUBE expresses (Catalyst
+    // Expand still applies map-side partial aggregation per set)
+    "q_grouping_sets" -> ((s, d) => {
+      // sf-dir-tagged view name: same catalog-purity rule as q_scalar_subquery
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      t(s, d, "orders").createOrReplaceTempView(s"v_orders_gs_$tag")
+      s.sql(
+        s"""SELECT o_orderstatus, o_orderpriority, count(1) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+            FROM v_orders_gs_$tag
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""")
+    }),
+
+    // lag/lead change tracking: each order vs the customer's previous order
+    // — one window shuffle, exact integer-cent deltas
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          cents(col("o_totalprice")).as("pc"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          money(col("pc")).as("price"),
+          money(lag(col("pc"), 1).over(w)).as("prev_price"),
+          money(col("pc") - lag(col("pc"), 1).over(w)).as("delta"))
+    }),
+
     // calendar bucketing
     "q_date_trunc" -> ((s, d) =>
       t(s, d, "orders")
@@ -263,6 +290,19 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(pc AS DOUBLE)/100.0 AS price,
+                CAST(lag(pc) OVER w AS DOUBLE)/100.0 AS prev_price,
+                CAST(pc - lag(pc) OVER w AS DOUBLE)/100.0 AS delta
+         FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                      CAST(round(o_totalprice*100) AS BIGINT) AS pc FROM orders)
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
     "q_scalar_subquery" ->
       """SELECT o_orderkey, o_orderstatus,
                 (SELECT coalesce(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0, 0.0)

@@ -11,6 +11,31 @@ import Common._
   */
 object SimQueries {
 
+  /** Query keys that read [[annStoreCache]] — their bench medians measure
+    * searching a PREBUILT store (the production shape: assign once at
+    * ingest, query many); the one-time build cost lands in the first pass. */
+  val memoized: Set[String] = Set("sim_ann_pruned")
+
+  /** One centroid-partitioned [[graft.sinks.AnnStore]] per (application,
+    * sf dir), built on first use — same memo discipline as
+    * `TextQueries.pairGraphCache` (keyed by appId so a restarted session
+    * rebuilds; `computeIfAbsent` is atomic per key, so concurrent callers
+    * on one dir share a single write). */
+  private val annStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def centroids(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "embeddings").filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid")
+
+  private def annStore(s: org.apache.spark.sql.SparkSession, d: String): String =
+    annStoreCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
+      val assigned = Similarity.ivfAssign(t(s, d, "embeddings"), "embedding", "vec_id",
+        centroids(s, d), "cid", keepVec = true)
+      val path = java.nio.file.Files.createTempDirectory("graft_ann").toString + "/store"
+      graft.sinks.AnnStore.write(assigned, path)
+      path
+    })
+
   val defs: Map[String, QFn] = Map(
     // scale path: IVF-assign each vector to its nearest centroid (zero
     // shuffle), then near-dup pairs only WITHIN a centroid bucket — the
@@ -56,6 +81,19 @@ object SimQueries {
         query = e.filter(col("vec_id") === 0), k = 10, nProbe = 2)
     }),
 
+    // ANN over the PREBUILT centroid-partitioned store: assignment was
+    // paid once at ingest (memoized write above); the probe join's
+    // dynamic partition pruning means the scan reads only the 2 probed
+    // clusters' directories — the 100 TB path sim_ann_search's Scaladoc
+    // promises, realized and plan-spec-proven (AnnStoreSpec)
+    "sim_ann_pruned" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfSearchAssigned(
+        graft.sinks.AnnStore.read(s, annStore(s, d)), "vec_id",
+        centroids(s, d), "cid", "embedding",
+        query = e.filter(col("vec_id") === 1), k = 10, nProbe = 2)
+    }),
+
     // BATCHED ANN: one top-k per query row, all queries in one plan (no
     // per-query jobs, no driver loop) — the API the single-query guard
     // points to
@@ -80,6 +118,30 @@ object SimQueries {
 
   private val pairDot =
     fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)])")
+
+  /** ANN probe-2 top-10 oracle, parameterized by the query row id —
+    * shared by the raw-corpus and prebuilt-store forms. */
+  private def annSearchSql(qid: Int): String =
+    s"""WITH n AS (${normed(vecs)}),
+          c AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 8),
+          scored AS (
+            SELECT a.vec_id, c.centroid_id,
+                   round(${fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * c.v[CAST(i AS INT)])")} / (a.nrm * c.nrm), 6) AS sim
+            FROM n a CROSS JOIN c),
+          assigned AS (
+            SELECT vec_id, centroid_id FROM scored
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1),
+          na AS (SELECT n.vec_id, n.v, n.nrm, a.centroid_id
+                 FROM n JOIN assigned a ON n.vec_id = a.vec_id),
+          qa AS (SELECT centroid_id FROM scored WHERE vec_id = $qid
+                 QUALIFY row_number() OVER (ORDER BY sim DESC, centroid_id) <= 2),
+          q AS (SELECT v, nrm FROM n WHERE vec_id = $qid)
+        SELECT vec_id, cosine FROM (
+          SELECT a.vec_id,
+                 round($pairDot / (a.nrm * b.nrm), 6) AS cosine
+          FROM na a CROSS JOIN (SELECT v, nrm FROM q) b
+          JOIN qa ON a.centroid_id = qa.centroid_id)
+        QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id) <= 10"""
 
   val oracle: Map[String, String] = Map(
     "dedup_embedding" ->
@@ -138,27 +200,10 @@ object SimQueries {
                    (a, b) -> (a*131 + b) % 2147483647) AS code_fp,
                  CAST(list_sum(cs) AS BIGINT) AS code_sum
           FROM codes""",
-    "sim_ann_search" ->
-      s"""WITH n AS (${normed(vecs)}),
-            c AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 8),
-            scored AS (
-              SELECT a.vec_id, c.centroid_id,
-                     round(${fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * c.v[CAST(i AS INT)])")} / (a.nrm * c.nrm), 6) AS sim
-              FROM n a CROSS JOIN c),
-            assigned AS (
-              SELECT vec_id, centroid_id FROM scored
-              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1),
-            na AS (SELECT n.vec_id, n.v, n.nrm, a.centroid_id
-                   FROM n JOIN assigned a ON n.vec_id = a.vec_id),
-            qa AS (SELECT centroid_id FROM scored WHERE vec_id = 0
-                   QUALIFY row_number() OVER (ORDER BY sim DESC, centroid_id) <= 2),
-            q AS (SELECT v, nrm FROM n WHERE vec_id = 0)
-          SELECT vec_id, cosine FROM (
-            SELECT a.vec_id,
-                   round($pairDot / (a.nrm * b.nrm), 6) AS cosine
-            FROM na a CROSS JOIN (SELECT v, nrm FROM q) b
-            JOIN qa ON a.centroid_id = qa.centroid_id)
-          QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id) <= 10""",
+    "sim_ann_search" -> annSearchSql(qid = 0),
+    // identical SEMANTICS to sim_ann_search (different query row): the
+    // partitioned store changes the physical plan, never the answer
+    "sim_ann_pruned" -> annSearchSql(qid = 1),
     "sim_ann_batch" ->
       s"""WITH n AS (${normed(vecs)}),
             c AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 8),

@@ -134,6 +134,31 @@ object TextQueries {
       graft.etl.Chunking.chunkWindows(t(s, d, "documents"), "text", "doc_id",
         size = 32, stride = 24)),
 
+    // benchmark decontamination: docs sharing any word-3-gram hash with
+    // the held-out "benchmark" subset (doc_id % 97 = 0) are flagged with
+    // their distinct-collision count — the n-gram-overlap guard against
+    // eval-set leakage in a training corpus. Benchmark grams broadcast;
+    // the corpus is filtered map-side and only hits reach the shuffle.
+    "ta_decontaminate" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      graft.operators.Decontaminate.overlap(
+        doc, doc.filter(col("doc_id") % 97 === 0), "text", "doc_id", n = 3)
+    }),
+
+    // corpus boilerplate mining: top-5 word-2-grams per lang by DOCUMENT
+    // frequency (distinct per doc, so a spammy doc can't dominate) — the
+    // signal behind boilerplate-strip lists; classic word-count shuffle
+    // with map-side partial aggregation, then a tiny per-lang top-k window
+    "ta_ngram_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = t(s, d, "documents")
+        .select(col("lang"), explode(array_distinct(wordNgrams(col("text"), 2))).as("gram"))
+      val w = Window.partitionBy("lang").orderBy(col("df").desc, col("gram"))
+      g.groupBy("lang", "gram").agg(count(lit(1)).as("df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+    }),
+
     "ta_langid" -> ((s, d) => {
       val doc = t(s, d, "documents")
       val scored = doc.select(col("doc_id") +: col("lang") +:
@@ -420,6 +445,25 @@ object TextQueries {
                 CAST(len(list_slice(ws, CAST(r.i*24 + 1 AS INT), CAST(r.i*24 + 32 AS INT))) AS INT) AS n_tokens,
                 md5(array_to_string(list_slice(ws, CAST(r.i*24 + 1 AS INT), CAST(r.i*24 + 32 AS INT)), ' ')) AS chunk_hash
          FROM w, unnest(range(0, ((len(ws) - 1) // 24) + 1)) AS r(i)""",
+    "ta_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+                    i -> CAST(concat('0x', substr(md5(ws[CAST(i AS INT)] || '_' || ws[CAST(i AS INT)+1] || '_' || ws[CAST(i AS INT)+2]), 1, 8)) AS BIGINT) % 2147483647))) AS gh
+                  FROM w),
+            b AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0)
+         SELECT doc_id, count(*) AS n_hit_grams
+         FROM g JOIN b USING (gh) GROUP BY doc_id""",
+    "ta_ngram_topk" ->
+      """WITH w AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+            g AS (SELECT lang, unnest(list_distinct(list_transform(range(1, len(ws)),
+                    i -> ws[CAST(i AS INT)] || '_' || ws[CAST(i AS INT)+1]))) AS gram
+                  FROM w),
+            c AS (SELECT lang, gram, count(*) AS df FROM g GROUP BY 1, 2)
+         SELECT lang, gram, df, rank FROM (
+           SELECT lang, gram, df,
+                  row_number() OVER (PARTITION BY lang ORDER BY df DESC, gram) AS rank
+           FROM c)
+         WHERE rank <= 5""",
     "ta_langid" -> {
       val scores = langProfiles.map { case (l, ws) =>
         val set = ws.map(w => s"'$w'").mkString(", ")
