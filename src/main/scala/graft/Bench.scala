@@ -16,6 +16,10 @@ object Bench {
     // optional args = query names: bench only those (local iteration on one
     // query without paying the full suite); no args = the full suite
     val only: Set[String] = args.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    // fail fast on a typo'd name: a silently-empty filter would print a
+    // 0-second "total" artifact indistinguishable from a real run
+    require(unknown.isEmpty, s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
@@ -77,7 +81,10 @@ object Bench {
     // — flagged so cross-round deltas on them aren't misread as speedups
     val memoJson = SparkEntry.memoizedQueries.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"memoized":$memoJson,"passes":$passes,"sf":"$sfDir"}"""
+    // partial (filtered) runs are marked so their line can never be read
+    // as a full-suite total
+    val partialJson = if (only.isEmpty) "" else ""","partial":true"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"memoized":$memoJson,"passes":$passes$partialJson,"sf":"$sfDir"}"""
     println(line)
     // append to the repo-tracked history so later rounds can diff per-query
     // regressions mechanically; never let history I/O fail the bench.

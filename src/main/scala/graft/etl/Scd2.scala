@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   * single hash-partition Exchange reused by both sorts; no joins, no
   * driver-side state. Determinism: `tiebreak` orders same-timestamp
   * observations, so the version history is unique for any input order.
+  *
+  * Same-timestamp caveat: two versions opened at the SAME `ts` produce a
+  * zero-width interval (valid_from = valid_to) for the earlier one — the
+  * transition is recorded, but the canonical as-of lookup
+  * (`valid_from <= t AND (t < valid_to OR valid_to IS NULL)`) can never
+  * return it; only the tiebreak-last same-ts version is visible. That is
+  * the honest reading of a feed whose timestamp granularity can't order
+  * the two observations — coarsen-or-keep is the caller's call, via a
+  * higher-resolution `ts` or pre-collapsing same-ts runs.
   */
 object Scd2 {
 

@@ -166,10 +166,20 @@ object Similarity {
     * broadcast-reuse heuristics are planner-version-dependent; a
     * query-layer route of ≤ nProbe ints is how production vector stores
     * do it. The collect here is bounded by nProbe — it is routing
-    * metadata, not data.) AnnStoreSpec proves the pruned scan. */
+    * metadata, not data.) AnnStoreSpec proves the pruned scan.
+    *
+    * EAGER construction: this method runs two bounded driver jobs (the
+    * single-row guard and the probe route) when CALLED, not when the
+    * result is acted on — probe routing binds to the corpus/centroids as
+    * of the call. `assigned` must carry `centroid_id` and the vector as
+    * `v` — the shape `ivfAssign(keepVec = true)` and `AnnStore.read`
+    * produce (`vecCol` names the vector column of `centroids`/`query`,
+    * which usually keep the original corpus name); enforced below. */
   def ivfSearchAssigned(assigned: DataFrame, idCol: String,
                         centroids: DataFrame, cIdCol: String, vecCol: String,
                         query: DataFrame, k: Int, nProbe: Int = 1): DataFrame = {
+    require(Seq(idCol, "centroid_id", "v").forall(assigned.columns.contains),
+      s"`assigned` needs ($idCol, centroid_id, v) — the ivfAssign(keepVec=true) / AnnStore.read shape; got: ${assigned.columns.mkString(", ")}")
     // single-query contract: the result schema carries no query id, so a
     // multi-row `query` would silently select nProbe probes across ALL
     // queries combined — enforce it. Deliberate fail-fast tradeoff: the

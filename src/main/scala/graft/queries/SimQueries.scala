@@ -31,10 +31,19 @@ object SimQueries {
     annStoreCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
       val assigned = Similarity.ivfAssign(t(s, d, "embeddings"), "embedding", "vec_id",
         centroids(s, d), "cid", keepVec = true)
-      val path = java.nio.file.Files.createTempDirectory("graft_ann").toString + "/store"
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann")
+      // the store is a full copy of the embeddings table: without cleanup
+      // every Verify/Bench JVM would leave one behind in the temp dir
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir.toFile)))
+      val path = dir.toString + "/store"
       graft.sinks.AnnStore.write(assigned, path)
       path
     })
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
 
   val defs: Map[String, QFn] = Map(
     // scale path: IVF-assign each vector to its nearest centroid (zero
@@ -82,10 +91,10 @@ object SimQueries {
     }),
 
     // ANN over the PREBUILT centroid-partitioned store: assignment was
-    // paid once at ingest (memoized write above); the probe join's
-    // dynamic partition pruning means the scan reads only the 2 probed
-    // clusters' directories — the 100 TB path sim_ann_search's Scaladoc
-    // promises, realized and plan-spec-proven (AnnStoreSpec)
+    // paid once at ingest (memoized write above); the driver-routed probe
+    // ids become a STATIC partition filter, so the scan reads only the 2
+    // probed clusters' directories — the 100 TB path sim_ann_search's
+    // Scaladoc promises, realized and plan-spec-proven (AnnStoreSpec)
     "sim_ann_pruned" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.ivfSearchAssigned(

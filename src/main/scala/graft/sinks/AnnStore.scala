@@ -10,8 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * read. `Similarity.ivfSearch` computes the same answer from a raw
   * corpus; this store is the amortized form — assign once at ingest, and
   * every later query is a pruned scan (the claim is spec-proven: the
-  * executed probe plan carries a dynamic partition-pruning filter on
-  * `centroid_id` and reads only the probed partitions' files).
+  * executed probe plan carries a STATIC `centroid_id IN (...)` partition
+  * filter — `ivfSearchAssigned` routes probe ids driver-side — and reads
+  * only the probed partitions' files).
   */
 object AnnStore {
 
@@ -23,8 +24,8 @@ object AnnStore {
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
   /** Read the store back. `centroid_id` returns as a partition column —
-    * filters and equi-joins on it prune at planning (static) or runtime
-    * (dynamic, via broadcast-join DPP) rather than scanning the corpus. */
+    * a foldable filter on it prunes directories at planning time instead
+    * of scanning the corpus. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 }

@@ -13,14 +13,26 @@ import graft.sinks.AnnStore
   *     partitions, not the whole store (the ~K/nProbe I/O reduction that
   *     makes IVF pay at 100 TB).
   */
-class AnnStoreSpec extends SparkSpec {
+class AnnStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
 
   private def corpus = spark.read.parquet(s"$sf/embeddings.parquet")
   private def cents = corpus.filter($"vec_id" < 8).withColumnRenamed("vec_id", "cid")
 
+  private val storeDirs = scala.collection.mutable.ListBuffer[java.io.File]()
+
+  override def afterAll(): Unit = {
+    // each store is a full embeddings copy — don't leave them in /tmp
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    storeDirs.foreach(rm)
+  }
+
   private def buildStore(): String = {
-    val path = java.nio.file.Files.createTempDirectory("graft_annspec").toString + "/store"
+    val dir = java.nio.file.Files.createTempDirectory("graft_annspec").toFile
+    storeDirs += dir
+    val path = dir.toString + "/store"
     AnnStore.write(
       Similarity.ivfAssign(corpus, "embedding", "vec_id", cents, "cid", keepVec = true),
       path)
