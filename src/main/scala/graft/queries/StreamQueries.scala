@@ -17,6 +17,19 @@ object StreamQueries {
       Events.dedupByKeys(t(s, d, "events"), Seq("user_id", "event_type"))
         .groupBy("event_type").agg(count(lit(1)).as("n_users"))
     }),
+    // ONLINE near-dup dedup, batch form: each doc flagged against every
+    // EARLIER doc (arrival order = doc_id) with its first duplicate
+    // source and count. The streaming path — band-keyed
+    // flatMapGroupsWithState candidates + stream-static exact verify
+    // (streaming/StreamDedup) — is parity-proven in StreamDedupSpec.
+    "stream_dedup_near" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.operators.Dedup.minhashNearDups(t(s, d, "documents"), "text", "doc_id",
+        threshold = 0.8, sketchParallelism = s.sparkContext.defaultParallelism)
+        .select(col("id_b").as("doc_id"), col("id_a"))
+        .groupBy("doc_id")
+        .agg(min(col("id_a")).as("first_dup_of"), count(lit(1)).as("n_earlier_dups"))
+    }),
     // click→purchase correlation: the batch form of the stream-stream
     // watermarked join (identical column logic on both paths)
     "stream_stream_join" -> ((s, d) => {
@@ -64,6 +77,12 @@ object StreamQueries {
          FROM w GROUP BY 1, 2""",
     "stream_dedup" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+    // the later doc of every verified LSH pair, with its earliest source —
+    // the pair CTE is the same generated SQL dedup_minhash_lsh verifies
+    "stream_dedup_near" ->
+      s"""SELECT id_b AS doc_id, min(id_a) AS first_dup_of, count(*) AS n_earlier_dups
+          FROM (${TextQueries.lshPairsSql})
+          GROUP BY id_b""",
     "stream_stream_join" ->
       """SELECT c.user_id, count(*) AS n_pairs
          FROM (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click') c

@@ -322,6 +322,26 @@ object TextQueries {
                  i -> ws[CAST(i AS INT)] || '_' || ws[CAST(i AS INT)+1] || '_' || ws[CAST(i AS INT)+2])) AS s
              FROM w WHERE len(ws) >= 3)"""
 
+  /** The k=128 / 16-band LSH near-dup pair oracle — shared by
+    * `dedup_minhash_lsh` and the streaming dedup's batch form
+    * (`stream_dedup_near` in StreamQueries). */
+  private[queries] lazy val lshPairsSql: String = {
+    val ms = (0 until 128).map(j => duckMinhash(j, "hs") + s" AS m$j").mkString(", ")
+    val bands = (0 until 16).map { b =>
+      val parts = (0 until 8).map(r => s"CAST(m${b * 8 + r} AS VARCHAR)").mkString(" || '#' || ")
+      s"md5($parts)"
+    }.mkString("[", ", ", "]")
+    s"""WITH sh AS (SELECT doc_id, $duckShingleHashes AS hs FROM documents WHERE len(text) >= 3),
+          sig AS (SELECT doc_id, hs AS s, $ms FROM sh),
+          banded AS (SELECT doc_id, s, $duckSigList AS sg, $bands AS bands FROM sig)
+        SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, $duckJaccardRaw AS j
+          FROM banded a JOIN banded b
+            ON a.doc_id < b.doc_id AND len(list_intersect(a.bands, b.bands)) > 0
+           AND ${duckSigAgree("a", "b")})
+        WHERE j >= 0.8"""
+  }
+
   val oracle: Map[String, String] = Map(
     "dedup_exact_docs" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) - 1 AS n_dups
@@ -331,22 +351,7 @@ object TextQueries {
       s"""WITH sh AS (SELECT doc_id, $duckShingleHashes AS hs FROM documents)
           SELECT doc_id, $cols FROM sh"""
     },
-    "dedup_minhash_lsh" -> {
-      val ms = (0 until 128).map(j => duckMinhash(j, "hs") + s" AS m$j").mkString(", ")
-      val bands = (0 until 16).map { b =>
-        val parts = (0 until 8).map(r => s"CAST(m${b * 8 + r} AS VARCHAR)").mkString(" || '#' || ")
-        s"md5($parts)"
-      }.mkString("[", ", ", "]")
-      s"""WITH sh AS (SELECT doc_id, $duckShingleHashes AS hs FROM documents WHERE len(text) >= 3),
-            sig AS (SELECT doc_id, hs AS s, $ms FROM sh),
-            banded AS (SELECT doc_id, s, $duckSigList AS sg, $bands AS bands FROM sig)
-          SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, $duckJaccardRaw AS j
-            FROM banded a JOIN banded b
-              ON a.doc_id < b.doc_id AND len(list_intersect(a.bands, b.bands)) > 0
-             AND ${duckSigAgree("a", "b")})
-          WHERE j >= 0.8"""
-    },
+    "dedup_minhash_lsh" -> lshPairsSql,
     "dedup_ngram_jaccard" ->
       s"""WITH $duckNgramCtes
           SELECT block, id_a, id_b, round(j, 6) AS jaccard FROM (
