@@ -112,6 +112,30 @@ object Dedup {
   def minAgree(k: Int, threshold: Double): Int =
     math.floor(k * threshold - 5 * math.sqrt(threshold * (1 - threshold) * k)).toInt
 
+  /** Exact shingle-set verification, shared by the batch path (stage 2 of
+    * [[minhashNearDups]]) and the streaming path
+    * (`StreamDedup.verify`): join candidate (id_a, id_b) rows to the
+    * sketch's sorted hash arrays and keep pairs with exact Jaccard ≥ τ —
+    * |A∩B| via native merge over the sorted arrays, |A∪B| = |A| + |B| −
+    * |A∩B| (value-identical to array_intersect/array_union on distinct
+    * arrays). ONE definition: the verify expression is part of the
+    * operator's meaning, and two copies could drift apart and silently
+    * break the spec-proven batch/stream parity. */
+  private[graft] def verifyPairs(cands: DataFrame, sketch: DataFrame,
+                                 idCol: String, threshold: Double): DataFrame = {
+    val inter = graft.expressions.HashExpressions.sortedIntersectCount(col("sh_a"), col("sh_b"))
+    cands
+      .select(col("id_a"), col("id_b"))
+      .join(sketch.select(col(idCol).as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
+      .join(sketch.select(col(idCol).as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", inter)
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")).as("j"))
+      .filter(col("j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+  }
+
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       threshold: Double, k: Int = 128, rowsPerBand: Int = 8,
                       shingleN: Int = 3, sketchParallelism: Int = 0,
@@ -133,19 +157,10 @@ object Dedup {
       .join(m.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .filter(agree >= minAgree(k, threshold))
       .select("id_a", "id_b", "na", "nb")
-    // stage 2: exact verify — |A∩B| via native merge over the sorted
-    // arrays, |A∪B| = |A| + |B| − |A∩B| — value-identical to
-    // size(array_intersect)/size(array_union) on distinct arrays
-    val inter = graft.expressions.HashExpressions.sortedIntersectCount(col("sh_a"), col("sh_b"))
-    val out = plausible
-      .join(m.select(col(idCol).as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
-      .join(m.select(col(idCol).as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", inter)
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double")).as("j"))
-      .filter(col("j") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+    // stage 2: exact verify — the shared operator-defining expression
+    // (verifyPairs), also the streaming path's stream-static verify
+    val out = verifyPairs(plausible.select("id_a", "id_b"),
+      m.select(col(idCol), col("hs")), idCol, threshold)
     // The pair output is tiny (near-dups only); materialize it eagerly so
     // the cached signature frame can be RELEASED before returning — a
     // lazily-returned plan would pin `m` in the block store for the

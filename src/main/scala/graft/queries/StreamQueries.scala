@@ -24,8 +24,7 @@ object StreamQueries {
     // (streaming/StreamDedup) — is parity-proven in StreamDedupSpec.
     "stream_dedup_near" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      graft.operators.Dedup.minhashNearDups(t(s, d, "documents"), "text", "doc_id",
-        threshold = 0.8, sketchParallelism = s.sparkContext.defaultParallelism)
+      TextQueries.lshPairs(s, d) // ONE LSH stage, shared with dedup_minhash_lsh
         .select(col("id_b").as("doc_id"), col("id_a"))
         .groupBy("doc_id")
         .agg(min(col("id_a")).as("first_dup_of"), count(lit(1)).as("n_earlier_dups"))

@@ -29,9 +29,27 @@ object TextQueries {
   private val pairGraphCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
 
-  /** Query keys whose plans read [[pairGraphCache]] — surfaced through
-    * `SparkEntry.memoizedQueries` so Bench can flag them in its artifact. */
-  val memoized: Set[String] = Set("dedup_components", "dedup_keep_representatives")
+  /** Query keys whose plans read [[pairGraphCache]] or [[lshPairsCache]] —
+    * surfaced through `SparkEntry.memoizedQueries` so Bench can flag them
+    * in its artifact. */
+  val memoized: Set[String] =
+    Set("dedup_components", "dedup_keep_representatives",
+      "dedup_minhash_lsh", "stream_dedup_near")
+
+  /** The k=128 LSH near-dup pair frame, built once per (application, sf
+    * dir) and shared by its two consumers (`dedup_minhash_lsh`,
+    * `stream_dedup_near`) — the same one-stage-many-consumers shape as
+    * [[pairGraphCache]] (round-3 verdict: duplicate pipeline rebuilds were
+    * 26% of the bench). The memo retains the EAGER pair frame itself: it
+    * is near-dups only (tens to hundreds of rows at bench scales), already
+    * localCheckpoint'ed by `minhashNearDups`. */
+  private val lshPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+
+  private[queries] def lshPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    lshPairsCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ =>
+      Dedup.minhashNearDups(t(s, d, "documents"), "text", "doc_id", threshold = 0.8,
+        sketchParallelism = s.sparkContext.defaultParallelism))
 
   /** The shared component LABELS. Only the labels survive in the memo:
     * both consumers read labels exclusively, so the pair frame's
@@ -64,12 +82,10 @@ object TextQueries {
       m.select(col("doc_id") +: (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
     }),
 
-    // sketchParallelism: the testdata parquet is one tiny split, which
-    // would serialize the per-row hashing on one core; corpus-scale inputs
-    // arrive pre-partitioned and would pass 0 (no repartition)
-    "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashNearDups(t(s, d, "documents"), "text", "doc_id", threshold = 0.8,
-        sketchParallelism = s.sparkContext.defaultParallelism)),
+    // sketchParallelism (inside lshPairs): the testdata parquet is one
+    // tiny split, which would serialize the per-row hashing on one core;
+    // corpus-scale inputs arrive pre-partitioned and would pass 0
+    "dedup_minhash_lsh" -> ((s, d) => lshPairs(s, d)),
 
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",

@@ -67,11 +67,10 @@ object StreamDedup {
     * size-ratio and signature-agreement rules. Pairs are emitted with
     * id_a < id_b regardless of arrival order, so replays and in-batch
     * pairs canonicalize identically. */
-  def candidates(b: Dataset[BandedDoc], threshold: Double, k: Int,
+  def candidates(b: Dataset[BandedDoc], threshold: Double,
                  maxPerBucket: Int = 100000): Dataset[CandPair] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import b.sparkSession.implicits._
-    val floor = Dedup.minAgree(k, threshold)
     b.groupByKey(_.band)
       .flatMapGroupsWithState[Seq[BandDoc], CandPair](
         OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, it, state) =>
@@ -79,21 +78,37 @@ object StreamDedup {
         // (bounded by docs-per-band-per-trigger, not corpus size)
         val arriving = it.toSeq.sortBy(_.doc_id)
         val out = Seq.newBuilder[CandPair]
-        var bucket = state.getOption.getOrElse(Seq.empty)
+        // mutable buffer: `Seq :+` per admission would copy the whole
+        // bucket each time — O(B²) allocation over a bucket's lifetime
+        val bucket = scala.collection.mutable.ArrayBuffer.from(
+          state.getOption.getOrElse(Seq.empty))
+        var admitted = false
         for (d <- arriving) {
-          for (s <- bucket) {
-            val sizeOk = s.n_sh >= d.n_sh * threshold && d.n_sh >= s.n_sh * threshold
-            if (sizeOk && s.doc_id != d.doc_id) {
-              var agree = 0
-              var i = 0
-              while (i < k) { if (s.sig(i) == d.sig(i)) agree += 1; i += 1 }
-              if (agree >= floor)
-                out += CandPair(math.min(s.doc_id, d.doc_id), math.max(s.doc_id, d.doc_id))
+          // k and the agreement floor derive from the signatures themselves
+          // — a separate k parameter could silently disagree with banded()
+          val k = d.sig.length
+          val floor = Dedup.minAgree(k, threshold)
+          // at-least-once upstream: a redelivered doc already emitted its
+          // pairs on first arrival — skip it entirely, so it neither
+          // re-emits nor re-enters state (doubling future pairs and
+          // eating the cap)
+          if (!bucket.exists(_.doc_id == d.doc_id)) {
+            for (s <- bucket) {
+              if (s.n_sh >= d.n_sh * threshold && d.n_sh >= s.n_sh * threshold) {
+                var agree = 0
+                var i = 0
+                while (i < k) { if (s.sig(i) == d.sig(i)) agree += 1; i += 1 }
+                if (agree >= floor)
+                  out += CandPair(math.min(s.doc_id, d.doc_id), math.max(s.doc_id, d.doc_id))
+              }
+            }
+            if (bucket.length < maxPerBucket) {
+              bucket += BandDoc(d.doc_id, d.n_sh, d.sig)
+              admitted = true
             }
           }
-          if (bucket.size < maxPerBucket) bucket = bucket :+ BandDoc(d.doc_id, d.n_sh, d.sig)
         }
-        state.update(bucket)
+        if (admitted) state.update(bucket.toSeq)
         out.result().iterator
       }
   }
@@ -104,16 +119,9 @@ object StreamDedup {
     * behind [[candidates]]. `sketch` = `Dedup.minhashed(corpus).select(id,
     * hs)` — at scale, a persisted sketch table keyed by id. */
   def verify(cands: DataFrame, sketch: DataFrame, idCol: String,
-             threshold: Double): DataFrame = {
-    val inter = graft.expressions.HashExpressions.sortedIntersectCount(col("sh_a"), col("sh_b"))
-    cands
-      .join(sketch.select(col(idCol).cast("long").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
-      .join(sketch.select(col(idCol).cast("long").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", inter)
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")).as("j"))
-      .filter(col("j") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
-  }
+             threshold: Double): DataFrame =
+    // candidate ids are structurally Long (CandPair) — align the sketch's
+    // id type before handing to the shared (type-generic) verifier
+    Dedup.verifyPairs(cands,
+      sketch.select(col(idCol).cast("long").as(idCol), col("hs")), idCol, threshold)
 }

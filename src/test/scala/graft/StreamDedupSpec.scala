@@ -32,7 +32,7 @@ class StreamDedupSpec extends SparkSpec {
     val ms = MemoryStream[(Long, String)]
     val banded = StreamDedup.banded(
       ms.toDF.toDF("doc_id", "text"), "text", "doc_id", k = K, rowsPerBand = RPB)
-    val cands = StreamDedup.candidates(banded, tau, k = K)
+    val cands = StreamDedup.candidates(banded, tau)
     val sketch = Dedup.minhashed(corpus, "text", "doc_id", k = K, rowsPerBand = RPB)
       .filter(size($"hs") > 0).select($"doc_id", $"hs")
     val verified = StreamDedup.verify(cands.toDF, sketch, "doc_id", tau)
@@ -56,7 +56,7 @@ class StreamDedupSpec extends SparkSpec {
     val banded = StreamDedup.banded(
       ms.toDF.toDF("doc_id", "text"), "text", "doc_id", k = K, rowsPerBand = RPB)
     // cap of 1: each band bucket remembers only the first doc it saw
-    val cands = StreamDedup.candidates(banded, tau, k = K, maxPerBucket = 1)
+    val cands = StreamDedup.candidates(banded, tau, maxPerBucket = 1)
     val q = cands.toDF.writeStream.format("memory").queryName("sdn_cap")
       .outputMode("append").start()
     try {
