@@ -96,9 +96,24 @@ object ScaleCurve {
         Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 8,
           sketchParallelism = par).count())
 
+      // benchmark decontamination: "candidates" = distinct gram-hash
+      // collisions (the join's output volume — the quantity that must
+      // stay ~linear), "pairs" = flagged docs. The Caesar blow-up keeps
+      // copies gram-disjoint, so hit mass scales with the corpus, not
+      // quadratically across copies.
+      val ((dcHits, dcDocs), tDc) = timed {
+        val r = graft.operators.Decontaminate.overlap(
+          docs.repartition(par), docs.filter(col("doc_id") % 97 === 0),
+          "text", "doc_id", n = 3)
+          .agg(coalesce(sum(col("n_hit_grams")), lit(0L)).as("hits"),
+            count(lit(1)).as("docs")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+
       Seq(("minhash_lsh", candLsh, pairsLsh, tLsh),
           ("ngram_jaccard", candNg, pairsNg, tNg),
-          ("simhash_pairs", candSh, pairsSh, tSh)).foreach {
+          ("simhash_pairs", candSh, pairsSh, tSh),
+          ("decontaminate", dcHits, dcDocs, tDc)).foreach {
         case (op, cand, pairs, t) =>
           curves(op) = curves(op) :+ (n, cand)
           val line = f"""{"dataset":"$name","op":"$op","n_docs":$n,"candidates":$cand,"pairs":$pairs,"sec":$t%.2f}"""

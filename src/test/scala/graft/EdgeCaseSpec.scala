@@ -47,6 +47,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.etl.Chunking.chunkWindows(noDocs, "text", "doc_id", 32, 24).isEmpty)
   }
 
+  test("scd2 on an empty feed returns an empty well-formed history") {
+    val feed = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("k", "t", "tb", "attr")
+    val h = graft.etl.Scd2.history(feed, "k", "t", "tb", Seq("attr"))
+    assert(h.isEmpty && Seq("valid_from", "valid_to", "is_current")
+      .forall(h.columns.contains))
+  }
+
+  test("decontaminate with an empty benchmark or empty corpus flags nothing") {
+    val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    assert(graft.operators.Decontaminate.overlap(docs, noDocs, "text", "doc_id", 3).isEmpty)
+    assert(graft.operators.Decontaminate.overlap(noDocs, docs, "text", "doc_id", 3).isEmpty)
+  }
+
+  test("streaming-dedup banding of an empty or sub-shingle corpus is empty") {
+    assert(graft.streaming.StreamDedup.banded(noDocs, "text", "doc_id").isEmpty)
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    assert(graft.streaming.StreamDedup.banded(tiny, "text", "doc_id").isEmpty)
+  }
+
   test("similarity search over an empty corpus returns empty top-k") {
     val noVecs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "vec")
     val q = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "vec")
