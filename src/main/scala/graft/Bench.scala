@@ -9,7 +9,17 @@ import org.apache.spark.sql.SparkSession
   *    leftovers must not tax the next);
   *  - each query runs `passes` times (default 3) and the MEDIAN is
   *    recorded — a one-off GC pause or host-neighbor spike cannot land in
-  *    the artifact.
+  *    the artifact;
+  *  - memoized-stage queries get `SparkEntry.clearMemos()` before EVERY
+  *    timed pass, so their medians measure the COLD shared-stage build
+  *    (round-6 verdict: a 0.11 s median for a ~5 s LSH build flattered
+  *    the artifact). The warm re-read — the production amortized shape —
+  *    is still demonstrated: one extra warm pass per memoized key lands
+  *    in the artifact's `warm` map;
+  *  - a fixed-cost SENTINEL (sf-independent CPU workload) runs before and
+  *    after the suite; its medians ride in the artifact so every run
+  *    carries its own host-contention estimate (r06→r07 recorded a 25%
+  *    same-code swing with no way to attribute it).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -42,6 +52,20 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // fixed-cost sentinel: 100M xxhash64 folds, sf-independent and
+    // plan-trivial, so its time moves ONLY with host contention. Median
+    // of 3, measured before and after the suite — the artifact's own
+    // noise floor.
+    def sentinel(): Double = median((1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: a 100M-term long sum overflows under ANSI mode
+      spark.range(0, 100000000L, 1, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id)) AS h").collect()
+      (System.nanoTime() - t0) / 1e9
+    })
+    val sentinelPre = sentinel()
+    val memoKeys = SparkEntry.memoizedQueries
+    val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -49,6 +73,10 @@ object Bench {
         // no cross-query (or cross-pass) state: drop cached frames and nudge
         // the collector so leaked blocks from a prior query can't tax this one
         spark.catalog.clearCache()
+        // cold discipline for memoized keys: the shared stage rebuilds
+        // INSIDE the timed region every pass — its build cost is this
+        // query's real operator cost, not a first-pass footnote
+        if (memoKeys(name)) SparkEntry.clearMemos()
         System.gc()
         val t0 = System.nanoTime()
         // a throwing pass records NO time: time-to-failure folded into a
@@ -62,8 +90,17 @@ object Bench {
           None
         }
       }
+      // the amortized shape, shown separately: the last cold pass left the
+      // shared stage built, so one more pass measures the warm re-read
+      if (memoKeys(name) && times.nonEmpty) {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); warm(name) = (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => () }
+      }
       (name, if (times.isEmpty) Double.NaN else median(times), times)
     }
+    val sentinelPost = sentinel()
     // a failed query serializes as JSON null (not the string "NaN") so
     // downstream tooling (compare_bench.py) treats it as absent instead
     // of crashing on a string-typed timing
@@ -76,15 +113,17 @@ object Bench {
     val passesJson = results.map { case (k, _, ts) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    // memoized queries' medians measure re-reading a shared stage, not
-    // rebuilding it (the build cost is the first pass, kept in pass_times)
-    // — flagged so cross-round deltas on them aren't misread as speedups
+    // memoized-stage queries: medians above are COLD (memos cleared per
+    // pass); `warm` carries the amortized re-read so the shared-stage win
+    // stays visible without flattering the headline
     val memoJson = SparkEntry.memoizedQueries.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val warmJson = warm.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     // partial (filtered) runs are marked so their line can never be read
     // as a full-suite total
     val partialJson = if (only.isEmpty) "" else ""","partial":true"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"memoized":$memoJson,"passes":$passes$partialJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"memoized":$memoJson,"memo_cleared":true,"warm":$warmJson,"sentinel_pre_s":$sentinelPre,"sentinel_post_s":$sentinelPost,"passes":$passes$partialJson,"sf":"$sfDir"}"""
     println(line)
     // append to the repo-tracked history so later rounds can diff per-query
     // regressions mechanically; never let history I/O fail the bench.

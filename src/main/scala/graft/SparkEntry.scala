@@ -22,9 +22,18 @@ object SparkEntry {
       TextQueries.oracle ++ SimQueries.oracle ++ StreamQueries.oracle
 
   /** Queries that read an application-lifetime memoized stage (the shared
-    * pair-graph labeling): their bench medians measure re-reading the
-    * memoized result, not rebuilding it — the build cost lands in the
-    * FIRST pass of the first such query (visible in pass_times). Bench
-    * flags them in its JSON so cross-round timing diffs aren't misread. */
+    * pair-graph labeling / prebuilt ANN store). Bench calls [[clearMemos]]
+    * before each timed pass of these keys, so their artifact medians are
+    * COLD (full shared-stage build included); the amortized warm re-read —
+    * the production one-stage-many-consumers shape — is recorded
+    * separately in the artifact's `warm` map. */
   def memoizedQueries: Set[String] = TextQueries.memoized ++ SimQueries.memoized
+
+  /** Drop every application-lifetime memoized stage (checkpoint blocks
+    * released, ANN store files deleted); the next consumer rebuilds from
+    * the parquet inputs. Single-threaded callers only. */
+  def clearMemos(): Unit = {
+    TextQueries.clearMemos()
+    SimQueries.clearMemos()
+  }
 }

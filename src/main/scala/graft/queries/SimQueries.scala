@@ -11,9 +11,11 @@ import Common._
   */
 object SimQueries {
 
-  /** Query keys that read [[annStoreCache]] — their bench medians measure
-    * searching a PREBUILT store (the production shape: assign once at
-    * ingest, query many); the one-time build cost lands in the first pass. */
+  /** Query keys that read [[annStoreCache]] — the store is the production
+    * shape (assign once at ingest, query many). Bench clears the memo
+    * before each timed pass via [[clearMemos]], so the artifact's median
+    * measures the full build+search cost; the warm (store-prebuilt) search
+    * time is recorded separately as a `warm` entry. */
   val memoized: Set[String] = Set("sim_ann_pruned")
 
   /** One centroid-partitioned [[graft.sinks.AnnStore]] per (application,
@@ -24,6 +26,18 @@ object SimQueries {
   private val annStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Temp dirs holding ANN stores built this JVM. ONE shutdown hook sweeps
+    * whatever is still live at exit (the store is a full copy of the
+    * embeddings table: without cleanup every Verify/Bench JVM would leave
+    * one behind); [[clearMemos]] deletes eagerly between bench passes —
+    * per-build hooks would accumulate one thread per rebuild. */
+  private val annTmpDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val annHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      annTmpDirs.forEach(d => deleteRecursively(d.toFile))))
+  }
+
   private def centroids(s: org.apache.spark.sql.SparkSession, d: String) =
     t(s, d, "embeddings").filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid")
 
@@ -32,13 +46,23 @@ object SimQueries {
       val assigned = Similarity.ivfAssign(t(s, d, "embeddings"), "embedding", "vec_id",
         centroids(s, d), "cid", keepVec = true)
       val dir = java.nio.file.Files.createTempDirectory("graft_ann")
-      // the store is a full copy of the embeddings table: without cleanup
-      // every Verify/Bench JVM would leave one behind in the temp dir
-      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir.toFile)))
+      annHook
+      annTmpDirs.add(dir)
       val path = dir.toString + "/store"
       graft.sinks.AnnStore.write(assigned, path)
       path
     })
+
+  /** Drop the memoized ANN store (and delete its files): the next
+    * `sim_ann_pruned` call pays the full ingest-time build again. Bench
+    * calls this before each timed pass of a memoized key so the artifact
+    * records cold operator cost (round-6 verdict item #1). Not safe
+    * against a concurrently-running query on the store — callers own
+    * sequencing (Bench is single-threaded). */
+  def clearMemos(): Unit = {
+    annStoreCache.clear()
+    annTmpDirs.forEach { d => deleteRecursively(d.toFile); annTmpDirs.remove(d) }
+  }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))

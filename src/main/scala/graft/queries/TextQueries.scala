@@ -30,11 +30,28 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
 
   /** Query keys whose plans read [[pairGraphCache]] or [[lshPairsCache]] —
-    * surfaced through `SparkEntry.memoizedQueries` so Bench can flag them
-    * in its artifact. */
+    * surfaced through `SparkEntry.memoizedQueries`. Bench clears the memos
+    * before each timed pass of these keys ([[clearMemos]]), so their bench
+    * medians measure the COLD shared-stage build; the warm re-read time
+    * (the production amortized shape) is recorded separately. */
   val memoized: Set[String] =
     Set("dedup_components", "dedup_keep_representatives",
       "dedup_minhash_lsh", "stream_dedup_near")
+
+  /** Drop both memoized shared stages and release their checkpoint blocks
+    * (each memo value is exactly one `localCheckpoint()`ed frame): the
+    * next consumer pays the full sketch→pairs→labels build again. Lets
+    * Bench record cold operator cost per pass instead of a checkpoint
+    * re-read (round-6 verdict item #1). Not safe against a concurrently
+    * executing consumer of the cached frames — callers own sequencing
+    * (Bench is single-threaded). */
+  def clearMemos(): Unit = {
+    import scala.jdk.CollectionConverters._
+    (pairGraphCache.values.asScala ++ lshPairsCache.values.asScala)
+      .foreach(df => org.apache.spark.sql.GraftShim.unpersistCheckpoint(df))
+    pairGraphCache.clear()
+    lshPairsCache.clear()
+  }
 
   /** The k=128 LSH near-dup pair frame, built once per (application, sf
     * dir) and shared by its two consumers (`dedup_minhash_lsh`,
