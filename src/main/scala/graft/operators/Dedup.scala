@@ -37,14 +37,18 @@ object Dedup {
     * one md5 per distinct shingle (→ 31-bit int), then k universal-hash
     * mins over the int array. */
   def minhashed(df: DataFrame, textCol: String, idCol: String,
-                k: Int = 128, rowsPerBand: Int = 8, shingleN: Int = 3): DataFrame = {
+                k: Int = 128, rowsPerBand: Int = 8, shingleN: Int = 3,
+                carry: Seq[String] = Nil): DataFrame = {
     // hs kept SORTED: signatures are order-independent, and sortedness lets
     // pair verification run a native merge-intersect instead of per-pair
     // hash-set builds. The fused expression replaces the substring/
     // distinct/hash/sort HOF chain (value-identical, one pass, no
     // intermediate string arrays).
-    df.select(col(idCol),
-        graft.expressions.HashExpressions.shingleHashes31Native(col(textCol), shingleN).as("hs"))
+    // `carry` rides metadata columns (event time, source tags) through the
+    // sketch projection — the streaming path needs the doc's event time
+    // beside its signature for watermark-driven state TTL.
+    df.select(col(idCol) +: carry.map(col) :+
+        graft.expressions.HashExpressions.shingleHashes31Native(col(textCol), shingleN).as("hs"): _*)
       .withColumn("sig", graft.expressions.HashExpressions.minhashSigNative(col("hs"), k))
       .withColumn("bands", lshBands(col("sig"), k, rowsPerBand))
   }
