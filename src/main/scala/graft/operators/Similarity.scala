@@ -197,6 +197,10 @@ object Similarity {
       .orderBy(col("q_sim").desc, col("q_cid"))
       .limit(nProbe)
       .collect().map(_.get(0))
+    // an empty centroid frame would otherwise filter the corpus to nothing
+    // and return a silently-empty result for every query
+    require(probeIds.nonEmpty,
+      "ivfSearch: no centroids to probe — the centroid frame is empty")
     val q = broadcast(query.select(asDouble(col(vecCol)).as("q_v")))
     assigned
       .filter(col("centroid_id").isin(probeIds: _*))
