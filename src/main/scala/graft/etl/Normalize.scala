@@ -35,13 +35,22 @@ object Normalize {
     * single co-partitioned union + first-wins window: one shuffle on the key,
     * linear at any scale, deterministic at any partition count.
     */
-  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
-    val tagged = updates.withColumn("__src", lit(0)).unionByName(base.withColumn("__src", lit(1)))
+  def upsert(base: DataFrame, updates: DataFrame, key: String,
+             allowEvolution: Boolean = false): DataFrame = {
+    // allowEvolution widens a column present on only one side with nulls
+    // (base-first column order, new update columns appended) — the same
+    // opt-in evolution contract as DocStoreSink.mergeDocs; the winning
+    // row stays atomic, so evolved rows carry null for columns their
+    // side never had
+    val tagged = updates.withColumn("__src", lit(0))
+      .unionByName(base.withColumn("__src", lit(1)),
+        allowMissingColumns = allowEvolution)
     val w = Window.partitionBy(col(key)).orderBy(col("__src"))
+    val outCols = (base.columns ++ updates.columns.filterNot(base.columns.contains)).toSeq
     tagged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__src", "__rn")
+      .select(outCols.map(col): _*)
   }
 
   /** Per-key accumulation of nested records — the reference's Mongo

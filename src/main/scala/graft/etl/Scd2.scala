@@ -59,4 +59,62 @@ object Scd2 {
       .withColumn("valid_to", lead(col(ts), 1).over(ver))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  private val histCols = Seq("valid_from", "valid_to", "is_current")
+
+  /** Incremental SCD2: merge a new batch of observations into an existing
+    * [[history]] table WITHOUT rebuilding from the full feed — the
+    * lake-native form of the reference's recurring per-DAG-run upsert
+    * (Airbnb_Listings_ETL.py:143–151 re-loads every execution; at 100 TB
+    * the feed is unbounded and a full-history rebuild per batch is the
+    * scale-killer this method removes).
+    *
+    * Result is EXACTLY `history(fullFeed)` (hash-parity spec'd in
+    * Scd2Spec) because a history table is self-merging: its version rows
+    * are the run-starts of the original feed, so re-running the
+    * change-detect windows over (existing versions ∪ batch) collapses a
+    * batch row that matches a key's open version and opens the rest —
+    * closing the previously-open version via the same `lead` chain.
+    *
+    * Touch-only-affected plan: keys absent from the batch stream through
+    * an anti-join untouched — never sorted, never re-windowed. With a
+    * typical incremental batch the distinct-key set is small, so AQE
+    * broadcasts it and the existing history is NEVER shuffled; the only
+    * exchange carries the affected keys' version rows + the batch (both
+    * tiny next to the table).
+    *
+    * LATE-DATA GUARD: a collapsed history cannot reproduce versions a
+    * late observation would have split (an A@t1,A@t5 run collapsed to
+    * A@t1 loses the t5 re-open a B@t3 insert needs), so any batch row at
+    * or before its key's high-water mark — the open version's
+    * `(ts, tiebreak)` — raises at execution rather than silently
+    * corrupting history. Late feeds must rebuild with [[history]].
+    */
+  def mergeHistory(existing: DataFrame, batch: DataFrame, key: String,
+                   ts: String, tiebreak: String, attrs: Seq[String]): DataFrame = {
+    val obsCols = existing.columns.filterNot(histCols.contains).toSeq
+    require(batch.columns.sorted.sameElements(obsCols.sorted),
+      s"mergeHistory: batch columns ${batch.columns.sorted.mkString(",")} " +
+        s"must match the history's observation columns ${obsCols.sorted.mkString(",")}")
+    val affected = batch.select(col(key)).distinct()
+    val untouched = existing.join(affected, Seq(key), "left_anti")
+    val hist = existing.join(affected, Seq(key), "left_semi")
+    // high-water mark per affected key; the guard rides the ts column the
+    // downstream windows sort on, so column pruning can never drop it
+    // (same fused raise_error pattern as DocStoreSink's dup-key guard)
+    val hwm = hist.groupBy(col(key))
+      .agg(max(struct(col(ts), col(tiebreak))).as("__hwm"))
+    val guardedBatch = batch.join(hwm, Seq(key), "left")
+      .withColumn(ts, coalesce(
+        when(col("__hwm").isNotNull && struct(col(ts), col(tiebreak)) <= col("__hwm"),
+          raise_error(concat(
+            lit(s"mergeHistory: late observation for $key="), col(key).cast("string"),
+            lit(" at or before the open version — incremental merge only EXTENDS history; rebuild with history()")))),
+        col(ts)))
+      .select(obsCols.map(col): _*)
+    val merged = history(
+      hist.select(obsCols.map(col): _*).unionByName(guardedBatch),
+      key, ts, tiebreak, attrs)
+    untouched.unionByName(merged)
+  }
 }

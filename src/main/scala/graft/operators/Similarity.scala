@@ -43,7 +43,15 @@ object Similarity {
     * broadcast assignment (map-side) + one shuffle of (cluster, dim)
     * partial sums — linear in corpus size, constant in k·dim, so training
     * on a 100 TB embedding table is iters × (scan + tiny shuffle).
-    * Returns (centroid_id, vector). */
+    * Returns (centroid_id, vector).
+    *
+    * Each round's means are rounded to 6 dp, which makes training REPLAYABLE:
+    * a double `avg` sums in partition order, so raw means drift by ~1 ulp
+    * across partition counts, reruns, and engines — rounding collapses that
+    * drift, so the trained centroids are rerun-stable and oracle-exact
+    * (`sim_kmeans_fit`). The ≤5e-7 per-dim perturbation is noise next to
+    * k-means' own approximation and does not move any assignment that
+    * wasn't already a coin-flip. */
   def kmeansFit(df: DataFrame, vecCol: String, idCol: String,
                 k: Int, iters: Int = 3): DataFrame = {
     val shim = org.apache.spark.sql.GraftShim
@@ -61,7 +69,7 @@ object Similarity {
         centroids.withColumnRenamed("c_v", vecCol), "centroid_id", keepVec = true)
       val means = assigned
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("centroid_id", "dim").agg(avg(col("x")).as("m"))
+        .groupBy("centroid_id", "dim").agg(round(avg(col("x")), 6).as("m"))
         .groupBy("centroid_id")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m")).as("c_v"))

@@ -146,6 +146,28 @@ object EtlQueries {
           date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
           col("is_current"))),
 
+    // INCREMENTAL SCD2 (Listings_ETL.py:143-151 runs per DAG execution):
+    // history built from the pre-1999 feed, then the 1999+ observations
+    // merged as a batch — only affected keys re-windowed, untouched
+    // history streams through an anti-join. The oracle rebuilds from the
+    // FULL feed: incremental merge must be indistinguishable from rebuild
+    "etl_scd2_merge" -> ((s, d) => {
+      val feed = t(s, d, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+      val cut = lit("1999-01-01").cast("timestamp")
+      val existing = graft.etl.Scd2.history(
+        feed.filter(col("o_orderdate") < cut),
+        key = "o_custkey", ts = "o_orderdate", tiebreak = "o_orderkey",
+        attrs = Seq("o_orderpriority"))
+      graft.etl.Scd2.mergeHistory(existing, feed.filter(col("o_orderdate") >= cut),
+          key = "o_custkey", ts = "o_orderdate", tiebreak = "o_orderkey",
+          attrs = Seq("o_orderpriority"))
+        .select(col("o_custkey"), col("o_orderpriority"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+          col("is_current"))
+    }),
+
     // numeric coercion, errors -> null (Review_ETL.py:77)
     "etl_numeric_coerce" -> ((s, d) =>
       t(s, d, "orders")
@@ -232,6 +254,22 @@ object EtlQueries {
                 (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
                  AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0""",
     "etl_scd2" ->
+      """WITH ob AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+                lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev,
+                row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+              FROM orders),
+            v AS (SELECT * FROM ob WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority),
+            h AS (SELECT o_custkey, o_orderpriority, o_orderdate AS vf,
+                lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS vt
+              FROM v)
+         SELECT o_custkey, o_orderpriority,
+                strftime(vf, '%Y-%m-%d') AS valid_from,
+                strftime(vt, '%Y-%m-%d') AS valid_to,
+                vt IS NULL AS is_current
+         FROM h""",
+    // identical SEMANTICS to etl_scd2's full-feed rebuild: the incremental
+    // merge changes the plan (touch-only-affected), never the answer
+    "etl_scd2_merge" ->
       """WITH ob AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
                 lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev,
                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn

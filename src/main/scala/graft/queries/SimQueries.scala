@@ -127,6 +127,18 @@ object SimQueries {
         query = e.filter(col("vec_id") === 1), k = 10, nProbe = 2)
     }),
 
+    // IVF centroid TRAINING, oracle-checked: deterministic init (first k
+    // ids) + fixed iterations + per-round 6-dp mean rounding make Lloyd's
+    // k-means exactly replayable in SQL — closing the one ANN stage that
+    // had no correctness row. Output is the exploded (centroid, dim, mean)
+    // codebook the whole sim_ann_* family's recall depends on
+    "sim_kmeans_fit" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.kmeansFit(e, "embedding", "vec_id", k = 8, iters = 2)
+        .select(col("centroid_id"), posexplode(col("c_v")).as(Seq("dim", "m")))
+        .select(col("centroid_id"), col("dim"), round(col("m"), 6).as("m"))
+    }),
+
     // BATCHED ANN: one top-k per query row, all queries in one plan (no
     // per-query jobs, no driver loop) — the API the single-query guard
     // points to
@@ -151,6 +163,31 @@ object SimQueries {
 
   private val pairDot =
     fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)])")
+
+  /** One unrolled Lloyd's iteration as chained CTEs: assign every vector
+    * to its nearest `prev` centroid (rounded cosine, lowest-cid tiebreak —
+    * ivfAssign's fold order), then 6-dp-rounded per-dim means become
+    * `next`; a centroid winning zero vectors keeps its previous value
+    * (kmeansFit's coalesce). */
+  private def kmeansIter(prev: String, next: String, tag: String): String =
+    s"""s$tag AS (
+          SELECT a.vec_id, c.cid,
+                 round(${fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * c.v[CAST(i AS INT)])")} / (a.nrm * c.nrm), 6) AS sim
+          FROM n a CROSS JOIN
+               (SELECT cid, v, sqrt(${fold("list_transform(v, x -> x*x)")}) AS nrm FROM $prev) c),
+        b$tag AS (
+          SELECT vec_id, cid FROM s$tag
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1),
+        m$tag AS (
+          SELECT xx.cid, r.i AS dim, round(avg(xx.v[CAST(r.i AS INT)]), 6) AS m
+          FROM (SELECT x.v, b.cid FROM n x JOIN b$tag b ON x.vec_id = b.vec_id) xx,
+               unnest(range(1, len(xx.v)+1)) AS r(i)
+          GROUP BY 1, 2),
+        $next AS (
+          SELECT p.cid, coalesce(mm.v, p.v) AS v
+          FROM $prev p LEFT JOIN
+               (SELECT cid, list(m ORDER BY dim) AS v FROM m$tag GROUP BY cid) mm
+            ON p.cid = mm.cid)"""
 
   /** ANN probe-2 top-10 oracle, parameterized by the query row id —
     * shared by the raw-corpus and prebuilt-store forms. */
@@ -233,6 +270,14 @@ object SimQueries {
                    (a, b) -> (a*131 + b) % 2147483647) AS code_fp,
                  CAST(list_sum(cs) AS BIGINT) AS code_sum
           FROM codes""",
+    "sim_kmeans_fit" ->
+      s"""WITH n AS (${normed(vecs)}),
+            c0 AS (SELECT CAST(vec_id AS INT) AS cid, v FROM n ORDER BY vec_id LIMIT 8),
+            ${kmeansIter("c0", "c1", "1")},
+            ${kmeansIter("c1", "c2", "2")}
+          SELECT cid AS centroid_id, CAST(r.i - 1 AS INT) AS dim,
+                 round(c2.v[CAST(r.i AS INT)], 6) AS m
+          FROM c2, unnest(range(1, len(c2.v)+1)) AS r(i)""",
     "sim_ann_search" -> annSearchSql(qid = 0),
     // identical SEMANTICS to sim_ann_search (different query row): the
     // partitioned store changes the physical plan, never the answer

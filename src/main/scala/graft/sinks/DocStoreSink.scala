@@ -34,14 +34,32 @@ object DocStoreSink {
     * aggregation (zero extra shuffle) and a violated key raises at
     * execution instead of letting an arbitrary scalar row win silently.
     * Pure transform — unit-tested directly and exposed through the
-    * `etl_doc_merge` oracle query. */
+    * `etl_doc_merge` oracle query.
+    *
+    * SCHEMA EVOLUTION (`allowEvolution = true`): a column present on only
+    * one side is widened with nulls instead of raising — the production
+    * behavior when the reference's pandas load starts carrying a new
+    * column (Airbnb_Listings_ETL.py's frames go straight into the upsert;
+    * old docs read the new column back as null). Output column order is
+    * base-first, new update columns appended — stable for the table as it
+    * grows. The update row still wins ATOMICALLY where a key collides, so
+    * an update batch that DROPPED a column nulls it for the keys it
+    * touches (no cross-row column mixing — same atomicity rule as the
+    * dup-key path). Default stays strict: silent widening on a typo'd
+    * column name is a data bug, so evolution is opt-in per load. */
   def mergeDocs(base: DataFrame, updates: DataFrame, key: String,
-                arrayCol: String): DataFrame = {
-    require(base.columns.sorted.sameElements(updates.columns.sorted),
-      s"mergeDocs: schemas differ: ${base.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
-    val scalars = base.columns.filterNot(c => c == key || c == arrayCol).toSeq
+                arrayCol: String, allowEvolution: Boolean = false): DataFrame = {
+    require(allowEvolution || base.columns.sorted.sameElements(updates.columns.sorted),
+      s"mergeDocs: schemas differ: ${base.columns.mkString(",")} vs ${updates.columns.mkString(",")} (pass allowEvolution=true to widen with nulls)")
+    require(Seq(base, updates).forall(_.columns.contains(key)),
+      s"mergeDocs: both sides must carry the key column $key")
+    require(base.columns.contains(arrayCol) || updates.columns.contains(arrayCol),
+      s"mergeDocs: neither side carries the document array column $arrayCol")
+    val outCols = (base.columns ++ updates.columns.filterNot(base.columns.contains)).toSeq
+    val scalars = outCols.filterNot(c => c == key || c == arrayCol)
     val tagged = updates.withColumn("__src", lit(0))
-      .unionByName(base.withColumn("__src", lit(1)))
+      .unionByName(base.withColumn("__src", lit(1)),
+        allowMissingColumns = allowEvolution)
     // collect_list drops null arrays; flatten + distinct + sort canonicalize
     // regardless of aggregation order, so the result is partition-count- and
     // rerun-stable
@@ -70,7 +88,7 @@ object DocStoreSink {
             mergedArray +: sideCounts: _*)
           .select(guardedKey +:
             scalars.map(c => col("__doc").getField(c).as(c)) :+ col(arrayCol): _*)
-    grouped.select(base.columns.map(col): _*)
+    grouped.select(outCols.map(col): _*)
   }
 
   /** One row per key with the array column canonicalized — what an initial
@@ -89,9 +107,10 @@ object DocStoreSink {
     * adds nothing (round-trip spec'd in DocStoreSpec). */
   def upsertDocsInto(spark: SparkSession, path: String, updates: DataFrame,
                      key: String, arrayCol: String,
-                     partitionCols: Seq[String]): Unit =
+                     partitionCols: Seq[String],
+                     allowEvolution: Boolean = false): Unit =
     ParquetSink.swapWrite(spark, path, partitionCols) {
-      case Some(base) => mergeDocs(base, updates, key, arrayCol)
+      case Some(base) => mergeDocs(base, updates, key, arrayCol, allowEvolution)
       case None       => canonical(updates, key, arrayCol)
     }
 

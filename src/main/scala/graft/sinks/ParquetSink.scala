@@ -26,11 +26,19 @@ object ParquetSink {
 
   /** Keyed upsert into a partitioned parquet table: read-modify-write of
     * base ∪ updates with updates winning per key — the lake-native form of
-    * the reference's `insert_rows(replace=True, replace_index='id')`. */
+    * the reference's `insert_rows(replace=True, replace_index='id')`.
+    *
+    * `allowEvolution = true` widens schema drift with nulls instead of
+    * failing the load: a batch carrying a NEW column rewrites the table
+    * with that column appended (existing rows read it back as null), and a
+    * batch missing an old column carries null there for its own rows.
+    * Strict by default — the same opt-in contract as
+    * [[DocStoreSink.mergeDocs]]. */
   def upsertInto(spark: SparkSession, path: String, updates: DataFrame,
-                 key: String, partitionCols: Seq[String]): Unit =
+                 key: String, partitionCols: Seq[String],
+                 allowEvolution: Boolean = false): Unit =
     swapWrite(spark, path, partitionCols) {
-      case Some(base) => graft.etl.Normalize.upsert(base, updates, key)
+      case Some(base) => graft.etl.Normalize.upsert(base, updates, key, allowEvolution)
       case None       => updates
     }
 

@@ -1,12 +1,18 @@
 package graft.tools
 
-/** Mechanical doc-sync helper: prints the query inventory straight from
-  * `SparkEntry` (the same map the driver iterates) and cross-checks that
-  * every key named in SURVEY.md §2 exists and vice versa — so the survey's
-  * counts can never drift from the code again (round-3 verdict: the header
-  * was stale for two consecutive rounds). */
+/** Mechanical doc-sync GUARD: prints the query inventory straight from
+  * `SparkEntry` (the same map the driver iterates), cross-checks that
+  * every key named in SURVEY.md §2 exists and vice versa, and asserts the
+  * headline counts (README's query count, SURVEY's spec count) against the
+  * tree. Any drift EXITS NONZERO — a stale doc is a build failure, not a
+  * printout to skim past (round-3 verdict: the header was stale for two
+  * consecutive rounds; round-6 item #9 asked for the hard failure). */
 object Inventory {
   def main(args: Array[String]): Unit = {
+    var failures = List.empty[String]
+    def check(ok: Boolean, good: String, bad: => String): Unit =
+      if (ok) println(good) else { println(bad); failures ::= bad }
+
     val queries = graft.SparkEntry.queries.keySet
     val oracles = graft.SparkEntry.oracleSql.keySet
     println(s"queries=${queries.size} oracles=${oracles.size} " +
@@ -15,25 +21,49 @@ object Inventory {
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
     val inSurvey = "`([a-z0-9_]+)`".r.findAllMatchIn(survey).map(_.group(1)).toSet
     val missing = (queries -- inSurvey).toSeq.sorted
-    if (missing.nonEmpty) println(s"NOT IN SURVEY: ${missing.mkString(", ")}")
-    else println("survey: every query key mentioned")
+    check(missing.isEmpty, "survey: every query key mentioned",
+      s"NOT IN SURVEY: ${missing.mkString(", ")}")
     // reverse direction: a §2 TABLE ROW naming a key that no longer exists
     // in the code (renamed/deleted query) is doc drift too
     val section2 = survey.split("## §3")(0)
     val tableKeys = "(?m)^\\| `([a-z0-9_]+)`".r.findAllMatchIn(section2).map(_.group(1)).toSet
     val stale = (tableKeys -- queries).toSeq.sorted
-    if (stale.nonEmpty) println(s"STALE SURVEY ROWS (no such query): ${stale.mkString(", ")}")
-    else println("survey: every §2 table row maps to a live query key")
+    check(stale.isEmpty, "survey: every §2 table row maps to a live query key",
+      s"STALE SURVEY ROWS (no such query): ${stale.mkString(", ")}")
     // README carries one headline count too — it drifted in the same PR
     // that added this checker (round-4 advice), so check it mechanically
     val readme = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("README.md")), "UTF-8")
     "(\\d+) oracle-checked queries".r.findFirstMatchIn(readme) match {
-      case Some(m) if m.group(1).toInt == queries.size =>
-        println("readme: headline count matches")
       case Some(m) =>
-        println(s"README STALE: says ${m.group(1)} queries, code has ${queries.size}")
-      case None => println("README: no 'N oracle-checked queries' line found")
+        check(m.group(1).toInt == queries.size, "readme: headline count matches",
+          s"README STALE: says ${m.group(1)} queries, code has ${queries.size}")
+      case None =>
+        check(ok = false, "", "README: no 'N oracle-checked queries' line found")
     }
+    // SURVEY's spec count vs the tree: counted as `test("` definitions in
+    // src/test (the static rule the doc line states) — a suite added
+    // without bumping the doc, or a doc bump without tests, both fail
+    val specDir = java.nio.file.Paths.get("src/test/scala/graft")
+    val treeSpecs = {
+      val files = java.nio.file.Files.list(specDir).toArray.map(_.toString).filter(_.endsWith(".scala"))
+      files.map { f =>
+        val src = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(f)), "UTF-8")
+        "(?m)^\\s*test\\(\"".r.findAllMatchIn(src).size
+      }.sum
+    }
+    "(\\d+) ScalaTest test cases".r.findFirstMatchIn(survey) match {
+      case Some(m) =>
+        check(m.group(1).toInt == treeSpecs, s"survey: spec count matches tree ($treeSpecs)",
+          s"SURVEY STALE: says ${m.group(1)} test cases, tree defines $treeSpecs")
+      case None =>
+        check(ok = false, "", "SURVEY: no 'N ScalaTest test cases' line found")
+    }
+    if (failures.nonEmpty) {
+      println(s"inventory: ${failures.size} doc-drift failure(s)")
+      sys.exit(1)
+    }
+    println("inventory: docs and code agree")
   }
 }

@@ -144,6 +144,59 @@ class DocStoreSpec extends SparkSpec {
     assert(ok.count() === 2)
   }
 
+  test("allowEvolution widens a new update column with nulls for old docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docevo").toString + "/docs"
+    DocStoreSink.upsertDocsInto(spark, dir, toDocs(Seq(
+      doc(1L, "a", Seq((10L, "r10"))),
+      doc(2L, "b", Seq((20L, "r20"))))), "id", "reviews", Nil)
+    // the next batch carries a NEW scalar column the table never had
+    val evolved = toDocs(Seq(doc(2L, "b2", Seq((21L, "r21")))))
+      .withColumn("host_since", lit("2024"))
+    DocStoreSink.upsertDocsInto(spark, dir, evolved, "id", "reviews", Nil,
+      allowEvolution = true)
+    val got = spark.read.parquet(dir)
+      .select($"id", $"name", $"host_since", size($"reviews").as("n"))
+      .as[(Long, String, Option[String], Int)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, "a", None, 1),          // untouched doc reads the new column as null
+      (2L, "b2", Some("2024"), 2)), // updated doc carries it; arrays still merge
+      s"got: $got")
+    // strict mode still rejects the same drift
+    intercept[Exception] {
+      DocStoreSink.upsertDocsInto(spark, dir,
+        evolved.withColumn("another", lit(1)), "id", "reviews", Nil)
+    }
+  }
+
+  test("allowEvolution widens an update batch MISSING the array column") {
+    val base = toDocs(Seq(doc(1L, "a", Seq((10L, "r10")))))
+    val upd = Seq((1L, "a2")).toDF("id", "name") // scalar-only update
+    val got = DocStoreSink.mergeDocs(base, upd, "id", "reviews", allowEvolution = true)
+      .select($"id", $"name", size($"reviews").as("n"))
+      .as[(Long, String, Int)].collect().toSeq
+    assert(got === Seq((1L, "a2", 1)),
+      "scalar update wins; the base array survives a batch that never had one")
+  }
+
+  test("parquet upsert with allowEvolution appends the new column, nulls for old rows") {
+    import graft.sinks.ParquetSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqevo").toString + "/t"
+    ParquetSink.upsertInto(spark, dir,
+      Seq((1L, "en", 1.0), (2L, "fr", 2.0)).toDF("id", "lang", "v"), "id", Seq("lang"))
+    // strict mode refuses the widened batch outright
+    intercept[Exception] {
+      ParquetSink.upsertInto(spark, dir,
+        Seq((2L, "fr", 2.5, "s3://x")).toDF("id", "lang", "v", "src"), "id", Seq("lang"))
+    }
+    ParquetSink.upsertInto(spark, dir,
+      Seq((2L, "fr", 2.5, "s3://x")).toDF("id", "lang", "v", "src"), "id", Seq("lang"),
+      allowEvolution = true)
+    val got = spark.read.parquet(dir)
+      .select($"id", $"lang", $"v", $"src")
+      .as[(Long, String, Double, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "en", 1.0, None), (2L, "fr", 2.5, Some("s3://x"))))
+  }
+
   test("initial doc load with duplicate keys raises instead of writing dup docs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_docdup").toString + "/docs"
     val dup = toDocs(Seq(

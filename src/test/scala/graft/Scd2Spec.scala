@@ -69,4 +69,63 @@ class Scd2Spec extends SparkSpec {
       .select($"attr", $"is_current").as[(String, Boolean)].collect().toMap
     assert(h === Map("A" -> false, "B" -> true))
   }
+
+  // the full feed exercises every merge shape: a batch row collapsing into
+  // the open version (key 1's trailing A), a change re-opening (key 1's B),
+  // a brand-new key arriving only in the batch (key 3), and an untouched
+  // key absent from the batch (key 2)
+  private val fullFeed = Seq(
+    (1L, "2024-01-01", 1L, "A"), (1L, "2024-01-02", 2L, "A"),
+    (1L, "2024-01-10", 3L, "A"), (1L, "2024-01-11", 4L, "B"),
+    (2L, "2024-01-02", 5L, "X"),
+    (3L, "2024-01-12", 6L, "C"), (3L, "2024-01-13", 7L, "C"))
+
+  private def feedDf(rows: Seq[(Long, String, Long, String)]) = {
+    val withTs = rows.map { case (k, d, tb, a) => (k, ts(d), tb, a) }
+    withTs.toDF("k", "t", "tb", "attr")
+  }
+
+  test("mergeHistory(batch) is indistinguishable from a full-feed rebuild") {
+    val (base, batch) = fullFeed.partition(_._2 < "2024-01-10")
+    val merged = Scd2.mergeHistory(
+      Scd2.history(feedDf(base), "k", "t", "tb", Seq("attr")),
+      feedDf(batch), "k", "t", "tb", Seq("attr"))
+    val rebuilt = Scd2.history(feedDf(fullFeed), "k", "t", "tb", Seq("attr"))
+    assert(merged.columns.toSeq.sorted === rebuilt.columns.toSeq.sorted)
+    val key = (r: org.apache.spark.sql.Row) => r.toString
+    assert(merged.collect().map(key).sorted.toSeq ===
+      rebuilt.collect().map(key).sorted.toSeq)
+  }
+
+  test("mergeHistory leaves keys absent from the batch untouched") {
+    val (base, batch0) = fullFeed.partition(_._2 < "2024-01-10")
+    val batch = batch0.filterNot(_._1 == 2L)
+    val existing = Scd2.history(feedDf(base), "k", "t", "tb", Seq("attr"))
+    val merged = Scd2.mergeHistory(existing, feedDf(batch), "k", "t", "tb", Seq("attr"))
+    val before = existing.filter($"k" === 2L).collect().map(_.toString).sorted.toSeq
+    val after = merged.filter($"k" === 2L).collect().map(_.toString).sorted.toSeq
+    assert(after === before)
+  }
+
+  test("mergeHistory raises on a late observation at or before the open version") {
+    val existing = Scd2.history(
+      feedDf(Seq((1L, "2024-01-01", 1L, "A"), (1L, "2024-01-05", 2L, "B"))),
+      "k", "t", "tb", Seq("attr"))
+    val late = feedDf(Seq((1L, "2024-01-03", 9L, "C"))) // between the versions
+    val ex = intercept[Exception] {
+      Scd2.mergeHistory(existing, late, "k", "t", "tb", Seq("attr")).collect()
+    }
+    assert(ex.getMessage.contains("late observation") ||
+      Option(ex.getCause).exists(_.getMessage.contains("late observation")))
+  }
+
+  test("mergeHistory rejects a batch whose columns differ from the history's") {
+    val existing = Scd2.history(
+      feedDf(Seq((1L, "2024-01-01", 1L, "A"))), "k", "t", "tb", Seq("attr"))
+    val bad = Seq((1L, ts("2024-02-01"), 2L)).toDF("k", "t", "tb")
+    val ex = intercept[IllegalArgumentException] {
+      Scd2.mergeHistory(existing, bad, "k", "t", "tb", Seq("attr"))
+    }
+    assert(ex.getMessage.contains("observation columns"))
+  }
 }

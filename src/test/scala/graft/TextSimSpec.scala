@@ -107,6 +107,18 @@ class TextSimSpec extends SparkSpec {
     assert(after > before, s"trained=$after stub=$before")
   }
 
+  test("k-means training is partition-count-invariant (6-dp mean rounding)") {
+    // a raw double avg sums in partition order, so unrounded training
+    // would drift with the layout; the per-round rounding makes the
+    // trained codebook a pure function of the data
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    def fit(parts: Int) =
+      Similarity.kmeansFit(e.repartition(parts), "embedding", "vec_id", k = 8, iters = 2)
+        .select($"centroid_id", $"c_v".cast("array<double>"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(fit(7) === fit(13))
+  }
+
   test("embedding near-dup pairs all meet the threshold, symmetric-free (a<b)") {
     val out = q("dedup_embedding").cache()
     assert(out.filter($"cosine" < 0.45).isEmpty)
