@@ -35,4 +35,75 @@ object Sampling {
       .when(b < trainPct + validationPct, "validation")
       .otherwise("test")
   }
+
+  /** Full 32-bit hash order key (first 8 md5 hex chars as a bigint) — the
+    * ranking [[stratifiedQuota]] samples by. Uniform, rerun-stable, and
+    * portable (DuckDB: `CAST(concat('0x', substr(md5(k), 1, 8)) AS
+    * BIGINT)`). */
+  def hashOrder(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("bigint")
+
+  /** Stratified quota sampling: keep the `quota` hash-first rows of each
+    * stratum — how a training mix is rebalanced to a target composition
+    * (lang/source/domain caps) without `rand()`'s rerun instability.
+    * `quotas` carries (strataCols..., quotaCol); a stratum absent from it
+    * is DROPPED (explicit mixes only — a silent pass-through would leak
+    * an unlisted domain into the mix uncapped).
+    *
+    * Result is EXACTLY "row_number over (stratum order by hash, key) ≤
+    * quota", but the plan never window-sorts a full stratum. A hot
+    * stratum (one language is half the corpus) makes the naive window
+    * shuffle corpus-sized; here a per-stratum HASH CUTOFF prefilters
+    * candidates map-side — the hash is uniform, so cutoff 4·quota/count
+    * keeps ≈4·quota rows — and only those shuffle into the ranking
+    * window. The safety factor is verified, not hoped for: a second tiny
+    * aggregation counts actual survivors, and any stratum whose
+    * candidate pool came up short of its quota (possible only at
+    * astronomical odds, but possible) falls back to ranking ALL its rows
+    * — so the output is exact by construction, the prefilter only an
+    * optimization. Cost: 3 map-side scans (key+strata columns only) +
+    * two stratum-cardinality shuffles + a window over ≈4·Σquota rows; at
+    * 100 TB that replaces the corpus-sized window exchange with pruned
+    * scans. */
+  def stratifiedQuota(df: DataFrame, strataCols: Seq[String], keyCol: String,
+                      quotas: DataFrame, quotaCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(strataCols.nonEmpty, "stratifiedQuota needs at least one stratum column")
+    val strata = strataCols.map(col)
+    val counts = df.groupBy(strata: _*).agg(count(lit(1)).as("__cnt"))
+    val full = lit(1L << 32)
+    val plan = counts.join(quotas, strataCols)
+      .withColumn("__cut",
+        when(col(quotaCol).cast("long") * 4 >= col("__cnt"), full)
+          .otherwise(ceil(full * col(quotaCol).cast("double") * 4 / col("__cnt")).cast("long")))
+    val h = hashOrder(col(keyCol)).as("__h")
+    val cand = df.withColumn("__h", h)
+      .join(broadcast(plan), strataCols)
+      .filter(col("__h") < col("__cut"))
+    // exactness check on the OBSERVED candidate pool: a stratum with
+    // fewer survivors than its quota re-ranks all of its rows instead
+    val decided = broadcast(plan
+      .join(cand.groupBy(strata: _*).agg(count(lit(1)).as("__scnt")), strataCols, "left")
+      .withColumn("__safe", coalesce(col("__scnt"), lit(0L)) >= col(quotaCol))
+      .select((strata :+ col(quotaCol) :+ col("__cut") :+ col("__safe")): _*))
+    val pool = df.withColumn("__h", h)
+      .join(decided, strataCols)
+      .filter(!col("__safe") || col("__h") < col("__cut"))
+    val w = Window.partitionBy(strata: _*).orderBy(col("__h"), col(keyCol))
+    pool.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col(quotaCol))
+      .select(df.columns.map(col): _*)
+  }
+
+  /** Cap every stratum at `n` rows (hash-first) — the per-domain
+    * contribution cap a crawl pipeline applies before mixing. Same exact
+    * semantics and prefiltered plan as [[stratifiedQuota]] with a
+    * constant quota for every observed stratum. */
+  def capPerStratum(df: DataFrame, strataCols: Seq[String], keyCol: String,
+                    n: Int): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    val quotas = df.select(strataCols.map(col): _*).distinct()
+      .withColumn("__quota", lit(n))
+    stratifiedQuota(df, strataCols, keyCol, quotas, "__quota")
+  }
 }

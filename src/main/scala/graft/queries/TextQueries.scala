@@ -167,6 +167,44 @@ object TextQueries {
       graft.etl.Chunking.chunkWindows(t(s, d, "documents"), "text", "doc_id",
         size = 32, stride = 24)),
 
+    // per-source contribution cap (the crawl pipeline's per-domain cap):
+    // at most 10 hash-first docs per source. The plan prefilters each
+    // stratum by a hash cutoff before ranking, so a hot source never
+    // window-sorts whole — exactness restored by the observed-survivor
+    // fallback (Sampling.stratifiedQuota)
+    "ta_source_cap" -> ((s, d) =>
+      graft.etl.Sampling.capPerStratum(
+        t(s, d, "documents").select("doc_id", "source"),
+        Seq("source"), "doc_id", n = 10)),
+
+    // training-mix rebalancing to per-language quotas: en capped at 30,
+    // zh at 10, de's quota covers it whole; langs absent from the quota
+    // table (es, fr) are dropped — explicit mixes only
+    "ta_quota_sample" -> ((s, d) => {
+      val sq = s; import sq.implicits._
+      val quotas = Seq(("en", 30), ("zh", 10), ("de", 70)).toDF("lang", "quota")
+      graft.etl.Sampling.stratifiedQuota(
+        t(s, d, "documents").select("doc_id", "lang"),
+        Seq("lang"), "doc_id", quotas, "quota")
+    }),
+
+    // global greedy selection under a corpus-wide token budget: best-
+    // quality docs until 15k tokens are spent. Histogram thresholding —
+    // the corpus never passes through a global sort; only the one
+    // straddling quality bucket gets an exact cumsum window. Oracle runs
+    // the naive global window: results are row-identical
+    "ta_budget_select" -> ((s, d) => {
+      val w = tokens(col("text"))
+      val nW = size(w).cast("double")
+      val dup = lit(1.0) - size(array_distinct(w)).cast("double") / nW
+      val stop = tokenCount(col("text"), Seq("the", "a")).cast("double") / nW
+      val scored = t(s, d, "documents").select(col("doc_id"),
+        size(w).cast("long").as("tk"),
+        round(lit(0.5) * stop + lit(0.5) * (lit(1.0) - dup), 6).as("quality"))
+      graft.etl.Selection.tokenBudgetSelect(scored, "tk", "quality", "doc_id",
+        budget = 15000L)
+    }),
+
     // benchmark decontamination: docs sharing any word-3-gram hash with
     // the held-out "benchmark" subset (doc_id % 97 = 0) are flagged with
     // their distinct-collision count — the n-gram-overlap guard against
@@ -451,6 +489,32 @@ object TextQueries {
          SELECT lang, CAST(pack_id AS BIGINT) AS pack_id,
                 count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS sum_tokens
          FROM d GROUP BY 1, 2""",
+    // naive per-stratum hash rank: the prefiltered plan must be
+    // row-identical to it
+    "ta_source_cap" ->
+      """SELECT doc_id, source FROM documents
+         QUALIFY row_number() OVER (PARTITION BY source
+           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                    doc_id) <= 10""",
+    "ta_quota_sample" ->
+      """WITH q(lang, quota) AS (VALUES ('en', 30), ('zh', 10), ('de', 70))
+         SELECT doc_id, lang FROM documents JOIN q USING (lang)
+         QUALIFY row_number() OVER (PARTITION BY lang
+           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                    doc_id) <= quota""",
+    // the naive GLOBAL cumsum form of the budget selection — the
+    // histogram-threshold plan must reproduce it row for row
+    "ta_budget_select" ->
+      """WITH q AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS tk,
+                    round(0.5*(len(list_filter(w, x -> x IN ('the','a')))*1.0/len(w))
+                        + 0.5*(1.0 - (1.0 - len(list_distinct(w))*1.0/len(w))), 6) AS quality
+                  FROM q),
+            o AS (SELECT doc_id, tk, quality,
+                    sum(tk) OVER (ORDER BY quality DESC, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tk AS bef
+                  FROM m)
+         SELECT doc_id, tk, quality FROM o WHERE bef < 15000""",
     "ta_split_sample" ->
       """SELECT CASE WHEN b < 80 THEN 'train'
                      WHEN b < 90 THEN 'validation'

@@ -59,7 +59,20 @@ object ParquetSink {
     * and lose the upsert — and every rename result is checked. */
   private[sinks] def swapWrite(spark: SparkSession, path: String,
                                partitionCols: Seq[String])
-                              (merge: Option[DataFrame] => DataFrame): Unit = {
+                              (merge: Option[DataFrame] => DataFrame): Unit =
+    swapWriteWith(spark, path, partitionCols, (_, _) => ())(merge)
+
+  /** [[swapWrite]] plus an `afterWrite(fs, tmpDir)` hook that runs after
+    * the merged result is fully written but BEFORE the promotion renames —
+    * anything the hook drops into the tmp dir (e.g. a commit marker)
+    * becomes visible ATOMICALLY with the data it describes. That is what
+    * makes a foreachBatch sink exactly-once: the marker can never name a
+    * batch whose data didn't land, nor vice versa. */
+  private[sinks] def swapWriteWith(spark: SparkSession, path: String,
+                                   partitionCols: Seq[String],
+                                   afterWrite: (org.apache.hadoop.fs.FileSystem,
+                                     org.apache.hadoop.fs.Path) => Unit)
+                                  (merge: Option[DataFrame] => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -84,6 +97,7 @@ object ParquetSink {
     // write to a temp dir then swap: the source partition being overwritten
     // is also an input — direct overwrite would corrupt it mid-scan
     writePartitioned(merged, tmp.toString, partitionCols)
+    afterWrite(fs, tmp)
     if (fs.exists(dst)) {
       mv(dst, old)
       mv(tmp, dst)

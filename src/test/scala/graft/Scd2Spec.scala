@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.{col, to_timestamp}
+
 import graft.etl.Scd2
 
 /** SCD2 history-build contract: runs of identical observations collapse,
@@ -117,6 +119,35 @@ class Scd2Spec extends SparkSpec {
     }
     assert(ex.getMessage.contains("late observation") ||
       Option(ex.getCause).exists(_.getMessage.contains("late observation")))
+  }
+
+  test("streaming history sink: batches accumulate to the full rebuild, replay is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2s").toString + "/h"
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long, String)](spark)
+    val sink = graft.sinks.Scd2Sink.appendHistoryInto(dir, "k", "t", "tb", Seq("attr")) _
+    val qy = ms.toDS()
+      .select($"_1".as("k"), to_timestamp($"_2").as("t"), $"_3".as("tb"), $"_4".as("attr"))
+      .writeStream.foreachBatch(sink).start()
+    val (b1, b2) = fullFeed.partition(_._2 < "2024-01-10")
+    ms.addData(b1.map { case (k, d, tb, a) => (k, d, tb, a) }: _*)
+    qy.processAllAvailable()
+    ms.addData(b2.map { case (k, d, tb, a) => (k, d, tb, a) }: _*)
+    qy.processAllAvailable(); qy.stop()
+    val rebuilt = Scd2.history(feedDf(fullFeed), "k", "t", "tb", Seq("attr"))
+    val got = spark.read.parquet(dir).select(rebuilt.columns.map(col): _*)
+    assert(got.collect().map(_.toString).sorted.toSeq ===
+      rebuilt.collect().map(_.toString).sorted.toSeq,
+      "two streamed batches must equal the one-shot rebuild")
+    // at-least-once redelivery: re-running an already-committed batch id
+    // must skip (the marker rode the same atomic rename as the data) —
+    // WITHOUT the skip this replay would trip the late-data guard
+    sink(feedDf(b2), 1L)
+    val after = spark.read.parquet(dir)
+    assert(after.collect().map(_.toString).sorted.toSeq ===
+      got.collect().map(_.toString).sorted.toSeq, "replayed batch is a no-op")
+    // a genuinely new batch id still applies
+    sink(feedDf(Seq((2L, "2024-03-01", 8L, "Y"))), 2L)
+    assert(spark.read.parquet(dir).where($"k" === 2L).count() === 2)
   }
 
   test("mergeHistory rejects a batch whose columns differ from the history's") {

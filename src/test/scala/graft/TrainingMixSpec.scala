@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.etl.{Sampling, Selection}
+
+/** Training-mix construction operators: stratified quota sampling (hash
+  * prefilter must be row-identical to the naive per-stratum window) and
+  * global token-budget selection (histogram thresholding must be
+  * row-identical to the naive global cumsum). */
+class TrainingMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naiveQuota(df: DataFrame, strata: String, key: String,
+                         quotas: DataFrame, quotaCol: String): DataFrame = {
+    val w = Window.partitionBy(col(strata))
+      .orderBy(Sampling.hashOrder(col(key)), col(key))
+    df.join(quotas, Seq(strata))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col(quotaCol))
+      .select(df.columns.map(col): _*)
+  }
+
+  private def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+
+  test("stratifiedQuota matches the naive window across quota regimes") {
+    val docs = (0 until 400).map(i => (i.toLong, s"s${i % 5}")).toDF("id", "st")
+    // quotas spanning: prefilter active (4q < n), full-keep (q >= n),
+    // over-ask (q > n), and a stratum with no quota row (dropped)
+    val quotas = Seq(("s0", 10), ("s1", 80), ("s2", 200), ("s3", 1))
+      .toDF("st", "q")
+    val fast = Sampling.stratifiedQuota(docs, Seq("st"), "id", quotas, "q")
+    assert(rows(fast) === rows(naiveQuota(docs, "st", "id", quotas, "q")))
+    assert(fast.filter($"st" === "s4").isEmpty, "unlisted stratum is dropped")
+    assert(fast.filter($"st" === "s3").count() === 1)
+    assert(fast.filter($"st" === "s2").count() === 80, "over-ask keeps the whole stratum")
+  }
+
+  test("stratifiedQuota survivor fallback: a hash-skewed stratum stays exact") {
+    // adversarial stratum: keep only the hash-LAST 20 of 2000 candidate
+    // keys, so the 4x-quota cutoff finds (almost) no survivors and the
+    // observed-count fallback must re-rank the whole stratum
+    val cand = (0 until 2000).map(_.toLong).toDF("id")
+      .withColumn("h", Sampling.hashOrder($"id"))
+    val topIds = cand.orderBy($"h".desc).limit(20).select("id").as[Long].collect().toSeq
+    val docs = topIds.map((_, "hot")).toDF("id", "st")
+    val quotas = Seq(("hot", 3)).toDF("st", "q")
+    val fast = Sampling.stratifiedQuota(docs, Seq("st"), "id", quotas, "q")
+    assert(rows(fast) === rows(naiveQuota(docs, "st", "id", quotas, "q")))
+    assert(fast.count() === 3)
+  }
+
+  test("capPerStratum is stratifiedQuota with a constant quota, partition-invariant") {
+    val docs = (0 until 300).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "st")
+    val capped = Sampling.capPerStratum(docs, Seq("st"), "id", n = 7)
+    assert(capped.groupBy("st").count().as[(String, Long)].collect().toMap
+      === Map("s0" -> 7L, "s1" -> 7L, "s2" -> 7L))
+    assert(rows(capped) === rows(Sampling.capPerStratum(docs.repartition(13), Seq("st"), "id", n = 7)))
+  }
+
+  private def naiveBudget(df: DataFrame, budget: Long): DataFrame = {
+    val w = Window.orderBy($"score".desc, $"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__bef", sum($"tk").over(w) - $"tk")
+      .filter($"__bef" < budget).drop("__bef")
+  }
+
+  test("tokenBudgetSelect matches the naive global cumsum") {
+    val docs = (0 until 500).map { i =>
+      (i.toLong, 10L + i % 37, math.rint((i * 37 % 101) / 101.0 * 1e6) / 1e6)
+    }.toDF("id", "tk", "score")
+    for (budget <- Seq(1L, 500L, 4000L, 1000000L)) {
+      val fast = Selection.tokenBudgetSelect(docs, "tk", "score", "id", budget)
+      assert(rows(fast) === rows(naiveBudget(docs, budget)), s"budget=$budget")
+    }
+  }
+
+  test("tokenBudgetSelect stays exact when every score collides into one bucket") {
+    // degenerate corpus: identical scores force everything through the
+    // straddle-bucket window; id tiebreak decides the boundary
+    val docs = (0 until 100).map(i => (i.toLong, 10L, 0.5)).toDF("id", "tk", "score")
+    val got = Selection.tokenBudgetSelect(docs, "tk", "score", "id", budget = 255)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got === (0L until 26L), "26 docs start inside the 255-token budget")
+  }
+
+  test("budget selection keeps the single best doc even under a tiny budget") {
+    val docs = Seq((1L, 100L, 0.9), (2L, 100L, 0.8)).toDF("id", "tk", "score")
+    val got = Selection.tokenBudgetSelect(docs, "tk", "score", "id", budget = 5)
+      .select("id").as[Long].collect().toSeq
+    assert(got === Seq(1L), "the first doc always starts at offset 0")
+  }
+}
