@@ -70,9 +70,20 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     require(strataCols.nonEmpty, "stratifiedQuota needs at least one stratum column")
     val strata = strataCols.map(col)
+    // duplicate quota rows would duplicate every joined corpus row — the
+    // contract is one row per stratum, enforced at execution through the
+    // quota column (same fused raise_error pattern as mergeDocs)
+    val safeQuotas = quotas.groupBy(strata: _*)
+      .agg(max(col(quotaCol)).as(quotaCol), count(lit(1)).as("__nq"))
+      .withColumn(quotaCol, coalesce(
+        when(col("__nq") > 1, raise_error(concat(
+          lit("stratifiedQuota: >1 quota row for stratum ("),
+          concat_ws(",", strata.map(_.cast("string")): _*), lit(")")))),
+        col(quotaCol)))
+      .drop("__nq")
     val counts = df.groupBy(strata: _*).agg(count(lit(1)).as("__cnt"))
     val full = lit(1L << 32)
-    val plan = counts.join(quotas, strataCols)
+    val plan = counts.join(broadcast(safeQuotas), strataCols)
       .withColumn("__cut",
         when(col(quotaCol).cast("long") * 4 >= col("__cnt"), full)
           .otherwise(ceil(full * col(quotaCol).cast("double") * 4 / col("__cnt")).cast("long")))
@@ -83,7 +94,7 @@ object Sampling {
     // exactness check on the OBSERVED candidate pool: a stratum with
     // fewer survivors than its quota re-ranks all of its rows instead
     val decided = broadcast(plan
-      .join(cand.groupBy(strata: _*).agg(count(lit(1)).as("__scnt")), strataCols, "left")
+      .join(broadcast(cand.groupBy(strata: _*).agg(count(lit(1)).as("__scnt"))), strataCols, "left")
       .withColumn("__safe", coalesce(col("__scnt"), lit(0L)) >= col(quotaCol))
       .select((strata :+ col(quotaCol) :+ col("__cut") :+ col("__safe")): _*))
     val pool = df.withColumn("__h", h)

@@ -51,6 +51,16 @@ class TrainingMixSpec extends SparkSpec {
     assert(fast.count() === 3)
   }
 
+  test("duplicate quota rows for one stratum raise instead of duplicating docs") {
+    val docs = (0 until 50).map(i => (i.toLong, "s0")).toDF("id", "st")
+    val dupQuotas = Seq(("s0", 5), ("s0", 9)).toDF("st", "q")
+    val ex = intercept[Exception] {
+      Sampling.stratifiedQuota(docs, Seq("st"), "id", dupQuotas, "q").collect()
+    }
+    assert(ex.getMessage.contains(">1 quota row") ||
+      Option(ex.getCause).exists(_.getMessage.contains(">1 quota row")))
+  }
+
   test("capPerStratum is stratifiedQuota with a constant quota, partition-invariant") {
     val docs = (0 until 300).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "st")
     val capped = Sampling.capPerStratum(docs, Seq("st"), "id", n = 7)
