@@ -38,6 +38,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched brute-force top-k: one exact result set per query row —
+    * [[topK]]'s multi-query form, and the ground truth [[ivfSearchBatch]]
+    * is measured against (`sim_ann_recall`). Queries ride ONE broadcast;
+    * scoring is map-side; the only shuffle is the per-query rank window
+    * (Q×n scored rows — brute force is O(Q·n) by definition, which is why
+    * it is the oracle-parity baseline, not the scale path). */
+  def topKBatch(df: DataFrame, vecCol: String, idCol: String,
+                queries: DataFrame, qIdCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(qIdCol).as("q_id"), asDouble(col(vecCol)).as("q_v")))
+    df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .crossJoin(q)
+      .select(col("q_id"), col(idCol), round(cosine(col("v"), col("q_v")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col(idCol))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Measured recall@k of [[ivfSearchBatch]] against [[topKBatch]] ground
+    * truth, per query — the number that justifies an nProbe setting
+    * before committing a 100 TB corpus to it. Probing ALL K clusters is
+    * exhaustive by construction (recall exactly 1.0 — spec'd), so recall
+    * is monotone in nProbe and this query prices the dial. */
+  def annRecall(df: DataFrame, vecCol: String, idCol: String,
+                centroids: DataFrame, cIdCol: String,
+                queries: DataFrame, qIdCol: String,
+                k: Int, nProbe: Int): DataFrame = {
+    val exact = topKBatch(df, vecCol, idCol, queries, qIdCol, k)
+      .select(col("q_id"), col(idCol))
+    val approx = ivfSearchBatch(df, vecCol, idCol, centroids, cIdCol,
+        queries, qIdCol, k, nProbe)
+      .select(col("q_id"), col(idCol))
+    exact.join(approx, Seq("q_id", idCol), "left_semi")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_hit"))
+      .select(col("q_id"), col("n_hit"),
+        round(col("n_hit").cast("double") / k, 6).as("recall"))
+  }
+
   /** Lloyd's k-means for IVF centroid training: deterministic init (first
     * k rows by id), then `iters` assign→mean rounds. Each round is one
     * broadcast assignment (map-side) + one shuffle of (cluster, dim)

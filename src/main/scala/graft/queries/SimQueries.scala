@@ -139,6 +139,16 @@ object SimQueries {
         .select(col("centroid_id"), col("dim"), round(col("m"), 6).as("m"))
     }),
 
+    // measured recall@10 of probe-2 IVF search vs exact brute force, per
+    // query — the number that prices the nProbe dial before a 100 TB
+    // corpus commits to it (probing all K clusters is exact; spec'd)
+    "sim_ann_recall" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.annRecall(e, "embedding", "vec_id",
+        e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid"), "cid",
+        queries = e.filter(col("vec_id") < 3), "vec_id", k = 10, nProbe = 2)
+    }),
+
     // BATCHED ANN: one top-k per query row, all queries in one plan (no
     // per-query jobs, no driver loop) — the API the single-query guard
     // points to
@@ -282,6 +292,40 @@ object SimQueries {
     // identical SEMANTICS to sim_ann_search (different query row): the
     // partitioned store changes the physical plan, never the answer
     "sim_ann_pruned" -> annSearchSql(qid = 1),
+    "sim_ann_recall" ->
+      s"""WITH n AS (${normed(vecs)}),
+            c AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 8),
+            scored AS (
+              SELECT a.vec_id, c.centroid_id,
+                     round(${fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * c.v[CAST(i AS INT)])")} / (a.nrm * c.nrm), 6) AS sim
+              FROM n a CROSS JOIN c),
+            assigned AS (
+              SELECT vec_id, centroid_id FROM scored
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1),
+            na AS (SELECT n.vec_id, n.v, n.nrm, a.centroid_id
+                   FROM n JOIN assigned a ON n.vec_id = a.vec_id),
+            qs AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id < 3),
+            qa AS (SELECT s.vec_id AS q_id, s.centroid_id FROM scored s
+                   WHERE s.vec_id < 3
+                   QUALIFY row_number() OVER (PARTITION BY s.vec_id
+                                              ORDER BY s.sim DESC, s.centroid_id) <= 2),
+            approx AS (
+              SELECT q_id, vec_id FROM (
+                SELECT b.q_id, a.vec_id,
+                       round($pairDot / (a.nrm * b.nrm), 6) AS cosine
+                FROM na a
+                JOIN qa ON a.centroid_id = qa.centroid_id
+                JOIN qs b ON b.q_id = qa.q_id)
+              QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= 10),
+            exact AS (
+              SELECT q_id, vec_id FROM (
+                SELECT b.q_id, a.vec_id,
+                       round($pairDot / (a.nrm * b.nrm), 6) AS cosine
+                FROM n a CROSS JOIN qs b)
+              QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= 10)
+          SELECT q_id, count(*) AS n_hit, round(count(*) * 1.0 / 10, 6) AS recall
+          FROM exact JOIN approx USING (q_id, vec_id)
+          GROUP BY q_id""",
     "sim_ann_batch" ->
       s"""WITH n AS (${normed(vecs)}),
             c AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 8),

@@ -107,6 +107,23 @@ class TextSimSpec extends SparkSpec {
     assert(after > before, s"trained=$after stub=$before")
   }
 
+  test("ANN recall is monotone in nProbe and exactly 1.0 when probing every cluster") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = e.filter($"vec_id" < 8).withColumnRenamed("vec_id", "cid")
+    val qs = e.filter($"vec_id" < 3)
+    def recalls(nProbe: Int) =
+      Similarity.annRecall(e, "embedding", "vec_id", cents, "cid", qs, "vec_id",
+        k = 10, nProbe = nProbe)
+        .select($"q_id", $"recall").as[(Long, Double)].collect().toMap
+    val r8 = recalls(8)
+    assert(r8.values.forall(_ === 1.0), s"probing all 8 clusters must be exact: $r8")
+    val r2 = recalls(2)
+    val r4 = recalls(4)
+    assert(r2.keySet === Set(0L, 1L, 2L))
+    assert(r2.forall { case (q, r) => r <= r4(q) && r4(q) <= r8(q) },
+      s"recall must be monotone in nProbe: r2=$r2 r4=$r4")
+  }
+
   test("k-means training is partition-count-invariant (6-dp mean rounding)") {
     // a raw double avg sums in partition order, so unrounded training
     // would drift with the layout; the per-round rounding makes the
