@@ -70,7 +70,9 @@ object Similarity {
     val approx = ivfSearchBatch(df, vecCol, idCol, centroids, cIdCol,
         queries, qIdCol, k, nProbe)
       .select(col("q_id"), col(idCol))
-    exact.join(approx, Seq("q_id", idCol), "left_semi")
+    // both sides are k·Q rows — the approx side rides a broadcast so the
+    // intersection never sort-merges two tiny frames
+    exact.join(broadcast(approx), Seq("q_id", idCol), "left_semi")
       .groupBy("q_id")
       .agg(count(lit(1)).as("n_hit"))
       .select(col("q_id"), col("n_hit"),
