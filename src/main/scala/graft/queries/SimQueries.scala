@@ -139,6 +139,22 @@ object SimQueries {
         .select(col("centroid_id"), col("dim"), round(col("m"), 6).as("m"))
     }),
 
+    // HYBRID retrieval: keyword predicate over documents prefilters the
+    // corpus (map-side scan + id semi-join), then only the survivors are
+    // vector-ranked — the filtered-RAG composition. Brute-force ranking
+    // of the survivors is the right plan for a selective filter (the
+    // candidate set is already small); an unselective filter would rank
+    // via assign+probe instead (sim_ann_search's plan)
+    "sim_hybrid_search" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val words = split(col("text"), " ")
+      val keyword = t(s, d, "documents")
+        .filter(array_contains(words, "merge") && array_contains(words, "spark"))
+        .select(col("doc_id").as("vec_id"))
+      Similarity.topK(e.join(keyword, Seq("vec_id"), "left_semi"),
+        "embedding", "vec_id", e.filter(col("vec_id") === 0), k = 10)
+    }),
+
     // measured recall@10 of probe-2 IVF search vs exact brute force, per
     // query — the number that prices the nProbe dial before a 100 TB
     // corpus commits to it (probing all K clusters is exact; spec'd)
@@ -292,6 +308,18 @@ object SimQueries {
     // identical SEMANTICS to sim_ann_search (different query row): the
     // partitioned store changes the physical plan, never the answer
     "sim_ann_pruned" -> annSearchSql(qid = 1),
+    "sim_hybrid_search" ->
+      s"""WITH n AS (${normed(vecs)}),
+            kw AS (SELECT doc_id FROM documents
+                   WHERE list_contains(string_split(text, ' '), 'merge')
+                     AND list_contains(string_split(text, ' '), 'spark')),
+            cand AS (SELECT n.vec_id, n.v, n.nrm FROM n JOIN kw ON n.vec_id = kw.doc_id),
+            q AS (SELECT v, nrm FROM n WHERE vec_id = 0)
+          SELECT vec_id, cosine FROM (
+            SELECT a.vec_id,
+                   round($pairDot / (a.nrm * b.nrm), 6) AS cosine
+            FROM cand a CROSS JOIN q b)
+          QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id) <= 10""",
     "sim_ann_recall" ->
       s"""WITH n AS (${normed(vecs)}),
             c AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 8),

@@ -107,6 +107,17 @@ class TextSimSpec extends SparkSpec {
     assert(after > before, s"trained=$after stub=$before")
   }
 
+  test("hybrid search returns only keyword-matching docs, ranked by cosine") {
+    val out = q("sim_hybrid_search").as[(Long, Double)].collect().toSeq
+    assert(out.nonEmpty && out.size <= 10)
+    assert(out.map(_._2).sliding(2).forall { case Seq(a, b) => a >= b; case _ => true })
+    val words = split($"text", " ")
+    val kw = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(array_contains(words, "merge") && array_contains(words, "spark"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.map(_._1).forall(kw), "every hit passed the keyword prefilter")
+  }
+
   test("ANN recall is monotone in nProbe and exactly 1.0 when probing every cluster") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val cents = e.filter($"vec_id" < 8).withColumnRenamed("vec_id", "cid")
