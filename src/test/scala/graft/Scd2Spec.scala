@@ -150,6 +150,21 @@ class Scd2Spec extends SparkSpec {
     assert(spark.read.parquet(dir).where($"k" === 2L).count() === 2)
   }
 
+  test("mergeHistory with an empty batch returns the history unchanged") {
+    val existing = Scd2.history(feedDf(fullFeed), "k", "t", "tb", Seq("attr"))
+    val merged = Scd2.mergeHistory(existing, feedDf(Nil), "k", "t", "tb", Seq("attr"))
+    assert(merged.collect().map(_.toString).sorted.toSeq ===
+      existing.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("mergeHistory into an empty history equals a first build") {
+    val empty = Scd2.history(feedDf(Nil), "k", "t", "tb", Seq("attr"))
+    val merged = Scd2.mergeHistory(empty, feedDf(fullFeed), "k", "t", "tb", Seq("attr"))
+    val built = Scd2.history(feedDf(fullFeed), "k", "t", "tb", Seq("attr"))
+    assert(merged.collect().map(_.toString).sorted.toSeq ===
+      built.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("mergeHistory rejects a batch whose columns differ from the history's") {
     val existing = Scd2.history(
       feedDf(Seq((1L, "2024-01-01", 1L, "A"))), "k", "t", "tb", Seq("attr"))
