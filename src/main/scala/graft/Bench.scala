@@ -113,6 +113,13 @@ object Bench {
     val passesJson = results.map { case (k, _, ts) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // per-key contention flag: a >3x spread across this run's own passes
+    // means the host moved underneath the query — its median is suspect.
+    // Sub-0.2s keys skip the flag (tiny absolute jitter trips any ratio).
+    val unstable = results.collect {
+      case (k, med, ts) if ts.size >= 2 && med > 0.2 && ts.max / ts.min > 3.0 => k
+    }
+    val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
     // memoized-stage queries: medians above are COLD (memos cleared per
     // pass); `warm` carries the amortized re-read so the shared-stage win
     // stays visible without flattering the headline
@@ -123,7 +130,7 @@ object Bench {
     // partial (filtered) runs are marked so their line can never be read
     // as a full-suite total
     val partialJson = if (only.isEmpty) "" else ""","partial":true"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"memoized":$memoJson,"memo_cleared":true,"warm":$warmJson,"sentinel_pre_s":$sentinelPre,"sentinel_post_s":$sentinelPost,"passes":$passes$partialJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"memoized":$memoJson,"memo_cleared":true,"warm":$warmJson,"unstable":$unstableJson,"sentinel_pre_s":$sentinelPre,"sentinel_post_s":$sentinelPost,"passes":$passes$partialJson,"sf":"$sfDir"}"""
     println(line)
     // append to the repo-tracked history so later rounds can diff per-query
     // regressions mechanically; never let history I/O fail the bench.
