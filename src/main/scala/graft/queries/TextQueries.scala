@@ -167,6 +167,23 @@ object TextQueries {
       graft.etl.Chunking.chunkWindows(t(s, d, "documents"), "text", "doc_id",
         size = 32, stride = 24)),
 
+    // CHUNK-level exact dedup: near-dup docs share whole windows even
+    // when no full doc duplicates exist — dedup at chunk granularity
+    // keeps the first occurrence of each distinct window (lowest
+    // (doc_id, chunk_idx)) and reports per-doc survival. The shuffle
+    // carries md5 hashes only, never chunk text — the same
+    // digests-not-bodies rule as dedup_exact_docs
+    "ta_chunk_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val chunks = graft.etl.Chunking.chunkWindows(
+        t(s, d, "documents"), "text", "doc_id", size = 32, stride = 24)
+      val w = Window.partitionBy("chunk_hash").orderBy(col("doc_id"), col("chunk_idx"))
+      chunks.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") === 1, 1).otherwise(0)).cast("bigint").as("n_kept"))
+    }),
+
     // per-source contribution cap (the crawl pipeline's per-domain cap):
     // at most 10 hash-first docs per source. The plan prefilters each
     // stratum by a hash cutoff before ranking, so a hot source never
@@ -489,6 +506,18 @@ object TextQueries {
          SELECT lang, CAST(pack_id AS BIGINT) AS pack_id,
                 count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS sum_tokens
          FROM d GROUP BY 1, 2""",
+    "ta_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                    WHERE text IS NOT NULL AND text <> ''),
+            ch AS (SELECT doc_id, CAST(r.i AS INT) AS chunk_idx,
+                     md5(array_to_string(list_slice(ws, CAST(r.i*24 + 1 AS INT), CAST(r.i*24 + 32 AS INT)), ' ')) AS chunk_hash
+                   FROM w, unnest(range(0, ((len(ws) - 1) // 24) + 1)) AS r(i)),
+            k AS (SELECT doc_id,
+                     row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx) AS rn
+                  FROM ch)
+         SELECT doc_id, count(*) AS n_chunks,
+                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM k GROUP BY doc_id""",
     // naive per-stratum hash rank: the prefiltered plan must be
     // row-identical to it
     "ta_source_cap" ->

@@ -107,6 +107,15 @@ class TextSimSpec extends SparkSpec {
     assert(after > before, s"trained=$after stub=$before")
   }
 
+  test("chunk-level dedup keeps exactly one copy of each distinct window") {
+    val out = q("ta_chunk_dedup").as[(Long, Long, Long)].collect()
+    val chunks = q("ta_chunk_windows").cache()
+    assert(out.map(_._3).sum === chunks.select("chunk_hash").distinct().count(),
+      "survivors = distinct windows")
+    assert(out.map(_._2).sum === chunks.count(), "every chunk is accounted for")
+    assert(out.exists(r => r._3 < r._2), "near-dup docs must actually share windows")
+  }
+
   test("hybrid search returns only keyword-matching docs, ranked by cosine") {
     val out = q("sim_hybrid_search").as[(Long, Double)].collect().toSeq
     assert(out.nonEmpty && out.size <= 10)
