@@ -20,6 +20,29 @@ import org.apache.spark.sql.SparkSession
   *    after the suite; its medians ride in the artifact so every run
   *    carries its own host-contention estimate (r06→r07 recorded a 25%
   *    same-code swing with no way to attribute it).
+  *
+  * Bounded-wall-clock rules (round-8 postmortem: the cold-pass discipline
+  * above tripled the honest suite cost, and under host contention the
+  * driver's kill window passed before the ONE artifact line at the end was
+  * ever printed — a green engine with an empty scoreboard):
+  *  - HEAVY CAP: a key whose FIRST cold pass exceeds `SPARK_GRAFT_HEAVY_S`
+  *    (default 5 s) records that single cold pass instead of `passes` of
+  *    them — listed in `capped`, raw times in history, so a 1-pass median
+  *    is labeled, not hidden. Saves ~2×18 s on pipeline_corpus_prep alone.
+  *  - DEADLINE: once suite wall time passes `SPARK_GRAFT_DEADLINE_S`
+  *    (default 480 s — inside any plausible driver kill window), remaining
+  *    keys run ONE pass each and `deadline_hit` is flagged: a degraded
+  *    artifact with every key beats a perfect artifact that never exists.
+  *  - INCREMENTAL FLUSH: each completed key appends one line to
+  *    `bench_partial.jsonl` as it finishes (kill -9 leaves a usable
+  *    per-query record) and a JVM shutdown hook prints the summary line
+  *    with `"truncated":true` if the normal end-of-suite line never ran
+  *    (a driver SIGTERM timeout still yields a parseable artifact).
+  *  - SELF-HEALING: keys the `unstable` flag catches (>3× intra-run
+  *    spread) get ONE extra pass at the end (budget permitting) and their
+  *    median is recomputed over all passes minus the single worst — the
+  *    contention spike is excluded, not averaged in; healed keys are
+  *    listed in `healed`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,6 +56,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val heavyS = sys.env.getOrElse("SPARK_GRAFT_HEAVY_S", "5.0").toDouble
+    val deadlineS = sys.env.getOrElse("SPARK_GRAFT_DEADLINE_S", "480").toDouble
+    val suiteT0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - suiteT0) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -66,29 +93,111 @@ object Bench {
     val sentinelPre = sentinel()
     val memoKeys = SparkEntry.memoizedQueries
     val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
-      val times = (1 to passes).flatMap { _ =>
-        // no cross-query (or cross-pass) state: drop cached frames and nudge
-        // the collector so leaked blocks from a prior query can't tax this one
-        spark.catalog.clearCache()
-        // cold discipline for memoized keys: the shared stage rebuilds
-        // INSIDE the timed region every pass — its build cost is this
-        // query's real operator cost, not a first-pass footnote
-        if (memoKeys(name)) SparkEntry.clearMemos()
-        System.gc()
-        val t0 = System.nanoTime()
-        // a throwing pass records NO time: time-to-failure folded into a
-        // median would make a broken query look cheap in the artifact
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          if (!failed.contains(name)) {
-            failed += name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          }
-          None
+    val capped = scala.collection.mutable.ListBuffer[String]()
+    val healed = scala.collection.mutable.ListBuffer[String]()
+    @volatile var deadlineHit = false
+    @volatile var sentinelPost = Double.NaN
+
+    // per-key final state, mutated as the suite runs so the shutdown hook
+    // (and the incremental partial file) always see every COMPLETED key
+    val results = scala.collection.mutable.LinkedHashMap[String, (Double, Seq[Double])]()
+    val lock = new Object
+
+    def num(v: Double): String = if (v.isNaN) "null" else v.toString
+    // the one summary line the driver parses; built from whatever has
+    // completed, so the shutdown hook can emit it mid-suite
+    def summaryLine(truncated: Boolean): String = lock.synchronized {
+      val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + num(v) }
+        .mkString("{", ",", "}")
+      val total = results.values.map(_._1).filterNot(_.isNaN).sum
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // per-key contention flag: a >3x spread across this run's own passes
+      // means the host moved underneath the query — its median is suspect.
+      // Sub-0.2s keys skip the flag (tiny absolute jitter trips any ratio).
+      val unstable = results.collect {
+        case (k, (med, ts)) if ts.size >= 2 && med > 0.2 && ts.max / ts.min > 3.0 => k
+      }
+      val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val memoJson = SparkEntry.memoizedQueries.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val warmJson = warm.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val cappedJson = capped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val healedJson = healed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val partialJson = if (only.isEmpty) "" else ""","partial":true"""
+      val truncJson = if (truncated) ""","truncated":true""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"memoized":$memoJson,"memo_cleared":true,"warm":$warmJson,"unstable":$unstableJson,"capped":$cappedJson,"healed":$healedJson,"deadline_hit":$deadlineHit,"heavy_s":$heavyS,"deadline_s":$deadlineS,"sentinel_pre_s":$sentinelPre,"sentinel_post_s":${num(sentinelPost)},"passes":$passes$partialJson$truncJson,"sf":"$sfDir"}"""
+    }
+    def passTimesJson: String = lock.synchronized {
+      results.map { case (k, (_, ts)) =>
+        s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    }
+    def appendLine(pathEnv: String, default: String, s: String): Unit =
+      try {
+        val p = java.nio.file.Paths.get(sys.env.getOrElse(pathEnv, default))
+        java.nio.file.Files.write(p, (s + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      } catch { case _: Throwable => () }
+
+    // driver-timeout insurance: `timeout` sends SIGTERM first, which runs
+    // JVM shutdown hooks — print the summary from completed keys so an
+    // over-window run still leaves a parseable artifact (marked truncated).
+    // Print only; no Spark work (the context may already be shutting down).
+    @volatile var finalPrinted = false
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!finalPrinted) { System.out.println(summaryLine(truncated = true)); System.out.flush() }
+    }))
+
+    def timedPass(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      // no cross-query (or cross-pass) state: drop cached frames and nudge
+      // the collector so leaked blocks from a prior query can't tax this one
+      spark.catalog.clearCache()
+      // cold discipline for memoized keys: the shared stage rebuilds
+      // INSIDE the timed region every pass — its build cost is this
+      // query's real operator cost, not a first-pass footnote
+      if (memoKeys(name)) SparkEntry.clearMemos()
+      System.gc()
+      val t0 = System.nanoTime()
+      // a throwing pass records NO time: time-to-failure folded into a
+      // median would make a broken query look cheap in the artifact
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        if (!failed.contains(name)) {
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
+        None
+      }
+    }
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+    ordered.foreach { case (name, fn) =>
+      if (!deadlineHit && elapsed > deadlineS) {
+        deadlineHit = true
+        System.err.println(f"[bench] deadline ${deadlineS}%.0f s hit at $elapsed%.1f s — remaining keys run 1 pass")
+      }
+      val budgetPasses = if (deadlineHit) 1 else passes
+      val times = scala.collection.mutable.ListBuffer[Double]()
+      var stop = false
+      var pass = 1
+      while (pass <= budgetPasses && !stop) {
+        timedPass(name, fn) match {
+          case Some(t) =>
+            times += t
+            // heavy cap: one honest cold pass of an 18 s query tells the
+            // truth about its cost; three of them blow the driver window
+            if (pass == 1 && t > heavyS) { stop = true; capped += name }
+          case None =>
+            // a deterministic failure fails every pass — don't pay it again
+            stop = true
+        }
+        if (elapsed > deadlineS && !deadlineHit) {
+          deadlineHit = true; stop = true
+          System.err.println(f"[bench] deadline ${deadlineS}%.0f s hit at $elapsed%.1f s — remaining keys run 1 pass")
+        }
+        pass += 1
       }
       // the amortized shape, shown separately: the last cold pass left the
       // shared stage built, so one more pass measures the warm re-read
@@ -98,54 +207,52 @@ object Bench {
         try { fn(spark, sfDir).count(); warm(name) = (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => () }
       }
-      (name, if (times.isEmpty) Double.NaN else median(times), times)
+      val med = if (times.isEmpty) Double.NaN else median(times.toSeq)
+      lock.synchronized { results(name) = (med, times.toSeq) }
+      // incremental flush: one line per completed key — a kill -9 mid-suite
+      // leaves a usable per-query record (shutdown hooks never run under
+      // SIGKILL; this file is the evidence that survives it)
+      appendLine("SPARK_GRAFT_PARTIAL", "bench_partial.jsonl",
+        s"""{"at":"${java.time.Instant.now()}","query":"$name","median":${num(med)},"pass_times":${times.mkString("[", ",", "]")},"elapsed_s":$elapsed}""")
+      System.err.println(f"[bench] $name%-28s ${num(med)}%8s s  passes=${times.size}  elapsed=$elapsed%.1f s")
     }
-    val sentinelPost = sentinel()
-    // a failed query serializes as JSON null (not the string "NaN") so
-    // downstream tooling (compare_bench.py) treats it as absent instead
-    // of crashing on a string-typed timing
-    def num(v: Double): String = if (v.isNaN) "null" else v.toString
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + num(v) }
-      .mkString("{", ",", "}")
-    // total spans successful queries only; `failed` flags the broken ones
-    val total = results.map(_._2).filterNot(_.isNaN).sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val passesJson = results.map { case (k, _, ts) =>
-      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    // per-key contention flag: a >3x spread across this run's own passes
-    // means the host moved underneath the query — its median is suspect.
-    // Sub-0.2s keys skip the flag (tiny absolute jitter trips any ratio).
-    val unstable = results.collect {
-      case (k, med, ts) if ts.size >= 2 && med > 0.2 && ts.max / ts.min > 3.0 => k
+
+    // self-healing: one extra pass for contention-flagged keys, median
+    // recomputed over all passes minus the single worst — the spike is
+    // excluded, not averaged in. Skipped entirely under deadline pressure.
+    val flagged = lock.synchronized {
+      results.collect {
+        case (k, (med, ts)) if ts.size >= 2 && med > 0.2 && ts.max / ts.min > 3.0 => k
+      }.toSeq
     }
-    val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // memoized-stage queries: medians above are COLD (memos cleared per
-    // pass); `warm` carries the amortized re-read so the shared-stage win
-    // stays visible without flattering the headline
-    val memoJson = SparkEntry.memoizedQueries.toSeq.sorted
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val warmJson = warm.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // partial (filtered) runs are marked so their line can never be read
-    // as a full-suite total
-    val partialJson = if (only.isEmpty) "" else ""","partial":true"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"memoized":$memoJson,"memo_cleared":true,"warm":$warmJson,"unstable":$unstableJson,"sentinel_pre_s":$sentinelPre,"sentinel_post_s":$sentinelPost,"passes":$passes$partialJson,"sf":"$sfDir"}"""
+    flagged.foreach { name =>
+      if (elapsed < deadlineS) {
+        timedPass(name, SparkEntry.queries(name)).foreach { extra =>
+          lock.synchronized {
+            val (_, ts) = results(name)
+            val stable = (ts :+ extra).sorted.dropRight(1)
+            results(name) = (median(stable), ts :+ extra)
+            healed += name
+          }
+          System.err.println(f"[bench] healed $name with extra pass $extra%.2f s")
+        }
+      }
+    }
+
+    sentinelPost = sentinel()
+    val line = summaryLine(truncated = false)
+    finalPrinted = true
     println(line)
     // append to the repo-tracked history so later rounds can diff per-query
     // regressions mechanically; never let history I/O fail the bench.
     // Filtered (partial) runs stay out of history — their totals aren't
     // comparable with full-suite entries.
-    try { if (only.isEmpty) {
-      val hist = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_HISTORY", "bench_history.jsonl"))
+    if (only.isEmpty) {
       // history (not the driver artifact) also carries every raw pass time,
       // so cross-round variance is inspectable without rerunning
-      val stamped = s"""{"at":"${java.time.Instant.now()}","pass_times":$passesJson,""" +
-        line.drop(1) + "\n"
-      java.nio.file.Files.write(hist, stamped.getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    } } catch { case _: Throwable => () }
+      appendLine("SPARK_GRAFT_HISTORY", "bench_history.jsonl",
+        s"""{"at":"${java.time.Instant.now()}","pass_times":$passTimesJson,""" + line.drop(1))
+    }
     spark.stop()
   }
 }
