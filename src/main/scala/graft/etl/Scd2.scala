@@ -39,17 +39,31 @@ object Scd2 {
     * @param tiebreak unique order-disambiguator within (key, ts)
     * @param attrs    tracked attribute column names: a change in ANY opens
     *                 a new version
+    *
+    * Besides the three validity columns, the open version carries the
+    * key's true LAST-OBSERVED `(last_obs_ts, last_obs_tb)` — the max
+    * (ts, tiebreak) over every observation, including the ones that
+    * collapsed into it. A collapsed run (A@t1, A@t5 → one version at t1)
+    * is otherwise unrecoverable from the version rows, and [[mergeHistory]]
+    * needs exactly that mark to reject a late B@t3 that a version-row
+    * high-water check (max valid_from = t1) would silently admit.
     */
   def history(df: DataFrame, key: String, ts: String, tiebreak: String,
               attrs: Seq[String]): DataFrame = {
     require(attrs.nonEmpty, "scd2 needs at least one tracked attribute")
+    require(!Seq(ts, tiebreak).exists(histCols.contains),
+      s"scd2: observation columns may not be named ${histCols.mkString("/")}")
     val obs = Window.partitionBy(key).orderBy(col(ts), col(tiebreak))
+    // per-key last observation BEFORE collapsing runs: same hash partition
+    // as the ordered windows (one Exchange serves all three)
+    val perKey = Window.partitionBy(key)
     // null-safe "any attribute changed vs previous observation"; the first
     // observation (all lags null, changed=null via <=>) always opens
     val changed = attrs
       .map(a => !(col(a) <=> lag(col(a), 1).over(obs)))
       .reduce(_ || _) || row_number().over(obs) === 1
     val versions = df
+      .withColumn("__last", max(struct(col(ts), col(tiebreak))).over(perKey))
       .withColumn("__open", changed)
       .filter(col("__open"))
       .drop("__open")
@@ -58,9 +72,13 @@ object Scd2 {
       .withColumn("valid_from", col(ts))
       .withColumn("valid_to", lead(col(ts), 1).over(ver))
       .withColumn("is_current", col("valid_to").isNull)
+      .withColumn("last_obs_ts", when(col("is_current"), col("__last").getField(ts)))
+      .withColumn("last_obs_tb", when(col("is_current"), col("__last").getField(tiebreak)))
+      .drop("__last")
   }
 
-  private val histCols = Seq("valid_from", "valid_to", "is_current")
+  private val histCols =
+    Seq("valid_from", "valid_to", "is_current", "last_obs_ts", "last_obs_tb")
 
   /** Incremental SCD2: merge a new batch of observations into an existing
     * [[history]] table WITHOUT rebuilding from the full feed — the
@@ -86,12 +104,18 @@ object Scd2 {
     * LATE-DATA GUARD: a collapsed history cannot reproduce versions a
     * late observation would have split (an A@t1,A@t5 run collapsed to
     * A@t1 loses the t5 re-open a B@t3 insert needs), so any batch row at
-    * or before its key's high-water mark — the open version's
-    * `(ts, tiebreak)` — raises at execution rather than silently
-    * corrupting history. Late feeds must rebuild with [[history]].
+    * or before its key's high-water mark — the TRUE last observation
+    * `(last_obs_ts, last_obs_tb)` the open version carries, NOT the
+    * version rows' max `valid_from` (which a collapsed run sits above) —
+    * raises at execution rather than silently corrupting history. Late
+    * feeds must rebuild with [[history]]. Histories written before the
+    * mark existed lack the columns and must rebuild once (enforced).
     */
   def mergeHistory(existing: DataFrame, batch: DataFrame, key: String,
                    ts: String, tiebreak: String, attrs: Seq[String]): DataFrame = {
+    require(Seq("last_obs_ts", "last_obs_tb").forall(existing.columns.contains),
+      "mergeHistory: history lacks the last_obs_ts/last_obs_tb high-water " +
+        "columns — rebuild it once with history() before merging into it")
     val obsCols = existing.columns.filterNot(histCols.contains).toSeq
     require(batch.columns.sorted.sameElements(obsCols.sorted),
       s"mergeHistory: batch columns ${batch.columns.sorted.mkString(",")} " +
@@ -99,11 +123,15 @@ object Scd2 {
     val affected = batch.select(col(key)).distinct()
     val untouched = existing.join(affected, Seq(key), "left_anti")
     val hist = existing.join(affected, Seq(key), "left_semi")
-    // high-water mark per affected key; the guard rides the ts column the
-    // downstream windows sort on, so column pruning can never drop it
-    // (same fused raise_error pattern as DocStoreSink's dup-key guard)
-    val hwm = hist.groupBy(col(key))
-      .agg(max(struct(col(ts), col(tiebreak))).as("__hwm"))
+    // high-water mark per affected key = the open version's last-observed
+    // mark (exactly one current row per key; max() tolerates a malformed
+    // table rather than fanning the batch join out). The guard rides the
+    // ts column the downstream windows sort on, so column pruning can
+    // never drop it (same fused raise_error pattern as DocStoreSink's
+    // dup-key guard).
+    val hwm = hist.filter(col("is_current")).groupBy(col(key))
+      .agg(max(struct(col("last_obs_ts").as(ts), col("last_obs_tb").as(tiebreak)))
+        .as("__hwm"))
     val guardedBatch = batch.join(hwm, Seq(key), "left")
       .withColumn(ts, coalesce(
         when(col("__hwm").isNotNull && struct(col(ts), col(tiebreak)) <= col("__hwm"),

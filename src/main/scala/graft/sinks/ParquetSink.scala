@@ -62,6 +62,32 @@ object ParquetSink {
                               (merge: Option[DataFrame] => DataFrame): Unit =
     swapWriteWith(spark, path, partitionCols, (_, _) => ())(merge)
 
+  /** Crash recovery for a [[swapWrite]] that died mid-promotion, callable
+    * on its own: if a prior run crashed between mv(dst, old) and
+    * mv(tmp, dst), the base table exists only as `.old` and the
+    * fully-written merged result as `.tmp` — deleting them blindly would
+    * silently lose the whole base table. A `.tmp` alongside `.old` is
+    * trustworthy (renames start only after the write commits); a `.tmp`
+    * with NEITHER dst nor old is a half-written initial create, handled by
+    * the caller's cleanup. Runs BEFORE any state read that depends on dst
+    * being current — [[Scd2Sink]] consults its replay marker under dst, so
+    * it must recover first or a crashed-then-redelivered batch reads no
+    * marker and re-merges on top of itself. Idempotent; no-op when dst
+    * exists. */
+  private[sinks] def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                 dst: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(dst.toString + ".tmp")
+    val old = new Path(dst.toString + ".old")
+    def mv(from: Path, to: Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"recoverSwap: rename $from -> $to failed")
+    if (!fs.exists(dst) && fs.exists(old)) {
+      if (fs.exists(tmp)) { mv(tmp, dst); fs.delete(old, true): Unit }
+      else mv(old, dst)
+    }
+  }
+
   /** [[swapWrite]] plus an `afterWrite(fs, tmpDir)` hook that runs after
     * the merged result is fully written but BEFORE the promotion renames —
     * anything the hook drops into the tmp dir (e.g. a commit marker)
@@ -81,16 +107,7 @@ object ParquetSink {
     def mv(from: Path, to: Path): Unit =
       if (!fs.rename(from, to))
         throw new java.io.IOException(s"swapWrite: rename $from -> $to failed")
-    // Crash recovery BEFORE any cleanup: if a prior run died mid-swap
-    // (between mv(dst, old) and mv(tmp, dst)), the base table exists only
-    // as .old and the fully-written merged result as .tmp — deleting them
-    // blindly would silently lose the whole base table. A .tmp alongside
-    // .old is trustworthy (renames start only after the write commits);
-    // a .tmp with NEITHER dst nor old is a half-written initial create.
-    if (!fs.exists(dst) && fs.exists(old)) {
-      if (fs.exists(tmp)) { mv(tmp, dst); fs.delete(old, true): Unit }
-      else mv(old, dst)
-    }
+    recoverSwap(fs, dst)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(old)) fs.delete(old, true)
     val merged = merge(if (fs.exists(dst)) Some(spark.read.parquet(path)) else None)

@@ -42,13 +42,23 @@ object Scd2Sink {
 
   /** Merge one batch of observations into the history table at `path`
     * (created on first batch). Skips batch ids already committed by the
-    * marker — safe under at-least-once redelivery. */
+    * marker — safe under at-least-once redelivery.
+    *
+    * The swap's crash recovery runs BEFORE the marker read: a prior run
+    * that died between mv(dst, old) and mv(tmp, dst) leaves dst absent, so
+    * reading the marker first would miss the already-committed batch id,
+    * recovery would then promote tmp (data+marker already carrying this
+    * batchId), and the same batch would re-merge on top of itself — every
+    * replayed row at its key's open-version mark trips mergeHistory's
+    * late-data guard and the stream fails permanently instead of no-op
+    * skipping. */
   def upsertHistoryInto(spark: SparkSession, path: String, batch: DataFrame,
                         batchId: Long, key: String, ts: String,
                         tiebreak: String, attrs: Seq[String],
                         partitionCols: Seq[String] = Nil): Unit = {
     val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ParquetSink.recoverSwap(fs, dst)
     if (fs.exists(dst) && lastBatch(fs, dst).exists(_ >= batchId)) return
     ParquetSink.swapWriteWith(spark, path, partitionCols,
       (tmpFs, tmp) => writeMarker(tmpFs, tmp, batchId)) {

@@ -121,6 +121,50 @@ class Scd2Spec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("late observation")))
   }
 
+  test("mergeHistory rejects a late row hidden under a collapsed run") {
+    // A@t1, A@t5 collapse to ONE version at t1; the true last-observed
+    // mark is t5. A late B@t3 sits between the open version's start and
+    // the collapsed t5: a version-row high-water check (max valid_from =
+    // t1) admits it and silently diverges from the full rebuild (which
+    // yields A re-opened at t5 as current, not B) — the persisted mark
+    // must reject it instead
+    val existing = Scd2.history(
+      feedDf(Seq((1L, "2024-01-01", 1L, "A"), (1L, "2024-01-05", 2L, "A"))),
+      "k", "t", "tb", Seq("attr"))
+    val late = feedDf(Seq((1L, "2024-01-03", 9L, "B")))
+    val ex = intercept[Exception] {
+      Scd2.mergeHistory(existing, late, "k", "t", "tb", Seq("attr")).collect()
+    }
+    assert(ex.getMessage.contains("late observation") ||
+      Option(ex.getCause).exists(_.getMessage.contains("late observation")))
+  }
+
+  test("mergeHistory past a collapsed run matches the rebuild, mark advances") {
+    val base = Seq((1L, "2024-01-01", 1L, "A"), (1L, "2024-01-05", 2L, "A"))
+    val batch = Seq((1L, "2024-01-06", 3L, "B"))
+    val merged = Scd2.mergeHistory(
+      Scd2.history(feedDf(base), "k", "t", "tb", Seq("attr")),
+      feedDf(batch), "k", "t", "tb", Seq("attr"))
+    val rebuilt = Scd2.history(feedDf(base ++ batch), "k", "t", "tb", Seq("attr"))
+    assert(merged.collect().map(_.toString).sorted.toSeq ===
+      rebuilt.collect().map(_.toString).sorted.toSeq)
+    // the open version's mark is the NEW last observation, so the next
+    // merge guards against t6, not t5
+    val mark = merged.filter($"is_current").select($"last_obs_ts").head().getTimestamp(0)
+    assert(mark === ts("2024-01-06"))
+  }
+
+  test("mergeHistory refuses a history lacking the high-water columns") {
+    val legacy = Scd2.history(
+      feedDf(Seq((1L, "2024-01-01", 1L, "A"))), "k", "t", "tb", Seq("attr"))
+      .drop("last_obs_ts", "last_obs_tb")
+    val ex = intercept[IllegalArgumentException] {
+      Scd2.mergeHistory(legacy, feedDf(Seq((1L, "2024-02-01", 2L, "B"))),
+        "k", "t", "tb", Seq("attr"))
+    }
+    assert(ex.getMessage.contains("last_obs"))
+  }
+
   test("streaming history sink: batches accumulate to the full rebuild, replay is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("graft_scd2s").toString + "/h"
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long, String)](spark)
@@ -148,6 +192,37 @@ class Scd2Spec extends SparkSpec {
     // a genuinely new batch id still applies
     sink(feedDf(Seq((2L, "2024-03-01", 8L, "Y"))), 2L)
     assert(spark.read.parquet(dir).where($"k" === 2L).count() === 2)
+  }
+
+  test("crash window: redelivery after a death mid-promotion skips, not re-merges") {
+    // Stage the exact state a run leaves when it dies between mv(dst, old)
+    // and mv(tmp, dst) while committing batch 1: dst ABSENT, `.old` = the
+    // batch-0-only history (marker 0), `.tmp` = the fully-written merged
+    // history already carrying marker 1. On redelivery of batch 1 the sink
+    // must run swap recovery BEFORE consulting the marker — reading the
+    // (absent) dst marker first would admit the batch, recovery would then
+    // promote tmp, and the replay would re-merge on itself and trip the
+    // late-data guard permanently.
+    val (b1, b2) = fullFeed.partition(_._2 < "2024-01-10")
+    val root = java.nio.file.Files.createTempDirectory("graft_scd2c").toString
+    val dir = root + "/h"
+    val sink = graft.sinks.Scd2Sink.appendHistoryInto(dir, "k", "t", "tb", Seq("attr")) _
+    sink(feedDf(b1), 0L) // the pre-crash base
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // build the crashed run's committed tmp on the side: base + batch 1
+    val side = root + "/side"
+    val sideSink = graft.sinks.Scd2Sink.appendHistoryInto(side, "k", "t", "tb", Seq("attr")) _
+    sideSink(feedDf(b1), 0L); sideSink(feedDf(b2), 1L)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir), new org.apache.hadoop.fs.Path(dir + ".old")))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(side), new org.apache.hadoop.fs.Path(dir + ".tmp")))
+    // redeliver batch 1 — must no-op skip after recovering, not fail
+    sink(feedDf(b2), 1L)
+    val rebuilt = Scd2.history(feedDf(fullFeed), "k", "t", "tb", Seq("attr"))
+    val got = spark.read.parquet(dir).select(rebuilt.columns.map(col): _*)
+    assert(got.collect().map(_.toString).sorted.toSeq ===
+      rebuilt.collect().map(_.toString).sorted.toSeq)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")), "recovery cleans .old")
   }
 
   test("mergeHistory with an empty batch returns the history unchanged") {
