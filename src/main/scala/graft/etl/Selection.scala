@@ -18,29 +18,39 @@ import org.apache.spark.sql.functions._
   * Here the global prefix is found by HISTOGRAM THRESHOLDING, the same
   * trick a distributed top-k uses:
   *  1. quantize scores into ≤ `buckets`+1 value ranges (scores must lie
-  *     in [0,1] — quality scores are); aggregate per-bucket token sums —
-  *     map-side partial agg, shuffle of ≤ buckets+1 rows;
+  *     in [0,1] — quality scores are; enforced with a fused `raise_error`,
+  *     as is token-count positivity: a null score would silently drop its
+  *     row at the histogram join, breaking the row-identical contract);
+  *     aggregate per-bucket token sums — map-side partial agg, shuffle of
+  *     ≤ buckets+1 rows;
   *  2. a window cumsum over that TINY histogram (single partition of ≤
   *     buckets+1 rows — trivial by construction) finds each bucket's
   *     token offset; buckets wholly inside the budget keep every doc,
   *     buckets past it drop every doc — decided map-side by a broadcast
   *     join, no per-doc shuffle;
   *  3. exactly ONE bucket can straddle the boundary; only ITS rows
-  *     (≈ corpus/buckets, and only they) shuffle into an exact
-  *     (score, id) cumsum window for the per-doc rule.
+  *     (≈ corpus/buckets, and only they) get the exact (score, id)
+  *     cumsum — computed TWO-LEVEL, not through one reducer:
+  *     range-repartition the bucket on (score DESC, id), per-partition
+  *     token sums make a tiny broadcast prefix-offset table (ordered by
+  *     partition id, which range partitioning aligns with the sort
+  *     order), and each partition's within-cumsum window runs under
+  *     `partitionBy(pid)` — every sort in the plan is per-partition, so
+  *     even a degenerate corpus whose scores all collide into one bucket
+  *     spreads its exact cumsum across the cluster.
   * Quantized ranges partition the score space, so every doc in a higher
   * bucket scores strictly above every doc in a lower one — the bucket
   * decisions agree exactly with the global order, and the result is
   * row-identical to the naive global window (the DuckDB oracle runs the
-  * naive form). Degenerate case: a corpus whose scores all collide into
-  * one bucket sends everything through the straddle window — the caller
-  * picks a `buckets` resolution matching their score's granularity.
+  * naive form). Determinism note: the range boundaries are whatever the
+  * partitioner samples, but the kept set never depends on WHERE the cuts
+  * land — offsets are computed from actual partition contents.
   */
 object Selection {
 
   /** @param df       scored corpus
-    * @param tokenCol  per-doc token count (positive)
-    * @param scoreCol  selection score in [0,1], higher = kept first
+    * @param tokenCol  per-doc token count (positive — enforced)
+    * @param scoreCol  selection score in [0,1] (enforced), higher = kept first
     * @param idCol    unique tiebreak: determinism of the boundary doc
     * @param budget   global token budget
     * @param buckets  histogram resolution (score quantization = floor(score·buckets))
@@ -50,9 +60,24 @@ object Selection {
                         buckets: Int = 1000): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(buckets > 0, "buckets must be positive")
-    val scored = df.withColumn("__bkt", floor(col(scoreCol) * buckets).cast("long"))
+    // fused guards (same raise_error pattern as Scd2/Sampling): the guard
+    // rides the columns every downstream agg/window consumes, so column
+    // pruning can never elide it
+    val badScore = col(scoreCol).isNull || col(scoreCol) < 0.0 || col(scoreCol) > 1.0
+    val badTok = col(tokenCol).isNull || col(tokenCol) <= 0
+    val scored = df
+      .withColumn("__tok", coalesce(
+        when(badTok, raise_error(concat(
+          lit(s"tokenBudgetSelect: null or nonpositive $tokenCol for $idCol="),
+          col(idCol).cast("string")))),
+        col(tokenCol).cast("long")))
+      .withColumn("__bkt", floor(coalesce(
+        when(badScore, raise_error(concat(
+          lit(s"tokenBudgetSelect: $scoreCol null or outside [0,1] for $idCol="),
+          col(idCol).cast("string")))),
+        col(scoreCol)) * buckets).cast("long"))
     val hist = scored.groupBy("__bkt")
-      .agg(sum(col(tokenCol).cast("long")).as("__bsum"))
+      .agg(sum(col("__tok")).as("__bsum"))
     // tiny frame: single-partition window is the POINT (≤ buckets+1 rows)
     val wh = Window.orderBy(col("__bkt").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -60,14 +85,30 @@ object Selection {
       .withColumn("__before", coalesce(sum(col("__bsum")).over(wh), lit(0L))))
     val joined = scored.join(offsets, "__bkt")
     val keepWhole = joined.filter(col("__before") + col("__bsum") <= budget)
-    // the one straddling bucket: exact per-doc rule over only its rows
-    val ws = Window.orderBy(col(scoreCol).desc, col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val refined = joined
+    // the one straddling bucket: exact per-doc rule over only its rows,
+    // two-level so no single reducer ever sorts the bucket whole
+    val straddle = joined
       .filter(col("__before") < budget && col("__before") + col("__bsum") > budget)
-      .withColumn("__wbefore", coalesce(sum(col(tokenCol).cast("long")).over(ws), lit(0L)))
-      .filter(col("__before") + col("__wbefore") < budget)
-      .drop("__wbefore")
-    keepWhole.unionByName(refined).select(df.columns.map(col): _*)
+    // range partitions align partition-id order with the global sort order
+    // (pid 0 holds the best scores), so a pid-ordered prefix of the
+    // per-partition sums IS the cross-partition token offset
+    val ranged = straddle
+      .repartitionByRange(col(scoreCol).desc, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+    val wp = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pidOffsets = broadcast(ranged.groupBy("__pid")
+      .agg(sum(col("__tok")).as("__psum"))
+      .withColumn("__poff", coalesce(sum(col("__psum")).over(wp), lit(0L)))
+      .select(col("__pid"), col("__poff")))
+    val ww = Window.partitionBy(col("__pid"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val refined = ranged
+      .withColumn("__wbefore", coalesce(sum(col("__tok")).over(ww), lit(0L)))
+      .join(pidOffsets, "__pid")
+      .filter(col("__before") + col("__poff") + col("__wbefore") < budget)
+    keepWhole.unionByName(refined.select(keepWhole.columns.map(col): _*))
+      .select(df.columns.map(col): _*)
   }
 }

@@ -72,11 +72,16 @@ object Similarity {
       .select(col("q_id"), col(idCol))
     // both sides are k·Q rows — the approx side rides a broadcast so the
     // intersection never sort-merges two tiny frames
-    exact.join(broadcast(approx), Seq("q_id", idCol), "left_semi")
+    val hits = exact.join(broadcast(approx), Seq("q_id", idCol), "left_semi")
       .groupBy("q_id")
       .agg(count(lit(1)).as("n_hit"))
-      .select(col("q_id"), col("n_hit"),
-        round(col("n_hit").cast("double") / k, 6).as("recall"))
+    // every query gets a row: a probe set sharing NO ids with the exact
+    // top-k is recall 0.0, not a silently missing row — dropping it would
+    // overstate any averaged recall and break per-query lookups
+    queries.select(col(qIdCol).as("q_id")).distinct()
+      .join(broadcast(hits), Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / k, 6).as("recall"))
   }
 
   /** Lloyd's k-means for IVF centroid training: deterministic init (first

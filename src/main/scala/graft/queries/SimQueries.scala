@@ -351,9 +351,12 @@ object SimQueries {
                        round($pairDot / (a.nrm * b.nrm), 6) AS cosine
                 FROM n a CROSS JOIN qs b)
               QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= 10)
-          SELECT q_id, count(*) AS n_hit, round(count(*) * 1.0 / 10, 6) AS recall
-          FROM exact JOIN approx USING (q_id, vec_id)
-          GROUP BY q_id""",
+          SELECT q.q_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+                 round(coalesce(h.n_hit, 0) * 1.0 / 10, 6) AS recall
+          FROM (SELECT DISTINCT q_id FROM qs) q
+          LEFT JOIN (SELECT q_id, count(*) AS n_hit
+                     FROM exact JOIN approx USING (q_id, vec_id)
+                     GROUP BY q_id) h USING (q_id)""",
     "sim_ann_batch" ->
       s"""WITH n AS (${normed(vecs)}),
             c AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 8),

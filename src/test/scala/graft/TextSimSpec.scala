@@ -144,6 +144,23 @@ class TextSimSpec extends SparkSpec {
       s"recall must be monotone in nProbe: r2=$r2 r4=$r4")
   }
 
+  test("annRecall emits an explicit 0.0 row when probes miss the exact top-k") {
+    // adversarial centroids: the query's nearest centroid (c0, exactly the
+    // query vector) holds only the BAD corpus vector, while the exact
+    // top-1 (10, at 15 deg) sits marginally closer to c1 — so probe-1
+    // candidates share no ids with the exact top-k. The query must still
+    // appear, as recall 0.0, not vanish from the output
+    val corpus = Seq((10L, Seq(0.97, 0.26)), (11L, Seq(0.5, -0.87)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.92, 0.39)))
+      .toDF("cid", "embedding")
+    val qs = Seq((100L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val r = Similarity.annRecall(corpus, "embedding", "vec_id", cents, "cid",
+        qs, "vec_id", k = 1, nProbe = 1)
+      .select($"q_id", $"n_hit", $"recall").as[(Long, Long, Double)].collect()
+    assert(r.toSeq === Seq((100L, 0L, 0.0)))
+  }
+
   test("k-means training is partition-count-invariant (6-dp mean rounding)") {
     // a raw double avg sums in partition order, so unrounded training
     // would drift with the layout; the per-round rounding makes the

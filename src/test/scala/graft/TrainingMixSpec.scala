@@ -95,6 +95,44 @@ class TrainingMixSpec extends SparkSpec {
     assert(got === (0L until 26L), "26 docs start inside the 255-token budget")
   }
 
+  test("tokenBudgetSelect one-bucket degenerate case is partition-invariant") {
+    // every score identical -> everything routes through the two-level
+    // straddle path; the kept set must not depend on input layout (range
+    // boundaries move, the computed offsets follow)
+    val docs = (0 until 1000).map(i => (i.toLong, 7L, 0.5)).toDF("id", "tk", "score")
+    def sel(d: DataFrame) =
+      Selection.tokenBudgetSelect(d, "tk", "score", "id", budget = 700)
+        .select("id").as[Long].collect().sorted.toSeq
+    val got = sel(docs)
+    assert(got === (0L until 100L), "100 docs of 7 tokens start inside 700")
+    assert(got === sel(docs.repartition(13)))
+  }
+
+  test("tokenBudgetSelect raises on a null or out-of-range score") {
+    val nullScore = Seq((1L, 10L, Some(0.5)), (2L, 10L, Option.empty[Double]))
+      .toDF("id", "tk", "score")
+    val e1 = intercept[Exception] {
+      Selection.tokenBudgetSelect(nullScore, "tk", "score", "id", budget = 100).collect()
+    }
+    assert(e1.getMessage.contains("outside [0,1]") ||
+      Option(e1.getCause).exists(_.getMessage.contains("outside [0,1]")))
+    val big = Seq((1L, 10L, 1.5)).toDF("id", "tk", "score")
+    val e2 = intercept[Exception] {
+      Selection.tokenBudgetSelect(big, "tk", "score", "id", budget = 100).collect()
+    }
+    assert(e2.getMessage.contains("outside [0,1]") ||
+      Option(e2.getCause).exists(_.getMessage.contains("outside [0,1]")))
+  }
+
+  test("tokenBudgetSelect raises on a null or nonpositive token count") {
+    val zeroTok = Seq((1L, 0L, 0.5)).toDF("id", "tk", "score")
+    val e = intercept[Exception] {
+      Selection.tokenBudgetSelect(zeroTok, "tk", "score", "id", budget = 100).collect()
+    }
+    assert(e.getMessage.contains("nonpositive") ||
+      Option(e.getCause).exists(_.getMessage.contains("nonpositive")))
+  }
+
   test("budget selection keeps the single best doc even under a tiny budget") {
     val docs = Seq((1L, 100L, 0.9), (2L, 100L, 0.8)).toDF("id", "tk", "score")
     val got = Selection.tokenBudgetSelect(docs, "tk", "score", "id", budget = 5)
