@@ -22,18 +22,31 @@ object Similarity {
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
   /** Brute-force top-k by cosine vs one query vector (scores rounded for
-    * cross-engine-stable ordering; unique id tiebreak). */
+    * cross-engine-stable ordering; unique id tiebreak).
+    *
+    * The single-query contract is enforced by ONE bounded driver job
+    * (`limit(2).collect()` — with several query rows the alternative
+    * crossJoin would rank all queries' scores in one combined top-k with
+    * no error; use [[topKBatch]] for batched queries), which also yields
+    * the vector itself — the plan then delegates to the typed overload
+    * below, so no broadcast join appears in it. */
   def topK(df: DataFrame, vecCol: String, idCol: String,
            query: DataFrame, k: Int): DataFrame = {
-    // same single-query contract as ivfSearch: with several query rows the
-    // crossJoin would rank all queries' scores in ONE combined top-k with
-    // no error — use ivfSearchBatch for batched queries
-    require(query.limit(2).count() == 1,
+    val rows = query.select(asDouble(col(vecCol)).as("q_v")).limit(2).collect()
+    require(rows.length == 1,
       "topK expects exactly one query row; use ivfSearchBatch for batched queries")
-    val q = broadcast(query.select(asDouble(col(vecCol)).as("q_v")))
-    df.select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .crossJoin(q)
-      .select(col(idCol), round(cosine(col("v"), col("q_v")), 6).as("cosine"))
+    topK(df, vecCol, idCol, rows(0).getSeq[Double](0), k)
+  }
+
+  /** [[topK]] with an already-validated LOCAL query vector — the typed
+    * fast path for hot retrieval loops: the query rides as a foldable
+    * array literal, so the plan is a map-side projection + bounded top-k
+    * with no eager guard job and no join of any kind. */
+  def topK(df: DataFrame, vecCol: String, idCol: String,
+           query: Seq[Double], k: Int): DataFrame = {
+    require(query.nonEmpty, "topK: empty query vector")
+    df.select(col(idCol),
+        round(cosine(asDouble(col(vecCol)), typedlit(query)), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -82,6 +95,43 @@ object Similarity {
       .join(broadcast(hits), Seq("q_id"), "left")
       .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         round(coalesce(col("n_hit"), lit(0L)).cast("double") / k, 6).as("recall"))
+  }
+
+  /** Hybrid (predicate + vector) retrieval with an ADAPTIVE physical
+    * plan. The caller's predicate already produced a candidate-id frame
+    * (keyword match, metadata filter, ACL…); ranking those survivors
+    * brute-force is right ONLY while the predicate is selective — an
+    * unselective filter (half the corpus matches) silently degrades the
+    * composition into a full brute-force rank. So the regime is picked by
+    * a MEASURED survivor count (one cheap aggregate over ids the
+    * predicate scan already computed, paid once per query):
+    *  - `n <= bruteForceLimit`: exact [[topK]] over the semi-joined
+    *    survivors — one map-side scan of a small set;
+    *  - above it: IVF assign + probe over the survivors
+    *    ([[ivfSearchAssigned]]), reading ~nProbe/K of the candidate mass;
+    *    `nProbe` prices recall exactly as in [[ivfSearch]], and probing
+    *    every centroid makes this regime exhaustive too (spec'd — the
+    *    regimes then return identical rows).
+    * `bruteForceLimit` defaults to 100k vectors ≈ one executor-core's
+    * worth of dot products — tune to taste; the switch is a plan choice,
+    * not a semantics choice, for any probe count covering the true top-k.
+    */
+  def hybridTopK(corpus: DataFrame, vecCol: String, idCol: String,
+                 candidates: DataFrame, query: DataFrame, k: Int,
+                 centroids: DataFrame, cIdCol: String, nProbe: Int,
+                 bruteForceLimit: Long = 100000L): DataFrame = {
+    val rows = query.select(asDouble(col(vecCol)).as("q_v")).limit(2).collect()
+    require(rows.length == 1,
+      "hybridTopK expects exactly one query row; use ivfSearchBatch for batched queries")
+    val qv = rows(0).getSeq[Double](0)
+    val ids = candidates.select(col(idCol))
+    val survivors = corpus.join(ids, Seq(idCol), "left_semi")
+    if (ids.count() <= bruteForceLimit)
+      topK(survivors, vecCol, idCol, qv, k)
+    else
+      ivfSearchAssigned(
+        ivfAssign(survivors, vecCol, idCol, centroids, cIdCol, keepVec = true),
+        idCol, centroids, cIdCol, vecCol, qv, k, nProbe)
   }
 
   /** Lloyd's k-means for IVF centroid training: deterministic init (first
@@ -223,31 +273,44 @@ object Similarity {
     * metadata, not data.) AnnStoreSpec proves the pruned scan.
     *
     * EAGER construction: this method runs two bounded driver jobs (the
-    * single-row guard and the probe route) when CALLED, not when the
-    * result is acted on — probe routing binds to the corpus/centroids as
-    * of the call. `assigned` must carry `centroid_id` and the vector as
-    * `v` — the shape `ivfAssign(keepVec = true)` and `AnnStore.read`
-    * produce (`vecCol` names the vector column of `centroids`/`query`,
-    * which usually keep the original corpus name); enforced below. */
+    * fused single-row guard + query fetch — `limit(2).collect()` — and
+    * the K-row probe route) when CALLED, not when the result is acted on
+    * — probe routing binds to the corpus/centroids as of the call.
+    * `assigned` must carry `centroid_id` and the vector as `v` — the
+    * shape `ivfAssign(keepVec = true)` and `AnnStore.read` produce
+    * (`vecCol` names the vector column of `centroids`/`query`, which
+    * usually keep the original corpus name); enforced below. Hot paths
+    * that already hold the query vector locally should call the typed
+    * `Seq[Double]` overload — no eager job beyond the probe route. */
   def ivfSearchAssigned(assigned: DataFrame, idCol: String,
                         centroids: DataFrame, cIdCol: String, vecCol: String,
                         query: DataFrame, k: Int, nProbe: Int = 1): DataFrame = {
-    require(Seq(idCol, "centroid_id", "v").forall(assigned.columns.contains),
-      s"`assigned` needs ($idCol, centroid_id, v) — the ivfAssign(keepVec=true) / AnnStore.read shape; got: ${assigned.columns.mkString(", ")}")
     // single-query contract: the result schema carries no query id, so a
     // multi-row `query` would silently select nProbe probes across ALL
-    // queries combined — enforce it. Deliberate fail-fast tradeoff: the
-    // guard is one extra Spark action per call, bounded by limit(2) but
-    // still a scan-start on a filtered corpus; hot paths that already
-    // hold a validated single row should pass a one-row local frame
-    // (spark.createDataFrame of the collected row), which makes the
-    // probe a trivial local-relation job.
-    require(query.limit(2).count() == 1,
+    // queries combined — enforce it; the same bounded job fetches the
+    // vector, so the guard costs nothing extra
+    val rows = query.select(asDouble(col(vecCol)).as("q_v")).limit(2).collect()
+    require(rows.length == 1,
       "ivfSearch expects exactly one query row; for batched queries carry a query id and rank per query")
-    val c = broadcast(centroids.select(col(cIdCol).as("q_cid"), asDouble(col(vecCol)).as("c_v")))
-    val probeIds = query.select(asDouble(col(vecCol)).as("q_v"))
-      .crossJoin(c)
-      .select(col("q_cid"), round(cosine(col("q_v"), col("c_v")), 6).as("q_sim"))
+    ivfSearchAssigned(assigned, idCol, centroids, cIdCol, vecCol,
+      rows(0).getSeq[Double](0), k, nProbe)
+  }
+
+  /** [[ivfSearchAssigned]] with an already-validated LOCAL query vector —
+    * the typed fast path (round-8 verdict #6): the only eager work is the
+    * K-row probe route; the query rides every scoring expression as a
+    * foldable array literal, so the candidate scan is a map-side
+    * projection under the probe `IN` filter (static partition pruning on
+    * an [[graft.sinks.AnnStore]]). */
+  def ivfSearchAssigned(assigned: DataFrame, idCol: String,
+                        centroids: DataFrame, cIdCol: String, vecCol: String,
+                        query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+    require(Seq(idCol, "centroid_id", "v").forall(assigned.columns.contains),
+      s"`assigned` needs ($idCol, centroid_id, v) — the ivfAssign(keepVec=true) / AnnStore.read shape; got: ${assigned.columns.mkString(", ")}")
+    require(query.nonEmpty, "ivfSearch: empty query vector")
+    val probeIds = centroids
+      .select(col(cIdCol).as("q_cid"),
+        round(cosine(asDouble(col(vecCol)), typedlit(query)), 6).as("q_sim"))
       .orderBy(col("q_sim").desc, col("q_cid"))
       .limit(nProbe)
       .collect().map(_.get(0))
@@ -255,11 +318,9 @@ object Similarity {
     // and return a silently-empty result for every query
     require(probeIds.nonEmpty,
       "ivfSearch: no centroids to probe — the centroid frame is empty")
-    val q = broadcast(query.select(asDouble(col(vecCol)).as("q_v")))
     assigned
       .filter(col("centroid_id").isin(probeIds: _*))
-      .crossJoin(q)
-      .select(col(idCol), round(cosine(col("v"), col("q_v")), 6).as("cosine"))
+      .select(col(idCol), round(cosine(col("v"), typedlit(query)), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }

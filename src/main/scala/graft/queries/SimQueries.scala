@@ -141,18 +141,21 @@ object SimQueries {
 
     // HYBRID retrieval: keyword predicate over documents prefilters the
     // corpus (map-side scan + id semi-join), then only the survivors are
-    // vector-ranked — the filtered-RAG composition. Brute-force ranking
-    // of the survivors is the right plan for a selective filter (the
-    // candidate set is already small); an unselective filter would rank
-    // via assign+probe instead (sim_ann_search's plan)
+    // vector-ranked — the filtered-RAG composition. ADAPTIVE plan
+    // (hybridTopK): a measured survivor count picks brute-force ranking
+    // while the filter is selective (it is here, so the oracle's naive
+    // rank is row-identical) and assign+probe when it is not — an
+    // unselective filter can no longer silently degrade into a full
+    // brute-force rank
     "sim_hybrid_search" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val words = split(col("text"), " ")
       val keyword = t(s, d, "documents")
         .filter(array_contains(words, "merge") && array_contains(words, "spark"))
         .select(col("doc_id").as("vec_id"))
-      Similarity.topK(e.join(keyword, Seq("vec_id"), "left_semi"),
-        "embedding", "vec_id", e.filter(col("vec_id") === 0), k = 10)
+      Similarity.hybridTopK(e, "embedding", "vec_id", keyword,
+        query = e.filter(col("vec_id") === 0), k = 10,
+        centroids = centroids(s, d), cIdCol = "cid", nProbe = 2)
     }),
 
     // measured recall@10 of probe-2 IVF search vs exact brute force, per

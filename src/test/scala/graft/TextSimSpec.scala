@@ -127,6 +127,22 @@ class TextSimSpec extends SparkSpec {
     assert(out.map(_._1).forall(kw), "every hit passed the keyword prefilter")
   }
 
+  test("adaptive hybrid regimes return identical top-k when probes cover every cluster") {
+    // an unselective candidate set (every id survives) crossed with both
+    // regimes: bruteForceLimit = MaxValue forces the exact path, 0 forces
+    // assign+probe; probing all 8 clusters makes the probed regime
+    // exhaustive, so the switch must be a pure plan choice — same rows
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = e.filter($"vec_id" < 8).withColumnRenamed("vec_id", "cid")
+    val cands = e.select("vec_id")
+    val q0 = e.filter($"vec_id" === 0)
+    def run(limit: Long) =
+      Similarity.hybridTopK(e, "embedding", "vec_id", cands, q0, 10,
+        cents, "cid", nProbe = 8, bruteForceLimit = limit)
+        .collect().map(_.toString).toSeq
+    assert(run(Long.MaxValue) === run(0L))
+  }
+
   test("ANN recall is monotone in nProbe and exactly 1.0 when probing every cluster") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val cents = e.filter($"vec_id" < 8).withColumnRenamed("vec_id", "cid")
@@ -142,6 +158,26 @@ class TextSimSpec extends SparkSpec {
     assert(r2.keySet === Set(0L, 1L, 2L))
     assert(r2.forall { case (q, r) => r <= r4(q) && r4(q) <= r8(q) },
       s"recall must be monotone in nProbe: r2=$r2 r4=$r4")
+  }
+
+  test("typed single-vector overloads match the frame path with a join-free plan") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qv = e.filter($"vec_id" === 0)
+      .select(transform($"embedding", x => x.cast("double")))
+      .head().getSeq[Double](0)
+    val fromFrame = Similarity.topK(e, "embedding", "vec_id",
+      e.filter($"vec_id" === 0), 10).collect().map(_.toString).toSeq
+    val typed = Similarity.topK(e, "embedding", "vec_id", qv, 10)
+    assert(typed.collect().map(_.toString).toSeq === fromFrame)
+    assert(!typed.queryExecution.executedPlan.toString.toLowerCase.contains("join"),
+      "typed topK plan must be join-free")
+    val cents = e.filter($"vec_id" < 8).withColumnRenamed("vec_id", "cid")
+    val assigned = Similarity.ivfAssign(e, "embedding", "vec_id", cents, "cid", keepVec = true)
+    val viaFrame = Similarity.ivfSearchAssigned(assigned, "vec_id", cents, "cid",
+      "embedding", e.filter($"vec_id" === 0), 10, 2).collect().map(_.toString).toSeq
+    val viaVec = Similarity.ivfSearchAssigned(assigned, "vec_id", cents, "cid",
+      "embedding", qv, 10, 2).collect().map(_.toString).toSeq
+    assert(viaFrame === viaVec)
   }
 
   test("annRecall emits an explicit 0.0 row when probes miss the exact top-k") {
