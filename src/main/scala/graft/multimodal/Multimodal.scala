@@ -165,6 +165,46 @@ object Multimodal {
     }
   }
 
+  final case class ImageHash(doc_id: Long, phash: Long)
+
+  /** Perceptual difference-hash (dHash-64) over decoded image payloads —
+    * the bridge from the codec family to the dedup family: resize to a
+    * 9×8 gradient grid with the SAME integer floor sampling as
+    * [[resizePngs]] (source pixel (x·w/9, y·h/8)), then bit (y·8+x) = 1
+    * iff grid(x+1,y) > grid(x,y). Near-identical images (crops, small
+    * edits, re-encodes) land within a few bits of hamming distance, and
+    * the 64-bit hash drops straight into
+    * [[graft.operators.Dedup.hammingPairs64]]'s chunk join. Integer
+    * arithmetic end to end over a lossless codec ⇒ exactly replayable by
+    * a SQL oracle. Batched per partition like [[decodePngs]]; output is
+    * 16 bytes/row — the payload column is gone after this projection. */
+  def dHash(ds: Dataset[ImagePayload], batchSize: Int = 64): Dataset[ImageHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+          require(img != null, s"payload of ${m.doc_id} is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var hash = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            var prev = img.getRaster.getSample(0, y * h / 8, 0)
+            while (x < 8) {
+              val cur = img.getRaster.getSample((x + 1) * w / 9, y * h / 8, 0)
+              if (cur > prev) hash |= 1L << (y * 8 + x)
+              prev = cur
+              x += 1
+            }
+            y += 1
+          }
+          ImageHash(m.doc_id, hash)
+        }
+      }
+    }
+  }
+
   final case class AudioPayload(doc_id: Long, payload: Array[Byte])
   final case class AudioDecoded(doc_id: Long, n_samples: Int, sample_rate: Int, sum_abs: Long)
 

@@ -318,6 +318,48 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** HmSearch-style near-dup pairs over ONE 64-bit fingerprint column —
+    * the fixed-width-hash chunk join [[simhashNearDups]] uses, exposed for
+    * any 64-bit hash (perceptual image hashes via
+    * [[graft.multimodal.Multimodal.dHash]], rolling fingerprints…).
+    * Pigeonhole: two hashes within hamming h differ in at most h of the
+    * `chunks` fixed 8-bit chunks, so at least two chunks agree exactly
+    * whenever h ≤ chunks−2 — joining on all C(chunks,2) (chunk-pair,
+    * value,value) keys is a complete candidate generator (enforced), and
+    * one XOR+popcount per candidate verifies. Shuffles C(chunks,2)
+    * fixed-size rows per hash — linear, never all-pairs. Exact-duplicate
+    * mass (identical hashes) should be collapsed to representatives
+    * BEFORE this join, same rule as [[exact]]-before-LSH: an N-row
+    * identical-hash cluster collides on EVERY chunk key and contributes
+    * its quadratic pair mass C(chunks,2) times over. */
+  def hammingPairs64(df: DataFrame, hashCol: String, idCol: String,
+                     maxHamming: Int, chunks: Int = 8): DataFrame = {
+    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
+    require(maxHamming <= chunks - 2,
+      s"2-of-$chunks chunk agreement is complete only for hamming <= ${chunks - 2}")
+    val bits = 64 / chunks
+    // unsigned shift: the top chunk of a hash with bit 63 set must not
+    // smear sign bits over its value
+    def chunkVal(i: Int): Column =
+      shiftrightunsigned(col(hashCol), i * bits).bitwiseAND(lit((1L << bits) - 1))
+    val pairs = for { i <- 0 until chunks; j <- i + 1 until chunks } yield (i, j)
+    val chunked = df.select(col(idCol), col(hashCol),
+      explode(array(pairs.zipWithIndex.map { case ((i, j), p) =>
+        struct(lit(p).as("ci"), chunkVal(i).as("cv1"), chunkVal(j).as("cv2"))
+      }: _*)).as("ch"))
+      .select(col(idCol), col(hashCol), col("ch.ci"), col("ch.cv1"), col("ch.cv2"))
+    val a = chunked.select(col(idCol).as("id_a"), col(hashCol).as("h_a"),
+      col("ci"), col("cv1"), col("cv2"))
+    val b = chunked.select(col(idCol).as("id_b"), col(hashCol).as("h_b"),
+      col("ci"), col("cv1"), col("cv2"))
+    a.join(b, Seq("ci", "cv1", "cv2"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Embedding near-dup pairs with cosine ≥ threshold. Brute-force
     * all-pairs — correct for oracle verification and small n; the scale
     * path is `Similarity.ivfAssign` bucketing first (candidates share a

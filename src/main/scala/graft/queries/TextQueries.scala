@@ -352,6 +352,22 @@ object TextQueries {
       val m = graft.multimodal.Multimodal
       m.decodeWavs(m.synthesizeWavs(t(s, d, "documents"), "doc_id",
         parallelism = s.sparkContext.defaultParallelism)).toDF()
+    }),
+
+    // IMAGE near-dup dedup — the codec family meets the dedup family:
+    // decode every PNG, perceptual dHash-64 (9x8 gradient grid, integer
+    // floor resize), collapse identical hashes to their min-id
+    // representative (exact image dedup — the synthetic corpus has large
+    // identical-gradient clusters, exactly the blank-image mass a real
+    // crawl carries), then HmSearch 2-of-8-chunk pairs at hamming <= 2
+    // among representatives only. The oracle replays the pixel formula,
+    // the grid, the bit rule, and the brute-force pair join exactly
+    "dedup_image_phash" -> ((s, d) => {
+      val m = graft.multimodal.Multimodal
+      val hashed = m.dHash(m.synthesizePngs(t(s, d, "documents"), "doc_id",
+        parallelism = s.sparkContext.defaultParallelism)).toDF()
+      val reps = hashed.groupBy("phash").agg(min(col("doc_id")).as("doc_id"))
+      graft.operators.Dedup.hammingPairs64(reps, "phash", "doc_id", maxHamming = 2)
     })
   )
 
@@ -746,6 +762,35 @@ object TextQueries {
                 CAST(8000 AS INT) AS sample_rate,
                 CAST(list_sum(list_transform(range(0, 100 + doc_id % 50), i ->
                        abs((doc_id*31 + i*13) % 65536 - 32768))) AS BIGINT) AS sum_abs
-         FROM documents"""
+         FROM documents""",
+    // dHash bits replayed from the synthetic pixel formula: 9x8 grid via
+    // the same integer floor sampling as the Java raster loop, bit = 1
+    // iff grid(x+1,y) > grid(x,y); identical bit-lists collapse to their
+    // min-id representative, then brute-force pairs at hamming <= 2
+    // (grouping by the 64-element bit list == grouping by the packed
+    // 64-bit hash — the packing is bijective)
+    "dedup_image_phash" ->
+      """WITH g AS (
+           SELECT doc_id,
+                  list_transform(range(0, 8), y ->
+                    list_transform(range(0, 9), x ->
+                      (doc_id*31 + ((y * (4 + doc_id % 11)) // 8)*7
+                                 + ((x * (4 + doc_id % 13)) // 9)*13) % 256)) AS px
+           FROM documents),
+         b AS (
+           SELECT doc_id,
+                  flatten(list_transform(px, row ->
+                    list_transform(range(1, 9), x ->
+                      CASE WHEN row[CAST(x AS INT) + 1] > row[CAST(x AS INT)]
+                           THEN 1 ELSE 0 END))) AS bits
+           FROM g),
+         reps AS (SELECT min(doc_id) AS doc_id, bits FROM b GROUP BY bits)
+         SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM (
+           SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+                  list_sum(list_transform(range(1, 65), i ->
+                    CASE WHEN a.bits[CAST(i AS INT)] <> c.bits[CAST(i AS INT)]
+                         THEN 1 ELSE 0 END)) AS hamming
+           FROM reps a JOIN reps c ON a.doc_id < c.doc_id)
+         WHERE hamming <= 2"""
   )
 }

@@ -96,6 +96,42 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dHash matches the arithmetic formula; identical images hash identically") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val hashed = Multimodal.dHash(Multimodal.synthesizePngs(docs, "doc_id"))
+      .collect().sortBy(_.doc_id)
+    hashed.foreach { r =>
+      val id = r.doc_id
+      val (w, h) = (4 + (id % 13).toInt, 4 + (id % 11).toInt)
+      def px(x: Int, y: Int) = ((id * 31 + (y * h / 8) * 7 + (x * w / 9) * 13) % 256).toInt
+      var expect = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (px(x + 1, y) > px(x, y)) expect |= 1L << (y * 8 + x)
+      assert(r.phash === expect, s"dHash mismatch for id=$id")
+    }
+    // the same image under two ids produces the same hash -> hamming 0
+    val twin = Multimodal.synthesizePngs(spark.range(1).select(lit(7L).as("doc_id")), "doc_id")
+      .collect().head.payload
+    val two = Seq(Multimodal.ImagePayload(1L, twin), Multimodal.ImagePayload(2L, twin)).toDS()
+    val hs = Multimodal.dHash(two).collect()
+    assert(hs.map(_.phash).distinct.length === 1)
+  }
+
+  test("hammingPairs64 over representatives equals brute force") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val hashed = Multimodal.dHash(Multimodal.synthesizePngs(docs, "doc_id")).toDF()
+    val reps = hashed.groupBy("phash").agg(min($"doc_id").as("doc_id"))
+    val got = graft.operators.Dedup.hammingPairs64(reps, "phash", "doc_id", maxHamming = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    val local = reps.as[(Long, Long)].collect()
+    val brute = (for {
+      (ha, ia) <- local; (hb, ib) <- local if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (ia, ib, d)).toSet
+    assert(got === brute, "chunk-join pairs must be complete and exact vs brute force")
+    assert(brute.nonEmpty, "the synthetic corpus must actually contain near-dup images")
+  }
+
   test("decodeFeatures routes image payloads through the real codec") {
     val png = Multimodal.synthesizePngs(
       spark.range(5).select($"id".as("doc_id")), "doc_id")
