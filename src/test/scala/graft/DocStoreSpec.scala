@@ -186,15 +186,15 @@ class DocStoreSpec extends SparkSpec {
     // strict mode refuses the widened batch outright
     intercept[Exception] {
       ParquetSink.upsertInto(spark, dir,
-        Seq((2L, "fr", 2.5, "s3://x")).toDF("id", "lang", "v", "src"), "id", Seq("lang"))
+        Seq((2L, "fr", 2.5, "src://x")).toDF("id", "lang", "v", "src"), "id", Seq("lang"))
     }
     ParquetSink.upsertInto(spark, dir,
-      Seq((2L, "fr", 2.5, "s3://x")).toDF("id", "lang", "v", "src"), "id", Seq("lang"),
+      Seq((2L, "fr", 2.5, "src://x")).toDF("id", "lang", "v", "src"), "id", Seq("lang"),
       allowEvolution = true)
     val got = spark.read.parquet(dir)
       .select($"id", $"lang", $"v", $"src")
       .as[(Long, String, Double, Option[String])].collect().sortBy(_._1).toSeq
-    assert(got === Seq((1L, "en", 1.0, None), (2L, "fr", 2.5, Some("s3://x"))))
+    assert(got === Seq((1L, "en", 1.0, None), (2L, "fr", 2.5, Some("src://x"))))
   }
 
   test("initial doc load with duplicate keys raises instead of writing dup docs") {
