@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache (one temp file per
+  // ImageIO.read call): for in-memory byte-array payloads that is pure
+  // overhead — temp-file churn and file I/O on every decode, multiplied
+  // by every concurrent codec task. The in-memory cache is strictly
+  // better here. Object init runs once per JVM (driver and each
+  // executor) before any codec call below.
+  ImageIO.setUseCache(false)
+
   /** Attach a binary payload + typed metadata to a text corpus, standing in
     * for (doc_id, image_bytes, meta). Pure projection: no shuffle. */
   def withPayload(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
