@@ -278,6 +278,59 @@ object Multimodal {
     }
   }
 
+  final case class AudioFp(doc_id: Long, afp: Long)
+
+  /** Acoustic fingerprint-64 over decoded PCM — the audio twin of
+    * [[dHash]], completing the codec→dedup bridge for the second
+    * modality: split the clip into 65 equal frames (integer bounds
+    * f·n/65), per-frame energy = Σ|sample|, bit f = energy(f+1) >
+    * energy(f). The sign-of-energy-delta shape is how classic audio
+    * fingerprinting (Haitsma-Kalus style) builds match-robust bits;
+    * near-identical clips (re-encodes, small edits) land within a few
+    * bits and the 64-bit hash drops into
+    * [[graft.operators.Dedup.hammingPairs64]]. Integer arithmetic over
+    * a lossless container ⇒ exactly replayable by a SQL oracle. Clips
+    * must carry ≥ 65 samples (enforced) so no frame is empty. */
+  def audioFingerprint(ds: Dataset[AudioPayload], batchSize: Int = 64): Dataset[AudioFp] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { a =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(a.payload))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+            s"unexpected format for ${a.doc_id}: $fmt")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          require(n >= 65, s"clip ${a.doc_id} has $n samples; fingerprint needs >= 65")
+          val e = new Array[Long](65)
+          var f = 0
+          while (f < 65) {
+            var i = f * n / 65
+            val end = (f + 1) * n / 65
+            var s = 0L
+            while (i < end) {
+              val lo = bytes(2 * i) & 0xff
+              val hi = bytes(2 * i + 1).toInt
+              s += math.abs((hi << 8) | lo)
+              i += 1
+            }
+            e(f) = s
+            f += 1
+          }
+          var fp = 0L
+          f = 0
+          while (f < 64) {
+            if (e(f + 1) > e(f)) fp |= 1L << f
+            f += 1
+          }
+          AudioFp(a.doc_id, fp)
+        }
+      }
+    }
+  }
+
   /** REAL image transform: nearest-neighbor resize to (tw × th), batched
     * per partition, re-encoded as PNG — the standard "normalize image
     * sizes before the vision encoder" prep step. Source pixel = integer

@@ -368,6 +368,20 @@ object TextQueries {
         parallelism = s.sparkContext.defaultParallelism)).toDF()
       val reps = hashed.groupBy("phash").agg(min(col("doc_id")).as("doc_id"))
       graft.operators.Dedup.hammingPairs64(reps, "phash", "doc_id", maxHamming = 2)
+    }),
+
+    // AUDIO near-dup dedup — same composition as dedup_image_phash for
+    // the second modality: decode every WAV, 64-bit sign-of-energy-delta
+    // fingerprint (65 equal PCM frames), collapse identical fingerprints
+    // to min-id representatives, HmSearch pairs at hamming <= 2 among
+    // representatives. Lossless PCM => the oracle replays sample formula
+    // -> frame energies -> bits -> brute-force pairs exactly
+    "dedup_audio_fp" -> ((s, d) => {
+      val m = graft.multimodal.Multimodal
+      val fps = m.audioFingerprint(m.synthesizeWavs(t(s, d, "documents"), "doc_id",
+        parallelism = s.sparkContext.defaultParallelism)).toDF()
+      val reps = fps.groupBy("afp").agg(min(col("doc_id")).as("doc_id"))
+      graft.operators.Dedup.hammingPairs64(reps, "afp", "doc_id", maxHamming = 2)
     })
   )
 
@@ -784,6 +798,33 @@ object TextQueries {
                       CASE WHEN row[CAST(x AS INT) + 1] > row[CAST(x AS INT)]
                            THEN 1 ELSE 0 END))) AS bits
            FROM g),
+         reps AS (SELECT min(doc_id) AS doc_id, bits FROM b GROUP BY bits)
+         SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM (
+           SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+                  list_sum(list_transform(range(1, 65), i ->
+                    CASE WHEN a.bits[CAST(i AS INT)] <> c.bits[CAST(i AS INT)]
+                         THEN 1 ELSE 0 END)) AS hamming
+           FROM reps a JOIN reps c ON a.doc_id < c.doc_id)
+         WHERE hamming <= 2""",
+    // audio fingerprint bits replayed from the synthetic PCM formula:
+    // 65 integer-bound frames, energy = sum |sample|, bit = next frame
+    // louder; identical bit-lists collapse to min-id representatives,
+    // then brute-force pairs at hamming <= 2
+    "dedup_audio_fp" ->
+      """WITH e AS (SELECT doc_id, 100 + doc_id % 50 AS n FROM documents),
+         fr AS (
+           SELECT doc_id,
+                  list_transform(range(0, 65), f ->
+                    coalesce(list_sum(list_transform(
+                      range((f*n)//65, ((f+1)*n)//65), i ->
+                        abs((doc_id*31 + i*13) % 65536 - 32768))), 0)) AS en
+           FROM e),
+         b AS (
+           SELECT doc_id,
+                  list_transform(range(1, 65), f ->
+                    CASE WHEN en[CAST(f AS INT) + 1] > en[CAST(f AS INT)]
+                         THEN 1 ELSE 0 END) AS bits
+           FROM fr),
          reps AS (SELECT min(doc_id) AS doc_id, bits FROM b GROUP BY bits)
          SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM (
            SELECT a.doc_id AS id_a, c.doc_id AS id_b,

@@ -117,6 +117,22 @@ class MultimodalSpec extends SparkSpec {
     assert(hs.map(_.phash).distinct.length === 1)
   }
 
+  test("audioFingerprint matches the arithmetic formula") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val fps = Multimodal.audioFingerprint(Multimodal.synthesizeWavs(docs, "doc_id"))
+      .collect().sortBy(_.doc_id)
+    assert(fps.length === 50)
+    fps.foreach { r =>
+      val id = r.doc_id
+      val n = 100 + (id % 50).toInt
+      val s = (0 until n).map(i => math.abs(((id * 31 + i * 13) % 65536).toInt - 32768))
+      val e = (0 until 65).map(f => s.slice(f * n / 65, (f + 1) * n / 65).map(_.toLong).sum)
+      var expect = 0L
+      for (f <- 0 until 64) if (e(f + 1) > e(f)) expect |= 1L << f
+      assert(r.afp === expect, s"fingerprint mismatch for id=$id")
+    }
+  }
+
   test("hammingPairs64 over representatives equals brute force") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
     val hashed = Multimodal.dHash(Multimodal.synthesizePngs(docs, "doc_id")).toDF()

@@ -108,6 +108,23 @@ class TrainingMixSpec extends SparkSpec {
     assert(got === sel(docs.repartition(13)))
   }
 
+  test("tokenBudgetSelect straddle cumsum runs partitioned, never single-reducer") {
+    // one-bucket degenerate corpus: ALL rows route through the straddle
+    // path, so its window is the one that must not be a global sort
+    val docs = (0 until 1000).map(i => (i.toLong, 7L, 0.5)).toDF("id", "tk", "score")
+    val out = Selection.tokenBudgetSelect(docs, "tk", "score", "id", budget = 700)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      "straddle rows must be range-partitioned")
+    // every Window that sorts (score, id) must partition by __pid — the
+    // per-doc cumsum is per-range-partition, not one reducer
+    val winLines = plan.linesIterator
+      .filter(l => l.contains("windowspecdefinition(") && l.contains("score")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("__pid")),
+      s"score-ordered window without __pid partitioning:\n${winLines.mkString("\n")}")
+  }
+
   test("tokenBudgetSelect raises on a null or out-of-range score") {
     val nullScore = Seq((1L, 10L, Some(0.5)), (2L, 10L, Option.empty[Double]))
       .toDF("id", "tk", "score")
