@@ -168,6 +168,21 @@ object SimQueries {
         queries = e.filter(col("vec_id") < 3), "vec_id", k = 10, nProbe = 2)
     }),
 
+    // SEMANTIC decontamination: corpus vectors within cosine >= 0.35 of
+    // ANY benchmark vector (vec_id % 97 = 0 — the same held-out-set
+    // convention as ta_decontaminate) are flagged with their nearest
+    // benchmark item. The embedding-space form of the n-gram guard:
+    // paraphrased eval leakage shares no 8-gram but still lands next to
+    // its source. Benchmark packs into one broadcast row; the corpus
+    // folds over it map-side — zero shuffle, like ivfAssign
+    "ta_decontaminate_semantic" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      graft.operators.Decontaminate.semanticOverlap(
+        e.filter(col("vec_id") % 97 =!= 0),
+        e.filter(col("vec_id") % 97 === 0),
+        "embedding", "vec_id", threshold = 0.35)
+    }),
+
     // BATCHED ANN: one top-k per query row, all queries in one plan (no
     // per-query jobs, no driver loop) — the API the single-query guard
     // points to
@@ -360,6 +375,18 @@ object SimQueries {
           LEFT JOIN (SELECT q_id, count(*) AS n_hit
                      FROM exact JOIN approx USING (q_id, vec_id)
                      GROUP BY q_id) h USING (q_id)""",
+    "ta_decontaminate_semantic" ->
+      s"""WITH n AS (${normed(vecs)}),
+            bench AS (SELECT vec_id AS bid, v, nrm FROM n WHERE vec_id % 97 = 0),
+            corp AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 97 <> 0),
+            scored AS (
+              SELECT c.vec_id, b.bid,
+                     round(${fold("list_transform(range(1, len(c.v)+1), i -> c.v[CAST(i AS INT)] * b.v[CAST(i AS INT)])")} / (c.nrm * b.nrm), 6) AS sim
+              FROM corp c CROSS JOIN bench b)
+          SELECT vec_id, bid AS bench_id, sim AS cosine FROM (
+            SELECT vec_id, bid, sim FROM scored
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bid) = 1)
+          WHERE sim >= 0.35""",
     "sim_ann_batch" ->
       s"""WITH n AS (${normed(vecs)}),
             c AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 8),
