@@ -168,6 +168,22 @@ object SimQueries {
         queries = e.filter(col("vec_id") < 3), "vec_id", k = 10, nProbe = 2)
     }),
 
+    // QUANTIZED serving path end-to-end: the corpus lives as int8 codes
+    // (4x less memory than float32 — what lets a RAM-resident index hold
+    // 4x the vectors), queries stay float; scoring runs on dequantized
+    // values. Codebook + encode + decode are deterministic arithmetic,
+    // so the whole chain has an exact oracle — the recall cost of
+    // quantization is measurable against sim_topk_cosine's exact rank
+    "sim_quantized_search" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val stats = Similarity.quantizeStats(e, "embedding")
+      val deq = Similarity.dequantize(
+        Similarity.scalarQuantize(e, "embedding", "vec_id", stats),
+        "codes", "vec_id", stats)
+      Similarity.topK(deq.withColumnRenamed("v", "embedding"),
+        "embedding", "vec_id", e.filter(col("vec_id") === 0), k = 10)
+    }),
+
     // SEMANTIC decontamination: corpus vectors within cosine >= 0.35 of
     // ANY benchmark vector (vec_id % 97 = 0 — the same held-out-set
     // convention as ta_decontaminate) are flagged with their nearest
@@ -375,6 +391,36 @@ object SimQueries {
           LEFT JOIN (SELECT q_id, count(*) AS n_hit
                      FROM exact JOIN approx USING (q_id, vec_id)
                      GROUP BY q_id) h USING (q_id)""",
+    // replay codebook -> int8 encode -> dequantize -> rank against the
+    // EXACT query vector; identical IEEE expression order throughout
+    "sim_quantized_search" ->
+      s"""WITH x AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+                     FROM embeddings),
+            d AS (SELECT r.i AS dim, min(x.v[CAST(r.i AS INT)]) AS lo, max(x.v[CAST(r.i AS INT)]) AS hi
+                  FROM x, unnest(range(1, len(x.v)+1)) AS r(i)
+                  GROUP BY 1),
+            dl AS (SELECT list(struct_pack(lo := lo, hi := hi) ORDER BY dim) AS st FROM d),
+            codes AS (
+              SELECT vec_id,
+                     list_transform(range(1, len(v)+1), i ->
+                       CASE WHEN dl.st[CAST(i AS INT)].hi = dl.st[CAST(i AS INT)].lo THEN 0
+                            ELSE CAST(round((v[CAST(i AS INT)] - dl.st[CAST(i AS INT)].lo)
+                                   / (dl.st[CAST(i AS INT)].hi - dl.st[CAST(i AS INT)].lo) * 255) AS INT)
+                       END) AS cs
+              FROM x CROSS JOIN dl),
+            deq AS (
+              SELECT vec_id,
+                     list_transform(range(1, len(cs)+1), i ->
+                       dl.st[CAST(i AS INT)].lo + CAST(cs[CAST(i AS INT)] AS DOUBLE) / 255.0
+                         * (dl.st[CAST(i AS INT)].hi - dl.st[CAST(i AS INT)].lo)) AS v
+              FROM codes CROSS JOIN dl),
+            nd AS (SELECT vec_id, v, sqrt(${fold("list_transform(v, x -> x*x)")}) AS nrm FROM deq),
+            q AS (SELECT v, nrm FROM (${normed(vecs)}) WHERE vec_id = 0)
+          SELECT vec_id, cosine FROM (
+            SELECT a.vec_id,
+                   round(${fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)])")} / (a.nrm * b.nrm), 6) AS cosine
+            FROM nd a CROSS JOIN q b)
+          QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id) <= 10""",
     "ta_decontaminate_semantic" ->
       s"""WITH n AS (${normed(vecs)}),
             bench AS (SELECT vec_id AS bid, v, nrm FROM n WHERE vec_id % 97 = 0),
