@@ -382,4 +382,46 @@ object Dedup {
       .filter(col("cos_raw") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cosine"))
   }
+
+  /** Semantic (embedding-space) deduplication, SemDeDup-style: cluster
+    * the corpus, then within each cluster drop every vector that has a
+    * near-identical neighbor (cosine ≥ `threshold`) with a stronger keep
+    * claim. Keep priority follows the published SemDeDup rule — of a
+    * near-dup group, RETAIN the example least similar to its centroid
+    * (the most atypical one carries the most marginal information;
+    * duplicates near the centroid are the redundant mass), tiebroken by
+    * id so the decision is total and rerun-stable.
+    *
+    * `assigned` is the `Similarity.ivfAssign(keepVec = true)` shape
+    * (idCol, centroid_id, sim, v) — centroids typically come from
+    * `Similarity.kmeansFit`, so the whole chain (train → assign → dedup)
+    * is deterministic and exactly replayable. The domination test is a
+    * DIRECT pairwise rule, not connected components: x is dropped iff
+    * some y in the same cluster has cos(x,y) ≥ τ and (sim_y, id_y) <
+    * (sim_x, id_x). At SemDeDup's operating thresholds (τ ≥ 0.9) groups
+    * are tight near-cliques and the rule keeps exactly the group's
+    * minimum, at a join cost identical to [[embeddingNearDups]]'s
+    * bucketed pair scan — the all-pairs cartesian never exists in the
+    * plan, and each cluster's pair block is independent (a skewed giant
+    * cluster, not corpus size, is the unit of work — k is the dial).
+    * Returns kept rows (idCol, centroid_id, centroid_sim). */
+  def semanticDedup(assigned: DataFrame, idCol: String,
+                    threshold: Double): DataFrame = {
+    import graft.expressions.VectorExpressions.{dot, l2norm}
+    val base = assigned.select(col(idCol), col("centroid_id"), col("sim"),
+        col("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val x = base.select(col("centroid_id"), col(idCol).as("id_x"),
+      col("v").as("v_x"), col("nrm").as("n_x"), col("sim").as("cs_x"))
+    val y = base.select(col("centroid_id"), col(idCol).as("id_y"),
+      col("v").as("v_y"), col("nrm").as("n_y"), col("sim").as("cs_y"))
+    val dominated = x.join(y, Seq("centroid_id"))
+      .filter(col("id_x") =!= col("id_y"))
+      .filter(dot(col("v_x"), col("v_y")) / (col("n_x") * col("n_y")) >= threshold)
+      .filter(col("cs_y") < col("cs_x") ||
+        (col("cs_y") === col("cs_x") && col("id_y") < col("id_x")))
+      .select(col("id_x").as(idCol)).distinct()
+    base.join(dominated, Seq(idCol), "left_anti")
+      .select(col(idCol), col("centroid_id"), col("sim").as("centroid_sim"))
+  }
 }

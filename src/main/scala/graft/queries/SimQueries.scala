@@ -184,6 +184,38 @@ object SimQueries {
         "embedding", "vec_id", e.filter(col("vec_id") === 0), k = 10)
     }),
 
+    // SEMANTIC dedup (SemDeDup): train the codebook, assign every vector
+    // (zero-shuffle broadcast fold), then within each cluster drop the
+    // vectors that have a near-identical neighbor with a stronger keep
+    // claim — the published rule retains the group member LEAST similar
+    // to its centroid (the most atypical example; the redundant mass
+    // sits near the centroid). The whole chain (Lloyd's training →
+    // assignment → intra-cluster domination) is deterministic and
+    // replays exactly in SQL; pair cost is per-cluster blocks, so the
+    // all-pairs cartesian never exists in the plan
+    "dedup_semantic" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = Similarity.kmeansFit(e, "embedding", "vec_id", k = 8, iters = 2)
+      val assigned = Similarity.ivfAssign(e, "embedding", "vec_id",
+        cents.withColumnRenamed("c_v", "embedding"), "centroid_id", keepVec = true)
+      Dedup.semanticDedup(assigned, "vec_id", threshold = 0.45)
+    }),
+
+    // Index-health report over the TRAINED codebook: per-centroid mass
+    // and similarity spread — the numbers that price k (nlist) and spot
+    // the skewed cluster that will dominate every probe of it. One
+    // broadcast-fold assignment + one k-row aggregate
+    "sim_cluster_stats" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = Similarity.kmeansFit(e, "embedding", "vec_id", k = 8, iters = 2)
+      Similarity.ivfAssign(e, "embedding", "vec_id",
+          cents.withColumnRenamed("c_v", "embedding"), "centroid_id")
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("sim")), 6).as("avg_sim"),
+          min(col("sim")).as("min_sim"))
+    }),
+
     // SEMANTIC decontamination: corpus vectors within cosine >= 0.35 of
     // ANY benchmark vector (vec_id % 97 = 0 — the same held-out-set
     // convention as ta_decontaminate) are flagged with their nearest
@@ -248,6 +280,23 @@ object SimQueries {
           FROM $prev p LEFT JOIN
                (SELECT cid, list(m ORDER BY dim) AS v FROM m$tag GROUP BY cid) mm
             ON p.cid = mm.cid)"""
+
+  /** Trained-codebook CTE prefix shared by the SemDeDup and cluster-stats
+    * oracles: two unrolled Lloyd's rounds (c0→c1→c2, mirroring
+    * `kmeansFit(k = 8, iters = 2)`), then every vector assigned to its
+    * nearest trained centroid with the rounded score retained (`asg`:
+    * vec_id, cid, sim). */
+  private def kmeansAssigned: String =
+    s"""WITH n AS (${normed(vecs)}),
+          c0 AS (SELECT CAST(vec_id AS INT) AS cid, v FROM n ORDER BY vec_id LIMIT 8),
+          ${kmeansIter("c0", "c1", "1")},
+          ${kmeansIter("c1", "c2", "2")},
+          cn AS (SELECT cid, v, sqrt(${fold("list_transform(v, x -> x*x)")}) AS nrm FROM c2),
+          sc AS (SELECT a.vec_id, c.cid,
+                        round(${fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * c.v[CAST(i AS INT)])")} / (a.nrm * c.nrm), 6) AS sim
+                 FROM n a CROSS JOIN cn c),
+          asg AS (SELECT vec_id, cid, sim FROM sc
+                  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1)"""
 
   /** ANN probe-2 top-10 oracle, parameterized by the query row id —
     * shared by the raw-corpus and prebuilt-store forms. */
@@ -421,6 +470,26 @@ object SimQueries {
                    round(${fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)])")} / (a.nrm * b.nrm), 6) AS cosine
             FROM nd a CROSS JOIN q b)
           QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id) <= 10""",
+    // replay train -> assign, then the directed domination rule: drop x
+    // iff a same-cluster y with cos(x,y) >= tau holds a stronger keep
+    // claim (lower centroid-sim, id tiebreak) — SemDeDup's
+    // keep-the-most-atypical rule
+    "dedup_semantic" ->
+      s"""$kmeansAssigned,
+            na AS (SELECT n.vec_id, n.v, n.nrm, a.cid, a.sim
+                   FROM n JOIN asg a ON n.vec_id = a.vec_id),
+            dom AS (SELECT DISTINCT a.vec_id
+                    FROM na a JOIN na b
+                      ON a.cid = b.cid AND a.vec_id <> b.vec_id
+                    WHERE $pairDot / (a.nrm * b.nrm) >= 0.45
+                      AND (b.sim < a.sim OR (b.sim = a.sim AND b.vec_id < a.vec_id)))
+          SELECT a.vec_id, a.cid AS centroid_id, a.sim AS centroid_sim
+          FROM asg a ANTI JOIN dom d ON a.vec_id = d.vec_id""",
+    "sim_cluster_stats" ->
+      s"""$kmeansAssigned
+          SELECT cid AS centroid_id, count(*) AS n,
+                 round(avg(sim), 6) AS avg_sim, min(sim) AS min_sim
+          FROM asg GROUP BY 1""",
     "ta_decontaminate_semantic" ->
       s"""WITH n AS (${normed(vecs)}),
             bench AS (SELECT vec_id AS bid, v, nrm FROM n WHERE vec_id % 97 = 0),

@@ -215,6 +215,48 @@ class TextSimSpec extends SparkSpec {
     assert(out.filter($"id_a" >= $"id_b").isEmpty)
   }
 
+  test("semantic dedup keeps the most atypical member of a near-dup group") {
+    // hand-assigned cluster: ids 1/2 are near-identical (cos ~0.99995);
+    // id 1 sits closer to its centroid (sim 0.99 vs 0.9), so SemDeDup's
+    // rule drops it and RETAINS the atypical id 2; id 3 has no near-dup
+    // neighbor and must survive untouched; id 4 duplicates id 1's vector
+    // but lives in another cluster — cross-cluster pairs never form
+    val assigned = Seq(
+      (1L, 0, 0.99, Seq(1.0, 0.0)),
+      (2L, 0, 0.90, Seq(0.9999, 0.045)),
+      (3L, 0, 0.50, Seq(0.0, 1.0)),
+      (4L, 1, 0.95, Seq(1.0, 0.0))
+    ).toDF("vec_id", "centroid_id", "sim", "v")
+    val kept = Dedup.semanticDedup(assigned, "vec_id", threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L, 4L))
+    // a threshold above any attainable cosine keeps everything
+    val all = Dedup.semanticDedup(assigned, "vec_id", threshold = 2.0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("semantic dedup output is a subset with no duplicate ids; cluster minima always survive") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = q("dedup_semantic").cache()
+    val n = e.count()
+    assert(out.count() > 0 && out.count() < n, "some but not all rows drop")
+    assert(out.select("vec_id").distinct().count() === out.count())
+    assert(out.join(e, Seq("vec_id"), "left_anti").isEmpty, "kept ids come from the corpus")
+    // nothing can dominate a cluster's minimum-(sim, id) member, so the
+    // per-cluster minima of the FULL assignment must all be in the output
+    val cents = Similarity.kmeansFit(e, "embedding", "vec_id", k = 8, iters = 2)
+    val assigned = Similarity.ivfAssign(e, "embedding", "vec_id",
+      cents.withColumnRenamed("c_v", "embedding"), "centroid_id")
+    val minima = assigned
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"centroid_id").orderBy($"sim", $"vec_id")))
+      .filter($"rn" === 1).select("vec_id")
+    assert(minima.join(out, Seq("vec_id"), "left_anti").isEmpty,
+      "every cluster's most atypical member survives")
+  }
+
   test("int8 quantization preserves nearest-neighbor structure") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val stats = Similarity.quantizeStats(e, "embedding")
