@@ -285,6 +285,60 @@ object TextQueries {
         (repRatio(2) > 0.2 || repRatio(3) > 0.18).as("flagged"))
     }),
 
+    // Statistical rarity scoring from the corpus's OWN unigram
+    // distribution — the CCNet LM-score quality filter re-expressed in
+    // COUNT space (integer sums, divisions only at output) so the score
+    // is exact cross-engine; a ln-based perplexity differs between libm
+    // implementations at the ulp level and would make hash-exact oracles
+    // flaky. avg_tok_ppm = mean corpus frequency (ppm) of the doc's
+    // tokens (low = rare/misspelled/noisy text); rare_frac = share of
+    // tokens under 5000 ppm. Plan: ONE vocab-sized count shuffle, the
+    // unigram table packed into a single broadcast row (same pattern as
+    // Decontaminate's gram set), scoring a map-side fold — the corpus is
+    // never shuffled. An unbounded vocab would swap the packed map for a
+    // broadcast token join; the threshold compare stays in long space
+    "ta_rarity_score" -> ((s, d) => {
+      val toks = t(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("w"))
+      val packed = broadcast(toks.select(explode(col("w")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .agg(map_from_entries(collect_list(struct(col("tok"), col("c")))).as("m"),
+          sum(col("c")).as("total")))
+      toks.crossJoin(packed)
+        .select(col("doc_id"), size(col("w")).as("n_tokens"),
+          aggregate(col("w"), lit(0L), (acc, t0) => acc + element_at(col("m"), t0)).as("cnt_sum"),
+          size(filter(col("w"),
+            t0 => element_at(col("m"), t0) * lit(1000000L) < lit(5000L) * col("total"))).as("n_rare"),
+          col("total"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("cnt_sum").cast("double") * lit(1000000.0) /
+            (col("n_tokens").cast("double") * col("total").cast("double")), 6).as("avg_tok_ppm"),
+          round(col("n_rare").cast("double") / col("n_tokens").cast("double"), 6).as("rare_frac"))
+    }),
+
+    // Per-doc top TF-IDF terms — the keyword-extraction primitive for
+    // corpus curation (what is this doc ABOUT, without a model). Raw
+    // N/df in place of ln(N/df) for the same transcendental-free
+    // exactness as ta_rarity_score; rank ties break on the term itself.
+    // Plan: per-(doc,term) counts in one shuffle (doc length rides the
+    // row — no second pass for doc totals), a vocab-sized df aggregate
+    // broadcast back, and the per-doc top-3 window on the doc key
+    "ta_tfidf_terms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = split(col("text"), " ")
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), size(words).as("n"), explode(words).as("term"))
+      val tf = toks.groupBy("doc_id", "n", "term").agg(count(lit(1)).as("c"))
+      val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(dfr), "term").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"),
+          round((col("c").cast("double") / col("n").cast("double")) *
+            (col("n_docs").cast("double") / col("df").cast("double")), 6).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+    }),
+
     "ta_normalize" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         md5(normalizeText(col("text"))).as("norm_hash"),
@@ -661,6 +715,43 @@ object TextQueries {
                  (${ratio(2)} > 0.2 OR ${ratio(3)} > 0.18) AS flagged
           FROM w"""
     },
+    // integer sums joined per token, one division at output — the exact
+    // replay of the packed-map fold (long addition is order-free)
+    "ta_rarity_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           cnt AS (SELECT tok, count(*) AS c
+                   FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY 1),
+           tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+           scored AS (
+             SELECT t.doc_id, CAST(count(*) AS INT) AS n_tokens,
+                    CAST(sum(c.c) AS BIGINT) AS cnt_sum,
+                    CAST(sum(CASE WHEN c.c * 1000000 < 5000 * tot.total
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+             FROM (SELECT doc_id, unnest(w) AS tok FROM toks) t
+             JOIN cnt c ON t.tok = c.tok
+             CROSS JOIN tot
+             GROUP BY 1)
+         SELECT doc_id, n_tokens,
+                round(CAST(cnt_sum AS DOUBLE) * 1000000.0 /
+                      (CAST(n_tokens AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS avg_tok_ppm,
+                round(CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS rare_frac
+         FROM scored CROSS JOIN tot""",
+    "ta_tfidf_terms" ->
+      """WITH toks AS (SELECT doc_id, len(string_split(text, ' ')) AS n,
+                              unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+           tf AS (SELECT doc_id, n, term, count(*) AS c FROM toks GROUP BY 1, 2, 3),
+           dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           nd AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT doc_id, term, score, rank FROM (
+           SELECT doc_id, term, score,
+                  CAST(row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term) AS INT) AS rank
+           FROM (SELECT tf.doc_id, tf.term,
+                        round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+                              (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score
+                 FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN nd))
+         WHERE rank <= 3""",
     "ta_normalize" ->
       """SELECT doc_id,
                 md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,

@@ -215,6 +215,41 @@ class TextSimSpec extends SparkSpec {
     assert(out.filter($"id_a" >= $"id_b").isEmpty)
   }
 
+  test("rarity score flags exactly the docs carrying sub-threshold tokens") {
+    // the synthetic vocab has one genuinely rare token ('dup', ~1000 ppm
+    // vs ~33k ppm for the rest): rare_frac must be positive exactly on
+    // the docs containing it, and the mean-frequency score must stay a
+    // valid ppm average everywhere
+    val out = q("ta_rarity_score").cache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(out.count() === docs.count())
+    assert(out.filter($"rare_frac" < 0.0 || $"rare_frac" > 1.0).isEmpty)
+    assert(out.filter($"avg_tok_ppm" <= 0.0 || $"avg_tok_ppm" >= 1000000.0).isEmpty)
+    val dupDocs = docs.filter(array_contains(split($"text", " "), "dup"))
+      .select("doc_id").as[Long].collect().toSet
+    val flagged = out.filter($"rare_frac" > 0.0).select("doc_id").as[Long].collect().toSet
+    assert(flagged === dupDocs, "rare mass is exactly the 'dup'-carrying docs")
+  }
+
+  test("tf-idf ranks the rare token first in every doc that contains it") {
+    val out = q("ta_tfidf_terms").cache()
+    // dense per-doc ranks, at most 3 each
+    val byDoc = out.groupBy("doc_id").agg(collect_list($"rank").as("rs"))
+      .select(array_sort($"rs").as("rs")).as[Seq[Int]].collect()
+    assert(byDoc.forall(rs => rs == (1 to rs.size)))
+    assert(out.filter($"rank" > 3).isEmpty)
+    assert(out.filter($"score" <= 0.0).isEmpty)
+    // idf dominance: 'dup' appears in ~5% of docs, every other term in
+    // nearly all — wherever 'dup' occurs it must be the top term
+    val dupDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(array_contains(split($"text", " "), "dup"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(dupDocs.nonEmpty)
+    val top = out.filter($"rank" === 1 && $"term" === "dup")
+      .select("doc_id").as[Long].collect().toSet
+    assert(top === dupDocs)
+  }
+
   test("semantic dedup keeps the most atypical member of a near-dup group") {
     // hand-assigned cluster: ids 1/2 are near-identical (cos ~0.99995);
     // id 1 sits closer to its centroid (sim 0.99 vs 0.9), so SemDeDup's
