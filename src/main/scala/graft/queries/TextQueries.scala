@@ -320,22 +320,24 @@ object TextQueries {
     // N/df in place of ln(N/df) for the same transcendental-free
     // exactness as ta_rarity_score; rank ties break on the term itself.
     // Plan: per-(doc,term) counts in one shuffle (doc length rides the
-    // row — no second pass for doc totals), a vocab-sized df aggregate
-    // broadcast back, and the per-doc top-3 window on the doc key
+    // row — no second pass for doc totals), df as a COUNT window over
+    // those same rows (a groupBy+join would recompute the whole explode
+    // subtree — Spark does not dedup common subplans), then the per-doc
+    // top-3 window: one scan, three linear shuffles
     "ta_tfidf_terms" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val words = split(col("text"), " ")
       val toks = t(s, d, "documents")
         .select(col("doc_id"), size(words).as("n"), explode(words).as("term"))
       val tf = toks.groupBy("doc_id", "n", "term").agg(count(lit(1)).as("c"))
-      val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
-      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-      tf.join(broadcast(dfr), "term").crossJoin(broadcast(nDocs))
+      val wTop = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.crossJoin(broadcast(nDocs))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
         .select(col("doc_id"), col("term"),
           round((col("c").cast("double") / col("n").cast("double")) *
             (col("n_docs").cast("double") / col("df").cast("double")), 6).as("score"))
-        .withColumn("rank", row_number().over(w))
+        .withColumn("rank", row_number().over(wTop))
         .filter(col("rank") <= 3)
     }),
 
