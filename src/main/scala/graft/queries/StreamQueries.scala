@@ -29,6 +29,31 @@ object StreamQueries {
         .groupBy("doc_id")
         .agg(min(col("id_a")).as("first_dup_of"), count(lit(1)).as("n_earlier_dups"))
     }),
+    // POINT-IN-TIME-CORRECT stream enrichment (the feature-store join):
+    // purchases form a change feed of each user's spend tier, Scd2 turns
+    // it into versioned history, and every event is enriched with the
+    // tier valid AT ITS EVENT TIME — never a later version, so no
+    // feature leakage into training data. asofBroadcast keeps the event
+    // stream (the 100 TB side) out of every Exchange: history is
+    // dimension-sized, packed per key into one broadcast; the streaming
+    // form is the same stream-static broadcast join (StreamSpec proves
+    // parity). Oracle uses DuckDB's native ASOF JOIN
+    "stream_enrich_scd2" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = t(s, d, "events")
+      val cents = round(col("value") * 100).cast("long")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(cents.cast("double") / 500.0).cast("long").as("tier"))
+      val hist = graft.etl.Scd2.history(purchases,
+          key = "user_id", ts = "ts", tiebreak = "event_id", attrs = Seq("tier"))
+        .select(col("user_id"), col("valid_from").as("ts"), col("tier"))
+      graft.operators.AsofJoin.asofBroadcast(ev, hist,
+          key = "user_id", t = "ts", rightPayload = Seq("tier"))
+        .groupBy(col("tier"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("sum_cents"))
+    }),
+
     // click→purchase correlation: the batch form of the stream-stream
     // watermarked join (identical column logic on both paths)
     "stream_stream_join" -> ((s, d) => {
@@ -82,6 +107,23 @@ object StreamQueries {
       s"""SELECT id_b AS doc_id, min(id_a) AS first_dup_of, count(*) AS n_earlier_dups
           FROM (${TextQueries.lshPairsSql})
           GROUP BY id_b""",
+    // SCD2 replay (run-collapse change detection) + native ASOF JOIN:
+    // each event picks the latest tier version at or before its time
+    "stream_enrich_scd2" ->
+      """WITH p AS (SELECT user_id, epoch_ns(ts) AS t, event_id,
+                           CAST(floor(CAST(CAST(round(value*100) AS BIGINT) AS DOUBLE) / 500.0) AS BIGINT) AS tier
+                    FROM events WHERE event_type = 'purchase'),
+           ch AS (SELECT user_id, t, event_id, tier,
+                         (tier IS DISTINCT FROM lag(tier) OVER w) OR row_number() OVER w = 1 AS opens
+                  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+           v AS (SELECT user_id, tier, t AS valid_from FROM ch WHERE opens),
+           e AS (SELECT user_id, event_type, epoch_ns(ts) AS t,
+                        CAST(round(value*100) AS BIGINT) AS cents FROM events),
+           enr AS (SELECT e.event_type, e.cents, v.tier
+                   FROM e ASOF LEFT JOIN v
+                     ON e.user_id = v.user_id AND e.t >= v.valid_from)
+         SELECT tier, event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM enr GROUP BY 1, 2""",
     "stream_stream_join" ->
       """SELECT c.user_id, count(*) AS n_pairs
          FROM (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click') c

@@ -67,6 +67,34 @@ class StreamSpec extends SparkSpec {
     assert(spark.table("enrich").filter($"type_label" =!= upper($"event_type")).isEmpty)
   }
 
+  test("point-in-time SCD2 enrichment: streaming form matches the batch query") {
+    // the same composition as stream_enrich_scd2, with the event side a
+    // STREAM: history stays a static broadcast (packed per key), so the
+    // stream never enters an Exchange for the join; complete-mode agg
+    // compares row-for-row against the batch query
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val cents = round($"value" * 100).cast("long")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id",
+        floor(cents.cast("double") / 500.0).cast("long").as("tier"))
+    val hist = graft.etl.Scd2.history(purchases,
+        key = "user_id", ts = "ts", tiebreak = "event_id", attrs = Seq("tier"))
+      .select($"user_id", $"valid_from".as("ts"), $"tier")
+    val stream = spark.readStream.schema(schema).parquet(s"$sf/events.parque[t]")
+    val enriched = graft.operators.AsofJoin.asofBroadcast(stream, hist,
+        key = "user_id", t = "ts", rightPayload = Seq("tier"))
+      .groupBy($"tier", $"event_type")
+      .agg(count(lit(1)).as("n"), sum(cents).as("sum_cents"))
+    val qy = enriched.writeStream.outputMode("complete").format("memory")
+      .queryName("scd2enrich").start()
+    qy.processAllAvailable(); qy.stop()
+    val got = spark.table("scd2enrich").collect().map(_.toString).sorted.toSeq
+    val want = q("stream_enrich_scd2").collect().map(_.toString).sorted.toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("sliding windows cover every event exactly twice") {
     val out = q("stream_sliding_agg")
     val events = spark.read.parquet(s"$sf/events.parquet").count()
