@@ -54,6 +54,33 @@ object StreamQueries {
         .agg(count(lit(1)).as("n"), sum(cents).as("sum_cents"))
     }),
 
+    // ONLINE anomaly flagging: events whose value sits more than 3
+    // standard deviations from their type's mean. Stats are one tiny
+    // per-type aggregate (exact integer cents sums — the cross-engine
+    // float rule; mean/std derived at output) broadcast back, flagging
+    // is a map-side projection — at scale the stats come from history
+    // and the stream side is the identical stream-static broadcast
+    // join. std=0 guarded explicitly: a constant series has no
+    // outliers, and NaN compares differently across engines
+    "stream_anomaly" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = t(s, d, "events")
+      val cents = round(col("value") * 100).cast("long")
+      val base = ev.select(col("event_id"), col("event_type"), cents.as("cents"))
+      val stats = base.groupBy("event_type").agg(
+        count(lit(1)).as("n_t"), sum(col("cents")).as("s1"),
+        sum(col("cents") * col("cents")).as("s2"))
+      base.join(broadcast(stats), "event_type")
+        .withColumn("mean", col("s1").cast("double") / col("n_t").cast("double"))
+        .withColumn("std", sqrt(greatest(
+          col("s2").cast("double") / col("n_t").cast("double") - col("mean") * col("mean"),
+          lit(0.0))))
+        .filter(col("std") > 0.0 &&
+          abs((col("cents").cast("double") - col("mean")) / col("std")) > 3.0)
+        .select(col("event_id"), col("event_type"),
+          round((col("cents").cast("double") - col("mean")) / col("std"), 6).as("z"))
+    }),
+
     // click→purchase correlation: the batch form of the stream-stream
     // watermarked join (identical column logic on both paths)
     "stream_stream_join" -> ((s, d) => {
@@ -107,6 +134,25 @@ object StreamQueries {
       s"""SELECT id_b AS doc_id, min(id_a) AS first_dup_of, count(*) AS n_earlier_dups
           FROM (${TextQueries.lshPairsSql})
           GROUP BY id_b""",
+    // identical integer-sum stats + identical expression shape for
+    // mean/std/z — the only floats are derived at output
+    "stream_anomaly" ->
+      """WITH b AS (SELECT event_id, event_type,
+                           CAST(round(value*100) AS BIGINT) AS cents FROM events),
+           s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t,
+                        CAST(sum(cents) AS BIGINT) AS s1,
+                        CAST(sum(cents*cents) AS BIGINT) AS s2
+                 FROM b GROUP BY 1),
+           j AS (SELECT b.event_id, b.event_type, b.cents,
+                        CAST(s1 AS DOUBLE) / CAST(n_t AS DOUBLE) AS mean,
+                        sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_t AS DOUBLE)
+                               - (CAST(s1 AS DOUBLE) / CAST(n_t AS DOUBLE))
+                                 * (CAST(s1 AS DOUBLE) / CAST(n_t AS DOUBLE)), 0.0)) AS std
+                 FROM b JOIN s USING (event_type))
+         SELECT event_id, event_type,
+                round((CAST(cents AS DOUBLE) - mean) / std, 6) AS z
+         FROM j
+         WHERE std > 0.0 AND abs((CAST(cents AS DOUBLE) - mean) / std) > 3.0""",
     // SCD2 replay (run-collapse change detection) + native ASOF JOIN:
     // each event picks the latest tier version at or before its time
     "stream_enrich_scd2" ->

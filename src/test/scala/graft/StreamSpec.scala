@@ -95,6 +95,22 @@ class StreamSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("anomaly flags sit strictly outside 3 sigma and carry the right sign") {
+    val out = q("stream_anomaly").cache()
+    assert(out.count() > 0, "the heavy-tailed value column must produce outliers")
+    assert(out.filter(abs($"z") <= 3.0).isEmpty)
+    // sign check against an independently-computed per-type mean
+    val means = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("event_type")
+      .agg((sum(round($"value" * 100).cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("mean"))
+    val joined = out.join(spark.read.parquet(s"$sf/events.parquet"), Seq("event_id"))
+      .join(means, out("event_type") === means("event_type"))
+    assert(joined.filter(
+      ($"z" > 0 && round($"value" * 100).cast("long").cast("double") <= $"mean") ||
+      ($"z" < 0 && round($"value" * 100).cast("long").cast("double") >= $"mean")).isEmpty)
+  }
+
   test("sliding windows cover every event exactly twice") {
     val out = q("stream_sliding_agg")
     val events = spark.read.parquet(s"$sf/events.parquet").count()
