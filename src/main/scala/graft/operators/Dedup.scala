@@ -404,6 +404,13 @@ object Dedup {
     * bucketed pair scan — the all-pairs cartesian never exists in the
     * plan, and each cluster's pair block is independent (a skewed giant
     * cluster, not corpus size, is the unit of work — k is the dial).
+    *
+    * Scaling rule: pair mass is Σ_c n_c² ≈ n·(n/k), so hold the MEAN
+    * CLUSTER SIZE n/k constant as the corpus grows (k ∝ n — the
+    * published SemDeDup regime, e.g. 50k clusters for a ~100M-doc
+    * corpus) and candidate volume stays linear in n; a fixed k under a
+    * 10× corpus would grow pair blocks 100×. Training cost is not the
+    * obstacle: `kmeansFit` is linear in n with constant k·dim state.
     * Returns kept rows (idCol, centroid_id, centroid_sim). */
   def semanticDedup(assigned: DataFrame, idCol: String,
                     threshold: Double): DataFrame = {

@@ -168,6 +168,42 @@ object EtlQueries {
           col("is_current"))
     }),
 
+    // CDC #1 — snapshot diff: what changed between two loads of a keyed
+    // table (the question the reference's wholesale re-load never asks).
+    // Two date-sliced snapshots with a deterministic status perturbation
+    // exercise all three classes: pre-1995 keys removed, 1997 keys
+    // added, every fifth shared key changed. ONE co-partitioned
+    // full-outer join; bucketed snapshots would make it zero-Exchange
+    "etl_snapshot_diff" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val old = o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      val nw = o.filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          col("o_orderpriority"))
+      graft.etl.Cdc.snapshotDiff(old, nw,
+        keys = Seq("o_orderkey"), attrs = Seq("o_orderstatus", "o_orderpriority"))
+    }),
+
+    // CDC #2 — apply a keyed I/U/D change log to a base table: only each
+    // key's LATEST entry matters (max_by hash agg — map-side combine, no
+    // per-key log sort), deletes drop the key, upserts override, untouched
+    // base rows pass through. Orders replay as a change log over customers
+    "etl_cdc_apply" -> ((s, d) => {
+      val base = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val log = t(s, d, "orders").select(
+        col("o_custkey").as("c_custkey"), col("o_orderkey"),
+        when(col("o_orderstatus") === "F", "U")
+          .when(col("o_orderstatus") === "O", "I")
+          .otherwise("D").as("op"),
+        col("o_orderpriority").as("c_mktsegment"))
+      graft.etl.Cdc.applyLog(base, log, keys = Seq("c_custkey"),
+        seqCol = "o_orderkey", opCol = "op", attrs = Seq("c_mktsegment"))
+    }),
+
     // numeric coercion, errors -> null (Review_ETL.py:77)
     "etl_numeric_coerce" -> ((s, d) =>
       t(s, d, "orders")
@@ -287,6 +323,42 @@ object EtlQueries {
       """SELECT o_orderpriority, count(*) AS n,
                 CAST(sum(try_cast(regexp_extract(o_orderpriority, '(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_num,
                 count(try_cast(o_orderstatus AS BIGINT)) AS n_bad
-         FROM orders GROUP BY o_orderpriority"""
+         FROM orders GROUP BY o_orderpriority""",
+    "etl_snapshot_diff" ->
+      """WITH old AS (SELECT o_orderkey, o_orderstatus, o_orderpriority
+                      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+           nw AS (SELECT o_orderkey,
+                         CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+                         o_orderpriority
+                  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                    AND o_orderdate < TIMESTAMP '1998-01-01')
+         SELECT * FROM (
+           SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                  CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                       WHEN b.o_orderkey IS NULL THEN 'removed'
+                       WHEN (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus)
+                         OR (a.o_orderpriority IS DISTINCT FROM b.o_orderpriority)
+                       THEN 'changed' END AS change,
+                  a.o_orderstatus AS old_o_orderstatus,
+                  b.o_orderstatus AS new_o_orderstatus,
+                  a.o_orderpriority AS old_o_orderpriority,
+                  b.o_orderpriority AS new_o_orderpriority
+           FROM old a FULL OUTER JOIN nw b ON a.o_orderkey = b.o_orderkey)
+         WHERE change IS NOT NULL""",
+    "etl_cdc_apply" ->
+      """WITH log AS (SELECT o_custkey AS c_custkey, o_orderkey,
+                             CASE o_orderstatus WHEN 'F' THEN 'U'
+                                                WHEN 'O' THEN 'I'
+                                                ELSE 'D' END AS op,
+                             o_orderpriority AS seg
+                      FROM orders),
+           latest AS (SELECT c_custkey, arg_max(op, o_orderkey) AS op,
+                             arg_max(seg, o_orderkey) AS seg
+                      FROM log GROUP BY 1)
+         SELECT coalesce(b.c_custkey, l.c_custkey) AS c_custkey,
+                CASE WHEN l.c_custkey IS NOT NULL THEN l.seg
+                     ELSE b.c_mktsegment END AS c_mktsegment
+         FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
+         WHERE l.op IS DISTINCT FROM 'D'"""
   )
 }

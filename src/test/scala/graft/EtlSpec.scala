@@ -63,4 +63,28 @@ class EtlSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert(urgent._2 === urgent._1 * 1)
   }
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val nw = Seq((2L, "b"), (3L, "CHANGED"), (4L, "d")).toDF("k", "v")
+    val got = graft.etl.Cdc.snapshotDiff(old, nw, Seq("k"), Seq("v"))
+      .select($"k", $"change", $"old_v", $"new_v")
+      .as[(Long, String, Option[String], Option[String])].collect().toSet
+    assert(got === Set(
+      (1L, "removed", Some("a"), None),
+      (3L, "changed", Some("c"), Some("CHANGED")),
+      (4L, "added", None, Some("d"))))
+  }
+
+  test("applyLog: latest entry wins, D deletes, I inserts unknown keys, untouched pass through") {
+    val base = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val log = Seq(
+      (1L, 10L, "U", "x2"), (1L, 20L, "D", "ignored"), // latest D: key 1 gone
+      (2L, 10L, "D", "gone"), (2L, 30L, "U", "y2"),    // later U resurrects key 2
+      (4L, 5L, "I", "new")                             // insert unknown key
+    ).toDF("k", "seq", "op", "v")
+    val got = graft.etl.Cdc.applyLog(base, log, Seq("k"), "seq", "op", Seq("v"))
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((2L, "y2"), (3L, "z"), (4L, "new")))
+  }
 }
