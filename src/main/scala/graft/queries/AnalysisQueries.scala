@@ -130,7 +130,46 @@ object AnalysisQueries {
         .select(col("event_type"),
           regexp_extract(col("props"), "(\\d+)", 1).try_cast("bigint").as("k"))
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k")))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))),
+
+    // ORDERED funnel conversion (view -> click -> purchase): each stage
+    // counts users whose stage event happened strictly AFTER their
+    // previous stage's first event — the sequence constraint is what
+    // separates a funnel from three independent counts. Three chained
+    // conditional-min windows over ONE user-key shuffle (each stage's
+    // column feeds the next; Catalyst stacks them on a single sort), then
+    // a single global count — no joins, no per-stage passes
+    "ana_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      t(s, d, "events").select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("t_view", min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t_click", min(when(col("event_type") === "click" &&
+          col("ts") > col("t_view"), col("ts"))).over(w))
+        .withColumn("t_purchase", min(when(col("event_type") === "purchase" &&
+          col("ts") > col("t_click"), col("ts"))).over(w))
+        .agg(
+          count_distinct(when(col("t_view").isNotNull, col("user_id"))).as("n_view"),
+          count_distinct(when(col("t_click").isNotNull, col("user_id"))).as("n_click_after_view"),
+          count_distinct(when(col("t_purchase").isNotNull, col("user_id"))).as("n_purchase_after_click"))
+    }),
+
+    // weekly cohort retention: users bucketed by their FIRST active week,
+    // counted again in each later week they return. Week index is pure
+    // integer arithmetic on epoch-nanos (`div` — calendar functions
+    // round-trip differently across engines; a 7-day bucket doesn't).
+    // (user, week) de-dup -> per-user min -> one (cohort, offset) count;
+    // every shuffle carries ids and small ints only
+    "ana_retention" -> ((s, d) => {
+      val weekNs = 7L * 86400L * 1000000000L
+      val active = t(s, d, "events")
+        .select(col("user_id"), expr(s"ts div $weekNs").as("week"))
+        .distinct()
+      val cohort = active.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      active.join(cohort, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -194,6 +233,31 @@ object AnalysisQueries {
       """SELECT event_type, count(*) AS n,
                 CAST(sum(TRY_CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
                 max(TRY_CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS max_k
-         FROM events GROUP BY event_type"""
+         FROM events GROUP BY event_type""",
+    // stage-by-stage replay: each CTE carries only users that completed
+    // the previous stage, with the strictly-after constraint
+    "ana_funnel" ->
+      """WITH u AS (SELECT user_id,
+                           min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t_view
+                    FROM events GROUP BY 1),
+           c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t_click
+                 FROM events e JOIN u USING (user_id)
+                 WHERE e.event_type = 'click' AND epoch_ns(e.ts) > u.t_view
+                 GROUP BY 1),
+           p AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t_purchase
+                 FROM events e JOIN c USING (user_id)
+                 WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t_click
+                 GROUP BY 1)
+         SELECT (SELECT count(*) FROM u WHERE t_view IS NOT NULL) AS n_view,
+                (SELECT count(*) FROM c) AS n_click_after_view,
+                (SELECT count(*) FROM p) AS n_purchase_after_click""",
+    "ana_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+                           epoch_ns(ts) // 604800000000000 AS week FROM events),
+           c AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1)
+         SELECT c.cohort_week, a.week - c.cohort_week AS offset,
+                count(DISTINCT a.user_id) AS n_users
+         FROM a JOIN c USING (user_id)
+         GROUP BY 1, 2"""
   )
 }

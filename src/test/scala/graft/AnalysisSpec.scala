@@ -62,4 +62,35 @@ class AnalysisSpec extends SparkSpec {
   test("ta_langid guess is always one of the profiles") {
     assert(q("ta_langid").filter(!$"guess".isin("proto-a", "proto-b", "proto-c")).isEmpty)
   }
+
+  test("funnel stages are monotone and respect event order") {
+    val (v, c, p) = q("ana_funnel").as[(Long, Long, Long)].head()
+    assert(v >= c && c >= p, s"funnel must narrow: $v >= $c >= $p")
+    assert(v > 0)
+    // ordering, not mere presence: a user whose only click PRECEDES their
+    // first view converts the view stage but not the click stage
+    val ev = Seq(
+      (1L, 10L, "click"), (2L, 10L, "view"),                   // click before view
+      (3L, 20L, "view"), (4L, 20L, "click"), (5L, 20L, "purchase")
+    ).map { case (ts, u, t) => (ts * 1000000000L, u, t) }.toDF("ts", "user_id", "event_type")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    val staged = ev
+      .withColumn("t_view", min(when($"event_type" === "view", $"ts")).over(w))
+      .withColumn("t_click", min(when($"event_type" === "click" && $"ts" > $"t_view", $"ts")).over(w))
+      .agg(count_distinct(when($"t_view".isNotNull, $"user_id")).as("nv"),
+        count_distinct(when($"t_click".isNotNull, $"user_id")).as("nc"))
+      .as[(Long, Long)].head()
+    assert(staged === ((2L, 1L)), "user 10's click precedes their view")
+  }
+
+  test("retention: every cohort is fully present at offset 0 and offsets are non-negative") {
+    val out = q("ana_retention").cache()
+    assert(out.filter($"offset" < 0).isEmpty)
+    val atZero = out.filter($"offset" === 0)
+      .agg(sum($"n_users")).as[Long].head()
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(atZero === users, "every user appears in their own cohort week")
+  }
 }
