@@ -243,6 +243,52 @@ object Dedup {
       .withColumn("sz", size(col("grams")))
       .filter(col("sz") > 0)
 
+  /** Asymmetric CONTAINMENT join: (probe, index) pairs where the probe
+    * doc's n-gram set is ≥ `threshold` contained in the index doc's —
+    * C(A,B) = |A∩B| / |A|. Jaccard misses exactly this case: a 30-gram
+    * quote inside a 3000-gram host scores j ≈ 0.01 at containment 1.0,
+    * so quote/boilerplate-inclusion detection needs the asymmetric
+    * measure (the training-data leak where an eval item hides INSIDE a
+    * larger document).
+    *
+    * Candidate generation is prefix filtering on the PROBE side only:
+    * under any fixed global gram order, A missing more than
+    * |A|−⌈τ·|A|⌉ of its first (|A|−⌈τ·|A|⌉+1) grams from B contradicts
+    * C≥τ, so joining A's prefix against B's full posting list is
+    * COMPLETE for the threshold (the index side cannot be
+    * prefix-pruned: |B| does not bound A's overlap fraction). The same
+    * hash order as [[ngramPrefixCandidates]] keeps prefix buckets
+    * uniform; `nx ≥ ⌈τ·np⌉` size pruning drops hosts too small to
+    * contain the probe. Candidate volume = Σ_A prefix·postings — gram
+    * frequency, not |probe|×|index|; a frequency-ordered (rare-first)
+    * prefix would prune further at the cost of two extra gram-corpus
+    * shuffles. Returns (block, id_p, id_x, containment) — caller
+    * filters self-pairs when the probe derives from the index. */
+  def containmentPairs(probe: DataFrame, probeText: String, probeId: String,
+                       index: DataFrame, indexText: String, indexId: String,
+                       blockCol: String, threshold: Double, n: Int = 3): DataFrame = {
+    val p = ngramGramFrame(probe, probeText, probeId, blockCol, n).cache()
+    val ix = ngramGramFrame(index, indexText, indexId, blockCol, n).cache()
+    val pref = p.withColumn("plen", (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))
+      .select(col("id").as("id_p"), col("block"), col("sz").as("np"),
+        explode(slice(col("grams"), lit(1), greatest(col("plen"), lit(1)))).as("gram"))
+    val post = ix.select(col("id").as("id_x"), col("block"), col("sz").as("nx"),
+      explode(col("grams")).as("gram"))
+    val cands = pref.join(post, Seq("block", "gram"))
+      .filter(col("nx") >= ceil(col("np") * threshold))
+      .select("block", "id_p", "id_x").distinct()
+    val out = cands
+      .join(p.select(col("id").as("id_p"), col("grams").as("g_p")), Seq("id_p"))
+      .join(ix.select(col("id").as("id_x"), col("grams").as("g_x")), Seq("id_x"))
+      .select(col("block"), col("id_p"), col("id_x"),
+        (size(array_intersect(col("g_p"), col("g_x"))).cast("double") /
+          size(col("g_p")).cast("double")).as("c"))
+      .filter(col("c") >= threshold)
+      .select(col("block"), col("id_p"), col("id_x"), round(col("c"), 6).as("containment"))
+    // eager materialize-and-release, same rationale as minhashNearDups
+    try out.localCheckpoint() finally { p.unpersist(); ix.unpersist() }
+  }
+
   /** Per-doc 60-bit SimHash (+ token count). Zero-shuffle projection;
     * near-dup = small hamming distance, found at scale by joining on
     * rotated prefixes (pigeonhole) rather than all-pairs. */

@@ -109,6 +109,31 @@ object TextQueries {
         blockCol = "lang", threshold = 0.8,
         sketchParallelism = s.sparkContext.defaultParallelism)),
 
+    // ASYMMETRIC containment dedup: 32-token windows probed against
+    // whole docs — the quote/boilerplate-INCLUSION case symmetric
+    // Jaccard misses by construction (a window inside a larger host
+    // scores j ≈ |window|/|host| however perfectly it is contained).
+    // Probe keys pack (doc, chunk) so output names the source window
+    // AND the foreign host; self-hosting (a chunk in its own doc,
+    // containment 1.0 by identity) is filtered out
+    "dedup_containment" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = split(col("text"), " ")
+      val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(24))
+      val chunks = docs.filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"), col("lang"),
+          posexplode(transform(starts, st => slice(toks, st + 1, lit(32))))
+            .as(Seq("chunk_idx", "chunk")))
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_key"),
+          col("lang"), concat_ws(" ", col("chunk")).as("chunk_text"))
+      Dedup.containmentPairs(chunks, "chunk_text", "chunk_key",
+          docs, "text", "doc_id", blockCol = "lang", threshold = 0.8)
+        .withColumn("src_doc", expr("id_p div 1000"))
+        .filter(col("src_doc") =!= col("id_x"))
+        .select(col("src_doc"), (col("id_p") % 1000).as("chunk_idx"),
+          col("id_x").as("host_doc"), col("containment"))
+    }),
+
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashed(t(s, d, "documents"), "text", "doc_id")),
 
@@ -532,6 +557,28 @@ object TextQueries {
             SELECT a.lang AS block, a.doc_id AS id_a, b.doc_id AS id_b, $duckJaccardRaw AS j
             FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id)
           WHERE j >= 0.8""",
+    // brute-force containment replay: the prefix filter only generates
+    // candidates (complete for C >= tau under any global gram order), so
+    // the oracle needs no ordering — set intersection is order-free
+    "dedup_containment" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+                    WHERE text IS NOT NULL AND text <> ''),
+           ch AS (SELECT doc_id, lang, CAST(r.i AS INT) AS chunk_idx,
+                         list_slice(ws, CAST(r.i*24 + 1 AS INT), CAST(r.i*24 + 32 AS INT)) AS cw
+                  FROM w, unnest(range(0, ((len(ws) - 1) // 24) + 1)) AS r(i)),
+           cg AS (SELECT doc_id, lang, chunk_idx,
+                         list_distinct(list_transform(range(1, len(cw) - 1),
+                           i -> cw[CAST(i AS INT)] || '_' || cw[CAST(i AS INT)+1] || '_' || cw[CAST(i AS INT)+2])) AS grams
+                  FROM ch WHERE len(cw) >= 3),
+           dg AS (SELECT doc_id, lang,
+                         list_distinct(list_transform(range(1, len(ws) - 1),
+                           i -> ws[CAST(i AS INT)] || '_' || ws[CAST(i AS INT)+1] || '_' || ws[CAST(i AS INT)+2])) AS grams
+                  FROM w WHERE len(ws) >= 3)
+         SELECT src_doc, chunk_idx, host_doc, round(c, 6) AS containment FROM (
+           SELECT c.doc_id AS src_doc, c.chunk_idx, d.doc_id AS host_doc,
+                  len(list_intersect(c.grams, d.grams))*1.0 / len(c.grams) AS c
+           FROM cg c JOIN dg d ON c.lang = d.lang AND c.doc_id <> d.doc_id)
+         WHERE c >= 0.8""",
     // transitive closure of the same pair graph, via recursive CTE — the
     // exact reference for the Spark min-label-propagation fixpoint
     "dedup_components" ->

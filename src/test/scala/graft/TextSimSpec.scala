@@ -215,6 +215,32 @@ class TextSimSpec extends SparkSpec {
     assert(out.filter($"id_a" >= $"id_b").isEmpty)
   }
 
+  test("containment join finds planted inclusions that Jaccard cannot see") {
+    // host = 40 tokens, quote = its middle 12 tokens verbatim inside an
+    // otherwise-unrelated probe context; j(quote-grams, host-grams) is
+    // tiny but containment of the quote WINDOW in the host is 1.0
+    val host = (1 to 40).map(i => s"w$i").mkString(" ")
+    val quote = (15 to 26).map(i => s"w$i").mkString(" ")
+    val probe = Seq((100L, quote, "en"), (200L, "x1 x2 x3 x4 x5", "en"))
+      .toDF("pid", "ptext", "lang")
+    val index = Seq((1L, host, "en"), (2L, "y1 y2 y3 y4 y5 y6", "en"))
+      .toDF("did", "dtext", "lang")
+    val got = Dedup.containmentPairs(probe, "ptext", "pid",
+        index, "dtext", "did", blockCol = "lang", threshold = 0.8)
+      .select($"id_p", $"id_x", $"containment").as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((100L, 1L, 1.0)), s"only the planted quote is contained: $got")
+    // the symmetric measure misses it: 10 shared grams of 10+38 total
+    val j = 10.0 / 38.0
+    assert(j < 0.8, "jaccard of the same pair sits far below any dedup threshold")
+  }
+
+  test("dedup_containment output is asymmetric: windows hosted in FOREIGN docs only") {
+    val out = q("dedup_containment").cache()
+    assert(out.count() > 0)
+    assert(out.filter($"containment" < 0.8).isEmpty)
+    assert(out.filter($"src_doc" === $"host_doc").isEmpty, "self-hosting filtered")
+  }
+
   test("rarity score flags exactly the docs carrying sub-threshold tokens") {
     // the synthetic vocab has one genuinely rare token ('dup', ~1000 ppm
     // vs ~33k ppm for the rest): rare_frac must be positive exactly on
