@@ -204,6 +204,28 @@ object EtlQueries {
         seqCol = "o_orderkey", opCol = "op", attrs = Seq("c_mktsegment"))
     }),
 
+    // INCREMENTAL aggregate maintenance: a rollup kept current by merging
+    // each batch's PARTIAL aggregates instead of rescanning the full feed
+    // (count/sum re-add, min/max re-min — the algebraic-aggregate
+    // property that makes 100 TB dashboards incrementally maintainable).
+    // Two date-sliced batches' partials merge to EXACTLY the one-shot
+    // aggregate, which is what the oracle computes directly
+    "etl_agg_merge" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val cut = to_timestamp(lit("1996-01-01 00:00:00"))
+      def partial(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("l_returnflag"), cents(col("l_extendedprice")).as("pc"),
+          cents(col("l_quantity")).as("qc"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("pc")).as("s"),
+          min(col("qc")).as("mn"), max(col("qc")).as("mx"))
+      partial(li.filter(col("l_shipdate") < cut))
+        .unionByName(partial(li.filter(col("l_shipdate") >= cut)))
+        .groupBy("l_returnflag")
+        .agg(sum(col("n")).as("n"), sum(col("s")).as("sum_price_cents"),
+          min(col("mn")).as("min_qty_cents"), max(col("mx")).as("max_qty_cents"))
+    }),
+
     // numeric coercion, errors -> null (Review_ETL.py:77)
     "etl_numeric_coerce" -> ((s, d) =>
       t(s, d, "orders")
@@ -324,6 +346,14 @@ object EtlQueries {
                 CAST(sum(try_cast(regexp_extract(o_orderpriority, '(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_num,
                 count(try_cast(o_orderstatus AS BIGINT)) AS n_bad
          FROM orders GROUP BY o_orderpriority""",
+    // the oracle aggregates the FULL feed in one pass: the merged
+    // partials must be indistinguishable from it
+    "etl_agg_merge" ->
+      """SELECT l_returnflag, count(*) AS n,
+                CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                min(CAST(round(l_quantity*100) AS BIGINT)) AS min_qty_cents,
+                max(CAST(round(l_quantity*100) AS BIGINT)) AS max_qty_cents
+         FROM lineitem GROUP BY 1""",
     "etl_snapshot_diff" ->
       """WITH old AS (SELECT o_orderkey, o_orderstatus, o_orderpriority
                       FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
