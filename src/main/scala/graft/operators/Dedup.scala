@@ -251,29 +251,56 @@ object Dedup {
     * measure (the training-data leak where an eval item hides INSIDE a
     * larger document).
     *
-    * Candidate generation is prefix filtering on the PROBE side only:
-    * under any fixed global gram order, A missing more than
-    * |A|−⌈τ·|A|⌉ of its first (|A|−⌈τ·|A|⌉+1) grams from B contradicts
-    * C≥τ, so joining A's prefix against B's full posting list is
-    * COMPLETE for the threshold (the index side cannot be
-    * prefix-pruned: |B| does not bound A's overlap fraction). The same
-    * hash order as [[ngramPrefixCandidates]] keeps prefix buckets
-    * uniform; `nx ≥ ⌈τ·np⌉` size pruning drops hosts too small to
-    * contain the probe. Candidate volume = Σ_A prefix·postings — gram
-    * frequency, not |probe|×|index|; a frequency-ordered (rare-first)
-    * prefix would prune further at the cost of two extra gram-corpus
-    * shuffles. Returns (block, id_p, id_x, containment) — caller
-    * filters self-pairs when the probe derives from the index. */
+    * Candidate generation is prefix filtering on the PROBE side only,
+    * with RARE-FIRST prefix selection: A missing more than
+    * m = |A|−⌈τ·|A|⌉ of ANY chosen (m+1)-subset of its grams from B
+    * contradicts C≥τ, so joining any (m+1)-subset against B's full
+    * posting list is COMPLETE for the threshold (the index side cannot
+    * be prefix-pruned: |B| does not bound A's overlap fraction) — and
+    * since any subset works, the optimal one is A's m+1 grams with the
+    * SMALLEST index document frequency (classic AllPairs ordering):
+    * prefix grams land on the shortest posting lists, collapsing
+    * candidate volume to Σ_A prefix·min-postings. Grams absent from the
+    * index (df 0) are chosen first and generate nothing — correctly so:
+    * m+1 absent grams already prove C<τ against every host. The df
+    * ranking costs one gram-corpus aggregate + one per-probe top-(m+1)
+    * window — on the synthetic corpus (max posting 14, avg 2.4) it buys
+    * little over hash order (measured: 65k candidates → 14k pairs at
+    * sf0.1 either way), but on real text the hot stopword grams have
+    * postings proportional to the CORPUS, and rare-first is what keeps a
+    * boilerplate-heavy probe from joining them. `nx ≥ ⌈τ·np⌉` size
+    * pruning drops hosts too small to contain the probe. Returns
+    * (block, id_p, id_x, containment) — caller filters self-pairs when
+    * the probe derives from the index. */
   def containmentPairs(probe: DataFrame, probeText: String, probeId: String,
                        index: DataFrame, indexText: String, indexId: String,
                        blockCol: String, threshold: Double, n: Int = 3): DataFrame = {
-    val p = ngramGramFrame(probe, probeText, probeId, blockCol, n).cache()
-    val ix = ngramGramFrame(index, indexText, indexId, blockCol, n).cache()
-    val pref = p.withColumn("plen", (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))
-      .select(col("id").as("id_p"), col("block"), col("sz").as("np"),
-        explode(slice(col("grams"), lit(1), greatest(col("plen"), lit(1)))).as("gram"))
+    import org.apache.spark.sql.expressions.Window
+    // leaner than ngramGramFrame: no per-gram hash — the hash ORDER only
+    // matters when prefixes are chosen positionally (the Jaccard PPJoin
+    // path); here prefix choice is df-ranked and verify is a set
+    // intersection, both order-free, so plain lexicographic sort saves a
+    // gram-corpus of md5 work
+    def grams(df: DataFrame, textCol: String, idCol: String) =
+      df.select(col(idCol).as("id"), col(blockCol).as("block"),
+          array_sort(array_distinct(wordNgrams(col(textCol), n))).as("grams"))
+        .withColumn("sz", size(col("grams")))
+        .filter(col("sz") > 0)
+    val p = grams(probe, probeText, probeId).cache()
+    val ix = grams(index, indexText, indexId).cache()
     val post = ix.select(col("id").as("id_x"), col("block"), col("sz").as("nx"),
       explode(col("grams")).as("gram"))
+    // per-(block, gram) index document frequency — vocabulary-sized
+    val idf = post.groupBy("block", "gram").agg(count(lit(1)).as("df"))
+    val rank = Window.partitionBy("block", "id_p")
+      .orderBy(col("df").asc_nulls_first, col("gram"))
+    val pref = p.withColumn("plen", (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))
+      .select(col("id").as("id_p"), col("block"), col("sz").as("np"), col("plen"),
+        explode(col("grams")).as("gram"))
+      .join(idf, Seq("block", "gram"), "left")
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") <= greatest(col("plen"), lit(1)))
+      .select(col("id_p"), col("block"), col("np"), col("gram"))
     val cands = pref.join(post, Seq("block", "gram"))
       .filter(col("nx") >= ceil(col("np") * threshold))
       .select("block", "id_p", "id_x").distinct()
