@@ -122,6 +122,40 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("containment join is empty when either side is empty or sub-gram") {
+    val short = Seq((1L, "a b", "en")).toDF("id", "t", "lang") // < n tokens: no grams
+    val docs = Seq((2L, "x y z w v", "en")).toDF("id", "t", "lang")
+    val empty = Seq.empty[(Long, String, String)].toDF("id", "t", "lang")
+    assert(Dedup.containmentPairs(empty, "t", "id", docs, "t", "id", "lang", 0.8).isEmpty)
+    assert(Dedup.containmentPairs(docs, "t", "id", empty, "t", "id", "lang", 0.8).isEmpty)
+    assert(Dedup.containmentPairs(short, "t", "id", docs, "t", "id", "lang", 0.8).isEmpty)
+  }
+
+  test("semanticDedup on an empty assignment returns an empty well-formed frame") {
+    val none = Seq.empty[(Long, Int, Double, Seq[Double])]
+      .toDF("vec_id", "centroid_id", "sim", "v")
+    val out = Dedup.semanticDedup(none, "vec_id", 0.9)
+    assert(out.isEmpty && out.columns.toSeq ===
+      Seq("vec_id", "centroid_id", "centroid_sim"))
+  }
+
+  test("CDC ops treat empty sides as identity / no-op") {
+    val base = Seq((1L, "x")).toDF("k", "v")
+    val noLog = Seq.empty[(Long, Long, String, String)].toDF("k", "seq", "op", "v")
+    assert(graft.etl.Cdc.applyLog(base, noLog, Seq("k"), "seq", "op", Seq("v"))
+      .as[(Long, String)].collect().toSeq === Seq((1L, "x")),
+      "empty log leaves the base untouched")
+    val noBase = Seq.empty[(Long, String)].toDF("k", "v")
+    val log = Seq((5L, 1L, "I", "new")).toDF("k", "seq", "op", "v")
+    assert(graft.etl.Cdc.applyLog(noBase, log, Seq("k"), "seq", "op", Seq("v"))
+      .as[(Long, String)].collect().toSeq === Seq((5L, "new")),
+      "insert into an empty base materializes the key")
+    assert(graft.etl.Cdc.snapshotDiff(noBase, noBase, Seq("k"), Seq("v")).isEmpty)
+    val added = graft.etl.Cdc.snapshotDiff(noBase, base, Seq("k"), Seq("v"))
+    assert(added.select($"k", $"change").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "added")), "diff against an empty old snapshot is all adds")
+  }
+
   test("doc merge with an empty updates (or base) side passes the other through") {
     val docs = Seq((1L, "a", Seq((10L, "x")))).toDF("id", "name", "reviews")
     val none = Seq.empty[(Long, String, Seq[(Long, String)])].toDF("id", "name", "reviews")
