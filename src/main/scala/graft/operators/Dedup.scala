@@ -275,19 +275,42 @@ object Dedup {
   def containmentPairs(probe: DataFrame, probeText: String, probeId: String,
                        index: DataFrame, indexText: String, indexId: String,
                        blockCol: String, threshold: Double, n: Int = 3): DataFrame = {
+    val p = containmentGramFrame(probe, probeText, probeId, blockCol, n).cache()
+    val ix = containmentGramFrame(index, indexText, indexId, blockCol, n).cache()
+    val cands = containmentCandidates(p, ix, threshold)
+    val out = cands
+      .join(p.select(col("id").as("id_p"), col("grams").as("g_p")), Seq("id_p"))
+      .join(ix.select(col("id").as("id_x"), col("grams").as("g_x")), Seq("id_x"))
+      .select(col("block"), col("id_p"), col("id_x"),
+        (size(array_intersect(col("g_p"), col("g_x"))).cast("double") /
+          size(col("g_p")).cast("double")).as("c"))
+      .filter(col("c") >= threshold)
+      .select(col("block"), col("id_p"), col("id_x"), round(col("c"), 6).as("containment"))
+    // eager materialize-and-release, same rationale as minhashNearDups
+    try out.localCheckpoint() finally { p.unpersist(); ix.unpersist() }
+  }
+
+  /** The gram frame [[containmentPairs]] consumes — leaner than
+    * [[ngramGramFrame]]: no per-gram hash, since the hash ORDER only
+    * matters when prefixes are chosen positionally (the Jaccard PPJoin
+    * path); containment's prefix choice is df-ranked and its verify is a
+    * set intersection, both order-free, so plain lexicographic sort
+    * saves a gram-corpus of md5 work. Exposed (like [[ngramGramFrame]])
+    * for instrumentation. */
+  def containmentGramFrame(df: DataFrame, textCol: String, idCol: String,
+                           blockCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), col(blockCol).as("block"),
+        array_sort(array_distinct(wordNgrams(col(textCol), n))).as("grams"))
+      .withColumn("sz", size(col("grams")))
+      .filter(col("sz") > 0)
+
+  /** Rare-first containment candidate generation over two
+    * [[containmentGramFrame]]s — exposed (like [[ngramPrefixCandidates]])
+    * so scale runs can measure candidate volume independently of exact
+    * verification. Returns distinct (block, id_p, id_x). */
+  def containmentCandidates(p: DataFrame, ix: DataFrame,
+                            threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // leaner than ngramGramFrame: no per-gram hash — the hash ORDER only
-    // matters when prefixes are chosen positionally (the Jaccard PPJoin
-    // path); here prefix choice is df-ranked and verify is a set
-    // intersection, both order-free, so plain lexicographic sort saves a
-    // gram-corpus of md5 work
-    def grams(df: DataFrame, textCol: String, idCol: String) =
-      df.select(col(idCol).as("id"), col(blockCol).as("block"),
-          array_sort(array_distinct(wordNgrams(col(textCol), n))).as("grams"))
-        .withColumn("sz", size(col("grams")))
-        .filter(col("sz") > 0)
-    val p = grams(probe, probeText, probeId).cache()
-    val ix = grams(index, indexText, indexId).cache()
     val post = ix.select(col("id").as("id_x"), col("block"), col("sz").as("nx"),
       explode(col("grams")).as("gram"))
     // per-(block, gram) index document frequency — vocabulary-sized
@@ -301,19 +324,9 @@ object Dedup {
       .withColumn("rn", row_number().over(rank))
       .filter(col("rn") <= greatest(col("plen"), lit(1)))
       .select(col("id_p"), col("block"), col("np"), col("gram"))
-    val cands = pref.join(post, Seq("block", "gram"))
+    pref.join(post, Seq("block", "gram"))
       .filter(col("nx") >= ceil(col("np") * threshold))
       .select("block", "id_p", "id_x").distinct()
-    val out = cands
-      .join(p.select(col("id").as("id_p"), col("grams").as("g_p")), Seq("id_p"))
-      .join(ix.select(col("id").as("id_x"), col("grams").as("g_x")), Seq("id_x"))
-      .select(col("block"), col("id_p"), col("id_x"),
-        (size(array_intersect(col("g_p"), col("g_x"))).cast("double") /
-          size(col("g_p")).cast("double")).as("c"))
-      .filter(col("c") >= threshold)
-      .select(col("block"), col("id_p"), col("id_x"), round(col("c"), 6).as("containment"))
-    // eager materialize-and-release, same rationale as minhashNearDups
-    try out.localCheckpoint() finally { p.unpersist(); ix.unpersist() }
   }
 
   /** Per-doc 60-bit SimHash (+ token count). Zero-shuffle projection;

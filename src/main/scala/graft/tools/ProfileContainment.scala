@@ -2,11 +2,10 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Stage-by-stage timing of the containment join at sf0.1 — which of
-  * gram-build / idf / prefix-rank / candidate-join / verify carries the
-  * cost. Run: `sbt "runMain graft.tools.ProfileContainment"`. */
+  * gram-build / candidates / verify carries the cost. Run:
+  * `sbt "runMain graft.tools.ProfileContainment"`. */
 object ProfileContainment {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -29,27 +28,12 @@ object ProfileContainment {
       .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_key"),
         col("lang"), concat_ws(" ", col("chunk")).as("chunk_text"))
 
-    val p = graft.operators.Dedup.ngramGramFrame(chunks, "chunk_text", "chunk_key", "lang").cache()
-    val ix = graft.operators.Dedup.ngramGramFrame(docs, "text", "doc_id", "lang").cache()
+    val p = graft.operators.Dedup
+      .containmentGramFrame(chunks, "chunk_text", "chunk_key", "lang").cache()
+    val ix = graft.operators.Dedup
+      .containmentGramFrame(docs, "text", "doc_id", "lang").cache()
     timed("gram frames")(p.count() + ix.count())
-    val post = ix.select(col("id").as("id_x"), col("block"), col("sz").as("nx"),
-      explode(col("grams")).as("gram"))
-    val idf = post.groupBy("block", "gram").agg(count(lit(1)).as("df"))
-    timed("idf")(idf.count())
-    val rank = Window.partitionBy("block", "id_p")
-      .orderBy(col("df").asc_nulls_first, col("gram"))
-    val pref = p.withColumn("plen", (col("sz") - ceil(col("sz") * 0.8) + 1).cast("int"))
-      .select(col("id").as("id_p"), col("block"), col("sz").as("np"), col("plen"),
-        explode(col("grams")).as("gram"))
-      .join(idf, Seq("block", "gram"), "left")
-      .withColumn("rn", row_number().over(rank))
-      .filter(col("rn") <= greatest(col("plen"), lit(1)))
-      .select(col("id_p"), col("block"), col("np"), col("gram"))
-      .cache()
-    timed("prefix rank")(pref.count())
-    val cands = pref.join(post, Seq("block", "gram"))
-      .filter(col("nx") >= ceil(col("np") * 0.8))
-      .select("block", "id_p", "id_x").distinct().cache()
+    val cands = graft.operators.Dedup.containmentCandidates(p, ix, 0.8).cache()
     timed("candidates")(cands.count())
     val out = cands
       .join(p.select(col("id").as("id_p"), col("grams").as("g_p")), Seq("id_p"))

@@ -110,10 +110,34 @@ object ScaleCurve {
         (r.getLong(0), r.getLong(1))
       }
 
+      // asymmetric containment: 32-token windows probed against whole
+      // docs — the Caesar blow-up keeps copies gram-disjoint, so a
+      // chunk's candidate hosts stay within its own copy's near-dup
+      // partners and candidate mass must scale with the corpus
+      val chunkToks = split(col("text"), " ")
+      val chunkStarts = sequence(lit(0),
+        greatest(org.apache.spark.sql.functions.size(chunkToks) - 1, lit(0)), lit(24))
+      val chunks = docs.filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"), col("lang"),
+          posexplode(transform(chunkStarts, st => slice(chunkToks, st + 1, lit(32))))
+            .as(Seq("chunk_idx", "chunk")))
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_key"),
+          col("lang"), concat_ws(" ", col("chunk")).as("chunk_text"))
+      val pG = Dedup.containmentGramFrame(chunks.repartition(par),
+        "chunk_text", "chunk_key", "lang").cache()
+      val ixG = Dedup.containmentGramFrame(docs.repartition(par),
+        "text", "doc_id", "lang").cache()
+      val (candCt, _) = timed(Dedup.containmentCandidates(pG, ixG, 0.8).count())
+      pG.unpersist(); ixG.unpersist()
+      val (pairsCt, tCt) = timed(
+        Dedup.containmentPairs(chunks, "chunk_text", "chunk_key",
+          docs, "text", "doc_id", "lang", 0.8).count())
+
       Seq(("minhash_lsh", candLsh, pairsLsh, tLsh),
           ("ngram_jaccard", candNg, pairsNg, tNg),
           ("simhash_pairs", candSh, pairsSh, tSh),
-          ("decontaminate", dcHits, dcDocs, tDc)).foreach {
+          ("decontaminate", dcHits, dcDocs, tDc),
+          ("containment", candCt, pairsCt, tCt)).foreach {
         case (op, cand, pairs, t) =>
           curves(op) = curves(op) :+ (n, cand)
           val line = f"""{"dataset":"$name","op":"$op","n_docs":$n,"candidates":$cand,"pairs":$pairs,"sec":$t%.2f}"""
