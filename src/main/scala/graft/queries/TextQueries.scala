@@ -463,6 +463,37 @@ object TextQueries {
         parallelism = s.sparkContext.defaultParallelism)).toDF()
       val reps = fps.groupBy("afp").agg(min(col("doc_id")).as("doc_id"))
       graft.operators.Dedup.hammingPairs64(reps, "afp", "doc_id", maxHamming = 2)
+    }),
+
+    // the COMPLETE image-corpus dedup, end-to-end: decode -> dHash ->
+    // exact collapse (identical hash -> min-id) -> HmSearch near-dup
+    // pairs among representatives -> connected components -> one
+    // canonical image per cluster. Output is the dedup MANIFEST every
+    // doc maps through: (doc, its canonical image id, whether it IS the
+    // canon) — what a 100 TB image pipeline writes back so downstream
+    // training reads canon images only. Same composition as the text
+    // side's pairs -> components -> representatives, over the phash
+    // pair machinery
+    "mm_image_dedup" -> ((s, d) => {
+      val m = graft.multimodal.Multimodal
+      val hashed = m.dHash(m.synthesizePngs(t(s, d, "documents"), "doc_id",
+        parallelism = s.sparkContext.defaultParallelism)).toDF()
+      val reps = hashed.groupBy("phash").agg(min(col("doc_id")).as("rep"))
+      val pairs = graft.operators.Dedup.hammingPairs64(
+        reps.select(col("phash"), col("rep").as("doc_id")), "phash", "doc_id",
+        maxHamming = 2)
+      val r = graft.operators.Components.run(
+        pairs.select("id_a", "id_b"), "id_a", "id_b")
+      if (!r.converged)
+        throw new IllegalStateException(
+          "mm_image_dedup: component labeling did not converge — a manifest " +
+            "from partial labels would name multiple canons per cluster")
+      val repCanon = reps
+        .join(r.labels.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+        .select(col("phash"), coalesce(col("comp"), col("rep")).as("canon"))
+      hashed.join(repCanon, Seq("phash"))
+        .select(col("doc_id"), col("canon").as("canon_id"),
+          (col("doc_id") === col("canon")).as("is_canon"))
     })
   )
 
@@ -946,6 +977,41 @@ object TextQueries {
                          THEN 1 ELSE 0 END)) AS hamming
            FROM reps a JOIN reps c ON a.doc_id < c.doc_id)
          WHERE hamming <= 2""",
+    // the image-dedup manifest: the phash bit replay + brute-force pairs
+    // above, then the recursive-CTE closure (dedup_components' pattern)
+    // and every doc mapped through its exact-rep to the cluster canon
+    "mm_image_dedup" ->
+      """WITH RECURSIVE g AS (
+           SELECT doc_id,
+                  list_transform(range(0, 8), y ->
+                    list_transform(range(0, 9), x ->
+                      (doc_id*31 + ((y * (4 + doc_id % 11)) // 8)*7
+                                 + ((x * (4 + doc_id % 13)) // 9)*13) % 256)) AS px
+           FROM documents),
+         b AS (
+           SELECT doc_id,
+                  flatten(list_transform(px, row ->
+                    list_transform(range(1, 9), x ->
+                      CASE WHEN row[CAST(x AS INT) + 1] > row[CAST(x AS INT)]
+                           THEN 1 ELSE 0 END))) AS bits
+           FROM g),
+         reps AS (SELECT min(doc_id) AS rep, bits FROM b GROUP BY bits),
+         p AS (SELECT id_a, id_b FROM (
+                 SELECT a.rep AS id_a, c.rep AS id_b,
+                        list_sum(list_transform(range(1, 65), i ->
+                          CASE WHEN a.bits[CAST(i AS INT)] <> c.bits[CAST(i AS INT)]
+                               THEN 1 ELSE 0 END)) AS hamming
+                 FROM reps a JOIN reps c ON a.rep < c.rep)
+               WHERE hamming <= 2),
+         e AS (SELECT id_a AS es, id_b AS ed FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach AS (SELECT es AS v, ed AS r FROM e
+                   UNION SELECT reach.v, e.ed FROM reach JOIN e ON reach.r = e.es),
+         comp AS (SELECT v AS id, least(v, min(r)) AS comp FROM reach GROUP BY v),
+         repc AS (SELECT r.bits, coalesce(c.comp, r.rep) AS canon
+                  FROM reps r LEFT JOIN comp c ON r.rep = c.id)
+         SELECT b.doc_id, rc.canon AS canon_id, b.doc_id = rc.canon AS is_canon
+         FROM b JOIN repc rc ON b.bits = rc.bits""",
     // audio fingerprint bits replayed from the synthetic PCM formula:
     // 65 integer-bound frames, energy = sum |sample|, bit = next frame
     // louder; identical bit-lists collapse to min-id representatives,
