@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses bench/verify stdout from its tail: suppress sbt's
+// trailing "[success] Total time" banner so the program's own final JSON
+// line stays the last line of stdout, and pass the forked JVM's stdout
+// through unprefixed (no "[info] " wrapper on the artifact line).
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -128,6 +128,26 @@ object Bench {
       val truncJson = if (truncated) ""","truncated":true""" else ""
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"memoized":$memoJson,"memo_cleared":true,"warm":$warmJson,"unstable":$unstableJson,"capped":$cappedJson,"healed":$healedJson,"deadline_hit":$deadlineHit,"heavy_s":$heavyS,"deadline_s":$deadlineS,"sentinel_pre_s":$sentinelPre,"sentinel_post_s":${num(sentinelPost)},"passes":$passes$partialJson$truncJson,"sf":"$sfDir"}"""
     }
+    // COMPACT duplicate of the summary, printed as the FINAL stdout line.
+    // Rounds 1-9 of driver artifacts all carry `parsed: null`: the driver
+    // keeps only the last ~2000 chars of stdout, and the full summary line
+    // (~3.5 KB of per-query medians) is truncated mid-JSON in that window,
+    // so nothing parseable survives. This line omits the per-query map
+    // (bench_history.jsonl and bench_partial.jsonl carry it) and stays a
+    // few hundred bytes, so the tail window always contains one complete
+    // JSON object with the headline number.
+    def compactLine(truncated: Boolean): String = lock.synchronized {
+      val total = results.values.map(_._1).filterNot(_.isNaN).sum
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val unstable = results.collect {
+        case (k, (med, ts)) if ts.size >= 2 && med > 0.2 && ts.max / ts.min > 3.0 => k
+      }
+      val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val cappedJson = capped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val healedJson = healed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val truncJson = if (truncated) ""","truncated":true""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries_in":"bench_history.jsonl","failed":$failedJson,"unstable":$unstableJson,"capped":$cappedJson,"healed":$healedJson,"deadline_hit":$deadlineHit,"sentinel_pre_s":$sentinelPre,"sentinel_post_s":${num(sentinelPost)},"passes":$passes$truncJson,"sf":"$sfDir"}"""
+    }
     def passTimesJson: String = lock.synchronized {
       results.map { case (k, (_, ts)) =>
         s"\"" + k + "\":" + ts.mkString("[", ",", "]")
@@ -146,7 +166,11 @@ object Bench {
     // Print only; no Spark work (the context may already be shutting down).
     @volatile var finalPrinted = false
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      if (!finalPrinted) { System.out.println(summaryLine(truncated = true)); System.out.flush() }
+      if (!finalPrinted) {
+        System.out.println(summaryLine(truncated = true))
+        System.out.println(compactLine(truncated = true))
+        System.out.flush()
+      }
     }))
 
     def timedPass(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
@@ -243,6 +267,8 @@ object Bench {
     val line = summaryLine(truncated = false)
     finalPrinted = true
     println(line)
+    println(compactLine(truncated = false))
+    System.out.flush()
     // append to the repo-tracked history so later rounds can diff per-query
     // regressions mechanically; never let history I/O fail the bench.
     // Filtered (partial) runs stay out of history — their totals aren't

@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
   * reachable id; the shortcut round makes label distance-to-root halve
   * each round, so convergence is O(log diameter) rounds instead of
   * O(diameter) — on a 100 TB corpus a pathological duplicate chain
-  * (scraped mirror-of-mirror sites) costs 20 rounds, not a million.
+  * (scraped mirror-of-mirror sites) costs tens of rounds, not a million.
+  * The observed constant is a bit above 1×log2(diameter): a ~60k-node
+  * hamming chain (sf0.1 gradient images) needs 21–24 rounds, which is why
+  * the default maxIter is 64 (covers diameter ~2^40; the loop exits the
+  * round after the fixpoint, so small graphs never pay the headroom).
   * Each round is one join + aggregation on the edge list plus one
   * self-join on the (small) label frame: linear shuffles, no all-pairs
   * anything. The per-round `isEmpty` convergence probe is a driver-side
@@ -39,7 +43,7 @@ object Components {
     * (converged, rounds) so non-convergence is observable by the caller,
     * not just a WARN line in the driver log. */
   def run(pairs: DataFrame, aCol: String, bCol: String,
-          maxIter: Int = 20): ComponentsRun = {
+          maxIter: Int = 64): ComponentsRun = {
     val shim = org.apache.spark.sql.GraftShim
     val half = pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
     val edges = half.union(half.select(col("d").as("s"), col("s").as("d")))
@@ -92,7 +96,7 @@ object Components {
   /** Labels-only view of [[run]] for callers that don't need the round
     * count; non-convergence is still WARN-logged. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame =
+                          maxIter: Int = 64): DataFrame =
     run(pairs, aCol, bCol, maxIter).labels
 
   /** Corpus dedup, completed: keep exactly ONE representative (the
@@ -105,7 +109,7 @@ object Components {
     * which is exactly the corruption this operator exists to prevent. */
   def keepRepresentatives(df: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 64): DataFrame = {
     val r = run(pairs, aCol, bCol, maxIter)
     if (!r.converged)
       throw new IllegalStateException(

@@ -39,6 +39,16 @@ class RecoverySpec extends SparkSpec {
     assert(r.labels.filter($"comp" =!= 0L).isEmpty, "all nodes must reach root 0")
   }
 
+  test("default maxIter converges a 60k-node chain (needs >20 rounds)") {
+    // regression: sf0.1 gradient images chain into a ~60k-diameter hamming
+    // component; the old default maxIter=20 failed it (observed 21-24
+    // rounds needed), which killed mm_image_dedup in the round-9 bench
+    val r = Components.run(chain(60000), "id_a", "id_b")
+    assert(r.converged, s"not converged in ${r.rounds} rounds")
+    assert(r.rounds > 15 && r.rounds <= 30, s"expected ~log2(60k)+eps rounds, got ${r.rounds}")
+    assert(r.labels.filter($"comp" =!= 0L).isEmpty, "all nodes must reach root 0")
+  }
+
   test("keepRepresentativesFromLabels equals the one-call form on a converged graph") {
     val docs = (0L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
