@@ -51,8 +51,12 @@ object Scd2 {
   def history(df: DataFrame, key: String, ts: String, tiebreak: String,
               attrs: Seq[String]): DataFrame = {
     require(attrs.nonEmpty, "scd2 needs at least one tracked attribute")
-    require(!Seq(ts, tiebreak).exists(histCols.contains),
-      s"scd2: observation columns may not be named ${histCols.mkString("/")}")
+    // every input column survives into the version rows, so a key or
+    // tracked attr named like a history column would be silently
+    // overwritten by the withColumn chain below — and mergeHistory would
+    // then misread it as history bookkeeping. Reject them all.
+    require(!(key +: ts +: tiebreak +: attrs).exists(histCols.contains),
+      s"scd2: input columns (key/ts/tiebreak/attrs) may not be named ${histCols.mkString("/")}")
     val obs = Window.partitionBy(key).orderBy(col(ts), col(tiebreak))
     // per-key last observation BEFORE collapsing runs: same hash partition
     // as the ordered windows (one Exchange serves all three)

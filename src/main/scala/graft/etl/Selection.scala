@@ -91,10 +91,19 @@ object Selection {
       .filter(col("__before") < budget && col("__before") + col("__bsum") > budget)
     // range partitions align partition-id order with the global sort order
     // (pid 0 holds the best scores), so a pid-ordered prefix of the
-    // per-partition sums IS the cross-partition token offset
+    // per-partition sums IS the cross-partition token offset.
+    // localCheckpoint (eager) pins ONE physical partitioning that both
+    // consumers below read: the offset aggregate and the per-partition
+    // window prune different columns, and RangePartitioning samples its
+    // boundaries per-exchange — without the materialization they can plan
+    // as two independently-sampled exchanges (exchangeReuse off, AQE
+    // replan), making __poff describe partitions the refined rows are not
+    // in. The straddle bucket is ≈ corpus/buckets rows, so the extra
+    // action is bounded and tiny next to the corpus scan above it.
     val ranged = straddle
       .repartitionByRange(col(scoreCol).desc, col(idCol).asc)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val wp = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val pidOffsets = broadcast(ranged.groupBy("__pid")

@@ -272,6 +272,34 @@ object Dedup {
     * pruning drops hosts too small to contain the probe. Returns
     * (block, id_p, id_x, containment) — caller filters self-pairs when
     * the probe derives from the index. */
+  /** Packed (doc, chunk-ordinal) probe key for asymmetric containment:
+    * doc_id in the high 31 bits, chunk ordinal in the low 32 — collision-
+    * free for any chunk count a single document can physically produce
+    * (a decimal multiplier like doc_id*1000 silently collides once a doc
+    * exceeds 1000 chunks ≈ 24k tokens at stride 24). Out-of-range inputs
+    * raise rather than alias: the guard is fused into the key expression
+    * itself, so column pruning can never elide it. */
+  val ChunkKeyMaxDoc: Long = (1L << 31) - 1
+  val ChunkKeyMaxIdx: Long = (1L << 32) - 1
+
+  def packChunkKey(docId: Column, chunkIdx: Column): Column = {
+    val doc = docId.cast("long")
+    val idx = chunkIdx.cast("long")
+    val bad = doc.isNull || doc < 0 || doc > ChunkKeyMaxDoc ||
+      idx.isNull || idx < 0 || idx > ChunkKeyMaxIdx
+    coalesce(
+      when(bad, raise_error(concat(
+        lit(s"packChunkKey: doc_id outside [0,$ChunkKeyMaxDoc] or chunk_idx outside [0,$ChunkKeyMaxIdx]: "),
+        docId.cast("string"), lit("/"), chunkIdx.cast("string")))),
+      shiftleft(doc, 32).bitwiseOR(idx))
+  }
+
+  /** Decode [[packChunkKey]]: the source doc id (high bits). */
+  def chunkKeyDoc(key: Column): Column = shiftright(key, 32)
+
+  /** Decode [[packChunkKey]]: the chunk ordinal within its doc (low bits). */
+  def chunkKeyIdx(key: Column): Column = key.bitwiseAND(lit(ChunkKeyMaxIdx))
+
   def containmentPairs(probe: DataFrame, probeText: String, probeId: String,
                        index: DataFrame, indexText: String, indexId: String,
                        blockCol: String, threshold: Double, n: Int = 3): DataFrame = {
@@ -490,6 +518,19 @@ object Dedup {
     * bucketed pair scan — the all-pairs cartesian never exists in the
     * plan, and each cluster's pair block is independent (a skewed giant
     * cluster, not corpus size, is the unit of work — k is the dial).
+    *
+    * CONTRACT at lower thresholds: the dominator y is NOT required to
+    * itself survive, so in a similarity chain a ≺ b ≺ c where cos(a,c)
+    * < τ, b drops c even though b is itself dropped by a — the kept set
+    * can be strictly smaller than "one representative per τ-connected
+    * group". That is the documented semantics (drop anything with a
+    * stronger near-identical neighbor, survivor or not): it is total,
+    * rerun-stable, needs no fixpoint iteration, and the SQL oracle
+    * replays the identical rule. Callers below the near-clique regime
+    * (the shipped `dedup_semantic` runs τ = 0.45) get this chain rule,
+    * not keep-group-minimum; if group-minimum is required, feed the τ
+    * pair graph to [[Components]] and keep each component's minimum
+    * (cost: the fixpoint rounds this rule exists to avoid).
     *
     * Scaling rule: pair mass is Σ_c n_c² ≈ n·(n/k), so hold the MEAN
     * CLUSTER SIZE n/k constant as the corpus grows (k ∝ n — the

@@ -124,7 +124,12 @@ object Similarity {
     require(rows.length == 1,
       "hybridTopK expects exactly one query row; use ivfSearchBatch for batched queries")
     val qv = rows(0).getSeq[Double](0)
-    val ids = candidates.select(col(idCol))
+    // materialize the DISTINCT survivor ids once (eager localCheckpoint):
+    // the regime count and the semi-join then read the same id set, so the
+    // caller's predicate scan runs exactly once, and duplicate candidate
+    // rows (a doc matching two keywords) can't inflate the measured count
+    // past bruteForceLimit when the distinct survivors are small
+    val ids = candidates.select(col(idCol)).distinct().localCheckpoint()
     val survivors = corpus.join(ids, Seq(idCol), "left_semi")
     if (ids.count() <= bruteForceLimit)
       topK(survivors, vecCol, idCol, qv, k)

@@ -192,7 +192,12 @@ object SimQueries {
     // sits near the centroid). The whole chain (Lloyd's training →
     // assignment → intra-cluster domination) is deterministic and
     // replays exactly in SQL; pair cost is per-cluster blocks, so the
-    // all-pairs cartesian never exists in the plan
+    // all-pairs cartesian never exists in the plan.
+    // τ = 0.45 is BELOW SemDeDup's near-clique regime: domination is a
+    // chain rule here (an already-dropped vector still drops its weaker
+    // neighbors), so the kept set can undercut one-per-connected-group —
+    // intended, and the oracle replays the same rule (Dedup.semanticDedup
+    // scaladoc spells out the contract)
     "dedup_semantic" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val cents = Similarity.kmeansFit(e, "embedding", "vec_id", k = 8, iters = 2)

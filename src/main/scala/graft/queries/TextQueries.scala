@@ -124,13 +124,13 @@ object TextQueries {
         .select(col("doc_id"), col("lang"),
           posexplode(transform(starts, st => slice(toks, st + 1, lit(32))))
             .as(Seq("chunk_idx", "chunk")))
-        .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_key"),
+        .select(Dedup.packChunkKey(col("doc_id"), col("chunk_idx")).as("chunk_key"),
           col("lang"), concat_ws(" ", col("chunk")).as("chunk_text"))
       Dedup.containmentPairs(chunks, "chunk_text", "chunk_key",
           docs, "text", "doc_id", blockCol = "lang", threshold = 0.8)
-        .withColumn("src_doc", expr("id_p div 1000"))
+        .withColumn("src_doc", Dedup.chunkKeyDoc(col("id_p")))
         .filter(col("src_doc") =!= col("id_x"))
-        .select(col("src_doc"), (col("id_p") % 1000).as("chunk_idx"),
+        .select(col("src_doc"), Dedup.chunkKeyIdx(col("id_p")).as("chunk_idx"),
           col("id_x").as("host_doc"), col("containment"))
     }),
 

@@ -25,7 +25,8 @@ object ProfileContainment {
       .select(col("doc_id"), col("lang"),
         posexplode(transform(starts, st => slice(toks, st + 1, lit(32))))
           .as(Seq("chunk_idx", "chunk")))
-      .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_key"),
+      .select(graft.operators.Dedup.packChunkKey(col("doc_id"), col("chunk_idx"))
+          .as("chunk_key"),
         col("lang"), concat_ws(" ", col("chunk")).as("chunk_text"))
 
     val p = graft.operators.Dedup

@@ -121,7 +121,7 @@ object ScaleCurve {
         .select(col("doc_id"), col("lang"),
           posexplode(transform(chunkStarts, st => slice(chunkToks, st + 1, lit(32))))
             .as(Seq("chunk_idx", "chunk")))
-        .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_key"),
+        .select(Dedup.packChunkKey(col("doc_id"), col("chunk_idx")).as("chunk_key"),
           col("lang"), concat_ws(" ", col("chunk")).as("chunk_text"))
       val pG = Dedup.containmentGramFrame(chunks.repartition(par),
         "chunk_text", "chunk_key", "lang").cache()

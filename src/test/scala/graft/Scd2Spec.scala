@@ -154,6 +154,22 @@ class Scd2Spec extends SparkSpec {
     assert(mark === ts("2024-01-06"))
   }
 
+  test("history refuses key/attr names that collide with its output columns") {
+    // a tracked attr named like a history column would be silently
+    // overwritten by the version bookkeeping — must throw, not clobber
+    val df = feedDf(Seq((1L, "2024-01-01", 1L, "A")))
+      .withColumnRenamed("attr", "is_current")
+    val ex = intercept[IllegalArgumentException] {
+      Scd2.history(df, "k", "t", "tb", Seq("is_current"))
+    }
+    assert(ex.getMessage.contains("may not be named"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Scd2.history(feedDf(Seq((1L, "2024-01-01", 1L, "A")))
+        .withColumnRenamed("k", "valid_from"), "valid_from", "t", "tb", Seq("attr"))
+    }
+    assert(ex2.getMessage.contains("may not be named"))
+  }
+
   test("mergeHistory refuses a history lacking the high-water columns") {
     val legacy = Scd2.history(
       feedDf(Seq((1L, "2024-01-01", 1L, "A"))), "k", "t", "tb", Seq("attr"))

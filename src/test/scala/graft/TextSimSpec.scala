@@ -143,6 +143,42 @@ class TextSimSpec extends SparkSpec {
     assert(run(Long.MaxValue) === run(0L))
   }
 
+  test("packChunkKey is collision-free past 1000 chunks and round-trips") {
+    // regression for the decimal multiplier: (doc 5, chunk 1000) and
+    // (doc 6, chunk 0) both encoded to 6000 under doc_id*1000+idx
+    val df = Seq((5L, 0), (5L, 999), (5L, 1000), (5L, 123456), (6L, 0))
+      .toDF("doc", "idx")
+    val enc = df.select(Dedup.packChunkKey($"doc", $"idx").as("k"), $"doc", $"idx")
+    assert(enc.select(countDistinct($"k")).as[Long].head() === 5L)
+    val bad = enc.filter(Dedup.chunkKeyDoc($"k") =!= $"doc" ||
+      Dedup.chunkKeyIdx($"k") =!= $"idx".cast("long"))
+    assert(bad.isEmpty, "decode must invert encode")
+    val ex = intercept[Exception] {
+      Seq((-1L, 0)).toDF("doc", "idx")
+        .select(Dedup.packChunkKey($"doc", $"idx")).collect()
+    }
+    def msg(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(msg).getOrElse("")
+    assert(msg(ex).contains("packChunkKey"))
+  }
+
+  test("hybridTopK: duplicate candidate ids neither break results nor inflate the regime count") {
+    // 3 distinct survivors duplicated 4x: the raw candidate frame has 12
+    // rows, the distinct survivor set 3 — with bruteForceLimit = 5 the
+    // measured (distinct) count must still pick a regime that returns the
+    // exact top-k over the 3 survivors, once each
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = e.filter($"vec_id" < 8).withColumnRenamed("vec_id", "cid")
+    val dups = e.filter($"vec_id" < 3).select("vec_id")
+    val cands = dups.union(dups).union(dups).union(dups)
+    val q0 = e.filter($"vec_id" === 0)
+    val out = Similarity.hybridTopK(e, "embedding", "vec_id", cands, q0, 10,
+      cents, "cid", nProbe = 8, bruteForceLimit = 5L)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(out.size === 3 && out.toSet === Set(0L, 1L, 2L),
+      s"each distinct survivor exactly once, got $out")
+  }
+
   test("ANN recall is monotone in nProbe and exactly 1.0 when probing every cluster") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val cents = e.filter($"vec_id" < 8).withColumnRenamed("vec_id", "cid")

@@ -115,8 +115,15 @@ class TrainingMixSpec extends SparkSpec {
     val out = Selection.tokenBudgetSelect(docs, "tk", "score", "id", budget = 700)
     out.collect()
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("rangepartitioning"),
-      "straddle rows must be range-partitioned")
+    // the range-partitioned straddle frame is materialized ONCE
+    // (localCheckpoint — its RangePartitioning exchange runs in that job),
+    // so the final plan reads it back as an RDD scan; both the offset
+    // aggregate and the window below must consume that single scan, never
+    // re-derive the exchange (independent boundary samples = wrong offsets)
+    assert(plan.contains("ExistingRDD"),
+      "straddle rows must be read from the one materialized partitioning")
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      "no second range exchange may survive into the consuming plan")
     // every Window that sorts (score, id) must partition by __pid — the
     // per-doc cumsum is per-range-partition, not one reducer
     val winLines = plan.linesIterator
