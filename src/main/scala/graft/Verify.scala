@@ -18,7 +18,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS); read as epoch-nanos long
+      // events.ts: TIMESTAMP(NANOS)-era data reads as epoch-nanos long via
+      // this legacy conf; micros-era data is normalized by Tables instead
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

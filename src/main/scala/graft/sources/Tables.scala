@@ -10,8 +10,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and `ReadSchema`/`PushedFilters` must show only what the query needs.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  import org.apache.spark.sql.functions.{col, lit, unix_micros}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** `events.ts` CONTRACT: epoch-nanos BIGINT, whatever the parquet
+    * physically carries. The driver's testdata has shipped it both as
+    * TIMESTAMP(NANOS) (reads as long under `nanosAsLong`) and as
+    * TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ) — every operator and
+    * every DuckDB oracle (`epoch_ns(ts)`) is written against the nanos
+    * contract, so the physical type is normalized HERE, once, instead of
+    * each consumer guessing. `unix_micros` is exact integer arithmetic
+    * (no double round-trip); NTZ→TS cast is identity under the UTC
+    * session every main/spec pins. Works on batch and streaming frames
+    * alike (pure projection). */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case None | Some(LongType) => df
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"events.ts: expected long or timestamp, parquet carries $other")
+    }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")

@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * (`readStream` → same column logic → `writeStream`): batch/stream parity
   * by construction.
   *
-  * `ts` arrives as epoch-nanos BIGINT (the driver's parquet carries
-  * TIMESTAMP(NANOS); sessions read it via `nanosAsLong`).
+  * `ts` arrives as epoch-nanos BIGINT — whatever timestamp type the
+  * driver's parquet physically carries, `Tables.normalizeEventTs`
+  * restores that contract at the read boundary.
   */
 object Events {
 

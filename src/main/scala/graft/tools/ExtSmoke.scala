@@ -34,7 +34,7 @@ object ExtSmoke {
       .head().getLong(0))
 
     // streaming sessionizer over real events, compared to the batch query
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.sources.Tables.events(spark, dir)
       .select($"user_id", $"event_id", graft.streaming.Events.nsToUs($"ts").as("ts_us"))
       .as[graft.streaming.Events.SessionEvent]
     implicit val ctx = spark.sqlContext
@@ -45,7 +45,7 @@ object ExtSmoke {
     q.processAllAvailable(); q.stop()
     val closedViaStream = spark.table("livesessions").count()
     val batchSessions = graft.streaming.Events.sessionize(
-      spark.read.parquet(s"$dir/events.parquet")).count()
+      graft.sources.Tables.events(spark, dir)).count()
     val users = ev.select($"user_id").distinct().count()
     println(s"stream_closed_sessions=$closedViaStream batch_sessions=$batchSessions open(users)=$users")
     // append-mode stream emits closed sessions only: batch total minus one open per user

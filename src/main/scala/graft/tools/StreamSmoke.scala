@@ -22,7 +22,8 @@ object StreamSmoke {
     // streaming: same transform as the batch stream_window_agg query
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // file-stream source needs a dir or glob, not a bare file path
-    val stream = spark.readStream.schema(schema).parquet(s"$dir/events.parque[t]")
+    val stream = graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(s"$dir/events.parque[t]"))
     println(s"isStreaming=${stream.isStreaming}")
     val agg = graft.streaming.Events.windowAggStream(stream)
     val q = agg.writeStream.outputMode("complete").format("memory").queryName("smoke").start()

@@ -9,7 +9,7 @@ class RangeJoinSpec extends SparkSpec {
   test("binned range join equals a direct inequality join") {
     val out = q("q_range_join")
       .select($"event_id", $"n_purchases").as[(Long, Long)].collect().toMap
-    val e = spark.read.parquet(s"$sf/events.parquet")
+    val e = graft.sources.Tables.events(spark, sf)
       .select($"event_id", $"user_id",
         graft.streaming.Events.nsToUs($"ts").as("ts_us"), $"event_type")
     val c = e.filter($"event_type" === "click").select($"event_id".as("cid"), $"user_id".as("cu"), $"ts_us".as("ct"))

@@ -5,10 +5,19 @@ import graft.streaming.Events
 
 class StreamSpec extends SparkSpec {
   import spark.implicits._
+  import graft.sources.Tables
+
+  // ts contract is epoch-nanos long; the parquet may physically carry a
+  // timestamp (see Tables.normalizeEventTs) — the file schema drives the
+  // stream source, normalization restores the contract on both paths
+  private def eventsBatch = Tables.events(spark, sf)
+  private def eventsStream = Tables.normalizeEventTs(
+    spark.readStream
+      .schema(spark.read.parquet(s"$sf/events.parquet").schema)
+      .parquet(s"$sf/events.parque[t]"))
 
   test("streaming window agg accounts for every event (batch parity)") {
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(s"$sf/events.parque[t]")
+    val stream = eventsStream
     assert(stream.isStreaming)
     val agg = Events.windowAggStream(stream)
     val qy = agg.writeStream.outputMode("complete").format("memory")
@@ -27,16 +36,14 @@ class StreamSpec extends SparkSpec {
   }
 
   test("streaming dropDuplicates matches batch dedup (bounded state parity)") {
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(s"$sf/events.parque[t]")
+    val stream = eventsStream
     val dd = stream.withColumn("ts_t", Events.tsCol($"ts"))
       .withWatermark("ts_t", "1 hour")
       .dropDuplicates("user_id", "event_type")
     val qy = dd.writeStream.outputMode("append").format("memory")
       .queryName("streamdedup").start()
     qy.processAllAvailable(); qy.stop()
-    val batch = Events.dedupByKeys(
-      spark.read.parquet(s"$sf/events.parquet"), Seq("user_id", "event_type")).count()
+    val batch = Events.dedupByKeys(eventsBatch, Seq("user_id", "event_type")).count()
     assert(spark.table("streamdedup").count() === batch)
   }
 
@@ -53,9 +60,8 @@ class StreamSpec extends SparkSpec {
   }
 
   test("stream-static enrichment join matches batch (broadcast dim against a stream)") {
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(s"$sf/events.parque[t]")
-    val dim = spark.read.parquet(s"$sf/events.parquet")
+    val stream = eventsStream
+    val dim = eventsBatch
       .select($"event_type").distinct()
       .withColumn("type_label", upper($"event_type")) // static side: plain DataFrame
     val qy = stream.join(broadcast(dim), Seq("event_type"))
@@ -72,8 +78,7 @@ class StreamSpec extends SparkSpec {
     // STREAM: history stays a static broadcast (packed per key), so the
     // stream never enters an Exchange for the join; complete-mode agg
     // compares row-for-row against the batch query
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = eventsBatch
     val cents = round($"value" * 100).cast("long")
     val purchases = ev.filter($"event_type" === "purchase")
       .select($"user_id", $"ts", $"event_id",
@@ -81,7 +86,7 @@ class StreamSpec extends SparkSpec {
     val hist = graft.etl.Scd2.history(purchases,
         key = "user_id", ts = "ts", tiebreak = "event_id", attrs = Seq("tier"))
       .select($"user_id", $"valid_from".as("ts"), $"tier")
-    val stream = spark.readStream.schema(schema).parquet(s"$sf/events.parque[t]")
+    val stream = eventsStream
     val enriched = graft.operators.AsofJoin.asofBroadcast(stream, hist,
         key = "user_id", t = "ts", rightPayload = Seq("tier"))
       .groupBy($"tier", $"event_type")
@@ -118,8 +123,7 @@ class StreamSpec extends SparkSpec {
   }
 
   test("stream-stream time-window join matches the batch join") {
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    def src = spark.readStream.schema(schema).parquet(s"$sf/events.parque[t]")
+    def src = eventsStream
     val c = src.filter($"event_type" === "click")
       .select($"user_id".as("c_user"), Events.tsCol($"ts").as("c_t"))
       .withWatermark("c_t", "1 hour")
