@@ -16,6 +16,7 @@ run / fork := true
 // line stays the last line of stdout, and pass the forked JVM's stdout
 // through unprefixed (no "[info] " wrapper on the artifact line).
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
