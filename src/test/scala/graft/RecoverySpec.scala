@@ -16,8 +16,11 @@ class RecoverySpec extends SparkSpec {
   private def chain(n: Int) =
     (0 until n).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
 
+  // smallGraphLimit = 0 forces the DISTRIBUTED pointer-jumping loop —
+  // these tests exercise the fixpoint itself, which the measured-small
+  // union-find fast path would otherwise bypass
   test("components run reports non-convergence on a chain longer than maxIter allows") {
-    val r = Components.run(chain(40), "id_a", "id_b", maxIter = 2)
+    val r = Components.run(chain(40), "id_a", "id_b", maxIter = 2, smallGraphLimit = 0)
     assert(!r.converged)
     assert(r.rounds === 2)
     // partial labels: at least one node still points above the true root 0
@@ -27,13 +30,14 @@ class RecoverySpec extends SparkSpec {
   test("keepRepresentatives throws on non-convergence instead of under-deduping") {
     val docs = (0L to 40L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val e = intercept[IllegalStateException] {
-      Components.keepRepresentatives(docs, "doc_id", chain(40), "id_a", "id_b", maxIter = 2)
+      Components.keepRepresentatives(docs, "doc_id", chain(40), "id_a", "id_b",
+        maxIter = 2, smallGraphLimit = 0)
     }
     assert(e.getMessage.contains("did not converge"))
   }
 
   test("pointer jumping converges a 1000-node chain in O(log n) rounds") {
-    val r = Components.run(chain(1000), "id_a", "id_b", maxIter = 20)
+    val r = Components.run(chain(1000), "id_a", "id_b", maxIter = 20, smallGraphLimit = 0)
     assert(r.converged, s"not converged in ${r.rounds} rounds")
     assert(r.rounds <= 15, s"expected O(log 1000) ~ 10 rounds, got ${r.rounds}")
     assert(r.labels.filter($"comp" =!= 0L).isEmpty, "all nodes must reach root 0")
@@ -43,10 +47,26 @@ class RecoverySpec extends SparkSpec {
     // regression: sf0.1 gradient images chain into a ~60k-diameter hamming
     // component; the old default maxIter=20 failed it (observed 21-24
     // rounds needed), which killed mm_image_dedup in the round-9 bench
-    val r = Components.run(chain(60000), "id_a", "id_b")
+    val r = Components.run(chain(60000), "id_a", "id_b", smallGraphLimit = 0)
     assert(r.converged, s"not converged in ${r.rounds} rounds")
     assert(r.rounds > 15 && r.rounds <= 30, s"expected ~log2(60k)+eps rounds, got ${r.rounds}")
     assert(r.labels.filter($"comp" =!= 0L).isEmpty, "all nodes must reach root 0")
+  }
+
+  test("driver union-find fast path labels exactly match the distributed fixpoint") {
+    // adversarial mix: a chain (deep), a star (wide), self-loops,
+    // duplicate + reversed edges, and ids far from dense 0..n
+    val edges = ((0 until 50).map(i => (i * 7L, i * 7L + 7L)) ++
+      Seq((1000L, 2000L), (3000L, 2000L), (2000L, 4000L)) ++
+      Seq((9999L, 9999L), (2000L, 1000L), (1000L, 2000L)) ++
+      Seq((500000L, 500001L))).toDF("id_a", "id_b")
+    val fast = Components.run(edges, "id_a", "id_b")
+    assert(fast.converged && fast.rounds === 0, "small graph must take the fast path")
+    val dist = Components.run(edges, "id_a", "id_b", smallGraphLimit = 0)
+    assert(dist.converged && dist.rounds > 0)
+    val f = fast.labels.as[(Long, Long)].collect().toSet
+    val g = dist.labels.as[(Long, Long)].collect().toSet
+    assert(f === g, "fast-path labels must be identical to the fixpoint's")
   }
 
   test("keepRepresentativesFromLabels equals the one-call form on a converged graph") {
