@@ -43,6 +43,26 @@ object Sampling {
   def hashOrder(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("bigint")
 
+  /** WEIGHTED Bernoulli sampling: keep each row with its OWN probability
+    * `ppm` / 1e6 — the quality-weighted downsampling rule (CCNet-style
+    * "keep high-quality docs at a higher rate") that [[sampleByHash]]'s
+    * single global rate can't express. Decided per row from the key hash
+    * and the row's weight: a pure map-side filter with ZERO shuffle and no
+    * cross-row state, so the kept set is independent of partitioning,
+    * rerun-stable, and identical on any engine that replays the md5
+    * arithmetic — every probability is exact integer arithmetic in ppm,
+    * never a float RNG. Out-of-range or null ppm raises (fused into the
+    * predicate, so pruning can't elide the guard): a silently-clamped
+    * weight would distort the training mix it exists to control. */
+  def weightedBernoulli(df: DataFrame, keyCol: String, ppm: Column): DataFrame = {
+    val bad = ppm.isNull || ppm < 0 || ppm > 1000000
+    df.filter(hashBucket(col(keyCol), 1000000) < coalesce(
+      when(bad, raise_error(concat(
+        lit(s"weightedBernoulli: ppm outside [0,1000000] for $keyCol="),
+        col(keyCol).cast("string")))),
+      ppm.cast("long")))
+  }
+
   /** Stratified quota sampling: keep the `quota` hash-first rows of each
     * stratum — how a training mix is rebalanced to a target composition
     * (lang/source/domain caps) without `rand()`'s rerun instability.

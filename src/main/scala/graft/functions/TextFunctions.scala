@@ -155,6 +155,24 @@ object TextFunctions {
   def tokenCount(c: Column, words: Seq[String]): Column =
     size(filter(tokens(c), t => t.isin(words.map(lit(_)): _*)))
 
+  /** URL canonicalization — the FIRST dedup every crawl pipeline runs
+    * (the same page arrives as http/https, with/without www., with
+    * tracking params, fragments, trailing slashes, and mixed case):
+    * lowercase, strip the scheme and a leading `www.`, drop the query
+    * string and fragment, strip a trailing slash. Pure codegen'd regexp
+    * pipeline; RE2-portable patterns (no backrefs/lookaround) so an SQL
+    * oracle applies the identical rewrites. Anchors make order
+    * irrelevant except query-before-trailing-slash (`a/?x=1` must
+    * canonicalize to `a`, not `a/`). */
+  def canonicalizeUrl(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(c), "^https?://", ""),
+          "^www\\.", ""),
+        "[?#].*$", ""),
+      "/$", "")
+
   // PII patterns for training-data scrubbing. Order matters twice: URLs
   // go FIRST (a URL may embed an email in its userinfo — redacting the
   // email first would leave the count claiming two insertions where one

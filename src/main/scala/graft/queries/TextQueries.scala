@@ -186,6 +186,38 @@ object TextQueries {
         .withColumn("split", graft.etl.Sampling.splitLabel(col("doc_id")))
         .groupBy("split", "lang").agg(count(lit(1)).as("n"))),
 
+    // quality-WEIGHTED Bernoulli downsampling: every doc keeps with its
+    // OWN probability (here: longer docs at a higher rate, capped at 1)
+    // — the training-mix dial between a hard quality floor and
+    // keep-everything. Map-side filter, zero shuffle, no cross-row
+    // state; probabilities are exact integer ppm arithmetic, so the
+    // kept SET is hash-identical across engines and partitionings
+    "ta_weighted_sample" -> ((s, d) => {
+      val ppm = least(lit(1000000L), lit(200000L) + col("n_chars") * 40)
+      graft.etl.Sampling.weightedBernoulli(t(s, d, "documents"), "doc_id", ppm)
+        .select(col("doc_id"), col("source"), ppm.as("ppm"))
+    }),
+
+    // URL canonicalization + collapse — the FIRST dedup a crawl pipeline
+    // runs: the same page arrives as http/https, with/without www.,
+    // tracking params, fragments, trailing slashes, mixed case. URLs are
+    // synthesized deterministically per doc (4 wire-variants per page,
+    // same construction in the oracle — the ta_redact_pii pattern), so
+    // the canonicalizer provably collapses each group to one page
+    "ta_url_canon" -> ((s, d) => {
+      val grp = expr("doc_id div 4").cast("string")
+      val v = pmod(col("doc_id"), lit(4))
+      val base = concat(lit("Site"), grp, lit(".Example.com/Path"), grp)
+      val url = when(v === 0, concat(lit("http://"), base))
+        .when(v === 1, concat(lit("https://www."), base, lit("/")))
+        .when(v === 2, concat(lit("https://"), base, lit("?utm_source=feed&ref=x")))
+        .otherwise(concat(lit("HTTP://WWW."), upper(base), lit("#frag")))
+      t(s, d, "documents")
+        .select(col("doc_id"), canonicalizeUrl(url).as("canon_url"))
+        .groupBy("canon_url")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep"))
+    }),
+
     // fixed-window chunking with overlap (size 32, stride 24) — the
     // embedding/RAG prep step; per-chunk hash enables chunk-level dedup
     "ta_chunk_windows" -> ((s, d) =>
@@ -717,6 +749,29 @@ object TextQueries {
                       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
                FROM documents)
          GROUP BY 1, 2""",
+    "ta_weighted_sample" ->
+      """SELECT doc_id, source, least(1000000, 200000 + n_chars * 40) AS ppm
+         FROM documents
+         WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000000 < least(1000000, 200000 + n_chars * 40)""",
+    "ta_url_canon" ->
+      """WITH b AS (SELECT doc_id,
+                           'Site' || CAST(doc_id // 4 AS VARCHAR) ||
+                           '.Example.com/Path' || CAST(doc_id // 4 AS VARCHAR) AS base
+                    FROM documents),
+           u AS (SELECT doc_id, CASE doc_id % 4
+                    WHEN 0 THEN 'http://' || base
+                    WHEN 1 THEN 'https://www.' || base || '/'
+                    WHEN 2 THEN 'https://' || base || '?utm_source=feed&ref=x'
+                    ELSE 'HTTP://WWW.' || upper(base) || '#frag' END AS url
+                 FROM b),
+           c AS (SELECT doc_id,
+                        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                          lower(url), '^https?://', ''), '^www\.', ''),
+                          '[?#].*$', ''), '/$', '') AS canon_url
+                 FROM u)
+         SELECT canon_url, count(*) AS n_docs, min(doc_id) AS rep
+         FROM c GROUP BY 1""",
     "dedup_simhash" ->
       s"""WITH h AS (SELECT doc_id, $duckSimhashHashes AS hs FROM documents)
           SELECT doc_id, $duckSimhashSum AS simhash, len(hs) AS n_tokens FROM h""",

@@ -143,6 +143,29 @@ class TextSimSpec extends SparkSpec {
     assert(run(Long.MaxValue) === run(0L))
   }
 
+  test("canonicalizeUrl collapses wire variants and preserves real distinctions") {
+    val cases = Seq(
+      "http://Site1.Example.com/PathA"                      -> "site1.example.com/patha",
+      "https://www.site1.example.com/PathA/"                -> "site1.example.com/patha",
+      "HTTPS://WWW.SITE1.EXAMPLE.COM/PATHA?utm_source=x"    -> "site1.example.com/patha",
+      "http://site1.example.com/PathA#section-2"            -> "site1.example.com/patha",
+      "http://a.com/p/?q=1"                                 -> "a.com/p",   // query before slash strip
+      "http://a.com/p/q"                                    -> "a.com/p/q", // inner slashes survive
+      "http://wwwx.com/p"                                   -> "wwwx.com/p" // www. only as a label
+    ).toDF("url", "want")
+    val bad = cases.select(canonicalizeUrl($"url").as("got"), $"want")
+      .filter($"got" =!= $"want")
+    assert(bad.isEmpty, bad.collect().mkString(", "))
+  }
+
+  test("ta_url_canon collapses each synthesized 4-variant group to one page") {
+    val out = q("ta_url_canon").cache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.count() === (docs + 3) / 4, "one canonical URL per 4-doc group")
+    assert(out.filter($"n_docs" =!= 4).count() <= 1, "only a ragged tail group may be <4")
+    assert(out.filter($"rep" % 4 =!= 0).isEmpty, "representative is the variant-0 doc")
+  }
+
   test("packChunkKey is collision-free past 1000 chunks and round-trips") {
     // regression for the decimal multiplier: (doc 5, chunk 1000) and
     // (doc 6, chunk 0) both encoded to 6000 under doc_id*1000+idx

@@ -132,6 +132,37 @@ class TrainingMixSpec extends SparkSpec {
       s"score-ordered window without __pid partitioning:\n${winLines.mkString("\n")}")
   }
 
+  test("weightedBernoulli keep rate tracks per-row ppm; set is partition-invariant") {
+    val docs = (0 until 4000).map(i => (i.toLong, if (i % 2 == 0) 50000L else 950000L))
+      .toDF("id", "ppm")
+    def kept(d: DataFrame) =
+      Sampling.weightedBernoulli(d, "id", col("ppm")).select("id").as[Long].collect().toSet
+    val k = kept(docs)
+    val lowRate = k.count(_ % 2 == 0) / 2000.0
+    val highRate = k.count(_ % 2 == 1) / 2000.0
+    assert(lowRate > 0.02 && lowRate < 0.09, s"ppm=50000 rows kept at $lowRate, want ~0.05")
+    assert(highRate > 0.91 && highRate < 0.98, s"ppm=950000 rows kept at $highRate, want ~0.95")
+    assert(k === kept(docs.repartition(13)), "kept set must not depend on partitioning")
+    // ppm=0 keeps nothing, ppm=1e6 keeps everything
+    assert(kept(docs.withColumn("ppm", lit(0L))).isEmpty)
+    assert(kept(docs.withColumn("ppm", lit(1000000L))).size === 4000)
+  }
+
+  test("weightedBernoulli raises on null or out-of-range ppm") {
+    val bad = Seq((1L, Some(500000L)), (2L, Option.empty[Long])).toDF("id", "ppm")
+    val e = intercept[Exception] {
+      Sampling.weightedBernoulli(bad, "id", col("ppm")).collect()
+    }
+    def msg(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(msg).getOrElse("")
+    assert(msg(e).contains("weightedBernoulli"))
+    val over = Seq((1L, 1000001L)).toDF("id", "ppm")
+    val e2 = intercept[Exception] {
+      Sampling.weightedBernoulli(over, "id", col("ppm")).collect()
+    }
+    assert(msg(e2).contains("weightedBernoulli"))
+  }
+
   test("tokenBudgetSelect raises on a null or out-of-range score") {
     val nullScore = Seq((1L, 10L, Some(0.5)), (2L, 10L, Option.empty[Double]))
       .toDF("id", "tk", "score")
