@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the standard ANN memory compression
+  * (Jégou et al., "Product Quantization for Nearest Neighbor Search"):
+  * split each d-dim vector into `m` subvectors, k-means each subspace
+  * independently, store each vector as `m` small code ids (here m bytes'
+  * worth vs d floats — 64× smaller than the raw float column at
+  * m=4/d=64), and rank queries against codes only via an
+  * asymmetric-distance (ADC) lookup table. Complements `sim_quantize`'s
+  * scalar int8 path (4×) with the codebook path real vector stores run.
+  *
+  * Scale design:
+  *  - training: ONE corpus scan per Lloyd's iteration covers ALL m
+  *    subspaces (codes fold map-side against the broadcast codebook; the
+  *    only shuffle is (subspace, code, dim) partial means — m·k·dsub
+  *    rows, constant in corpus size);
+  *  - encoding: zero-shuffle broadcast fold per subspace (ivfAssign's
+  *    plan shape), emitting one m-int array per row;
+  *  - search: the query's per-(subspace, code) distance table is m·k
+  *    TINY rows computed on the codebook, packed into ONE broadcast row;
+  *    each corpus row folds its codes over the table map-side and a
+  *    distributed partial top-k (orderBy+limit) returns k rows — the
+  *    corpus is never shuffled and never touches a float vector.
+  *
+  * Determinism contract (same as [[Similarity.kmeansFit]]): init = first
+  * k ids per subspace, assignment scores and per-dim means rounded to
+  * 6 dp, ties broken by lowest code id, fold order ascending — the whole
+  * train → encode → search chain replays exactly in SQL (DuckDB
+  * `list_reduce` ≡ Spark `aggregate` left fold), so PQ codes and ADC
+  * rankings are hash-exact cross-engine. */
+object ProductQuant {
+
+  import graft.expressions.VectorExpressions.dot
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Argmin code for subspace `j`: minimize |c|² − 2·x·c (equals the L2
+    * argmin — |x|² is constant per row), rounded 6 dp, lowest cid on
+    * ties. One fold over the broadcast codebook array, codegen'd. */
+  private def argminCode(v: Column, cb: Column, j: Int, dsub: Int): Column = {
+    val xs = slice(v, j * dsub + 1, dsub)
+    val entries = filter(cb, e => e.getField("subspace") === j)
+    aggregate(entries,
+      struct(lit(Double.PositiveInfinity).as("s"), lit(-1).as("cid")),
+      (b, e) => {
+        val s = round(e.getField("cn2") - lit(2.0) * dot(xs, e.getField("cv")), 6)
+        when(s < b.getField("s"), struct(s.as("s"), e.getField("cid").as("cid")))
+          .otherwise(b)
+      }).getField("cid")
+  }
+
+  /** All m·k codebook entries packed into ONE broadcast row, sorted by
+    * (subspace, cid) so fold order is deterministic. */
+  private def packed(codebook: DataFrame): DataFrame =
+    broadcast(codebook
+      .select(struct(col("subspace"), col("cid"), col("c_v").as("cv"),
+        dot(col("c_v"), col("c_v")).as("cn2")).as("e"))
+      .agg(array_sort(collect_list(col("e"))).as("cb")))
+
+  /** Train m per-subspace codebooks: (subspace, cid, c_v). `dims` must be
+    * divisible by `m`; `cid`s are the first-k row ids (kmeansFit's init
+    * convention). One corpus scan per iteration covers all subspaces. */
+  def train(df: DataFrame, vecCol: String, idCol: String,
+            m: Int, k: Int, dims: Int, iters: Int = 2): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val dsub = dims / m
+    val shim = org.apache.spark.sql.GraftShim
+    var codebook = df.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("int").as("cid"), asDouble(col(vecCol)).as("v"))
+      .select(explode(sequence(lit(0), lit(m - 1))).as("subspace"),
+        col("cid"), col("v"))
+      .select(col("subspace"), col("cid"),
+        slice(col("v"), col("subspace") * dsub + 1, lit(dsub)).as("c_v"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val cb = packed(codebook)
+      val codes = df.select(asDouble(col(vecCol)).as("v")).crossJoin(cb)
+        .select(col("v"),
+          array((0 until m).map(j => argminCode(col("v"), col("cb"), j, dsub)): _*)
+            .as("codes"))
+      val means = codes
+        .select(col("v"), posexplode(col("codes")).as(Seq("subspace", "cid")))
+        .select(col("subspace"), col("cid"),
+          posexplode(slice(col("v"), col("subspace") * dsub + 1, lit(dsub)))
+            .as(Seq("dim", "x")))
+        .groupBy("subspace", "cid", "dim").agg(round(avg(col("x")), 6).as("mn"))
+        .groupBy("subspace", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
+          s => s.getField("mn")).as("c_v"))
+      // a code winning zero vectors keeps its previous centroid — the
+      // codebook stays exactly m×k (kmeansFit's coalesce rule)
+      val next = codebook.select(col("subspace"), col("cid"), col("c_v").as("__prev"))
+        .join(means.withColumnRenamed("c_v", "__new"), Seq("subspace", "cid"), "left")
+        .select(col("subspace"), col("cid"),
+          coalesce(col("__new"), col("__prev")).as("c_v"))
+        .localCheckpoint()
+      shim.unpersistCheckpoint(codebook)
+      codebook = next
+      i += 1
+    }
+    codebook
+  }
+
+  /** Encode every row as its m-code array: (idCol, codes). Zero shuffle —
+    * one broadcast fold per subspace, all codegen'd. */
+  def encode(df: DataFrame, vecCol: String, idCol: String,
+             codebook: DataFrame, m: Int, dims: Int): DataFrame = {
+    val dsub = dims / m
+    df.select(col(idCol), asDouble(col(vecCol)).as("v")).crossJoin(packed(codebook))
+      .select(col(idCol),
+        array((0 until m).map(j => argminCode(col("v"), col("cb"), j, dsub)): _*)
+          .as("codes"))
+  }
+
+  /** ADC search: rank `codes` rows against a raw query vector using the
+    * per-(subspace, code) distance table — the corpus side reads codes
+    * ONLY (the float vectors can live in cold storage). Returns the k
+    * (idCol, adist) rows with the smallest approximate squared L2
+    * distance, ties by id. */
+  def search(codes: DataFrame, idCol: String, codebook: DataFrame,
+             query: Seq[Double], m: Int, dims: Int, k: Int): DataFrame = {
+    require(query.length == dims, s"query has ${query.length} dims, expected $dims")
+    val dsub = dims / m
+    val q = array(query.map(lit): _*)
+    // m·k-row distance table computed ON the codebook frame, packed and
+    // broadcast exactly like the codebook itself
+    val dtable = broadcast(codebook
+      .select(struct(col("subspace"), col("cid"),
+        round(aggregate(
+          zip_with(slice(q, col("subspace") * dsub + 1, lit(dsub)), col("c_v"),
+            (a, c) => (a - c) * (a - c)),
+          lit(0.0), (acc, x) => acc + x), 6).as("pd")).as("e"))
+      .agg(array_sort(collect_list(col("e"))).as("dt")))
+    val terms = transform(col("codes"), (c, j) =>
+      element_at(filter(col("dt"),
+        e => e.getField("subspace") === j && e.getField("cid") === c), 1)
+        .getField("pd"))
+    codes.crossJoin(dtable)
+      .select(col(idCol),
+        round(aggregate(terms, lit(0.0), (a, x) => a + x), 6).as("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(k)
+  }
+}

@@ -244,6 +244,37 @@ object SimQueries {
       Similarity.ivfSearchBatch(e, "embedding", "vec_id",
         e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid"), "cid",
         queries = e.filter(col("vec_id") < 3), "vec_id", k = 5, nProbe = 2)
+    }),
+
+    // PRODUCT quantization codes: m=4 subspaces × k=8 L2 codebooks over
+    // the 64-dim embeddings — each vector stored as 4 small ints (the
+    // 64×-compression codebook path real vector stores run; complements
+    // sim_quantize's scalar int8 4×). Deterministic train → encode chain
+    // (first-k init, 6-dp rounding, lowest-cid ties) replays exactly in
+    // SQL; codes folded to a fingerprint like sim_quantize
+    "sim_pq_codes" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cb = graft.operators.ProductQuant.train(e, "embedding", "vec_id",
+        m = 4, k = 8, dims = 64, iters = 2)
+      graft.operators.ProductQuant.encode(e, "embedding", "vec_id", cb, m = 4, dims = 64)
+        .select(col("vec_id"),
+          aggregate(col("codes"), lit(0L),
+            (a, c) => (a * 131 + c.cast("long")) % 2147483647L).as("code_fp"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c.cast("long")).as("code_sum"))
+    }),
+
+    // the PQ SERVING path end-to-end: asymmetric-distance (ADC) ranking
+    // of the whole corpus against a float query while reading CODES only
+    // — the m·k distance table is one broadcast row, the corpus is never
+    // shuffled and never touches a float vector at query time
+    "sim_pq_search" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val pq = graft.operators.ProductQuant
+      val cb = pq.train(e, "embedding", "vec_id", m = 4, k = 8, dims = 64, iters = 2)
+      val codes = pq.encode(e, "embedding", "vec_id", cb, m = 4, dims = 64)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), _.cast("double"))).head().getSeq[Double](0)
+      pq.search(codes, "vec_id", cb, qv, m = 4, dims = 64, k = 10)
     })
   )
 
@@ -327,7 +358,77 @@ object SimQueries {
           JOIN qa ON a.centroid_id = qa.centroid_id)
         QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id) <= 10"""
 
+  /** One unrolled PQ Lloyd's iteration over the subspace-exploded corpus
+    * `ns` (vec_id, subspace, sv): L2 assignment via the |c|² − 2x·c
+    * argmin (rounded 6 dp, lowest-cid ties — `ProductQuant.argminCode`'s
+    * fold), then 6-dp per-dim means; empty codes keep their previous
+    * centroid. */
+  private def pqAssign(prev: String, tag: String): String =
+    s"""s$tag AS (
+          SELECT a.vec_id, a.subspace, c.cid,
+                 round(c.cn2 - 2 * ${fold("list_transform(range(1, len(a.sv)+1), i -> a.sv[CAST(i AS INT)] * c.v[CAST(i AS INT)])")}, 6) AS s
+          FROM ns a JOIN
+               (SELECT subspace, cid, v, ${fold("list_transform(v, x -> x*x)")} AS cn2 FROM $prev) c
+            ON a.subspace = c.subspace),
+        b$tag AS (
+          SELECT vec_id, subspace, cid FROM s$tag
+          QUALIFY row_number() OVER (PARTITION BY vec_id, subspace ORDER BY s ASC, cid) = 1)"""
+
+  private def pqIter(prev: String, next: String, tag: String): String =
+    s"""${pqAssign(prev, tag)},
+        m$tag AS (
+          SELECT xx.subspace, xx.cid, r.i AS dim, round(avg(xx.sv[CAST(r.i AS INT)]), 6) AS mn
+          FROM (SELECT a.sv, b.subspace, b.cid FROM ns a JOIN b$tag b
+                ON a.vec_id = b.vec_id AND a.subspace = b.subspace) xx,
+               unnest(range(1, len(xx.sv)+1)) AS r(i)
+          GROUP BY 1, 2, 3),
+        $next AS (
+          SELECT p.subspace, p.cid, coalesce(mm.v, p.v) AS v
+          FROM $prev p LEFT JOIN
+               (SELECT subspace, cid, list(mn ORDER BY dim) AS v FROM m$tag GROUP BY 1, 2) mm
+            ON p.subspace = mm.subspace AND p.cid = mm.cid)"""
+
+  /** Shared PQ CTE prefix: subspace slices, first-8 init, two unrolled
+    * iterations (pc0→pc1→pc2, mirroring `ProductQuant.train(m=4, k=8,
+    * iters=2)`), final encode assignment `bpe` against pc2. */
+  private def pqBase: String =
+    s"""nall AS ($vecs),
+        ns AS (SELECT vec_id, CAST(r.j AS INT) AS subspace,
+                      list_slice(v, CAST(r.j*16 + 1 AS INT), CAST(r.j*16 + 16 AS INT)) AS sv
+               FROM nall, unnest(range(0, 4)) AS r(j)),
+        pc0 AS (SELECT CAST(r.j AS INT) AS subspace, CAST(vec_id AS INT) AS cid,
+                       list_slice(v, CAST(r.j*16 + 1 AS INT), CAST(r.j*16 + 16 AS INT)) AS v
+                FROM (SELECT * FROM nall ORDER BY vec_id LIMIT 8),
+                     unnest(range(0, 4)) AS r(j)),
+        ${pqIter("pc0", "pc1", "p1")},
+        ${pqIter("pc1", "pc2", "p2")},
+        ${pqAssign("pc2", "pe")}"""
+
   val oracle: Map[String, String] = Map(
+    "sim_pq_codes" ->
+      s"""WITH $pqBase,
+            pcodes AS (SELECT vec_id, list(cid ORDER BY subspace) AS codes
+                       FROM bpe GROUP BY vec_id)
+          SELECT vec_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(codes, c -> CAST(c AS BIGINT))),
+                   (a, b) -> (a*131 + b) % 2147483647) AS code_fp,
+                 CAST(list_sum(codes) AS BIGINT) AS code_sum
+          FROM pcodes""",
+    "sim_pq_search" ->
+      s"""WITH $pqBase,
+            q AS (SELECT v FROM nall WHERE vec_id = 0),
+            dt AS (SELECT c.subspace, c.cid,
+                          round(${fold("list_transform(range(1, len(c.v)+1), i -> (q.v[c.subspace*16 + CAST(i AS INT)] - c.v[CAST(i AS INT)]) * (q.v[c.subspace*16 + CAST(i AS INT)] - c.v[CAST(i AS INT)]))")}, 6) AS pd
+                   FROM pc2 c CROSS JOIN q),
+            sc AS (SELECT b.vec_id,
+                          round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                            list(dt.pd ORDER BY b.subspace)), (a, x) -> a + x), 6) AS adist
+                   FROM bpe b JOIN dt
+                     ON b.subspace = dt.subspace AND b.cid = dt.cid
+                   GROUP BY b.vec_id)
+          SELECT vec_id, adist FROM sc
+          QUALIFY row_number() OVER (ORDER BY adist, vec_id) <= 10""",
     "dedup_embedding" ->
       s"""WITH n AS (${normed(vecs)}),
             c AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 8),
