@@ -63,7 +63,12 @@ object Components {
     val half = pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
       .cache()
     if (smallGraphLimit > 0 && half.count() <= smallGraphLimit) {
-      val tuples = half.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val sparkForCollect = pairs.sparkSession
+      import sparkForCollect.implicits._
+      // Dataset collect: specialized (Long, Long) tuples, ~48 B each — the
+      // 2M-edge gate costs ~100 MB of driver heap transiently, the same
+      // order as a broadcast side
+      val tuples = half.as[(Long, Long)].collect()
       half.unpersist()
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
@@ -82,8 +87,6 @@ object Components {
       // smaller), so comp IS the min reachable id
       val ids = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
       parent.keySet.forEach(id => ids += ((id, find(id))))
-      val spark = pairs.sparkSession
-      import spark.implicits._
       return ComponentsRun(ids.toSeq.toDF("id", "comp"), converged = true, rounds = 0)
     }
     val edges = half.union(half.select(col("d").as("s"), col("s").as("d")))
