@@ -6,6 +6,26 @@ import graft.sources.Tables
 class SourceSpec extends SparkSpec {
   import spark.implicits._
 
+  test("normalizeEventTs restores the epoch-nanos contract from any physical ts type") {
+    // micros-era parquet: ts arrives as a timestamp type -> exact
+    // unix_micros*1000; nanos-long data passes through untouched
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts").toString
+    val us = 1700000000123456L // epoch micros with sub-second precision
+    Seq((1L, new java.sql.Timestamp(us / 1000)))
+      .toDF("event_id", "ts")
+      .withColumn("ts", $"ts" + expr("INTERVAL 456 MICROSECOND"))
+      .write.parquet(s"$dir/events.parquet")
+    val back = Tables.events(spark, dir)
+    assert(back.schema("ts").dataType.typeName === "long")
+    assert(back.select("ts").as[Long].head() === us * 1000L,
+      "timestamp must convert to exact epoch nanos")
+    val asLong = Seq((1L, us * 1000L)).toDF("event_id", "ts")
+    assert(Tables.normalizeEventTs(asLong).select("ts").as[Long].head() === us * 1000L,
+      "nanos-long input must pass through unchanged")
+    // a frame with no ts column is untouched
+    assert(Tables.normalizeEventTs(Seq(1L).toDF("x")).columns.toSeq === Seq("x"))
+  }
+
   test("csv ingest round-trips the documents table (reference extract step)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/docs_csv"
     val docs = spark.read.parquet(s"$sf/documents.parquet")
