@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Components, Dedup}
+import graft.functions.TextFunctions.canonicalizeUrl
+
+/** Seeded-random property tests for the invariants with the widest blast
+  * radius: the two connected-components regimes must agree on ANY graph,
+  * key packing must invert on ANY in-range input, and URL
+  * canonicalization must be idempotent (a canonical form that keeps
+  * moving is not canonical). Seeds are fixed — failures reproduce. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fast-path and distributed components agree on random graphs (5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30 + rnd.nextInt(40)
+      // random edges over sparse ids (collisions, self-loops, dups likely)
+      val edges = (0 until n).map { _ =>
+        (rnd.nextInt(25).toLong * 7, rnd.nextInt(25).toLong * 7)
+      }.toDF("id_a", "id_b")
+      val fast = Components.run(edges, "id_a", "id_b")
+      val dist = Components.run(edges, "id_a", "id_b", smallGraphLimit = 0)
+      assert(fast.converged && fast.rounds === 0)
+      assert(dist.converged)
+      val f = fast.labels.as[(Long, Long)].collect().toSet
+      val g = dist.labels.as[(Long, Long)].collect().toSet
+      assert(f === g, s"seed=$seed: regimes disagree")
+      // comp is a member of its own component and the minimum label
+      val byComp = f.groupBy(_._2)
+      byComp.foreach { case (c, members) =>
+        assert(members.map(_._1).min === c, s"seed=$seed comp=$c is not the min member")
+      }
+    }
+  }
+
+  test("packChunkKey inverts on 10k random in-range inputs incl. the boundaries") {
+    val rnd = new scala.util.Random(42)
+    val cases = (0 until 10000).map { _ =>
+      (math.abs(rnd.nextLong()) % Dedup.ChunkKeyMaxDoc, rnd.nextInt(1 << 20).toLong)
+    } ++ Seq((0L, 0L), (Dedup.ChunkKeyMaxDoc, Dedup.ChunkKeyMaxIdx),
+      (Dedup.ChunkKeyMaxDoc, 0L), (0L, Dedup.ChunkKeyMaxIdx))
+    val df = cases.toDF("doc", "idx")
+    val bad = df.select(Dedup.packChunkKey($"doc", $"idx").as("k"), $"doc", $"idx")
+      .filter(Dedup.chunkKeyDoc($"k") =!= $"doc" || Dedup.chunkKeyIdx($"k") =!= $"idx")
+    assert(bad.isEmpty, "pack/unpack must invert on every in-range input")
+    // and keys are unique across all distinct inputs
+    val dfd = df.distinct()
+    assert(dfd.select(Dedup.packChunkKey($"doc", $"idx")).distinct().count() === dfd.count())
+  }
+
+  test("canonicalizeUrl is idempotent over randomized URL shapes") {
+    val rnd = new scala.util.Random(7)
+    val schemes = Seq("http://", "https://", "HTTP://", "")
+    val hosts = Seq("www.Ex.com", "ex.com", "WWW.EX.COM", "wwwx.org", "a.b.c.de")
+    val paths = Seq("", "/p", "/P/Q/", "/p?utm=1&x=2", "/p#frag", "/?y=3", "/p/?q#f")
+    val urls = (0 until 500).map { _ =>
+      schemes(rnd.nextInt(schemes.length)) +
+        hosts(rnd.nextInt(hosts.length)) +
+        paths(rnd.nextInt(paths.length))
+    }.toDF("url")
+    val bad = urls.select(canonicalizeUrl($"url").as("c1"))
+      .select($"c1", canonicalizeUrl($"c1").as("c2"))
+      .filter($"c1" =!= $"c2")
+    assert(bad.isEmpty,
+      "canonical form must be a fixpoint: " + bad.collect().take(3).mkString(", "))
+  }
+}
