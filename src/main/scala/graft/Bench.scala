@@ -39,7 +39,8 @@ import org.apache.spark.sql.SparkSession
   *    with `"truncated":true` if the normal end-of-suite line never ran
   *    (a driver SIGTERM timeout still yields a parseable artifact).
   *  - SELF-HEALING: keys the `unstable` flag catches (>3× intra-run
-  *    spread) get ONE extra pass at the end (budget permitting) and their
+  *    spread, or a median >1.5× the cleanest pass for keys over 0.5 s)
+  *    get ONE extra pass at the end (budget permitting) and their
   *    median is recomputed over all passes minus the single worst — the
   *    contention spike is excluded, not averaged in; healed keys are
   *    listed in `healed`.
@@ -105,17 +106,24 @@ object Bench {
 
     def num(v: Double): String = if (v.isNaN) "null" else v.toString
     // the one summary line the driver parses; built from whatever has
+    // per-key contention flag: a >3x spread across this run's own passes
+    // means the host moved underneath the query — its median is suspect.
+    // The med/min arm catches the skew the ratio alone misses (passes
+    // [4.2, 2.0, 5.7] have max/min 2.86 but a median 2.1x above the
+    // cleanest observation — the min is the least-contended pass).
+    // Sub-0.2s keys skip the flag (tiny absolute jitter trips any ratio).
+    def isUnstable(med: Double, ts: Seq[Double]): Boolean =
+      ts.size >= 2 && med > 0.2 &&
+        (ts.max / ts.min > 3.0 || (med > 0.5 && med / ts.min > 1.5))
+
     // completed, so the shutdown hook can emit it mid-suite
     def summaryLine(truncated: Boolean): String = lock.synchronized {
       val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
       val total = results.values.map(_._1).filterNot(_.isNaN).sum
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      // per-key contention flag: a >3x spread across this run's own passes
-      // means the host moved underneath the query — its median is suspect.
-      // Sub-0.2s keys skip the flag (tiny absolute jitter trips any ratio).
       val unstable = results.collect {
-        case (k, (med, ts)) if ts.size >= 2 && med > 0.2 && ts.max / ts.min > 3.0 => k
+        case (k, (med, ts)) if isUnstable(med, ts) => k
       }
       val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
       val memoJson = SparkEntry.memoizedQueries.toSeq.sorted
@@ -140,7 +148,7 @@ object Bench {
       val total = results.values.map(_._1).filterNot(_.isNaN).sum
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val unstable = results.collect {
-        case (k, (med, ts)) if ts.size >= 2 && med > 0.2 && ts.max / ts.min > 3.0 => k
+        case (k, (med, ts)) if isUnstable(med, ts) => k
       }
       val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
       val cappedJson = capped.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -246,7 +254,7 @@ object Bench {
     // excluded, not averaged in. Skipped entirely under deadline pressure.
     val flagged = lock.synchronized {
       results.collect {
-        case (k, (med, ts)) if ts.size >= 2 && med > 0.2 && ts.max / ts.min > 3.0 => k
+        case (k, (med, ts)) if isUnstable(med, ts) => k
       }.toSeq
     }
     flagged.foreach { name =>
