@@ -123,7 +123,7 @@ object Sampling {
     val w = Window.partitionBy(strata: _*).orderBy(col("__h"), col(keyCol))
     pool.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col(quotaCol))
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
   /** Cap every stratum at `n` rows (hash-first) — the per-domain

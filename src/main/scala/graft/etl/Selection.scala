@@ -117,7 +117,7 @@ object Selection {
       .withColumn("__wbefore", coalesce(sum(col("__tok")).over(ww), lit(0L)))
       .join(pidOffsets, "__pid")
       .filter(col("__before") + col("__poff") + col("__wbefore") < budget)
-    keepWhole.unionByName(refined.select(keepWhole.columns.map(col): _*))
-      .select(df.columns.map(col): _*)
+    keepWhole.unionByName(refined.select(keepWhole.columns.toIndexedSeq.map(col): _*))
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 }

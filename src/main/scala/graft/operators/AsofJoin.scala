@@ -63,7 +63,7 @@ object AsofJoin {
     val hit = try_element_at(
       filter(col("__arr"), e => e.getField("__t") <= col(t)), lit(-1))
     left.join(broadcast(packed), Seq(key), "left")
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         rightPayload.map(p => hit.getField(p).as(p)): _*)
   }
 }

@@ -324,7 +324,7 @@ object Similarity {
     require(probeIds.nonEmpty,
       "ivfSearch: no centroids to probe — the centroid frame is empty")
     assigned
-      .filter(col("centroid_id").isin(probeIds: _*))
+      .filter(col("centroid_id").isin(probeIds.toIndexedSeq: _*))
       .select(col(idCol), round(cosine(col("v"), typedlit(query)), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)

@@ -161,7 +161,7 @@ object StreamDedup {
           // when this trigger's arrivals are themselves late data).
           if (stateTtl.isDefined && state.exists)
             state.setTimeoutTimestamp(math.max(
-              maxTsMs + stateTtl.get.toMillis, state.getCurrentWatermarkMs + 1))
+              maxTsMs + stateTtl.get.toMillis, state.getCurrentWatermarkMs() + 1))
           out.result().iterator
         }
       }
