@@ -105,7 +105,6 @@ object Bench {
     val lock = new Object
 
     def num(v: Double): String = if (v.isNaN) "null" else v.toString
-    // the one summary line the driver parses; built from whatever has
     // per-key contention flag: a >3x spread across this run's own passes
     // means the host moved underneath the query — its median is suspect.
     // The med/min arm catches the skew the ratio alone misses (passes
@@ -116,6 +115,7 @@ object Bench {
       ts.size >= 2 && med > 0.2 &&
         (ts.max / ts.min > 3.0 || (med > 0.5 && med / ts.min > 1.5))
 
+    // the one summary line the driver parses; built from whatever has
     // completed, so the shutdown hook can emit it mid-suite
     def summaryLine(truncated: Boolean): String = lock.synchronized {
       val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + num(v) }

@@ -51,14 +51,17 @@ object Sampling {
     * cross-row state, so the kept set is independent of partitioning,
     * rerun-stable, and identical on any engine that replays the md5
     * arithmetic — every probability is exact integer arithmetic in ppm,
-    * never a float RNG. Out-of-range or null ppm raises (fused into the
-    * predicate, so pruning can't elide the guard): a silently-clamped
-    * weight would distort the training mix it exists to control. */
+    * never a float RNG. Null, out-of-range, or NON-INTEGRAL ppm raises
+    * (fused into the predicate, so pruning can't elide the guard): a
+    * silently-clamped weight would distort the training mix it exists to
+    * control, and a fractional rate like 0.95 — the natural misuse of a
+    * "probability" parameter — would otherwise floor to ppm 0 and keep
+    * nothing. */
   def weightedBernoulli(df: DataFrame, keyCol: String, ppm: Column): DataFrame = {
-    val bad = ppm.isNull || ppm < 0 || ppm > 1000000
+    val bad = ppm.isNull || ppm < 0 || ppm > 1000000 || ppm =!= floor(ppm)
     df.filter(hashBucket(col(keyCol), 1000000) < coalesce(
       when(bad, raise_error(concat(
-        lit(s"weightedBernoulli: ppm outside [0,1000000] for $keyCol="),
+        lit(s"weightedBernoulli: ppm not an integer in [0,1000000] for $keyCol="),
         col(keyCol).cast("string")))),
       ppm.cast("long")))
   }

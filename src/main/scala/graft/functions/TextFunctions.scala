@@ -159,19 +159,21 @@ object TextFunctions {
     * (the same page arrives as http/https, with/without www., with
     * tracking params, fragments, trailing slashes, and mixed case):
     * lowercase, strip the scheme and a leading `www.`, drop the query
-    * string and fragment, strip a trailing slash. Pure codegen'd regexp
+    * string and fragment, strip trailing slashes. Pure codegen'd regexp
     * pipeline; RE2-portable patterns (no backrefs/lookaround) so an SQL
     * oracle applies the identical rewrites. Anchors make order
     * irrelevant except query-before-trailing-slash (`a/?x=1` must
-    * canonicalize to `a`, not `a/`). */
+    * canonicalize to `a`, not `a/`). The `+` quantifiers keep the form a
+    * FIXPOINT (`a.com/p//` and stacked `www.www.` collapse in one
+    * application) — idempotence is property-tested. */
   def canonicalizeUrl(c: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(
           regexp_replace(lower(c), "^https?://", ""),
-          "^www\\.", ""),
+          "^(www\\.)+", ""),
         "[?#].*$", ""),
-      "/$", "")
+      "/+$", "")
 
   // PII patterns for training-data scrubbing. Order matters twice: URLs
   // go FIRST (a URL may embed an email in its userinfo — redacting the

@@ -243,6 +243,34 @@ object Dedup {
       .withColumn("sz", size(col("grams")))
       .filter(col("sz") > 0)
 
+  /** Packed (doc, chunk-ordinal) probe key for asymmetric containment:
+    * doc_id in the high 31 bits, chunk ordinal in the low 32 — collision-
+    * free for any chunk count a single document can physically produce
+    * (a decimal multiplier like doc_id*1000 silently collides once a doc
+    * exceeds 1000 chunks ≈ 24k tokens at stride 24). Out-of-range inputs
+    * raise rather than alias: the guard is fused into the key expression
+    * itself, so column pruning can never elide it. */
+  val ChunkKeyMaxDoc: Long = (1L << 31) - 1
+  val ChunkKeyMaxIdx: Long = (1L << 32) - 1
+
+  def packChunkKey(docId: Column, chunkIdx: Column): Column = {
+    val doc = docId.cast("long")
+    val idx = chunkIdx.cast("long")
+    val bad = doc.isNull || doc < 0 || doc > ChunkKeyMaxDoc ||
+      idx.isNull || idx < 0 || idx > ChunkKeyMaxIdx
+    coalesce(
+      when(bad, raise_error(concat(
+        lit(s"packChunkKey: doc_id outside [0,$ChunkKeyMaxDoc] or chunk_idx outside [0,$ChunkKeyMaxIdx]: "),
+        docId.cast("string"), lit("/"), chunkIdx.cast("string")))),
+      shiftleft(doc, 32).bitwiseOR(idx))
+  }
+
+  /** Decode [[packChunkKey]]: the source doc id (high bits). */
+  def chunkKeyDoc(key: Column): Column = shiftright(key, 32)
+
+  /** Decode [[packChunkKey]]: the chunk ordinal within its doc (low bits). */
+  def chunkKeyIdx(key: Column): Column = key.bitwiseAND(lit(ChunkKeyMaxIdx))
+
   /** Asymmetric CONTAINMENT join: (probe, index) pairs where the probe
     * doc's n-gram set is ≥ `threshold` contained in the index doc's —
     * C(A,B) = |A∩B| / |A|. Jaccard misses exactly this case: a 30-gram
@@ -272,34 +300,6 @@ object Dedup {
     * pruning drops hosts too small to contain the probe. Returns
     * (block, id_p, id_x, containment) — caller filters self-pairs when
     * the probe derives from the index. */
-  /** Packed (doc, chunk-ordinal) probe key for asymmetric containment:
-    * doc_id in the high 31 bits, chunk ordinal in the low 32 — collision-
-    * free for any chunk count a single document can physically produce
-    * (a decimal multiplier like doc_id*1000 silently collides once a doc
-    * exceeds 1000 chunks ≈ 24k tokens at stride 24). Out-of-range inputs
-    * raise rather than alias: the guard is fused into the key expression
-    * itself, so column pruning can never elide it. */
-  val ChunkKeyMaxDoc: Long = (1L << 31) - 1
-  val ChunkKeyMaxIdx: Long = (1L << 32) - 1
-
-  def packChunkKey(docId: Column, chunkIdx: Column): Column = {
-    val doc = docId.cast("long")
-    val idx = chunkIdx.cast("long")
-    val bad = doc.isNull || doc < 0 || doc > ChunkKeyMaxDoc ||
-      idx.isNull || idx < 0 || idx > ChunkKeyMaxIdx
-    coalesce(
-      when(bad, raise_error(concat(
-        lit(s"packChunkKey: doc_id outside [0,$ChunkKeyMaxDoc] or chunk_idx outside [0,$ChunkKeyMaxIdx]: "),
-        docId.cast("string"), lit("/"), chunkIdx.cast("string")))),
-      shiftleft(doc, 32).bitwiseOR(idx))
-  }
-
-  /** Decode [[packChunkKey]]: the source doc id (high bits). */
-  def chunkKeyDoc(key: Column): Column = shiftright(key, 32)
-
-  /** Decode [[packChunkKey]]: the chunk ordinal within its doc (low bits). */
-  def chunkKeyIdx(key: Column): Column = key.bitwiseAND(lit(ChunkKeyMaxIdx))
-
   def containmentPairs(probe: DataFrame, probeText: String, probeId: String,
                        index: DataFrame, indexText: String, indexId: String,
                        blockCol: String, threshold: Double, n: Int = 3): DataFrame = {

@@ -39,8 +39,15 @@ object Hll {
   val Numerator: Double =
     0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 * 2251799813685248.0
 
+  /** Fused null guard: a null key would create a phantom null-bucket
+    * register — counted into `n_buckets` but absent from the harmonic
+    * sum, silently inflating the estimate. Distinct-of-null is an
+    * upstream modeling decision; this operator refuses to guess. */
   private def hash60(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("bigint")
+    coalesce(
+      when(key.isNull,
+        raise_error(lit("Hll: null key — filter or impute nulls before sketching"))),
+      conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("bigint"))
 
   /** Per-(group, register) max-rank state: the mergeable sketch. */
   def registers(df: DataFrame, groupCols: Seq[String], keyCol: String): DataFrame = {

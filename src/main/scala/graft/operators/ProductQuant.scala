@@ -68,8 +68,18 @@ object ProductQuant {
     require(m > 0 && dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     val dsub = dims / m
     val shim = org.apache.spark.sql.GraftShim
+    // code ids are the first-k row ids (kmeansFit's convention) held as
+    // int; an id past int range would WRAP and collide two init
+    // centroids into one cid, silently shrinking the codebook — raise
+    // instead (fused; the init frame is k rows, the guard costs nothing)
+    val badId = col(idCol).isNull ||
+      col(idCol) > Int.MaxValue.toLong || col(idCol) < Int.MinValue.toLong
     var codebook = df.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).cast("int").as("cid"), asDouble(col(vecCol)).as("v"))
+      .select(coalesce(
+        when(badId, raise_error(concat(
+          lit("ProductQuant.train: init id outside int range: "),
+          col(idCol).cast("string")))),
+        col(idCol).cast("int")).as("cid"), asDouble(col(vecCol)).as("v"))
       .select(explode(sequence(lit(0), lit(m - 1))).as("subspace"),
         col("cid"), col("v"))
       .select(col("subspace"), col("cid"),

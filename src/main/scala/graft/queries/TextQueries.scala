@@ -767,8 +767,8 @@ object TextQueries {
                  FROM b),
            c AS (SELECT doc_id,
                         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                          lower(url), '^https?://', ''), '^www\.', ''),
-                          '[?#].*$', ''), '/$', '') AS canon_url
+                          lower(url), '^https?://', ''), '^(www\.)+', ''),
+                          '[?#].*$', ''), '/+$', '') AS canon_url
                  FROM u)
          SELECT canon_url, count(*) AS n_docs, min(doc_id) AS rep
          FROM c GROUP BY 1""",

@@ -18,6 +18,16 @@ class HllSpec extends SparkSpec {
     assert(out.filter($"est" <= 0.0).isEmpty)
   }
 
+  test("a null key raises instead of inflating the estimate via a phantom register") {
+    val df = Seq((Some(1L), "g"), (None, "g")).toDF("k", "g")
+    val e = intercept[Exception] {
+      Hll.distinctEstimate(df, Seq("g"), "k").collect()
+    }
+    def msg(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(msg).getOrElse("")
+    assert(msg(e).contains("Hll: null key"))
+  }
+
   test("sketch is mergeable: registers of a union = max-merge of the parts") {
     val left = events.filter($"event_id" % 2 === 0)
     val right = events.filter($"event_id" % 2 =!= 0)

@@ -72,6 +72,16 @@ class PqSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ProductQuant.train(corpus, "vec", "vec_id", m = 3, k = 2, dims = dims)
     }
+    // an init id past int range would wrap and collide two centroids on
+    // one cid — the fused guard raises instead
+    val bigIds = corpus.withColumn("vec_id", $"vec_id" + (Int.MaxValue.toLong + 5))
+    val e = intercept[Exception] {
+      ProductQuant.train(bigIds, "vec", "vec_id", m = 2, k = 2, dims = dims)
+        .collect()
+    }
+    def msg(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(msg).getOrElse("")
+    assert(msg(e).contains("init id outside int range"))
     val cb = ProductQuant.train(corpus, "vec", "vec_id", m = 2, k = 2, dims = dims)
     val codes = ProductQuant.encode(corpus, "vec", "vec_id", cb, m = 2, dims = dims)
     intercept[IllegalArgumentException] {

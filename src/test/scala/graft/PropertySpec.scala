@@ -53,8 +53,10 @@ class PropertySpec extends SparkSpec {
   test("canonicalizeUrl is idempotent over randomized URL shapes") {
     val rnd = new scala.util.Random(7)
     val schemes = Seq("http://", "https://", "HTTP://", "")
-    val hosts = Seq("www.Ex.com", "ex.com", "WWW.EX.COM", "wwwx.org", "a.b.c.de")
-    val paths = Seq("", "/p", "/P/Q/", "/p?utm=1&x=2", "/p#frag", "/?y=3", "/p/?q#f")
+    val hosts = Seq("www.Ex.com", "ex.com", "WWW.EX.COM", "wwwx.org", "a.b.c.de",
+      "www.www.Ex.com")
+    val paths = Seq("", "/p", "/P/Q/", "/p?utm=1&x=2", "/p#frag", "/?y=3", "/p/?q#f",
+      "/p//", "/p///")
     val urls = (0 until 500).map { _ =>
       schemes(rnd.nextInt(schemes.length)) +
         hosts(rnd.nextInt(hosts.length)) +

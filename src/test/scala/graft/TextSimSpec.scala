@@ -151,6 +151,8 @@ class TextSimSpec extends SparkSpec {
       "http://site1.example.com/PathA#section-2"            -> "site1.example.com/patha",
       "http://a.com/p/?q=1"                                 -> "a.com/p",   // query before slash strip
       "http://a.com/p/q"                                    -> "a.com/p/q", // inner slashes survive
+      "http://a.com/p//"                                    -> "a.com/p",   // doubled trailing slash
+      "http://www.www.ex.com/"                              -> "ex.com",    // stacked www. labels
       "http://wwwx.com/p"                                   -> "wwwx.com/p" // www. only as a label
     ).toDF("url", "want")
     val bad = cases.select(canonicalizeUrl($"url").as("got"), $"want")

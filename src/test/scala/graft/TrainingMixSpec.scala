@@ -161,6 +161,13 @@ class TrainingMixSpec extends SparkSpec {
       Sampling.weightedBernoulli(over, "id", col("ppm")).collect()
     }
     assert(msg(e2).contains("weightedBernoulli"))
+    // a fractional rate (the natural misuse of a "probability" param)
+    // must raise, not floor to ppm 0 and keep nothing
+    val frac = Seq((1L, 0.95)).toDF("id", "ppm")
+    val e3 = intercept[Exception] {
+      Sampling.weightedBernoulli(frac, "id", col("ppm")).collect()
+    }
+    assert(msg(e3).contains("weightedBernoulli"))
   }
 
   test("tokenBudgetSelect raises on a null or out-of-range score") {
