@@ -24,4 +24,34 @@ object Common {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.table(spark, dir, name)
+
+  /** DuckDB replay of [[graft.operators.Hll.distinctEstimate]] over a
+    * `(groupCol, k)` source CTE — registers from md5 integer arithmetic,
+    * harmonic sum in BIGINT, one final double division under the shared
+    * numerator literal. Shared by the relational and streaming sketch
+    * oracles so the two can never drift. */
+  def hllOracleSql(srcSql: String, groupCol: String): String =
+    s"""WITH src AS ($srcSql),
+         hh AS (SELECT $groupCol,
+                       CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                FROM src),
+         rr AS (SELECT $groupCol, h >> 50 AS bucket,
+                       CASE WHEN (h & ((1::BIGINT << 50) - 1)) = 0 THEN 51
+                            ELSE 50 - length(bin(h & ((1::BIGINT << 50) - 1))) + 1
+                       END AS rank
+                FROM hh),
+         regs AS (SELECT $groupCol, bucket, max(rank) AS reg
+                  FROM rr GROUP BY 1, 2),
+         agg AS (SELECT $groupCol,
+                        count(*) AS n_buckets,
+                        list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(list(bucket * 64 + reg ORDER BY bucket),
+                            x -> CAST(x AS BIGINT))),
+                          (a, b) -> (a*131 + b) % 2147483647) AS reg_fp,
+                        CAST(sum(1::BIGINT << (51 - reg)) AS BIGINT) AS s_obs
+                 FROM regs GROUP BY 1)
+       SELECT $groupCol, n_buckets, reg_fp,
+              round((0.7213/(1.0 + 1.079/1024.0) * 1024.0 * 1024.0 * 2251799813685248.0)
+                    / CAST(s_obs + (1024 - n_buckets) * (1::BIGINT << 51) AS DOUBLE), 6) AS est
+       FROM agg"""
 }

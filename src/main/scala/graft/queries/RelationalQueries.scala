@@ -300,29 +300,8 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
-    "q_hll_distinct" ->
-      """WITH h AS (SELECT event_type,
-                           CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-                    FROM events),
-           r AS (SELECT event_type, h >> 50 AS bucket,
-                        CASE WHEN (h & ((1::BIGINT << 50) - 1)) = 0 THEN 51
-                             ELSE 50 - length(bin(h & ((1::BIGINT << 50) - 1))) + 1
-                        END AS rank
-                 FROM h),
-           regs AS (SELECT event_type, bucket, max(rank) AS reg
-                    FROM r GROUP BY 1, 2),
-           agg AS (SELECT event_type,
-                          count(*) AS n_buckets,
-                          list_reduce(list_prepend(CAST(0 AS BIGINT),
-                            list_transform(list(bucket * 64 + reg ORDER BY bucket),
-                              x -> CAST(x AS BIGINT))),
-                            (a, b) -> (a*131 + b) % 2147483647) AS reg_fp,
-                          CAST(sum(1::BIGINT << (51 - reg)) AS BIGINT) AS s_obs
-                   FROM regs GROUP BY 1)
-         SELECT event_type, n_buckets, reg_fp,
-                round((0.7213/(1.0 + 1.079/1024.0) * 1024.0 * 1024.0 * 2251799813685248.0)
-                      / CAST(s_obs + (1024 - n_buckets) * (1::BIGINT << 51) AS DOUBLE), 6) AS est
-         FROM agg""",
+    "q_hll_distinct" -> Common.hllOracleSql(
+      "SELECT event_type, user_id AS k FROM events", "event_type"),
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total

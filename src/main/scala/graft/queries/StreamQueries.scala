@@ -10,6 +10,22 @@ object StreamQueries {
 
   val defs: Map[String, QFn] = Map(
     "stream_window_agg" -> ((s, d) => Events.hourlyAgg(t(s, d, "events"))),
+
+    // per-hour approximate distinct users via the oracle-exact HLL
+    // sketch: the register state is a per-(window, bucket) MAX — exactly
+    // the mergeable shape a streaming agg maintains incrementally, so
+    // the batch form here and a watermarked streaming max-agg produce
+    // identical registers (parity spec'd in HllSpec); constant ≤1024
+    // rows of state per window however many events arrive
+    "stream_distinct_approx" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.operators.Hll.distinctEstimate(
+        t(s, d, "events").select(
+          date_format(date_trunc("hour", Events.tsCol(col("ts"))),
+            "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("user_id")),
+        Seq("hour"), "user_id")
+    }),
     "stream_sessionize" -> ((s, d) => Events.sessionize(t(s, d, "events"))),
     "stream_sliding_agg" -> ((s, d) => Events.slidingAgg(t(s, d, "events"))),
     "stream_dedup" -> ((s, d) => {
@@ -97,6 +113,9 @@ object StreamQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_distinct_approx" -> Common.hllOracleSql(
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                user_id AS k FROM events""", "hour"),
     "stream_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
                 count(*) AS n,

@@ -42,6 +42,30 @@ class HllSpec extends SparkSpec {
         "the property that lets 100 TB of partial sketches combine")
   }
 
+  test("streaming windowed registers equal the batch sketch (complete-mode parity)") {
+    // the register state is a per-(window, bucket) max — a streaming agg
+    // maintains it incrementally with ≤ m rows of state per window; the
+    // final registers must equal the batch build over the same data
+    import graft.streaming.Events
+    val stream = graft.sources.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(spark.read.parquet(s"$sf/events.parquet").schema)
+        .parquet(s"$sf/events.parque[t]"))
+    def hourly(df: org.apache.spark.sql.DataFrame) = df.select(
+      date_format(date_trunc("hour", Events.tsCol($"ts")), "yyyy-MM-dd HH:mm:ss")
+        .as("hour"),
+      $"user_id")
+    val qy = Hll.registers(hourly(stream), Seq("hour"), "user_id")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hll_regs").start()
+    qy.processAllAvailable(); qy.stop()
+    val viaStream = spark.table("hll_regs")
+      .as[(String, Long, Int)].collect().toSet
+    val viaBatch = Hll.registers(hourly(events), Seq("hour"), "user_id")
+      .as[(String, Long, Int)].collect().toSet
+    assert(viaStream === viaBatch, "stream and batch sketches must be identical")
+  }
+
   test("raw estimate tracks the exact count in the estimator's valid regime") {
     // the raw estimator (no ln-based small-range correction — the
     // documented trade for exact cross-engine replay) is only valid for
