@@ -263,6 +263,31 @@ object SimQueries {
           aggregate(col("codes"), lit(0L), (a, c) => a + c.cast("long")).as("code_sum"))
     }),
 
+    // IVF+PQ — the production vector-store serving stack composed from
+    // existing operators: the coarse quantizer prunes to nProbe clusters
+    // (ivfAssign + the bounded driver probe route), then ADC ranks ONLY
+    // the surviving codes — at 100 TB the query reads nProbe/K of the
+    // corpus and never touches a float vector. Both stages deterministic,
+    // so the whole pipeline replays in SQL
+    "sim_ivfpq_search" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val pq = graft.operators.ProductQuant
+      val cents = e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid")
+      val cb = pq.train(e, "embedding", "vec_id", m = 4, k = 8, dims = 64, iters = 2)
+      val codes = pq.encode(e, "embedding", "vec_id", cb, m = 4, dims = 64)
+      val assigned = Similarity.ivfAssign(e, "embedding", "vec_id", cents, "cid")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), _.cast("double"))).head().getSeq[Double](0)
+      // probe route: same rounded-cosine (sim DESC, cid) rule as
+      // ivfSearchAssigned; ≤ nProbe ints of routing metadata
+      val probe = Similarity.topK(cents, "embedding", "cid", qv, k = 2)
+        .select(col("cid")).collect().map(_.getLong(0)).toIndexedSeq
+      val survivors = assigned.filter(col("centroid_id").isin(probe: _*))
+        .select(col("vec_id"))
+      pq.search(codes.join(survivors, Seq("vec_id"), "left_semi"),
+        "vec_id", cb, qv, m = 4, dims = 64, k = 10)
+    }),
+
     // the PQ SERVING path end-to-end: asymmetric-distance (ADC) ranking
     // of the whole corpus against a float query while reading CODES only
     // — the m·k distance table is one broadcast row, the corpus is never
@@ -415,6 +440,35 @@ object SimQueries {
                    (a, b) -> (a*131 + b) % 2147483647) AS code_fp,
                  CAST(list_sum(codes) AS BIGINT) AS code_sum
           FROM pcodes""",
+    "sim_ivfpq_search" ->
+      s"""WITH $pqBase,
+            nn AS (SELECT vec_id, v, sqrt(${fold("list_transform(v, x -> x*x)")}) AS nrm
+                   FROM nall),
+            cc AS (SELECT vec_id AS centroid_id, v, nrm FROM nn WHERE vec_id < 8),
+            csc AS (SELECT a.vec_id, c.centroid_id,
+                           round(${fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * c.v[CAST(i AS INT)])")} / (a.nrm * c.nrm), 6) AS sim
+                    FROM nn a CROSS JOIN cc c),
+            asg AS (SELECT vec_id, centroid_id FROM csc
+                    QUALIFY row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY sim DESC, centroid_id) = 1),
+            qa AS (SELECT centroid_id FROM csc WHERE vec_id = 0
+                   QUALIFY row_number() OVER (ORDER BY sim DESC, centroid_id) <= 2),
+            q AS (SELECT v FROM nall WHERE vec_id = 0),
+            dt AS (SELECT c.subspace, c.cid,
+                          round(${fold("list_transform(range(1, len(c.v)+1), i -> (q.v[c.subspace*16 + CAST(i AS INT)] - c.v[CAST(i AS INT)]) * (q.v[c.subspace*16 + CAST(i AS INT)] - c.v[CAST(i AS INT)]))")}, 6) AS pd
+                   FROM pc2 c CROSS JOIN q),
+            surv AS (SELECT b.vec_id, b.subspace, b.cid
+                     FROM bpe b
+                     JOIN asg ON b.vec_id = asg.vec_id
+                     JOIN qa ON asg.centroid_id = qa.centroid_id),
+            sc AS (SELECT s.vec_id,
+                          round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                            list(dt.pd ORDER BY s.subspace)), (a, x) -> a + x), 6) AS adist
+                   FROM surv s JOIN dt
+                     ON s.subspace = dt.subspace AND s.cid = dt.cid
+                   GROUP BY s.vec_id)
+          SELECT vec_id, adist FROM sc
+          QUALIFY row_number() OVER (ORDER BY adist, vec_id) <= 10""",
     "sim_pq_search" ->
       s"""WITH $pqBase,
             q AS (SELECT v FROM nall WHERE vec_id = 0),

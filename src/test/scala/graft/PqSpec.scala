@@ -68,6 +68,29 @@ class PqSpec extends SparkSpec {
     assert(top3 === Set(0L, 2L, 4L), "cluster at the query must fill the top-3")
   }
 
+  test("IVF+PQ pruning with full probes equals the unpruned ADC ranking") {
+    // probing every coarse cluster makes the pruned path exhaustive —
+    // the IVF stage must then be a pure plan choice over the PQ ranking
+    import graft.operators.Similarity
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = e.filter($"vec_id" < 8).withColumnRenamed("vec_id", "cid")
+    val cb = ProductQuant.train(e, "embedding", "vec_id", m = 4, k = 8, dims = 64)
+    val codes = ProductQuant.encode(e, "embedding", "vec_id", cb, m = 4, dims = 64)
+    val qv = e.filter($"vec_id" === 0)
+      .select(transform($"embedding", _.cast("double"))).head().getSeq[Double](0)
+    val assigned = Similarity.ivfAssign(e, "embedding", "vec_id", cents, "cid")
+    val probeAll = Similarity.topK(cents, "embedding", "cid", qv, k = 8)
+      .select($"cid").as[Long].collect().toIndexedSeq
+    val surv = assigned.filter($"centroid_id".isin(probeAll: _*)).select("vec_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    val pruned = rows(ProductQuant.search(
+      codes.join(surv, Seq("vec_id"), "left_semi"), "vec_id", cb, qv,
+      m = 4, dims = 64, k = 10))
+    val full = rows(ProductQuant.search(codes, "vec_id", cb, qv,
+      m = 4, dims = 64, k = 10))
+    assert(pruned === full, "full-probe IVF+PQ must equal the unpruned ranking")
+  }
+
   test("train/encode reject dims not divisible by m; search rejects a short query") {
     intercept[IllegalArgumentException] {
       ProductQuant.train(corpus, "vec", "vec_id", m = 3, k = 2, dims = dims)
