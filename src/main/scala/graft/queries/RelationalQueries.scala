@@ -155,6 +155,27 @@ object RelationalQueries {
       graft.operators.Hll.distinctEstimate(
         t(s, d, "events"), Seq("event_type"), "user_id")),
 
+    // exact multi-percentile report (p50/p90/p99 of value per type) by
+    // RANK SELECTION — the value at row ceil(p·n) in (value, id) order.
+    // percentile_cont interpolates in doubles (engine-dependent at the
+    // ulp); rank selection stays in integer cents end to end, so the
+    // report is hash-exact. ONE shuffle: both windows and the final agg
+    // share the event_type hash partition
+    "q_percentiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("vc"), col("event_id"))
+      val cw = Window.partitionBy("event_type")
+      def pick(p: Double) =
+        Common.money(max(when(col("rn") === ceil(col("n") * p), col("vc"))))
+      t(s, d, "events")
+        .select(col("event_type"), cents(col("value")).as("vc"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(cw))
+        .groupBy("event_type")
+        .agg(pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"),
+          count(lit(1)).as("n_events"))
+    }),
+
     // correlated scalar subquery through the spark.sql surface (Catalyst
     // rewrites it to an aggregate + left join — no per-row execution)
     "q_scalar_subquery" -> ((s, d) => {
@@ -302,6 +323,20 @@ object RelationalQueries {
   val oracle: Map[String, String] = Map(
     "q_hll_distinct" -> Common.hllOracleSql(
       "SELECT event_type, user_id AS k FROM events", "event_type"),
+    "q_percentiles" ->
+      """WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS vc, event_id
+                    FROM events),
+           r AS (SELECT event_type, vc,
+                        row_number() OVER (PARTITION BY event_type
+                                           ORDER BY vc, event_id) AS rn,
+                        count(*) OVER (PARTITION BY event_type) AS n
+                 FROM e)
+         SELECT event_type,
+                CAST(max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN vc END) AS DOUBLE)/100.0 AS p50,
+                CAST(max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN vc END) AS DOUBLE)/100.0 AS p90,
+                CAST(max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN vc END) AS DOUBLE)/100.0 AS p99,
+                count(*) AS n_events
+         FROM r GROUP BY 1""",
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total

@@ -60,4 +60,21 @@ class RelationalSpec extends SparkSpec {
       .filter($"o_orderpriority" === "5-LOW").select("o_custkey").as[Long].collect().toSet
     assert(ex.intersect(low).isEmpty)
   }
+
+  test("q_percentiles rank selection equals a driver-side sort of one group") {
+    val out = q("q_percentiles").cache()
+    assert(out.filter($"p50" > $"p90" || $"p90" > $"p99").isEmpty,
+      "percentiles must be monotone")
+    val (g, p50, p90, p99, n) = out
+      .select($"event_type", $"p50", $"p90", $"p99", $"n_events")
+      .as[(String, Double, Double, Double, Long)].head()
+    val vals = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type" === g)
+      .select(round($"value" * 100).cast("long").as("vc"), $"event_id")
+      .as[(Long, Long)].collect().sortBy(identity).map(_._1)
+    assert(vals.length === n)
+    def pick(p: Double) = vals(math.ceil(vals.length * p).toInt - 1) / 100.0
+    assert((p50, p90, p99) === (pick(0.5), pick(0.9), pick(0.99)),
+      s"group=$g rank selection must match the sorted reference")
+  }
 }
