@@ -76,18 +76,31 @@ object AnalysisQueries {
     // format (testdata has no string money column), then parsed back with
     // Clean.parseMoney — parse and median are exercised in ONE plan, not as
     // two separately-tested operators.
+    // the median itself is EXACT RANK SELECTION, two-level
+    // (operators/Rank.scala): Spark's `percentile` aggregate buffers
+    // every group value in executor memory — the memory-side twin of the
+    // per-group single-reducer window, and the same 100× scale-killer.
+    // percentile_cont(0.5) = mean of the values at 1-based ranks
+    // (n+1) div 2 and (n+2) div 2 (equal when n is odd); integer cents
+    // make both halves exact in IEEE doubles, so the hash still matches
+    // the oracle's percentile_cont to the bit
     "ana_median_by_group" -> ((s, d) => {
       val c0 = cents(col("l_extendedprice"))
       val moneyStr = concat(lit("$"),
         format_number(call_function("div", c0, lit(100L)), 0),
         lit("."), lpad((c0 % 100).cast("string"), 2, "0"))
-      t(s, d, "lineitem")
+      val parsed = t(s, d, "lineitem")
         .select(col("l_returnflag"), moneyStr.as("price"))
         .select(col("l_returnflag"),
           (graft.etl.Clean.parseMoney(col("price")) * 100).cast("bigint").as("price_c"))
+      def at(rank: org.apache.spark.sql.Column) =
+        max(when(col("rank") === rank, col("price_c")))
+      graft.operators.Rank.withGroupRank(parsed, Seq("l_returnflag"), "price_c")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          (expr("percentile(price_c, 0.5)") / lit(100.0)).as("median_price"))
+          ((at(call_function("div", col("n") + 1, lit(2L))) +
+            at(call_function("div", col("n") + 2, lit(2L)))) / lit(2.0) / lit(100.0))
+            .as("median_price"))
     }),
 
     // analysis4 (Airbnb_Analysis.py:99-122): compare two grouped averages.

@@ -159,18 +159,20 @@ object RelationalQueries {
     // RANK SELECTION — the value at row ceil(p·n) in (value, id) order.
     // percentile_cont interpolates in doubles (engine-dependent at the
     // ulp); rank selection stays in integer cents end to end, so the
-    // report is hash-exact. ONE shuffle: both windows and the final agg
-    // share the event_type hash partition
+    // report is hash-exact. The per-group global order comes from the
+    // TWO-LEVEL construction (operators/Rank.scala): a per-event_type
+    // window would funnel the whole table through one reducer per type
+    // — a handful of types means a handful of reducers each sorting
+    // ~n/types rows, which does not survive a 100× scale-up. Rank's
+    // range-partition + broadcast-offset plan keeps every sort
+    // per-partition; oracle (the naive window form) unchanged
     "q_percentiles" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("event_type").orderBy(col("vc"), col("event_id"))
-      val cw = Window.partitionBy("event_type")
       def pick(p: Double) =
-        Common.money(max(when(col("rn") === ceil(col("n") * p), col("vc"))))
-      t(s, d, "events")
-        .select(col("event_type"), cents(col("value")).as("vc"), col("event_id"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(cw))
+        Common.money(max(when(col("rank") === ceil(col("n") * p), col("vc"))))
+      graft.operators.Rank.withGroupRank(
+          t(s, d, "events")
+            .select(col("event_type"), cents(col("value")).as("vc"), col("event_id")),
+          Seq("event_type"), "vc", tiebreakCols = Seq("event_id"))
         .groupBy("event_type")
         .agg(pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"),
           count(lit(1)).as("n_events"))

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-level grouped rank selection (operators/Rank.scala): label-exact
+  * vs the naive per-group window, and the PLAN claim — no window over
+  * corpus rows is partitioned by the group columns alone (the per-group
+  * single-reducer sort the operator exists to avoid); every corpus-side
+  * window clusters by the physical partition id. */
+class RankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomRows(n: Int, groups: Int, values: Int) = {
+    val rnd = new scala.util.Random(7)
+    (1 to n).map { i =>
+      (i.toLong, s"g${rnd.nextInt(groups)}", rnd.nextInt(values).toLong)
+    }
+  }
+
+  test("withGroupRank matches the naive per-group window exactly (unique tiebreak)") {
+    val df = randomRows(5000, 4, 50).toDF("id", "grp", "v")
+    val two = graft.operators.Rank
+      .withGroupRank(df, Seq("grp"), "v", tiebreakCols = Seq("id"))
+      .select("grp", "id", "v", "rank", "n")
+    val naive = df
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("grp").orderBy($"v", $"id")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+      .select("grp", "id", "v", "rank", "n")
+    assert(two.exceptAll(naive).isEmpty && naive.exceptAll(two).isEmpty)
+  }
+
+  test("withGroupRank without tiebreak: the VALUE at every rank is the sorted order") {
+    // heavy ties and no tiebreak: row identity at a rank is arbitrary,
+    // but the (group, rank) -> value mapping must equal the sorted order
+    val df = randomRows(3000, 3, 10).toDF("id", "grp", "v")
+    val two = graft.operators.Rank.withGroupRank(df, Seq("grp"), "v")
+      .select("grp", "rank", "v", "n")
+    val naive = df
+      .withColumn("rank", row_number().over(Window.partitionBy("grp").orderBy($"v")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+      .select("grp", "rank", "v", "n")
+    assert(two.exceptAll(naive).isEmpty && naive.exceptAll(two).isEmpty)
+  }
+
+  test("withGroupRank: empty input and reserved-column guard") {
+    val empty = Seq.empty[(Long, String, Long)].toDF("id", "grp", "v")
+    assert(graft.operators.Rank.withGroupRank(empty, Seq("grp"), "v").isEmpty)
+    val bad = Seq((1L, "g", 1L)).toDF("rank", "grp", "v")
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Rank.withGroupRank(bad, Seq("grp"), "v")
+    }
+  }
+
+  /** partitionSpec column names of every WindowExec whose input carries
+    * `corpusCol` (i.e. windows over corpus rows, not over the tiny
+    * per-(pid, group) offset table). AQE is disabled by the caller so
+    * the physical windows are directly collectible. */
+  private def corpusWindowSpecs(df: DataFrame, corpusCol: String): Seq[Seq[String]] =
+    df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.child.output.exists(_.name == corpusCol) =>
+        w.partitionSpec.map(_.toString)
+    }
+
+  private def withAqeOff[T](f: => T): T = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try { spark.conf.set("spark.sql.adaptive.enabled", "false"); f }
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("q_percentiles plan: every corpus-side window clusters by the physical partition") {
+    withAqeOff {
+      val specs = corpusWindowSpecs(q("q_percentiles"), "vc")
+      assert(specs.nonEmpty, "expected a corpus-side window (the local rank)")
+      specs.foreach { s =>
+        assert(s.exists(_.contains("__pid")),
+          s"corpus window partitioned by ${s.mkString(",")} — a per-group single-reducer sort")
+      }
+    }
+  }
+
+  test("ana_median_by_group plan: no per-group window or percentile buffer over corpus rows") {
+    withAqeOff {
+      val df = q("ana_median_by_group")
+      val specs = corpusWindowSpecs(df, "price_c")
+      assert(specs.nonEmpty, "expected a corpus-side window (the local rank)")
+      specs.foreach { s =>
+        assert(s.exists(_.contains("__pid")),
+          s"corpus window partitioned by ${s.mkString(",")} — a per-group single-reducer sort")
+      }
+      // the memory-buffering exact percentile aggregate must be gone too
+      assert(!df.queryExecution.executedPlan.toString.contains("percentile("),
+        "exact percentile aggregate buffers every group value in executor memory")
+    }
+  }
+
+  test("q_percentiles values equal the naive single-window rank selection") {
+    val out = q("q_percentiles").as[(String, Double, Double, Double, Long)]
+      .collect().sortBy(_._1).toSeq
+    val w = Window.partitionBy("event_type").orderBy($"vc", $"event_id")
+    val cw = Window.partitionBy("event_type")
+    def pick(p: Double) =
+      max(when($"rn" === ceil($"n" * p), $"vc")).cast("double") / 100.0
+    val naive = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_type", round($"value" * 100).cast("bigint").as("vc"), $"event_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cw))
+      .groupBy("event_type")
+      .agg(pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"),
+        count(lit(1)).as("n_events"))
+      .as[(String, Double, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(out === naive)
+  }
+
+  test("ana_median_by_group equals Spark's exact percentile aggregate") {
+    val out = q("ana_median_by_group").as[(String, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    val naive = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_returnflag", round($"l_extendedprice" * 100).cast("bigint").as("price_c"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        (expr("percentile(price_c, 0.5)") / 100.0).as("median_price"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out === naive)
+  }
+}
