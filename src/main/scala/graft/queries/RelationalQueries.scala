@@ -137,13 +137,21 @@ object RelationalQueries {
           cnt("5-LOW").as("p_low"))
     }),
 
-    // approximate COUNT(DISTINCT): HyperLogLog++ sketch vs exact, per
-    // priority. No SQL oracle (DuckDB's HLL differs); the spec bounds the
-    // relative error and the driver records a rows-only check.
+    // approximate COUNT(DISTINCT): HyperLogLog++ sketch per priority.
+    // The sketch VALUE is Spark-internal (no other engine replays it),
+    // but it is deterministic for a fixed input — so the checkable fact
+    // is the error BOUND: |approx − exact| / exact ≤ 5% (rsd = 2%, so
+    // 2.5σ of headroom), emitted as a boolean column the oracle states
+    // as literal TRUE. The hash compare then verifies the bound itself
+    // — the sketch's accuracy claim is oracle-checked even though the
+    // sketch isn't replayable (q_hll_distinct is the replayable one).
     "q_approx_distinct" -> ((s, d) =>
       t(s, d, "orders").groupBy("o_orderpriority")
-        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
-          countDistinct(col("o_custkey")).as("exact_customers"))),
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx"),
+          countDistinct(col("o_custkey")).as("exact_customers"))
+        .select(col("o_orderpriority"), col("exact_customers"),
+          (abs(col("approx") - col("exact_customers")).cast("double") /
+            col("exact_customers") <= 0.05).as("within_bound"))),
 
     // the ORACLE-EXACT sketch q_approx_distinct can't be: a from-scratch
     // HLL whose registers come from md5 integer arithmetic and whose
@@ -323,6 +331,13 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the deterministic bound, not the sketch: DuckDB asserts the exact
+    // count and TRUE; the Spark side must reproduce both — a sketch
+    // drifting past 5% error flips within_bound and fails the hash
+    "q_approx_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_customers,
+                TRUE AS within_bound
+         FROM orders GROUP BY 1""",
     "q_hll_distinct" -> Common.hllOracleSql(
       "SELECT event_type, user_id AS k FROM events", "event_type"),
     "q_percentiles" ->
