@@ -60,7 +60,15 @@ object Components {
   def run(pairs: DataFrame, aCol: String, bCol: String,
           maxIter: Int = 64, smallGraphLimit: Long = 2000000L): ComponentsRun = {
     val shim = org.apache.spark.sql.GraftShim
-    val half = pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
+    // fused null guard: a null endpoint is a broken pair frame either
+    // way, but without this the two regimes diverged on it — the driver
+    // fast path threw an opaque Dataset-decode NPE while the distributed
+    // loop silently propagated the null. Both now raise the same error.
+    def guarded(c: String, as: String) = coalesce(
+      when(col(c).isNull, raise_error(
+        lit(s"connectedComponents: null $c in the pair frame"))),
+      col(c).cast("long")).as(as)
+    val half = pairs.select(guarded(aCol, "s"), guarded(bCol, "d"))
       .cache()
     if (smallGraphLimit > 0 && half.count() <= smallGraphLimit) {
       val sparkForCollect = pairs.sparkSession
@@ -87,7 +95,15 @@ object Components {
       // smaller), so comp IS the min reachable id
       val ids = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
       parent.keySet.forEach(id => ids += ((id, find(id))))
-      return ComponentsRun(ids.toSeq.toDF("id", "comp"), converged = true, rounds = 0)
+      // distribute the labels via a parallelized RDD, NOT a driver-local
+      // toDF: a LocalRelation of up to ~2× smallGraphLimit node rows
+      // would be re-embedded in EVERY consuming plan (keepRepresentatives
+      // joins it against the corpus) and serialized with each job —
+      // parallelize ships it to executors once and the consumers read
+      // distributed partitions like any other frame
+      val labelsRdd = sparkForCollect.sparkContext.parallelize(
+        ids.toSeq, math.max(1, math.min(64, ids.size / 250000 + 1)))
+      return ComponentsRun(labelsRdd.toDF("id", "comp"), converged = true, rounds = 0)
     }
     val edges = half.union(half.select(col("d").as("s"), col("s").as("d")))
       .distinct().cache()

@@ -39,17 +39,24 @@ object ProductQuant {
 
   /** Argmin code for subspace `j`: minimize |c|² − 2·x·c (equals the L2
     * argmin — |x|² is constant per row), rounded 6 dp, lowest cid on
-    * ties. One fold over the broadcast codebook array, codegen'd. */
+    * ties. One fold over the broadcast codebook array, codegen'd.
+    * A codebook with NO entries for the subspace would leave the fold's
+    * `-1` init sentinel as the winner — a silently-wrong code that the
+    * distance table downstream can't resolve — so it raises instead
+    * (fused into the code expression; costs nothing on the good path). */
   private def argminCode(v: Column, cb: Column, j: Int, dsub: Int): Column = {
     val xs = slice(v, j * dsub + 1, dsub)
     val entries = filter(cb, e => e.getField("subspace") === j)
-    aggregate(entries,
+    val best = aggregate(entries,
       struct(lit(Double.PositiveInfinity).as("s"), lit(-1).as("cid")),
       (b, e) => {
         val s = round(e.getField("cn2") - lit(2.0) * dot(xs, e.getField("cv")), 6)
         when(s < b.getField("s"), struct(s.as("s"), e.getField("cid").as("cid")))
           .otherwise(b)
       }).getField("cid")
+    coalesce(when(best === -1, raise_error(
+      lit(s"ProductQuant: codebook has no entries for subspace $j — " +
+        "m/dims disagree with the trained codebook"))), best)
   }
 
   /** All m·k codebook entries packed into ONE broadcast row, sorted by
@@ -119,6 +126,9 @@ object ProductQuant {
     * one broadcast fold per subspace, all codegen'd. */
   def encode(df: DataFrame, vecCol: String, idCol: String,
              codebook: DataFrame, m: Int, dims: Int): DataFrame = {
+    // same divisibility contract as train(): a floored dsub would
+    // silently encode a TRUNCATED vector (trailing dims ignored)
+    require(m > 0 && dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     val dsub = dims / m
     df.select(col(idCol), asDouble(col(vecCol)).as("v")).crossJoin(packed(codebook))
       .select(col(idCol),
@@ -134,6 +144,7 @@ object ProductQuant {
   def search(codes: DataFrame, idCol: String, codebook: DataFrame,
              query: Seq[Double], m: Int, dims: Int, k: Int): DataFrame = {
     require(query.length == dims, s"query has ${query.length} dims, expected $dims")
+    require(m > 0 && dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     val dsub = dims / m
     val q = array(query.map(lit): _*)
     // m·k-row distance table computed ON the codebook frame, packed and
@@ -145,10 +156,22 @@ object ProductQuant {
             (a, c) => (a - c) * (a - c)),
           lit(0.0), (acc, x) => acc + x), 6).as("pd")).as("e"))
       .agg(array_sort(collect_list(col("e"))).as("dt")))
+    // a code with no (subspace, cid) row in the table (codes paired with
+    // the wrong codebook, or a stray sentinel) must fail LOUDLY and
+    // clearly: under ANSI mode a plain element_at throws an opaque
+    // index error, and with try semantics the NULL term would make adist
+    // NULL — which ascending sort puts FIRST, silently promoting broken
+    // rows into the top-k. try_element_at + a fused raise gives the
+    // named error (zero cost while every lookup resolves).
     val terms = transform(col("codes"), (c, j) =>
-      element_at(filter(col("dt"),
-        e => e.getField("subspace") === j && e.getField("cid") === c), 1)
-        .getField("pd"))
+      coalesce(
+        try_element_at(filter(col("dt"),
+          e => e.getField("subspace") === j && e.getField("cid") === c), lit(1))
+          .getField("pd"),
+        raise_error(concat(
+          lit("ProductQuant.search: no distance-table entry for (subspace,code)=("),
+          j.cast("string"), lit(","), c.cast("string"),
+          lit(") — codes do not match this codebook")))))
     codes.crossJoin(dtable)
       .select(col(idCol),
         round(aggregate(terms, lit(0.0), (a, x) => a + x), 6).as("adist"))

@@ -110,5 +110,35 @@ class PqSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ProductQuant.search(codes, "vec_id", cb, Seq(1.0), m = 2, dims = dims, k = 3)
     }
+    // encode/search repeat train's divisibility require — a floored dsub
+    // would silently truncate the vector (round-10 advice)
+    intercept[IllegalArgumentException] {
+      ProductQuant.encode(corpus, "vec", "vec_id", cb, m = 3, dims = dims)
+    }
+    intercept[IllegalArgumentException] {
+      ProductQuant.search(codes, "vec_id", cb, Seq(1.0, 1.0, 1.0, 1.0),
+        m = 3, dims = 4, k = 3)
+    }
+  }
+
+  test("codes from the wrong codebook raise instead of null-ranking first") {
+    def msg(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(msg).getOrElse("")
+    val cb = ProductQuant.train(corpus, "vec", "vec_id", m = 2, k = 2, dims = dims)
+    // codes carrying a cid the table can't resolve: NULL adist would sort
+    // FIRST ascending and silently win the top-k — must raise instead
+    val badCodes = Seq((7L, Seq(99, 99))).toDF("vec_id", "codes")
+    val e = intercept[Exception] {
+      ProductQuant.search(badCodes, "vec_id", cb,
+        Seq(0.0, 0.0, 0.0, 0.0), m = 2, dims = dims, k = 3).collect()
+    }
+    assert(msg(e).contains("no distance-table entry"))
+    // a codebook missing a whole subspace (m mismatch vs training) hits
+    // the argmin -1 sentinel guard at encode time
+    val e2 = intercept[Exception] {
+      ProductQuant.encode(corpus, "vec", "vec_id",
+        cb.filter($"subspace" === 0), m = 2, dims = dims).collect()
+    }
+    assert(msg(e2).contains("no entries for subspace"))
   }
 }

@@ -69,6 +69,23 @@ class RecoverySpec extends SparkSpec {
     assert(f === g, "fast-path labels must be identical to the fixpoint's")
   }
 
+  test("null pair endpoints raise the same error in both regimes") {
+    def msg(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(msg).getOrElse("")
+    val bad = Seq((Some(1L), Some(2L)), (None, Some(3L)))
+      .toDF("id_a", "id_b")
+    // before the fused guard the fast path threw an opaque decode NPE
+    // while the distributed loop silently propagated the null
+    val eFast = intercept[Exception] {
+      Components.run(bad, "id_a", "id_b").labels.collect()
+    }
+    assert(msg(eFast).contains("null id_a in the pair frame"))
+    val eDist = intercept[Exception] {
+      Components.run(bad, "id_a", "id_b", smallGraphLimit = 0).labels.collect()
+    }
+    assert(msg(eDist).contains("null id_a in the pair frame"))
+  }
+
   test("keepRepresentativesFromLabels equals the one-call form on a converged graph") {
     val docs = (0L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
