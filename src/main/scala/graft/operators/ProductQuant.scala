@@ -178,4 +178,29 @@ object ProductQuant {
       .orderBy(col("adist"), col(idCol))
       .limit(k)
   }
+
+  /** IVF+PQ SERVING over a centroid-tagged code frame — the composition
+    * a production vector store runs at query time. `codes` carries
+    * (idCol, centroid_id, codes), the [[graft.sinks.AnnStore.writePq]]
+    * layout (or an in-memory assign⋈encode join): the query routes to
+    * its `nProbe` nearest centroids driver-side
+    * ([[Similarity.probeRoute]] — ≤ nProbe ids of routing metadata),
+    * the cluster filter is a FOLDABLE `IN` (static partition pruning on
+    * the store: the planner lists only the probed directories), and ADC
+    * ranks the surviving codes against the query's broadcast distance
+    * table. The query reads ~nProbe/K of the CODE files and never
+    * touches a float corpus vector — compression and pruning compound.
+    * Ranking is identical to filtering [[search]]'s input by the same
+    * probe set (spec-proven against the unpruned `sim_ivfpq_search`
+    * composition). */
+  def searchPruned(codes: DataFrame, idCol: String, codebook: DataFrame,
+                   centroids: DataFrame, cIdCol: String, vecCol: String,
+                   query: Seq[Double], m: Int, dims: Int, k: Int,
+                   nProbe: Int): DataFrame = {
+    require(codes.columns.contains("centroid_id"),
+      s"`codes` needs centroid_id — the AnnStore.writePq layout; got: ${codes.columns.mkString(", ")}")
+    val probes = Similarity.probeRoute(centroids, cIdCol, vecCol, query, nProbe)
+    search(codes.filter(col("centroid_id").isin(probes: _*)),
+      idCol, codebook, query, m, dims, k)
+  }
 }

@@ -313,21 +313,35 @@ object Similarity {
     require(Seq(idCol, "centroid_id", "v").forall(assigned.columns.contains),
       s"`assigned` needs ($idCol, centroid_id, v) — the ivfAssign(keepVec=true) / AnnStore.read shape; got: ${assigned.columns.mkString(", ")}")
     require(query.nonEmpty, "ivfSearch: empty query vector")
+    assigned
+      .filter(col("centroid_id").isin(probeRoute(centroids, cIdCol, vecCol, query, nProbe): _*))
+      .select(col(idCol), round(cosine(col("v"), typedlit(query)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Driver-side probe ROUTE: the ids of the `nProbe` centroids nearest
+    * the query (rounded cosine desc, id tiebreak — the same total order
+    * every ivf consumer uses). Bounded routing metadata (≤ nProbe ids,
+    * one K-row job), which is what lets the cluster filter be a FOLDABLE
+    * `IN` — static partition pruning on a centroid-partitioned store
+    * before a byte of corpus is read. Shared by the float serving path
+    * ([[ivfSearchAssigned]]) and the PQ one
+    * ([[ProductQuant.searchPruned]]). */
+  def probeRoute(centroids: DataFrame, cIdCol: String, vecCol: String,
+                 query: Seq[Double], nProbe: Int): Seq[Any] = {
+    require(query.nonEmpty, "probeRoute: empty query vector")
     val probeIds = centroids
       .select(col(cIdCol).as("q_cid"),
         round(cosine(asDouble(col(vecCol)), typedlit(query)), 6).as("q_sim"))
       .orderBy(col("q_sim").desc, col("q_cid"))
       .limit(nProbe)
-      .collect().map(_.get(0))
+      .collect().map(_.get(0)).toIndexedSeq
     // an empty centroid frame would otherwise filter the corpus to nothing
     // and return a silently-empty result for every query
     require(probeIds.nonEmpty,
-      "ivfSearch: no centroids to probe — the centroid frame is empty")
-    assigned
-      .filter(col("centroid_id").isin(probeIds.toIndexedSeq: _*))
-      .select(col(idCol), round(cosine(col("v"), typedlit(query)), 6).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
+      "probeRoute: no centroids to probe — the centroid frame is empty")
+    probeIds
   }
 
   /** Batched IVF ANN search: one top-k result set PER query row — the

@@ -1,6 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Centroid-partitioned ANN corpus store — the storage layout that turns
   * IVF's "search only the probed clusters" filter into PARTITION PRUNING:
@@ -28,4 +29,19 @@ object AnnStore {
     * of scanning the corpus. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Persist PQ CODES partitioned by their IVF cluster — the IVF+PQ
+    * serving layout: `codes` ([[graft.operators.ProductQuant.encode]]'s
+    * (idCol, codes)) joined to the (idCol, centroid_id) coarse
+    * assignment, one directory per centroid. A probed query
+    * ([[graft.operators.ProductQuant.searchPruned]]) then reads ONLY the
+    * probed clusters' code files — the float store's ~K/nProbe I/O
+    * reduction, applied to a column that is already ~64× smaller than
+    * the vectors, so the per-query read cost is (nProbe/K) · m bytes per
+    * corpus row. The float vectors can stay in cold storage entirely. */
+  def writePq(assigned: DataFrame, codes: DataFrame, idCol: String,
+              path: String): Unit =
+    assigned.select(col(idCol), col("centroid_id"))
+      .join(codes, Seq(idCol))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 }

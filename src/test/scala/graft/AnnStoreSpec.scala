@@ -82,6 +82,68 @@ class AnnStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("PQ store search matches the in-memory IVF+PQ composition exactly") {
+    val pq = graft.operators.ProductQuant
+    val dir = java.nio.file.Files.createTempDirectory("graft_annspec").toFile
+    storeDirs += dir
+    val path = dir.toString + "/pqstore"
+    val cb = pq.train(corpus, "embedding", "vec_id", m = 4, k = 8, dims = 64, iters = 2)
+      .localCheckpoint()
+    val codes = pq.encode(corpus, "embedding", "vec_id", cb, m = 4, dims = 64)
+    val assigned = Similarity.ivfAssign(corpus, "embedding", "vec_id", cents, "cid")
+    AnnStore.writePq(assigned, codes, "vec_id", path)
+    val qv = corpus.filter($"vec_id" === 0)
+      .select(transform($"embedding", _.cast("double"))).head().getSeq[Double](0)
+    val fromStore = pq.searchPruned(AnnStore.read(spark, path), "vec_id", cb,
+        cents, "cid", "embedding", qv, m = 4, dims = 64, k = 10, nProbe = 2)
+      .as[(Long, Double)].collect().toSeq
+    // the unpruned composition sim_ivfpq_search runs: route, semi-join
+    // survivors, ADC — must rank identically to the store path
+    val probe = Similarity.topK(cents, "embedding", "cid", qv, k = 2)
+      .select($"cid").as[Long].collect().toIndexedSeq
+    val survivors = assigned.filter($"centroid_id".isin(probe: _*)).select("vec_id")
+    val inMem = pq.search(codes.join(survivors, Seq("vec_id"), "left_semi"),
+        "vec_id", cb, qv, m = 4, dims = 64, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(fromStore === inMem)
+  }
+
+  test("PQ store probe reads only the probed clusters' code files") {
+    val pq = graft.operators.ProductQuant
+    val dir = java.nio.file.Files.createTempDirectory("graft_annspec").toFile
+    storeDirs += dir
+    val path = dir.toString + "/pqstore"
+    val cb = pq.train(corpus, "embedding", "vec_id", m = 4, k = 8, dims = 64, iters = 2)
+      .localCheckpoint()
+    val codes = pq.encode(corpus, "embedding", "vec_id", cb, m = 4, dims = 64)
+    AnnStore.writePq(
+      Similarity.ivfAssign(corpus, "embedding", "vec_id", cents, "cid"),
+      codes, "vec_id", path)
+    val qv = corpus.filter($"vec_id" === 0)
+      .select(transform($"embedding", _.cast("double"))).head().getSeq[Double](0)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val res = pq.searchPruned(AnnStore.read(spark, path), "vec_id", cb,
+        cents, "cid", "embedding", qv, m = 4, dims = 64, k = 10, nProbe = 2)
+      res.collect()
+      val scans = storeScan(res, path)
+      assert(scans.nonEmpty, "expected a parquet scan of the PQ store")
+      assert(scans.head.partitionFilters.exists(_.toString.contains("centroid_id")),
+        "probe route should plan as a partition filter on the code store")
+      val totalFiles = AnnStore.read(spark, path).inputFiles.length
+      val read = scans.head.metrics("numFiles").value
+      val perDir = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("centroid_id="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+        .sorted.reverse
+      assert(read <= perDir.take(2).sum,
+        s"probe scan should read only 2 clusters' code files: read $read of $totalFiles")
+      assert(read < totalFiles,
+        s"probe scan should prune: read $read of $totalFiles code files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("probe search prunes the store scan to the nProbe probed clusters") {
     val path = buildStore()
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
