@@ -528,8 +528,9 @@ object Dedup {
     * rerun-stable, needs no fixpoint iteration, and the SQL oracle
     * replays the identical rule. Callers below the near-clique regime
     * (the shipped `dedup_semantic` runs τ = 0.45) get this chain rule,
-    * not keep-group-minimum; if group-minimum is required, feed the τ
-    * pair graph to [[Components]] and keep each component's minimum
+    * not keep-group-minimum; if group-minimum is required, use
+    * [[semanticDedupComponents]] — the same pair scan fed through
+    * [[Components]], keeping each τ-connected component's minimum
     * (cost: the fixpoint rounds this rule exists to avoid).
     *
     * Scaling rule: pair mass is Σ_c n_c² ≈ n·(n/k), so hold the MEAN
@@ -556,6 +557,48 @@ object Dedup {
         (col("cs_y") === col("cs_x") && col("id_y") < col("id_x")))
       .select(col("id_x").as(idCol)).distinct()
     base.join(dominated, Seq(idCol), "left_anti")
+      .select(col(idCol), col("centroid_id"), col("sim").as("centroid_sim"))
+  }
+
+  /** [[semanticDedup]]'s KEEP-GROUP-MINIMUM variant for callers below the
+    * near-clique regime: build the intra-cluster τ pair graph (the same
+    * bucketed pair scan — never all-pairs), take its connected
+    * components, and keep exactly ONE member per component — the one
+    * with the strongest keep claim under SemDeDup's rule (LOWEST
+    * centroid similarity = most atypical, id tiebreak), plus every
+    * vector with no τ-neighbor at all.
+    *
+    * This is the contract [[semanticDedup]]'s scaladoc points to when
+    * its chain rule is not wanted: in a similarity chain a ≺ b ≺ c with
+    * cos(a,c) < τ, the chain rule can keep BOTH endpoints (each is a
+    * local minimum among its own neighbors) or drop a member whose only
+    * dominator was itself dropped — here every τ-connected group keeps
+    * exactly its global minimum, at the cost of the components fixpoint
+    * (driver union-find under [[Components]]' measured-small gate;
+    * O(log diameter) pointer-jumping rounds above it).
+    *
+    * Same input shape and output columns as [[semanticDedup]]; at
+    * SemDeDup's published thresholds (τ ≥ 0.9, groups near-cliques) the
+    * two agree (spec'd). */
+  def semanticDedupComponents(assigned: DataFrame, idCol: String,
+                              threshold: Double, maxIter: Int = 64,
+                              smallGraphLimit: Long = 2000000L): DataFrame = {
+    val base = assigned.select(col(idCol), col("centroid_id"), col("sim"), col("v"))
+    val pairs = embeddingNearDups(base, "v", idCol, threshold,
+      blockCol = Some("centroid_id"))
+    val labels = Components
+      .connectedComponents(pairs, "id_a", "id_b", maxIter, smallGraphLimit)
+      .select(col("id").as("__lid"), col("comp").as("__comp"))
+    // unpaired vectors are their own (kept) component
+    val withComp = base
+      .join(labels, col(idCol) === col("__lid"), "left")
+      .withColumn("__comp", coalesce(col("__comp"), col(idCol)))
+    // one survivor per component: min (centroid_sim, id) — ids are
+    // unique, so min_by's tie behavior never decides
+    val keep = withComp.groupBy("__comp")
+      .agg(min_by(col(idCol), struct(col("sim"), col(idCol))).as("__keep"))
+      .select(col("__keep").as(idCol))
+    base.join(keep, Seq(idCol), "left_semi")
       .select(col(idCol), col("centroid_id"), col("sim").as("centroid_sim"))
   }
 }

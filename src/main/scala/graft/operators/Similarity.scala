@@ -123,7 +123,22 @@ object Similarity {
     val rows = query.select(asDouble(col(vecCol)).as("q_v")).limit(2).collect()
     require(rows.length == 1,
       "hybridTopK expects exactly one query row; use ivfSearchBatch for batched queries")
-    val qv = rows(0).getSeq[Double](0)
+    hybridTopK(corpus, vecCol, idCol, candidates, rows(0).getSeq[Double](0),
+      k, centroids, cIdCol, nProbe, bruteForceLimit)
+  }
+
+  /** [[hybridTopK]] with an already-validated LOCAL query vector — the
+    * typed fast path for hot serving loops (same convention as the
+    * [[topK]]/[[ivfSearchAssigned]] typed overloads): no eager
+    * single-row guard job; the only actions are the measured survivor
+    * count the adaptive regime switch is FOR (one aggregate over ids
+    * the predicate scan already computed) and, in the IVF regime, the
+    * bounded probe route. */
+  def hybridTopK(corpus: DataFrame, vecCol: String, idCol: String,
+                 candidates: DataFrame, query: Seq[Double], k: Int,
+                 centroids: DataFrame, cIdCol: String, nProbe: Int,
+                 bruteForceLimit: Long): DataFrame = {
+    require(query.nonEmpty, "hybridTopK: empty query vector")
     // materialize the DISTINCT survivor ids once (eager localCheckpoint):
     // the regime count and the semi-join then read the same id set, so the
     // caller's predicate scan runs exactly once, and duplicate candidate
@@ -132,11 +147,11 @@ object Similarity {
     val ids = candidates.select(col(idCol)).distinct().localCheckpoint()
     val survivors = corpus.join(ids, Seq(idCol), "left_semi")
     if (ids.count() <= bruteForceLimit)
-      topK(survivors, vecCol, idCol, qv, k)
+      topK(survivors, vecCol, idCol, query, k)
     else
       ivfSearchAssigned(
         ivfAssign(survivors, vecCol, idCol, centroids, cIdCol, keepVec = true),
-        idCol, centroids, cIdCol, vecCol, qv, k, nProbe)
+        idCol, centroids, cIdCol, vecCol, query, k, nProbe)
   }
 
   /** Lloyd's k-means for IVF centroid training: deterministic init (first

@@ -356,6 +356,38 @@ class TextSimSpec extends SparkSpec {
     val all = Dedup.semanticDedup(assigned, "vec_id", threshold = 2.0)
       .select("vec_id").as[Long].collect().toSet
     assert(all === Set(1L, 2L, 3L, 4L))
+    // the components variant agrees in the near-clique regime (ids 1/2
+    // form a 2-clique; 3 and 4 are singletons)
+    val comp = Dedup.semanticDedupComponents(assigned, "vec_id", threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(comp === kept)
+  }
+
+  test("semanticDedupComponents keeps exactly one per tau-connected group on a spanning chain") {
+    // a—b—c similarity CHAIN below the near-clique regime: cos(a,b) and
+    // cos(b,c) ≈ 0.707 ≥ τ=0.5 but cos(a,c) = 0 < τ. Keep claims (lower
+    // centroid-sim = stronger): a(0.1) < c(0.2) < b(0.3).
+    //  - chain rule (semanticDedup): a kept (no stronger neighbor),
+    //    b dropped (a and c both stronger), c ALSO kept — its only
+    //    neighbor b is weaker — so BOTH chain endpoints survive;
+    //  - components rule: {a,b,c} is one τ-connected group → exactly
+    //    its minimum a survives.
+    val inv = math.sqrt(2.0) / 2.0
+    val assigned = Seq(
+      (1L, 0, 0.1, Seq(1.0, 0.0)),
+      (2L, 0, 0.3, Seq(inv, inv)),
+      (3L, 0, 0.2, Seq(0.0, 1.0)),
+      (4L, 0, 0.9, Seq(-1.0, -1.0)) // no τ-neighbor: its own component
+    ).toDF("vec_id", "centroid_id", "sim", "v")
+    val chain = Dedup.semanticDedup(assigned, "vec_id", threshold = 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(chain === Set(1L, 3L, 4L), "chain rule keeps both endpoints")
+    val comp = Dedup.semanticDedupComponents(assigned, "vec_id", threshold = 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(comp === Set(1L, 4L), "components rule keeps one per group")
+    // output shape matches semanticDedup's (id, centroid_id, centroid_sim)
+    val cols = Dedup.semanticDedupComponents(assigned, "vec_id", 0.5).columns.toSeq
+    assert(cols === Seq("vec_id", "centroid_id", "centroid_sim"))
   }
 
   test("semantic dedup output is a subset with no duplicate ids; cluster minima always survive") {
