@@ -448,9 +448,22 @@ object Dedup {
     * its quadratic pair mass C(chunks,2) times over. */
   def hammingPairs64(df: DataFrame, hashCol: String, idCol: String,
                      maxHamming: Int, chunks: Int = 8): DataFrame = {
-    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
     require(maxHamming <= chunks - 2,
       s"2-of-$chunks chunk agreement is complete only for hamming <= ${chunks - 2}")
+    hammingCandidates64(df, hashCol, idCol, chunks)
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** [[hammingPairs64]]'s CANDIDATE stage — the distinct chunk-join
+    * collisions with their verified hamming distance, before the
+    * distance cut. Exposed so the scale harness (tools/ScaleCurveHam)
+    * can measure candidate volume directly: this count is the quantity
+    * that must stay ~linear in corpus size for the chunk join to
+    * survive 100 TB (α→2 would mean the generator degenerated to
+    * all-pairs). */
+  def hammingCandidates64(df: DataFrame, hashCol: String, idCol: String,
+                          chunks: Int = 8): DataFrame = {
+    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
     val bits = 64 / chunks
     // unsigned shift: the top chunk of a hash with bit 63 set must not
     // smear sign bits over its value
@@ -471,7 +484,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Embedding near-dup pairs with cosine ≥ threshold. Brute-force
