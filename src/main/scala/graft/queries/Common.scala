@@ -54,4 +54,38 @@ object Common {
               round((0.7213/(1.0 + 1.079/1024.0) * 1024.0 * 1024.0 * 2251799813685248.0)
                     / CAST(s_obs + (1024 - n_buckets) * (1::BIGINT << 51) AS DOUBLE), 6) AS est
        FROM agg"""
+
+  /** DuckDB replay of [[graft.operators.QuantileSketch]] over a
+    * `(groupCol, vc)` source CTE (vc = non-negative BIGINT cents):
+    * HdrHistogram-style integer buckets (b = 6 sub-bits, stride 128),
+    * cumulative walk, midpoint estimates at the given quantiles, money
+    * division at output. The midpoint formula mirrors the Spark
+    * expression term-for-term — every intermediate is an exactly
+    * representable double, so the hash compare is bit-exact. Shared by
+    * the relational and streaming quantile oracles. */
+  def quantileSketchOracleSql(srcSql: String, groupCol: String,
+                              qs: Seq[(String, Double)]): String = {
+    val picks = qs.map { case (name, q) =>
+      s"min(CASE WHEN cum >= ceil(n * $q) THEN rep END) / 100.0 AS $name"
+    }.mkString(",\n              ")
+    s"""WITH src AS ($srcSql),
+         bb AS (SELECT $groupCol, vc,
+                       CAST(greatest(length(bin(vc)) - 1 - 6, 0) AS BIGINT) AS s
+                FROM src),
+         sk AS (SELECT $groupCol,
+                       s * 128 + vc // CAST(pow(2.0, CAST(s AS DOUBLE)) AS BIGINT) AS bucket,
+                       count(*) AS cnt
+                FROM bb GROUP BY 1, 2),
+         cc AS (SELECT $groupCol, bucket, cnt,
+                       CAST(sum(cnt) OVER (PARTITION BY $groupCol ORDER BY bucket) AS BIGINT) AS cum,
+                       CAST(sum(cnt) OVER (PARTITION BY $groupCol) AS BIGINT) AS n
+                FROM sk),
+         rr AS (SELECT $groupCol, cum, n,
+                       (2.0 * CAST(bucket % 128 AS DOUBLE) * pow(2.0, CAST(bucket // 128 AS DOUBLE))
+                         + (pow(2.0, CAST(bucket // 128 AS DOUBLE)) - 1.0)) / 2.0 AS rep
+                FROM cc)
+       SELECT $groupCol, CAST(max(n) AS BIGINT) AS n_events,
+              $picks
+       FROM rr GROUP BY 1"""
+  }
 }

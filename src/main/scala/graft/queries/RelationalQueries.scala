@@ -186,6 +186,23 @@ object RelationalQueries {
           count(lit(1)).as("n_events"))
     }),
 
+    // the MERGEABLE approximate-quantile path — the dashboard form
+    // q_percentiles' exact rank selection is too heavy for: an
+    // order-free HdrHistogram-style integer-bucket sketch (≤ ~7.4k
+    // buckets per group however large the corpus, merge = count
+    // addition) whose estimates carry ≤ 2^-7 relative error and replay
+    // EXACTLY in SQL — the quantile analog of q_hll_distinct
+    // (percentile_approx's KLL compaction is order-dependent, so no
+    // other engine could check it)
+    "q_quantile_sketch" -> ((s, d) =>
+      graft.operators.QuantileSketch.quantileEstimate(
+          t(s, d, "events").select(col("event_type"), cents(col("value")).as("vc")),
+          Seq("event_type"), "vc",
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .select(col("event_type"), col("n").as("n_events"),
+          (col("p50") / 100.0).as("p50"), (col("p90") / 100.0).as("p90"),
+          (col("p99") / 100.0).as("p99"))),
+
     // correlated scalar subquery through the spark.sql surface (Catalyst
     // rewrites it to an aggregate + left join — no per-row execution)
     "q_scalar_subquery" -> ((s, d) => {
@@ -340,6 +357,9 @@ object RelationalQueries {
          FROM orders GROUP BY 1""",
     "q_hll_distinct" -> Common.hllOracleSql(
       "SELECT event_type, user_id AS k FROM events", "event_type"),
+    "q_quantile_sketch" -> Common.quantileSketchOracleSql(
+      "SELECT event_type, CAST(round(value*100) AS BIGINT) AS vc FROM events",
+      "event_type", Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)),
     "q_percentiles" ->
       """WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS vc, event_id
                     FROM events),

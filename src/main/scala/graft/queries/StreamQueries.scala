@@ -26,6 +26,23 @@ object StreamQueries {
           col("user_id")),
         Seq("hour"), "user_id")
     }),
+    // per-hour approximate quantiles via the oracle-exact mergeable
+    // sketch: state is per-(window, bucket) COUNTS — a plain streaming
+    // sum-agg maintains it incrementally (mergeable by addition, like
+    // the HLL registers' max), ≤ ~7.4k rows of state per window however
+    // many events arrive; estimates finalize from the tiny sketch at
+    // read time. Batch/stream parity spec'd in QuantileSketchSpec
+    "stream_quantile_approx" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.operators.QuantileSketch.quantileEstimate(
+          t(s, d, "events").select(
+            date_format(date_trunc("hour", Events.tsCol(col("ts"))),
+              "yyyy-MM-dd HH:mm:ss").as("hour"),
+            cents(col("value")).as("vc")),
+          Seq("hour"), "vc", Seq("p50" -> 0.5, "p95" -> 0.95))
+        .select(col("hour"), col("n").as("n_events"),
+          (col("p50") / 100.0).as("p50"), (col("p95") / 100.0).as("p95"))
+    }),
     "stream_sessionize" -> ((s, d) => Events.sessionize(t(s, d, "events"))),
     "stream_sliding_agg" -> ((s, d) => Events.slidingAgg(t(s, d, "events"))),
     "stream_dedup" -> ((s, d) => {
@@ -116,6 +133,10 @@ object StreamQueries {
     "stream_distinct_approx" -> Common.hllOracleSql(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                 user_id AS k FROM events""", "hour"),
+    "stream_quantile_approx" -> Common.quantileSketchOracleSql(
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                CAST(round(value*100) AS BIGINT) AS vc FROM events""",
+      "hour", Seq("p50" -> 0.5, "p95" -> 0.95)),
     "stream_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
                 count(*) AS n,
