@@ -290,6 +290,29 @@ object TextQueries {
         doc, doc.filter(col("doc_id") % 97 === 0), "text", "doc_id", n = 3)
     }),
 
+    // constant-size decontamination: the benchmark gram set compressed to
+    // an 8 KiB Bloom bitset probed map-side, exact confirm join after —
+    // same answer as ta_decontaminate's exact broadcast, but the guard
+    // stays broadcastable when the held-out set itself is huge
+    "ta_bloom_prefilter" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      graft.operators.Bloom.prefilteredOverlap(
+        doc, doc.filter(col("doc_id") % 89 === 0), "text", "doc_id", n = 3)
+    }),
+
+    // the Bloom bitset itself, cross-engine: ≤1041 (word, bits, n_set)
+    // rows rebuilt bit-for-bit by the oracle — proves the md5 double
+    // hashing, 63-bit word packing, and bit_or merge replay exactly
+    "ta_bloom_bitset" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val bench = doc.filter(col("doc_id") % 89 === 0)
+        .select(explode(array_distinct(transform(
+          wordNgrams(col("text"), 3), hash31(_)))).as("gh"))
+        .distinct()
+      graft.operators.Bloom.wordRows(bench, "gh")
+        .withColumn("n_set", bit_count(col("bits")).cast("bigint"))
+    }),
+
     // corpus boilerplate mining: top-5 word-2-grams per lang by DOCUMENT
     // frequency (distinct per doc, so a spammy doc can't dominate) — the
     // signal behind boilerplate-strip lists; classic word-count shuffle
@@ -803,6 +826,35 @@ object TextQueries {
             b AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0)
          SELECT doc_id, count(*) AS n_hit_grams
          FROM g JOIN b USING (gh) GROUP BY doc_id""",
+    // EXACT decontamination SQL: the Bloom layer is a no-false-negative
+    // prefilter plus an exact confirm join, so the oracle is the same
+    // exact-overlap query — any dropped true positive hash-mismatches
+    "ta_bloom_prefilter" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+                    i -> CAST(concat('0x', substr(md5(ws[CAST(i AS INT)] || '_' || ws[CAST(i AS INT)+1] || '_' || ws[CAST(i AS INT)+2]), 1, 8)) AS BIGINT) % 2147483647))) AS gh
+                  FROM w),
+            b AS (SELECT DISTINCT gh FROM g WHERE doc_id % 89 = 0)
+         SELECT doc_id, count(*) AS n_hit_grams
+         FROM g JOIN b USING (gh) GROUP BY doc_id""",
+    // bit-for-bit Bloom bitset replay: 60-bit md5 hash, Kirsch-
+    // Mitzenmacher positions (h1 + i*h2) mod 2^16 with odd h2, 63-bit
+    // words, bit_or merge — mirrors operators/Bloom term-for-term
+    "ta_bloom_bitset" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+                    i -> CAST(concat('0x', substr(md5(ws[CAST(i AS INT)] || '_' || ws[CAST(i AS INT)+1] || '_' || ws[CAST(i AS INT)+2]), 1, 8)) AS BIGINT) % 2147483647))) AS gh
+                  FROM w),
+            b AS (SELECT DISTINCT gh FROM g WHERE doc_id % 89 = 0),
+            hh AS (SELECT gh,
+                          CAST(concat('0x', substr(md5(CAST(gh AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                   FROM b),
+            pp AS (SELECT ((h & ((1::BIGINT << 30) - 1)) + i * ((h >> 30) | 1)) % 65536 AS pos
+                   FROM hh, range(0, 4) r(i))
+         SELECT pos // 63 AS word,
+                bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits,
+                CAST(bit_count(bit_or(1::BIGINT << CAST(pos % 63 AS INT))) AS BIGINT) AS n_set
+         FROM pp GROUP BY 1""",
     "ta_ngram_topk" ->
       """WITH w AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
             g AS (SELECT lang, unnest(list_distinct(list_transform(range(1, len(ws)),
