@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Count-Min sketch — bounded-state frequency estimation,
+  * built (like [[Hll]] and [[Bloom]]) so the whole sketch replays
+  * exactly in SQL and cross-checks against another engine.
+  *
+  * The problem it exists for: "how often does each of THESE keys occur"
+  * over a stream/corpus whose full key space is unbounded. An exact
+  * per-key count is a shuffle whose state grows with the number of
+  * distinct keys; the CMS cell grid is a CONSTANT d·w longs (4·2048 =
+  * 64 KiB) per group however many keys flow through, is mergeable by
+  * plain addition (partition-order-free integer sums — the same
+  * property that makes it a streaming sum-agg), and answers point
+  * queries with one-sided error: est ≥ true always, est ≤ true + εN
+  * with high probability (ε = e/w).
+  *
+  * Construction (d = 4 rows × w = 2048 columns):
+  *  - 60-bit key hash = first 15 md5 hex chars;
+  *  - row j's column via Kirsch–Mitzenmacher double hashing
+  *    p_j = (h1 + j·h2) mod w, h1 = low 30 bits, h2 = high 30 bits
+  *    forced odd (coprime to the power-of-two w) — d positions from ONE
+  *    md5, all integer arithmetic;
+  *  - cells = SUM aggregation over (row, pos) — the only shuffle
+  *    carries ≤ d·w rows per group whatever the corpus;
+  *  - probe: est(key) = min over rows of its d cells (an absent cell is
+  *    0 — the key was never seen).
+  */
+object CountMin {
+  val Depth = 4
+  val Width = 2048 // power of two: the odd KM step walks the full cycle
+
+  /** Fused null guard — a null key would silently fold into the cell
+    * grid under md5(NULL)'s engine-specific behavior. */
+  private def hash60(key: Column): Column =
+    coalesce(
+      when(key.isNull,
+        raise_error(lit("CountMin: null key — filter or impute nulls before sketching"))),
+      conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("bigint"))
+
+  /** Row j's column position for this key, in [0, Width). */
+  private def position(h: Column, j: Column): Column = {
+    val h1 = h.bitwiseAND(lit((1L << 30) - 1))
+    val h2 = shiftright(h, 30).bitwiseOR(lit(1L))
+    (h1 + j * h2) % lit(Width.toLong)
+  }
+
+  /** Mergeable cell state: ≤ [[Depth]]·[[Width]] (groupCols..., row,
+    * pos, cnt) rows per group. Merge of two sketches (across
+    * partitions, batches, or days) = SUM of matching cells; the same
+    * aggregation maintained by a streaming sum-agg is the windowed
+    * streaming form. */
+  def cells(df: DataFrame, groupCols: Seq[String], keyCol: String): DataFrame = {
+    val h = hash60(col(keyCol))
+    df.select(groupCols.map(col) :+
+        explode(transform(sequence(lit(0), lit(Depth - 1)), j =>
+          struct(j.cast("int").as("row"), position(h, j).as("pos")))).as("rp"): _*)
+      .groupBy(groupCols.map(col) :+ col("rp.row").as("row") :+
+        col("rp.pos").as("pos"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for a (small) watch-list of keys against prebuilt
+    * `cells`: (watch columns..., est). est is the min over the key's d
+    * cells; a key with any absent cell was never counted (est 0).
+    *
+    * Plan shape: the cell grid (≤ d·w rows per group) BROADCASTs as the
+    * build side of the probe's left join, so the watch-side rows are
+    * never shuffled; neither side scales with the corpus. */
+  def estimateFor(cellsDf: DataFrame, groupCols: Seq[String],
+                  watch: DataFrame, watchKeyCol: String): DataFrame = {
+    val h = hash60(col(watchKeyCol))
+    val probes = watch.select((col(watchKeyCol) +: groupCols.map(col)) :+
+      explode(transform(sequence(lit(0), lit(Depth - 1)), j =>
+        struct(j.cast("int").as("row"), position(h, j).as("pos")))).as("rp"): _*)
+      .select((col(watchKeyCol) +: groupCols.map(col)) :+
+        col("rp.row").as("row") :+ col("rp.pos").as("pos"): _*)
+    probes
+      .join(broadcast(cellsDf), groupCols ++ Seq("row", "pos"), "left")
+      .groupBy((col(watchKeyCol) +: groupCols.map(col)): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+}

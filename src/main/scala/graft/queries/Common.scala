@@ -88,4 +88,37 @@ object Common {
               $picks
        FROM rr GROUP BY 1"""
   }
+
+  /** DuckDB replay of [[graft.operators.CountMin]]: cells from a
+    * `(groupCols..., k)` `src` CTE, probes from a `(groupCols..., k)`
+    * `watch` CTE — md5 60-bit hash, Kirsch–Mitzenmacher positions
+    * mod 2048, SUM cells, est = min over the 4 probed cells (absent
+    * cell = 0), mirroring the operator term-for-term. With an empty
+    * `tail` the query SELECTs (k AS outKey, groupCols..., est); a
+    * non-empty `tail` continues the WITH chain after the `est` CTE
+    * (columns k, groupCols..., est). Shared by the relational and
+    * streaming CMS oracles so the two can never drift. */
+  def cmsOracleSql(srcSql: String, watchSql: String, grp: Seq[String],
+                   outKey: String, tail: String = ""): String = {
+    val gSel = grp.map(c => s"$c, ").mkString
+    val useCols = (grp ++ Seq("j", "pos")).mkString(", ")
+    val cellGrpNums = (1 to grp.length + 2).mkString(", ")
+    val estGrpNums = (1 to grp.length + 1).mkString(", ")
+    val h60 = "CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)"
+    val pos = "((h & ((1::BIGINT << 30) - 1)) + j * ((h >> 30) | 1)) % 2048"
+    val core =
+      s"""WITH src AS ($srcSql),
+         watch AS ($watchSql),
+         sh AS (SELECT $gSel$h60 AS h FROM src),
+         cells AS (SELECT ${gSel}j, $pos AS pos, count(*) AS cnt
+                   FROM sh, range(0, 4) r(j) GROUP BY $cellGrpNums),
+         wh AS (SELECT k, $gSel$h60 AS h FROM watch),
+         probes AS (SELECT k, ${gSel}j, $pos AS pos
+                    FROM wh, range(0, 4) r(j)),
+         est AS (SELECT k, ${gSel}min(coalesce(cnt, CAST(0 AS BIGINT))) AS est
+                 FROM probes LEFT JOIN cells USING ($useCols)
+                 GROUP BY $estGrpNums)"""
+    if (tail.isEmpty) s"$core SELECT k AS $outKey, ${gSel}est FROM est"
+    else s"$core $tail"
+  }
 }

@@ -163,6 +163,28 @@ object RelationalQueries {
       graft.operators.Hll.distinctEstimate(
         t(s, d, "events"), Seq("event_type"), "user_id")),
 
+    // frequency point-queries from CONSTANT state: the Count-Min grid
+    // (4×2048 integer cells, mergeable by addition) answers "how often
+    // did each watched key occur" without a per-key shuffle whose state
+    // grows with the key space. est ≥ exact always (one-sided error —
+    // the overcount column is the collision mass, ≥ 0 by construction);
+    // the exact side here is semi-join-bounded to the watch-list, so
+    // both sides stay scale-safe. Cells, estimates, and overcounts all
+    // replay exactly in SQL — the frequency analog of q_hll_distinct
+    "q_cms_estimate" -> ((s, d) => {
+      import graft.operators.CountMin
+      val ev = t(s, d, "events")
+      val sk = CountMin.cells(ev, Seq(), "user_id")
+      val watch = ev.filter(col("user_id") % 29 === 0)
+        .select("user_id").distinct()
+      val exact = ev.join(broadcast(watch), "user_id")
+        .groupBy("user_id").agg(count(lit(1)).as("exact"))
+      CountMin.estimateFor(sk, Seq(), watch, "user_id")
+        .join(exact, "user_id")
+        .select(col("user_id"), col("est"), col("exact"),
+          (col("est") - col("exact")).as("overcount"))
+    }),
+
     // exact multi-percentile report (p50/p90/p99 of value per type) by
     // RANK SELECTION — the value at row ceil(p·n) in (value, id) order.
     // percentile_cont interpolates in doubles (engine-dependent at the
@@ -357,6 +379,14 @@ object RelationalQueries {
          FROM orders GROUP BY 1""",
     "q_hll_distinct" -> Common.hllOracleSql(
       "SELECT event_type, user_id AS k FROM events", "event_type"),
+    "q_cms_estimate" -> Common.cmsOracleSql(
+      "SELECT user_id AS k FROM events",
+      "SELECT DISTINCT user_id AS k FROM events WHERE user_id % 29 = 0",
+      Seq(), "user_id",
+      tail = """, exact AS (SELECT user_id AS k, count(*) AS exact
+                  FROM events WHERE user_id % 29 = 0 GROUP BY 1)
+         SELECT e.k AS user_id, e.est, x.exact, e.est - x.exact AS overcount
+         FROM est e JOIN exact x ON e.k = x.k"""),
     "q_quantile_sketch" -> Common.quantileSketchOracleSql(
       "SELECT event_type, CAST(round(value*100) AS BIGINT) AS vc FROM events",
       "event_type", Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)),

@@ -43,6 +43,22 @@ object StreamQueries {
         .select(col("hour"), col("n").as("n_events"),
           (col("p50") / 100.0).as("p50"), (col("p95") / 100.0).as("p95"))
     }),
+    // per-day frequency watch-list via the Count-Min grid: state is
+    // per-(window, row, pos) SUMS — a plain streaming sum-agg maintains
+    // it incrementally (mergeable by addition, like the quantile
+    // sketch's bucket counts), ≤ 4·2048 rows of state per window
+    // however many events arrive; the watch-list probe reads only the
+    // tiny grid. Batch/stream parity spec'd in CountMinSpec
+    "stream_heavy_hitters" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.operators.CountMin
+      val ev = t(s, d, "events").select(
+        date_format(date_trunc("day", Events.tsCol(col("ts"))), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+      val watch = ev.filter(col("user_id") % 29 === 0).distinct()
+      CountMin.estimateFor(CountMin.cells(ev, Seq("day"), "user_id"),
+        Seq("day"), watch, "user_id")
+    }),
     "stream_sessionize" -> ((s, d) => Events.sessionize(t(s, d, "events"))),
     "stream_sliding_agg" -> ((s, d) => Events.slidingAgg(t(s, d, "events"))),
     "stream_dedup" -> ((s, d) => {
@@ -133,6 +149,12 @@ object StreamQueries {
     "stream_distinct_approx" -> Common.hllOracleSql(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                 user_id AS k FROM events""", "hour"),
+    "stream_heavy_hitters" -> Common.cmsOracleSql(
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                user_id AS k FROM events""",
+      """SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                user_id AS k FROM events WHERE user_id % 29 = 0""",
+      Seq("day"), "user_id"),
     "stream_quantile_approx" -> Common.quantileSketchOracleSql(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                 CAST(round(value*100) AS BIGINT) AS vc FROM events""",

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CountMin
+
+class CountMinSpec extends SparkSpec {
+  import spark.implicits._
+
+
+
+  test("estimates are one-sided: est >= exact for every probed key, est = 0 for absent keys") {
+    // 40k occurrences over 5k distinct keys in 2048 columns forces real
+    // collisions — the overestimate property must hold through them
+    val df = spark.range(40000).select(($"id" % 5000).as("k"))
+    val sk = CountMin.cells(df, Seq(), "k")
+    val watch = spark.range(200).select(($"id" * 25).as("k")) // present keys
+    val est = CountMin.estimateFor(sk, Seq(), watch, "k")
+      .as[(Long, Long)].collect().toMap
+    val exact = df.filter($"k" % 25 === 0).groupBy("k").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    exact.foreach { case (k, x) =>
+      assert(est(k) >= x, s"key $k: est ${est(k)} below exact $x — CMS must never undercount")
+    }
+    val absent = CountMin.estimateFor(sk, Seq(),
+      spark.range(5).select(($"id" + 1000000L).as("k")), "k")
+      .select($"est").as[Long].collect()
+    // absent keys may draw collision mass but usually floor at small
+    // values; what must hold is est >= 0 and no join-miss null
+    assert(absent.forall(_ >= 0L))
+  }
+
+  test("collision mass stays within the epsilon*N bound at the design load") {
+    val n = 40000
+    val df = spark.range(n.toLong).select(($"id" % 5000).as("k"))
+    val sk = CountMin.cells(df, Seq(), "k")
+    val watch = spark.range(200).select(($"id" * 25).as("k"))
+    val est = CountMin.estimateFor(sk, Seq(), watch, "k")
+      .as[(Long, Long)].collect().toMap
+    val exact = df.filter($"k" % 25 === 0).groupBy("k").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    // Markov bound per row is eps = e/w ~ 0.0013 -> eps*N ~ 53; the min
+    // over 4 independent rows is far tighter — allow the full eps*N
+    val bound = math.ceil(math.E / CountMin.Width * n).toLong
+    exact.foreach { case (k, x) =>
+      assert(est(k) - x <= bound,
+        s"key $k overcounted by ${est(k) - x}, above eps*N = $bound")
+    }
+  }
+
+  test("cell grid is bounded, partition-invariant, and mergeable by cell addition") {
+    val a = spark.range(3000).select(($"id" % 700).as("k"))
+    val b = spark.range(2000).select((($"id" % 500) + 300).as("k"))
+    val whole = CountMin.cells(a.unionAll(b), Seq(), "k")
+      .as[(Int, Long, Long)].collect().toMap2
+    assert(whole.size <= CountMin.Depth * CountMin.Width, "state must stay <= d*w cells")
+    val repart = CountMin.cells(a.unionAll(b).repartition(11), Seq(), "k")
+      .as[(Int, Long, Long)].collect().toMap2
+    assert(whole === repart, "sum cells must not depend on partitioning")
+    val merged = CountMin.cells(a, Seq(), "k").unionAll(CountMin.cells(b, Seq(), "k"))
+      .groupBy("row", "pos").agg(sum($"cnt").as("cnt"))
+      .as[(Int, Long, Long)].collect().toMap2
+    assert(merged === whole, "sketch(A union B) must equal cell-sum of the two sketches")
+  }
+
+  test("null key raises a named error") {
+    val ex = intercept[Exception] {
+      CountMin.cells(Seq[java.lang.Long](1L, null).toDF("k"), Seq(), "k").collect()
+    }
+    assert(ex.getMessage.contains("null key"))
+  }
+
+  test("streaming windowed cells equal the batch sketch (complete-mode parity)") {
+    import graft.streaming.Events
+    val stream = graft.sources.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(spark.read.parquet(s"$sf/events.parquet").schema)
+        .parquet(s"$sf/events.parque[t]"))
+    def daily(df: org.apache.spark.sql.DataFrame) = df.select(
+      date_format(date_trunc("day", Events.tsCol($"ts")), "yyyy-MM-dd").as("day"),
+      $"user_id")
+    val qy = CountMin.cells(daily(stream), Seq("day"), "user_id")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cms_cells").start()
+    qy.processAllAvailable(); qy.stop()
+    val viaStream = spark.table("cms_cells")
+      .as[(String, Int, Long, Long)].collect().toSet
+    val viaBatch = CountMin.cells(
+        daily(graft.sources.Tables.table(spark, sf, "events")), Seq("day"), "user_id")
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(viaStream === viaBatch, "stream and batch cell grids must be identical")
+  }
+
+  private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
+}
