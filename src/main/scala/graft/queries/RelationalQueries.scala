@@ -185,6 +185,36 @@ object RelationalQueries {
           (col("est") - col("exact")).as("overcount"))
     }),
 
+    // set algebra BETWEEN sketches — "how many customers appear in both
+    // order states" without a distinct-join over the full key sets: KMV
+    // sketches (k=256 smallest distinct md5 hashes, via the
+    // bounded-state MinKDistinct aggregate — map-side partials and
+    // merges carry ≤ k longs, no collect_set blow-up, no per-group
+    // single-reducer rank window) answer |A|, |B|, |A∪B|, Jaccard and
+    // |A∩B| from 2×256 longs. Exact sides emitted for the accuracy
+    // story; every estimate replays exactly in SQL
+    "q_kmv_intersect" -> ((s, d) => {
+      import graft.operators.Kmv
+      val o = t(s, d, "orders")
+      def keys(st: String) =
+        o.filter(col("o_orderstatus") === st).select(col("o_custkey").as("k"))
+      val a = Kmv.sketch(keys("O"), Seq(), "k").select(col("mins").as("ma"))
+      val b = Kmv.sketch(keys("F"), Seq(), "k").select(col("mins").as("mb"))
+      val exact = keys("O").distinct().intersect(keys("F").distinct())
+        .agg(count(lit(1)).as("exact_intersect"))
+        .crossJoin(keys("O").agg(countDistinct(col("k")).as("exact_a")))
+        .crossJoin(keys("F").agg(countDistinct(col("k")).as("exact_b")))
+      val u = Kmv.mergeMins(col("ma"), col("mb"))
+      val m = size(array_intersect(array_intersect(u, col("ma")), col("mb"))).cast("double")
+      a.crossJoin(b).crossJoin(exact).select(
+        Kmv.estimate(col("ma")).as("est_a"),
+        Kmv.estimate(col("mb")).as("est_b"),
+        Kmv.estimate(u).as("est_union"),
+        round(m / size(u).cast("double"), 6).as("kmv_jaccard"),
+        round(m / size(u).cast("double") * Kmv.estimate(u), 6).as("est_intersect"),
+        col("exact_a"), col("exact_b"), col("exact_intersect"))
+    }),
+
     // exact multi-percentile report (p50/p90/p99 of value per type) by
     // RANK SELECTION — the value at row ceil(p·n) in (value, id) order.
     // percentile_cont interpolates in doubles (engine-dependent at the
@@ -387,6 +417,38 @@ object RelationalQueries {
                   FROM events WHERE user_id % 29 = 0 GROUP BY 1)
          SELECT e.k AS user_id, e.est, x.exact, e.est - x.exact AS overcount
          FROM est e JOIN exact x ON e.k = x.k"""),
+    // term-for-term KMV replay: min-256 distinct md5 hashes per side,
+    // union = min-256 of the merged sets, estimator (k-1)*2^60/h_(k)
+    // under the same one-expression numerator product
+    "q_kmv_intersect" ->
+      """WITH ka AS (SELECT h FROM (SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                     FROM orders WHERE o_orderstatus = 'O') ORDER BY h LIMIT 256),
+            kb AS (SELECT h FROM (SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                     FROM orders WHERE o_orderstatus = 'F') ORDER BY h LIMIT 256),
+            ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 256),
+            sa AS (SELECT count(*) AS n, max(h) AS hk FROM ka),
+            sb AS (SELECT count(*) AS n, max(h) AS hk FROM kb),
+            su AS (SELECT count(*) AS n, max(h) AS hk FROM ku),
+            mm AS (SELECT count(*) AS m FROM ku
+                   WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+            ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersect FROM
+                     (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+                      INTERSECT
+                      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')),
+            xa AS (SELECT count(DISTINCT o_custkey) AS exact_a FROM orders WHERE o_orderstatus = 'O'),
+            xb AS (SELECT count(DISTINCT o_custkey) AS exact_b FROM orders WHERE o_orderstatus = 'F')
+         SELECT CASE WHEN sa.n < 256 THEN CAST(sa.n AS DOUBLE)
+                     ELSE round((255.0 * 1152921504606846976.0) / CAST(sa.hk AS DOUBLE), 6) END AS est_a,
+                CASE WHEN sb.n < 256 THEN CAST(sb.n AS DOUBLE)
+                     ELSE round((255.0 * 1152921504606846976.0) / CAST(sb.hk AS DOUBLE), 6) END AS est_b,
+                CASE WHEN su.n < 256 THEN CAST(su.n AS DOUBLE)
+                     ELSE round((255.0 * 1152921504606846976.0) / CAST(su.hk AS DOUBLE), 6) END AS est_union,
+                round(CAST(mm.m AS DOUBLE) / CAST(su.n AS DOUBLE), 6) AS kmv_jaccard,
+                round(CAST(mm.m AS DOUBLE) / CAST(su.n AS DOUBLE) *
+                      (CASE WHEN su.n < 256 THEN CAST(su.n AS DOUBLE)
+                            ELSE round((255.0 * 1152921504606846976.0) / CAST(su.hk AS DOUBLE), 6) END), 6) AS est_intersect,
+                exact_a, exact_b, exact_intersect
+         FROM sa, sb, su, mm, ex, xa, xb""",
     "q_quantile_sketch" -> Common.quantileSketchOracleSql(
       "SELECT event_type, CAST(round(value*100) AS BIGINT) AS vc FROM events",
       "event_type", Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)),
