@@ -226,6 +226,33 @@ object EtlQueries {
           min(col("mn")).as("min_qty_cents"), max(col("mx")).as("max_qty_cents"))
     }),
 
+    // Z-order layout audit: orders gridded 256×256 on (custkey,
+    // orderdate), Morton-interleaved, bucketed by the top 6 z-bits.
+    // Each bucket's min/max span on BOTH dimensions is what per-file
+    // stats would record after `ZOrder.layout` range-partitions on z —
+    // tight rectangles = file skipping on either filter column (the
+    // rectangle bound itself is spec-asserted in ZOrderSpec; here the
+    // full bucket/span table is hash-checked cross-engine)
+    "etl_zorder_layout" -> ((s, d) => {
+      import graft.etl.ZOrder
+      val bits = 8
+      val o = t(s, d, "orders").select(
+        col("o_custkey").as("ck"),
+        datediff(col("o_orderdate"), to_date(lit("1992-01-01"))).cast("bigint").as("dd"))
+      val bounds = o.agg(
+        min(col("ck")).as("ckmn"), max(col("ck")).as("ckmx"),
+        min(col("dd")).as("ddmn"), max(col("dd")).as("ddmx"))
+      o.crossJoin(broadcast(bounds))
+        .select(
+          ZOrder.cell(col("ck"), col("ckmn"), col("ckmx"), bits).as("xn"),
+          ZOrder.cell(col("dd"), col("ddmn"), col("ddmx"), bits).as("yn"))
+        .withColumn("z", ZOrder.interleave(col("xn"), col("yn"), bits))
+        .groupBy(shiftright(col("z"), 2 * bits - 6).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("xn")).as("x_min"), max(col("xn")).as("x_max"),
+          min(col("yn")).as("y_min"), max(col("yn")).as("y_max"))
+    }),
+
     // numeric coercion, errors -> null (Review_ETL.py:77)
     "etl_numeric_coerce" -> ((s, d) =>
       t(s, d, "orders")
@@ -237,6 +264,31 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Morton interleave replayed as the same statically-unrolled
+    // shift/mask/multiply sum; grid cells via explicit floor (bare
+    // double→int CAST rounds in DuckDB but truncates in Spark)
+    "etl_zorder_layout" -> {
+      val bits = 8
+      val terms = (0 until bits).map(i =>
+        s"((xn >> $i) & 1) * ${1L << (2 * i)} + ((yn >> $i) & 1) * ${1L << (2 * i + 1)}")
+        .mkString(" + ")
+      s"""WITH src AS (SELECT o_custkey AS ck,
+                              date_diff('day', DATE '1992-01-01', o_orderdate) AS dd
+                       FROM orders),
+            bounds AS (SELECT min(ck) AS ckmn, max(ck) AS ckmx,
+                              min(dd) AS ddmn, max(dd) AS ddmx FROM src),
+            cells AS (SELECT
+                CASE WHEN ckmx = ckmn THEN 0
+                     ELSE CAST(floor(CAST(ck - ckmn AS DOUBLE) * 255.0 / CAST(ckmx - ckmn AS DOUBLE)) AS BIGINT) END AS xn,
+                CASE WHEN ddmx = ddmn THEN 0
+                     ELSE CAST(floor(CAST(dd - ddmn AS DOUBLE) * 255.0 / CAST(ddmx - ddmn AS DOUBLE)) AS BIGINT) END AS yn
+              FROM src, bounds),
+            zz AS (SELECT xn, yn, $terms AS z FROM cells)
+         SELECT z >> ${2 * bits - 6} AS zbucket, count(*) AS n,
+                min(xn) AS x_min, max(xn) AS x_max,
+                min(yn) AS y_min, max(yn) AS y_max
+         FROM zz GROUP BY 1"""
+    },
     "etl_select_rename" ->
       "SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment FROM customer",
     "etl_dedup_key" ->
