@@ -62,6 +62,24 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** JOIN-SIZE estimate between two cell grids over the same group
+    * columns: the classic CM/AGMS inner product min_j Σ_pos a_j·b_j —
+    * the pre-flight planner statistic "how many rows will A ⋈ B on
+    * this key produce" answered from two 64 KiB sketches instead of
+    * running the join. One-sided like the point estimates: colliding
+    * keys only ADD cross products, so est ≥ the true join size, and
+    * the two grids join on ≤ d·w cells whatever the corpus. */
+  def joinSizeEstimate(cellsA: DataFrame, cellsB: DataFrame,
+                       groupCols: Seq[String] = Seq()): DataFrame = {
+    val a = cellsA.withColumnRenamed("cnt", "__ca")
+    val b = cellsB.withColumnRenamed("cnt", "__cb")
+    a.join(b, groupCols ++ Seq("row", "pos"))
+      .groupBy((groupCols.map(col) :+ col("row")): _*)
+      .agg(sum(col("__ca") * col("__cb")).as("__ip"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col("__ip")).as("est_join_size"))
+  }
+
   /** Point estimates for a (small) watch-list of keys against prebuilt
     * `cells`: (watch columns..., est). est is the min over the key's d
     * cells; a key with any absent cell was never counted (est 0).

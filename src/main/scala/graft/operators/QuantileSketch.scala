@@ -67,6 +67,28 @@ object QuantileSketch {
       .groupBy((groupCols.map(col) :+ col("bucket")): _*)
       .agg(count(lit(1)).as("cnt"))
 
+  /** WEIGHTED sketch: (groupCols…, bucket, cnt) with cnt = Σ weight —
+    * quantiles of the value distribution as seen through the weights
+    * (the corpus-engineering form: "the median TOKEN's document
+    * length", not the median document's). Weights are non-negative
+    * BIGINTs; the bucket sum stays integer and order-free, so
+    * mergeability and exact SQL replay carry over unchanged —
+    * [[quantiles]] consumes either sketch form. */
+  def sketchWeighted(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     weightCol: String): DataFrame = {
+    val w = coalesce(
+      when(col(weightCol).isNull || col(weightCol) < 0, raise_error(
+        lit("QuantileSketch: null or negative weight — filter or impute before sketching"))),
+      col(weightCol).cast("bigint"))
+    df.select(groupCols.map(col) :+ guarded(col(valueCol)).as("__v") :+ w.as("__w"): _*)
+      .withColumn("__s",
+        greatest(length(bin(col("__v"))) - 1 - SubBits, lit(0)).cast("bigint"))
+      .withColumn("bucket", col("__s") * Stride +
+        expr(s"__v div shiftleft(CAST(1 AS BIGINT), CAST(__s AS INT))"))
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(sum(col("__w")).as("cnt"))
+  }
+
   /** Merge sketches over the same group columns: count addition —
     * exact, order-free, the whole reason the sketch exists. */
   def merge(a: DataFrame, b: DataFrame): DataFrame = {

@@ -64,17 +64,22 @@ object Common {
     * representable double, so the hash compare is bit-exact. Shared by
     * the relational and streaming quantile oracles. */
   def quantileSketchOracleSql(srcSql: String, groupCol: String,
-                              qs: Seq[(String, Double)]): String = {
+                              qs: Seq[(String, Double)],
+                              weighted: Boolean = false,
+                              outScale: String = "/ 100.0",
+                              nName: String = "n_events"): String = {
     val picks = qs.map { case (name, q) =>
-      s"min(CASE WHEN cum >= ceil(n * $q) THEN rep END) / 100.0 AS $name"
+      s"min(CASE WHEN cum >= ceil(n * $q) THEN rep END) $outScale AS $name"
     }.mkString(",\n              ")
+    val wSel = if (weighted) ", w" else ""
+    val cnt = if (weighted) "CAST(sum(w) AS BIGINT)" else "count(*)"
     s"""WITH src AS ($srcSql),
-         bb AS (SELECT $groupCol, vc,
+         bb AS (SELECT $groupCol, vc$wSel,
                        CAST(greatest(length(bin(vc)) - 1 - 6, 0) AS BIGINT) AS s
                 FROM src),
          sk AS (SELECT $groupCol,
                        s * 128 + vc // CAST(pow(2.0, CAST(s AS DOUBLE)) AS BIGINT) AS bucket,
-                       count(*) AS cnt
+                       $cnt AS cnt
                 FROM bb GROUP BY 1, 2),
          cc AS (SELECT $groupCol, bucket, cnt,
                        CAST(sum(cnt) OVER (PARTITION BY $groupCol ORDER BY bucket) AS BIGINT) AS cum,
@@ -84,7 +89,7 @@ object Common {
                        (2.0 * CAST(bucket % 128 AS DOUBLE) * pow(2.0, CAST(bucket // 128 AS DOUBLE))
                          + (pow(2.0, CAST(bucket // 128 AS DOUBLE)) - 1.0)) / 2.0 AS rep
                 FROM cc)
-       SELECT $groupCol, CAST(max(n) AS BIGINT) AS n_events,
+       SELECT $groupCol, CAST(max(n) AS BIGINT) AS $nName,
               $picks
        FROM rr GROUP BY 1"""
   }

@@ -185,6 +185,24 @@ object RelationalQueries {
           (col("est") - col("exact")).as("overcount"))
     }),
 
+    // pre-flight JOIN-SIZE estimation — the planner statistic "how many
+    // rows will orders ⋈ customer produce on custkey" answered from two
+    // 64 KiB CMS grids via the classic CM/AGMS inner product
+    // min_j Σ_pos a·b, without running the join; est ≥ exact always
+    // (collisions only add cross products). Exact side emitted for the
+    // accuracy story; everything replays in SQL
+    "q_cms_join_size" -> ((s, d) => {
+      import graft.operators.CountMin
+      val est = CountMin.joinSizeEstimate(
+        CountMin.cells(t(s, d, "orders").select(col("o_custkey").as("k")), Seq(), "k"),
+        CountMin.cells(t(s, d, "customer").select(col("c_custkey").as("k")), Seq(), "k"))
+      val exact = t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("exact_join_size"))
+      est.crossJoin(exact).select(col("est_join_size"), col("exact_join_size"),
+        (col("est_join_size") - col("exact_join_size")).as("overcount"))
+    }),
+
     // set algebra BETWEEN sketches — "how many customers appear in both
     // order states" without a distinct-join over the full key sets: KMV
     // sketches (k=256 smallest distinct md5 hashes, via the
@@ -417,6 +435,22 @@ object RelationalQueries {
                   FROM events WHERE user_id % 29 = 0 GROUP BY 1)
          SELECT e.k AS user_id, e.est, x.exact, e.est - x.exact AS overcount
          FROM est e JOIN exact x ON e.k = x.k"""),
+    // CM inner-product replay: both grids rebuilt cell-for-cell, per-row
+    // dot products, min over rows; exact side is the plain join count
+    "q_cms_join_size" ->
+      """WITH ha AS (SELECT CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM orders),
+            ca AS (SELECT j, ((h & ((1::BIGINT << 30) - 1)) + j * ((h >> 30) | 1)) % 2048 AS pos, count(*) AS cnt
+                   FROM ha, range(0, 4) r(j) GROUP BY 1, 2),
+            hb AS (SELECT CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM customer),
+            cb AS (SELECT j, ((h & ((1::BIGINT << 30) - 1)) + j * ((h >> 30) | 1)) % 2048 AS pos, count(*) AS cnt
+                   FROM hb, range(0, 4) r(j) GROUP BY 1, 2),
+            ip AS (SELECT a.j, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS ip
+                   FROM ca a JOIN cb b ON a.j = b.j AND a.pos = b.pos GROUP BY 1),
+            e AS (SELECT min(ip) AS est_join_size FROM ip),
+            x AS (SELECT count(*) AS exact_join_size FROM orders JOIN customer ON o_custkey = c_custkey)
+         SELECT est_join_size, exact_join_size,
+                est_join_size - exact_join_size AS overcount
+         FROM e, x""",
     // term-for-term KMV replay: min-256 distinct md5 hashes per side,
     // union = min-256 of the merged sets, estimator (k-1)*2^60/h_(k)
     // under the same one-expression numerator product

@@ -426,6 +426,22 @@ object TextQueries {
         md5(normalizeText(col("text"))).as("norm_hash"),
         length(normalizeText(col("text"))).as("norm_len"))),
 
+    // the corpus length distribution as the TRAINING TOKENS see it, not
+    // as documents do: per-lang char-length quantiles weighted by token
+    // count — the stat behind sequence-length/packing decisions (a few
+    // giant docs dominate token mass long before they dominate doc
+    // count). Weighted mergeable sketch: bucket counts = Σ weight,
+    // still integer, order-free, and SQL-replayable
+    "ta_weighted_quantile" -> ((s, d) =>
+      graft.operators.QuantileSketch.quantiles(
+          graft.operators.QuantileSketch.sketchWeighted(
+            t(s, d, "documents").select(col("lang"),
+              length(col("text")).as("clen"),
+              size(tokens(col("text"))).cast("bigint").as("ws")),
+            Seq("lang"), "clen", "ws"),
+          Seq("lang"), Seq("p50" -> 0.5, "p90" -> 0.9))
+        .withColumnRenamed("n", "n_tokens")),
+
     "ta_tokens" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("source"), size(tokens(col("text"))).as("ws"), bpeishCount(col("text")).as("bpe"))
@@ -944,6 +960,11 @@ object TextQueries {
                 md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
                 len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_len
          FROM documents""",
+    "ta_weighted_quantile" -> Common.quantileSketchOracleSql(
+      """SELECT lang, CAST(length(text) AS BIGINT) AS vc,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS w FROM documents""",
+      "lang", Seq("p50" -> 0.5, "p90" -> 0.9),
+      weighted = true, outScale = "", nName = "n_tokens"),
     "ta_tokens" ->
       """SELECT source, count(*) AS n_docs,
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws,

@@ -62,6 +62,35 @@ class CountMinSpec extends SparkSpec {
     assert(merged === whole, "sketch(A union B) must equal cell-sum of the two sketches")
   }
 
+  test("join-size estimate is one-sided and exact for collision-free key sets") {
+    // 100 distinct keys in 2048 columns: collisions are possible but
+    // the inner product must never undercount; with multiplicities
+    // a=3, b=2 per key the true join size is 100*3*2 = 600
+    val a = spark.range(300).select(($"id" % 100).as("k"))
+    val b = spark.range(200).select(($"id" % 100).as("k"))
+    val est = CountMin.joinSizeEstimate(
+        CountMin.cells(a, Seq(), "k"), CountMin.cells(b, Seq(), "k"))
+      .as[Long].head()
+    assert(est >= 600L, s"join-size est $est undercounts the true 600")
+    assert(est <= 700L, s"join-size est $est far above the true 600 at this load")
+  }
+
+  test("join-size estimate stays near truth under a heavy shared-key load") {
+    val a = spark.range(30000).select(($"id" % 3000).as("k"))
+    val b = spark.range(20000).select((($"id" % 2000) + 1000).as("k"))
+    val est = CountMin.joinSizeEstimate(
+        CountMin.cells(a, Seq(), "k"), CountMin.cells(b, Seq(), "k"))
+      .as[Long].head()
+    val exact = a.join(b, "k").count()
+    assert(est >= exact, "inner product must never undercount")
+    // the CM join-size guarantee is ADDITIVE: est <= exact + eps*|a|*|b|
+    // with eps = e/w (expected collision mass |a|*|b|/w ~ 293k here, the
+    // same order as the true size — this load is the estimator's edge)
+    val additive = (math.E / CountMin.Width * 30000.0 * 20000.0).toLong
+    assert(est <= exact + additive,
+      s"est $est above exact $exact + additive bound $additive")
+  }
+
   test("null key raises a named error") {
     val ex = intercept[Exception] {
       CountMin.cells(Seq[java.lang.Long](1L, null).toDF("k"), Seq(), "k").collect()

@@ -82,6 +82,46 @@ class QuantileSketchSpec extends SparkSpec {
     assert(out === ((50.0, 99.0)))
   }
 
+  test("weighted sketch with unit weights equals the plain sketch; weights equal row repetition") {
+    val df = spark.range(2000).select(($"id" % 3).as("g"),
+      (($"id" * 37) % 500 + 1).as("v"), (($"id" % 5) + 1).as("w"))
+    val unit = QuantileSketch.sketch(df, Seq("g"), "v")
+      .as[(Long, Long, Long)].collect().toSet
+    val unitW = QuantileSketch.sketchWeighted(
+        df.withColumn("one", org.apache.spark.sql.functions.lit(1L)), Seq("g"), "v", "one")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(unitW === unit, "weight 1 must reduce to the unweighted sketch")
+    // integer weights = the sketch of the row-repeated frame, exactly
+    val repeated = df.select($"g", $"v",
+      explode(sequence(lit(1), $"w".cast("int"))).as("i"))
+    val viaRepeat = QuantileSketch.sketch(repeated, Seq("g"), "v")
+      .as[(Long, Long, Long)].collect().toSet
+    val viaWeight = QuantileSketch.sketchWeighted(df, Seq("g"), "v", "w")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaWeight === viaRepeat, "weighted counts must equal row repetition")
+  }
+
+  test("weighted quantiles track the exact weighted median within the error bound") {
+    val df = spark.range(5000).select(lit("g").as("g"),
+      (($"id" * 97) % 4000 + 16).as("v"), (($"id" % 7) + 1).as("w"))
+    val est = QuantileSketch.quantiles(
+        QuantileSketch.sketchWeighted(df, Seq("g"), "v", "w"),
+        Seq("g"), Seq("p50" -> 0.5))
+      .select($"p50").as[Double].head()
+    val exact = df.select($"v", explode(sequence(lit(1), $"w".cast("int"))))
+      .stat.approxQuantile("v", Array(0.5), 0.0).head
+    assert(math.abs(est - exact) / exact <= 1.0 / 128.0 + 1e-9,
+      s"weighted p50 est $est vs exact $exact outside 2^-7")
+  }
+
+  test("null and negative weights raise the fused guard") {
+    val bad = Seq((1L, 5L, -1L)).toDF("g", "v", "w")
+    val ex = intercept[Exception] {
+      QuantileSketch.sketchWeighted(bad, Seq("g"), "v", "w").collect()
+    }
+    assert(ex.getMessage.contains("negative weight"))
+  }
+
   test("streaming windowed sketch equals the batch sketch (complete-mode parity)") {
     // the sketch state is per-(window, bucket) COUNTS — a streaming
     // sum-agg maintains it incrementally with ≤ ~7.4k rows of state per
