@@ -17,12 +17,22 @@ import org.apache.spark.sql.functions._
   * slip through. The filter is pure performance; the answer stays exact.
   *
   * Construction (m = 2^16 bits in 63-bit words, k = 4 probes):
-  *  - 60-bit gram hash = first 15 md5 hex chars (the [[Hll]] trick);
+  *  - every filter instance is keyed by a 60-bit PREHASH column. Raw
+  *    keys get [[hashed]] (md5, the [[Hll]] trick); keys that are
+  *    ALREADY uniform hashes — the decontamination grams are md5-derived
+  *    31-bit ints — get [[widen31]], ONE integer multiply. The md5 form
+  *    costs a per-row md5 on the probe side, which Catalyst happily
+  *    re-inlines through projection pushdown; the probe path must stay
+  *    pure integer ops, so prefer widen31 whenever the key is a hash;
   *  - probe positions via Kirsch–Mitzenmacher double hashing:
   *    p_i = (h1 + i·h2) mod m with h1 = low 30 bits, h2 = high 30 bits
   *    forced odd (coprime to the power-of-two m ⇒ full cycle) — k
-  *    positions from ONE md5, all integer arithmetic, so the whole
+  *    positions from one prehash, all integer arithmetic, so the whole
   *    bitset replays exactly in any engine;
+  *  - the probe is STATICALLY EXPANDED (k literal tests AND-chained, no
+  *    higher-order-function lambdas): lambdas evaluate interpreted and
+  *    re-evaluate the captured hash per element — the shape that made
+  *    the first cut of this operator 4× slower than the exact path;
   *  - words hold 63 bits, not 64: the max shift is 62, inside BIGINT
   *    range for every SQL engine (a 1<<63 overflows or raises
   *    engine-dependently — same reason [[Hll]] caps its shifts at 51);
@@ -42,41 +52,52 @@ object Bloom {
   val WordBits = 63               // max shift 62 — BIGINT-safe everywhere
   val WordCount: Int = (Bits + WordBits - 1) / WordBits // 1041 → ~8 KiB
   val K = 4                       // probes per key; FP ≈ (n·k/m)^k
+  /** widen31's multiplier: an odd ~2^29 prime — (gh·c) stays under 2^60
+    * (no BIGINT overflow for 31-bit inputs), low bits are a bijection of
+    * gh mod 2^30, high bits are Fibonacci-style mixed. */
+  val Widen31Mult = 536870923L
 
-  /** 60-bit md5 integer of the key's string form (null-hostile: a null
-    * key in a membership filter is an upstream modeling bug). */
-  private def hash60(key: Column): Column =
+  private def nullGuard(key: Column, pre: Column): Column =
     coalesce(
       when(key.isNull,
         raise_error(lit("Bloom: null key — filter or impute nulls before building/probing"))),
+      pre)
+
+  /** 60-bit prehash for ARBITRARY keys: one md5 on the string form. */
+  def hashed(key: Column): Column =
+    nullGuard(key,
       conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("bigint"))
 
-  /** The i-th probe's absolute bit position in [0, Bits). */
-  private def position(h: Column, i: Column): Column = {
+  /** 60-bit prehash for keys that are ALREADY uniform 31-bit hashes
+    * (e.g. `hash31` gram hashes): one integer multiply — the probe side
+    * stays md5-free however Catalyst rewrites the plan. */
+  def widen31(gh: Column): Column =
+    nullGuard(gh, gh * lit(Widen31Mult))
+
+  /** The i-th probe's absolute bit position in [0, Bits). `i` is a
+    * compile-time literal — positions are statically expanded. */
+  private def position(h: Column, i: Int): Column = {
     val h1 = h.bitwiseAND(lit((1L << 30) - 1))
     val h2 = shiftright(h, 30).bitwiseOR(lit(1L)) // odd step: full-cycle mod 2^16
-    (h1 + i * h2) % lit(Bits.toLong)
+    (h1 + lit(i.toLong) * h2) % lit(Bits.toLong)
   }
 
-  /** Mergeable bitset state: ≤ [[WordCount]] (word, bits) rows. The only
-    * shuffle carries word-indexed longs — constant in the key-set size. */
-  def wordRows(keys: DataFrame, keyCol: String): DataFrame = {
-    val h = hash60(col(keyCol))
-    keys
-      .select(explode(transform(sequence(lit(0), lit(K - 1)),
-        i => position(h, i))).as("pos"))
+  /** Mergeable bitset state from a PREHASH column: ≤ [[WordCount]]
+    * (word, bits) rows. The only shuffle carries word-indexed longs —
+    * constant in the key-set size. */
+  def wordRowsHashed(pre: DataFrame, hCol: String): DataFrame =
+    pre
+      .select(explode(array((0 until K).map(i => position(col(hCol), i)): _*)).as("pos"))
       .groupBy((col("pos") / WordBits).cast("bigint").as("word"))
       .agg(bit_or(call_function("shiftleft", lit(1L),
         (col("pos") % WordBits).cast("int"))).as("bits"))
-  }
 
-  /** The filter densified into ONE row: `words` = array of [[WordCount]]
-    * longs (absent words 0). Broadcast this and probe map-side.
-    * Empty-input guard fused like [[Decontaminate.semanticOverlap]]'s: an
-    * empty filter would pass NOTHING through the prefilter — silently
-    * declaring a dirty corpus clean, the one wrong direction. */
-  def build(keys: DataFrame, keyCol: String): DataFrame =
-    wordRows(keys, keyCol)
+  /** [[wordRowsHashed]] over raw (md5-prehashed) keys. */
+  def wordRows(keys: DataFrame, keyCol: String): DataFrame =
+    wordRowsHashed(keys.select(hashed(col(keyCol)).as("__h")), "__h")
+
+  private def densify(rows: DataFrame): DataFrame =
+    rows
       .agg(map_from_entries(collect_list(struct(col("word"), col("bits")))).as("wm"))
       .select(transform(sequence(lit(0), lit(WordCount - 1)), w =>
         coalesce(
@@ -84,17 +105,34 @@ object Bloom {
             raise_error(lit("Bloom: empty key set — an empty filter passes everything"))),
           element_at(col("wm"), w.cast("bigint")), lit(0L))).as("words"))
 
-  /** Membership probe of `key` against the packed `words` array column:
-    * true iff all K probed bits are set. Pure column expression —
-    * compose into any map-side filter. */
-  def mightContain(key: Column, words: Column): Column = {
-    val h = hash60(key)
-    forall(sequence(lit(0), lit(K - 1)), i => {
+  /** The filter densified into ONE row: `words` = array of [[WordCount]]
+    * longs (absent words 0). Broadcast this and probe map-side.
+    * Empty-input guard fused like [[Decontaminate.semanticOverlap]]'s: an
+    * empty filter would pass NOTHING through the prefilter — silently
+    * declaring a dirty corpus clean, the one wrong direction. */
+  def build(keys: DataFrame, keyCol: String): DataFrame =
+    densify(wordRows(keys, keyCol))
+
+  /** [[build]] from a PREHASH column ([[widen31]]/[[hashed]] output). */
+  def buildHashed(pre: DataFrame, hCol: String): DataFrame =
+    densify(wordRowsHashed(pre, hCol))
+
+  /** Membership probe of a raw `key` against the packed `words` array
+    * column (md5 path — for hash-typed keys prehash with [[widen31]]
+    * and use [[mightContainHashed]]). */
+  def mightContain(key: Column, words: Column): Column =
+    mightContainHashed(hashed(key), words)
+
+  /** Probe from a prehash column: true iff all K probed bits are set.
+    * Statically expanded AND chain of integer shifts/masks — fully
+    * codegen'd, no lambdas, cheap even when Catalyst re-inlines the
+    * prehash expression K times. */
+  def mightContainHashed(h: Column, words: Column): Column =
+    (0 until K).map { i =>
       val p = position(h, i)
       call_function("shiftright", element_at(words, ((p / WordBits) + 1).cast("int")),
         (p % WordBits).cast("int")).bitwiseAND(lit(1L)) === 1L
-    })
-  }
+    }.reduce(_ && _)
 
   /** Bloom-accelerated [[Decontaminate.overlap]]: EXACTLY the same
     * answer — per-document count of distinct n-gram hashes shared with
@@ -102,7 +140,9 @@ object Bloom {
     * 8 KiB filter before the exact confirm join ever sees it. The
     * confirm join's build side is the benchmark gram set as before, but
     * its probe side is now only the filter's survivors (true hits + the
-    * ~(nk/m)^k false-positive trickle), not every corpus gram.
+    * ~(nk/m)^k false-positive trickle), not every corpus gram. The gram
+    * hashes are already uniform, so the filter runs on [[widen31]] —
+    * the whole probe is integer ops.
     */
   def prefilteredOverlap(docs: DataFrame, benchmark: DataFrame,
                          textCol: String, idCol: String, n: Int): DataFrame = {
@@ -111,11 +151,12 @@ object Bloom {
       .select(col(idCol),
         explode(array_distinct(transform(wordNgrams(col(textCol), n), hash31(_)))).as("gh"))
     val benchGrams = grams(benchmark).select("gh").distinct()
-    val filter = broadcast(build(benchGrams, "gh"))
+    val filter = broadcast(buildHashed(
+      benchGrams.select(widen31(col("gh")).as("__h")), "__h"))
     val exact = broadcast(benchGrams)
     grams(docs)
       .crossJoin(filter)
-      .filter(mightContain(col("gh"), col("words")))
+      .filter(mightContainHashed(widen31(col("gh")), col("words")))
       .drop("words")
       .join(exact, "gh")
       .groupBy(idCol)

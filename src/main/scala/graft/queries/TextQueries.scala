@@ -309,7 +309,8 @@ object TextQueries {
         .select(explode(array_distinct(transform(
           wordNgrams(col("text"), 3), hash31(_)))).as("gh"))
         .distinct()
-      graft.operators.Bloom.wordRows(bench, "gh")
+      graft.operators.Bloom.wordRowsHashed(
+          bench.select(graft.operators.Bloom.widen31(col("gh")).as("h")), "h")
         .withColumn("n_set", bit_count(col("bits")).cast("bigint"))
     }),
 
@@ -853,18 +854,16 @@ object TextQueries {
             b AS (SELECT DISTINCT gh FROM g WHERE doc_id % 89 = 0)
          SELECT doc_id, count(*) AS n_hit_grams
          FROM g JOIN b USING (gh) GROUP BY doc_id""",
-    // bit-for-bit Bloom bitset replay: 60-bit md5 hash, Kirsch-
-    // Mitzenmacher positions (h1 + i*h2) mod 2^16 with odd h2, 63-bit
-    // words, bit_or merge — mirrors operators/Bloom term-for-term
+    // bit-for-bit Bloom bitset replay: widen31 prehash (gh · 536870923),
+    // Kirsch-Mitzenmacher positions (h1 + i*h2) mod 2^16 with odd h2,
+    // 63-bit words, bit_or merge — mirrors operators/Bloom term-for-term
     "ta_bloom_bitset" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
             g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
                     i -> CAST(concat('0x', substr(md5(ws[CAST(i AS INT)] || '_' || ws[CAST(i AS INT)+1] || '_' || ws[CAST(i AS INT)+2]), 1, 8)) AS BIGINT) % 2147483647))) AS gh
                   FROM w),
             b AS (SELECT DISTINCT gh FROM g WHERE doc_id % 89 = 0),
-            hh AS (SELECT gh,
-                          CAST(concat('0x', substr(md5(CAST(gh AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-                   FROM b),
+            hh AS (SELECT gh, gh * 536870923 AS h FROM b),
             pp AS (SELECT ((h & ((1::BIGINT << 30) - 1)) + i * ((h >> 30) | 1)) % 65536 AS pos
                    FROM hh, range(0, 4) r(i))
          SELECT pos // 63 AS word,

@@ -27,6 +27,22 @@ class BloomSpec extends SparkSpec {
     assert(fp <= 6, s"false-positive count $fp far above the design rate")
   }
 
+  test("widen31 prehash path: no false negatives and a sane FP rate for hash-typed keys") {
+    // keys shaped like hash31 output: uniform-ish 31-bit ints
+    val ins = (0 until 1000).map(i => (i * 2654435761L) % 2147483647L)
+    val probes = (0 until 4000).map(i => (i * 104729L + 7) % 2147483647L)
+      .filterNot(ins.toSet)
+    def pre(xs: Seq[Long]) = xs.toDF("gh")
+      .select(Bloom.widen31($"gh").as("h"))
+    val filter = broadcast(Bloom.buildHashed(pre(ins), "h"))
+    val misses = pre(ins).crossJoin(filter)
+      .filter(!Bloom.mightContainHashed($"h", $"words")).count()
+    assert(misses === 0, "widen31 path must never miss an inserted key")
+    val fp = pre(probes).crossJoin(filter)
+      .filter(Bloom.mightContainHashed($"h", $"words")).count()
+    assert(fp <= 10, s"widen31 FP count $fp far above the design rate")
+  }
+
   test("bitset is partition-invariant and mergeable by bit_or of word rows") {
     val a = (0L until 300L).map(_ * 3L)
     val b = (0L until 300L).map(_ * 5L)
