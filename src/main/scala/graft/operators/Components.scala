@@ -100,10 +100,18 @@ object Components {
       // would be re-embedded in EVERY consuming plan (keepRepresentatives
       // joins it against the corpus) and serialized with each job —
       // parallelize ships it to executors once and the consumers read
-      // distributed partitions like any other frame
+      // distributed partitions like any other frame. One thing the
+      // LocalRelation DID carry is a size statistic: without it the
+      // consumers' label joins fall back to sort-merge and shuffle the
+      // corpus (measured 2.4 s → 6 s on keepRepresentatives). The driver
+      // knows the exact label count here, so restore broadcastability
+      // explicitly while the label set is genuinely broadcast-sized.
       val labelsRdd = sparkForCollect.sparkContext.parallelize(
         ids.toSeq, math.max(1, math.min(64, ids.size / 250000 + 1)))
-      return ComponentsRun(labelsRdd.toDF("id", "comp"), converged = true, rounds = 0)
+      val labelsDf = labelsRdd.toDF("id", "comp")
+      return ComponentsRun(
+        if (ids.size <= 2000000) labelsDf.hint("broadcast") else labelsDf,
+        converged = true, rounds = 0)
     }
     val edges = half.union(half.select(col("d").as("s"), col("s").as("d")))
       .distinct().cache()

@@ -53,6 +53,20 @@ class RecoverySpec extends SparkSpec {
     assert(r.labels.filter($"comp" =!= 0L).isEmpty, "all nodes must reach root 0")
   }
 
+  test("fast-path labels broadcast into consumer joins (no corpus shuffle)") {
+    // the RDD-backed labels frame carries no size statistic; the fast
+    // path must restore broadcastability explicitly or every consumer
+    // label-join falls back to sort-merge and shuffles the corpus
+    // (measured 2.4 s -> 6 s on dedup_keep_representatives at sf0.1)
+    val labels = Components.run(chain(100), "id_a", "id_b").labels
+    val corpus = spark.range(5000).select($"id", ($"id" % 100).as("x"))
+    val plan = corpus.join(labels, Seq("id"), "left")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"fast-path labels must broadcast into consumer joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "corpus must not shuffle for the label join")
+  }
+
   test("driver union-find fast path labels exactly match the distributed fixpoint") {
     // adversarial mix: a chain (deep), a star (wide), self-loops,
     // duplicate + reversed edges, and ids far from dense 0..n
