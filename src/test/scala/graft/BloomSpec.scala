@@ -43,6 +43,32 @@ class BloomSpec extends SparkSpec {
     assert(fp <= 10, s"widen31 FP count $fp far above the design rate")
   }
 
+  test("sizing matters: a saturated default filter passes ~everything, a 10-bits/key one stays selective") {
+    // 50k keys: load n*k/m = 3.05 on the 2^16 default (FP ~ 0.8), vs
+    // 0.19 on a 2^20 filter (FP ~ 1e-3) — the object doc's sizing rule
+    val ins = (0L until 50000L).map(i => (i * 2654435761L) % 2147483647L)
+    val probes = (0L until 2000L).map(i => (i * 104729L + 13) % 2147483647L)
+      .filterNot(ins.toSet)
+    def pre(xs: Seq[Long]) = xs.toDF("gh").select(Bloom.widen31($"gh").as("h"))
+    def fpCount(bits: Int): Long = {
+      val f = broadcast(Bloom.buildHashed(pre(ins), "h", bits))
+      pre(probes).crossJoin(f)
+        .filter(Bloom.mightContainHashed($"h", $"words", bits)).count()
+    }
+    val saturated = fpCount(1 << 16)
+    val sized = fpCount(1 << 20)
+    assert(saturated > probes.length / 2,
+      s"expected the overloaded default to saturate, FP=$saturated/${probes.length}")
+    assert(sized <= 20, s"sized filter must stay selective, FP=$sized/${probes.length}")
+  }
+
+  test("bits must be a power of two; build and probe reject bad sizes") {
+    val ex = intercept[IllegalArgumentException] {
+      Bloom.build(keysOf(Seq(1L)), "k", bits = 1000)
+    }
+    assert(ex.getMessage.contains("power of two"))
+  }
+
   test("bitset is partition-invariant and mergeable by bit_or of word rows") {
     val a = (0L until 300L).map(_ * 3L)
     val b = (0L until 300L).map(_ * 5L)
