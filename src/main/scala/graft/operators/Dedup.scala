@@ -33,6 +33,31 @@ object Dedup {
       .groupBy("text_hash")
       .agg(min(col(idCol)).as("keep_id"), (count(lit(1)) - 1).as("n_dups"))
 
+  /** INCREMENTAL exact dedup — the daily-crawl shape: which documents of
+    * the NEW batch are genuinely new against the accumulated history?
+    * Collapses the batch to one representative per digest (min id), then
+    * anti-joins the history's digest set — the batch never rescans
+    * history text, only its digests.
+    *
+    * Plan shape at 100 TB: both sides reduce to 16-byte digests
+    * map-side; the anti-join shuffles digests only (batch side is a
+    * day's crawl, history side one digest per distinct doc ever seen).
+    * Store the history digest frame bucketed by `text_hash` and the
+    * exchange on the history side disappears entirely — the same
+    * bucketing contract as [[graft.sinks]]' bucketed join sinks.
+    *
+    * @return (idCol, text_hash) — the batch's surviving representatives
+    */
+  def incrementalExact(history: DataFrame, batch: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    val hist = history.select(md5(col(textCol)).as("text_hash")).distinct()
+    batch.select(md5(col(textCol)).as("text_hash"), col(idCol))
+      .groupBy("text_hash")
+      .agg(min(col(idCol)).as(idCol))
+      .join(hist, Seq("text_hash"), "left_anti")
+      .select(col(idCol), col("text_hash"))
+  }
+
   /** Per-doc MinHash signature + LSH band keys. Zero-shuffle projection:
     * one md5 per distinct shingle (→ 31-bit int), then k universal-hash
     * mins over the int array. */

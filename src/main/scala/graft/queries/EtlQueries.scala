@@ -253,6 +253,31 @@ object EtlQueries {
           min(col("yn")).as("y_min"), max(col("yn")).as("y_max"))
     }),
 
+    // single-pass data profiling: per column n/nulls/distinct-est/min/max
+    // — one multi-aggregate scan for the basics, one KMV-sketch pass for
+    // distincts (EXACT below 256 — the enum columns a profiler most
+    // needs right; ~6% RSE above). String forms follow the repo's
+    // cross-engine rules (cents for money, formatted dates)
+    "etl_profile" -> ((s, d) => {
+      import graft.etl.Profile.ColumnSpec
+      val o = t(s, d, "orders")
+      val pc = cents(col("o_totalprice"))
+      val fdate = date_format(col("o_orderdate"), "yyyy-MM-dd")
+      val statusNullable = nullif(col("o_orderstatus"), lit("P"))
+      graft.etl.Profile.profile(o, Seq(
+        ColumnSpec("o_orderstatus", col("o_orderstatus"),
+          min(col("o_orderstatus")).cast("string"), max(col("o_orderstatus")).cast("string")),
+        ColumnSpec("o_orderpriority", col("o_orderpriority"),
+          min(col("o_orderpriority")).cast("string"), max(col("o_orderpriority")).cast("string")),
+        ColumnSpec("o_custkey", col("o_custkey").cast("string"),
+          min(col("o_custkey")).cast("string"), max(col("o_custkey")).cast("string")),
+        ColumnSpec("o_totalprice_cents", pc.cast("string"),
+          min(pc).cast("string"), max(pc).cast("string")),
+        ColumnSpec("o_orderdate", fdate, min(fdate), max(fdate)),
+        ColumnSpec("o_status_nullable", statusNullable,
+          min(statusNullable).cast("string"), max(statusNullable).cast("string"))))
+    }),
+
     // numeric coercion, errors -> null (Review_ETL.py:77)
     "etl_numeric_coerce" -> ((s, d) =>
       t(s, d, "orders")
@@ -264,6 +289,39 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // per-column stats + KMV distinct replay, one CTE pair per column;
+    // generated from the same column list as the Spark side
+    "etl_profile" -> {
+      val cols: Seq[(String, String, String, String)] = Seq(
+        ("o_orderstatus", "o_orderstatus",
+          "CAST(min(o_orderstatus) AS VARCHAR)", "CAST(max(o_orderstatus) AS VARCHAR)"),
+        ("o_orderpriority", "o_orderpriority",
+          "CAST(min(o_orderpriority) AS VARCHAR)", "CAST(max(o_orderpriority) AS VARCHAR)"),
+        ("o_custkey", "CAST(o_custkey AS VARCHAR)",
+          "CAST(min(o_custkey) AS VARCHAR)", "CAST(max(o_custkey) AS VARCHAR)"),
+        ("o_totalprice_cents", "CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR)",
+          "CAST(min(CAST(round(o_totalprice*100) AS BIGINT)) AS VARCHAR)",
+          "CAST(max(CAST(round(o_totalprice*100) AS BIGINT)) AS VARCHAR)"),
+        ("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d')",
+          "min(strftime(o_orderdate, '%Y-%m-%d'))", "max(strftime(o_orderdate, '%Y-%m-%d'))"),
+        ("o_status_nullable", "nullif(o_orderstatus, 'P')",
+          "CAST(min(nullif(o_orderstatus, 'P')) AS VARCHAR)",
+          "CAST(max(nullif(o_orderstatus, 'P')) AS VARCHAR)"))
+      val ctes = cols.zipWithIndex.map { case ((name, sv, mn, mx), i) =>
+        s"""k$i AS (SELECT h FROM (SELECT DISTINCT CAST(concat('0x', substr(md5($sv), 1, 15)) AS BIGINT) AS h
+                      FROM orders WHERE $sv IS NOT NULL) ORDER BY h LIMIT 256),
+            s$i AS (SELECT '$name' AS col_name, count(*) AS n_rows,
+                      CAST(sum(CASE WHEN $sv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                      $mn AS min_s, $mx AS max_s FROM orders),
+            e$i AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                                ELSE round((255.0 * 1152921504606846976.0) / CAST(max(h) AS DOUBLE), 6)
+                           END AS n_distinct_est FROM k$i)"""
+      }.mkString(",\n            ")
+      val selects = cols.indices.map(i =>
+        s"SELECT col_name, n_rows, n_null, n_distinct_est, min_s, max_s FROM s$i, e$i")
+        .mkString("\n         UNION ALL ")
+      s"WITH $ctes\n         $selects"
+    },
     // Morton interleave replayed as the same statically-unrolled
     // shift/mask/multiply sum; grid cells via explicit floor (bare
     // double→int CAST rounds in DuckDB but truncates in Spark)

@@ -94,6 +94,16 @@ object TextQueries {
     "dedup_exact_docs" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), "text", "doc_id")),
 
+    // the daily-crawl shape: which docs of today's batch are genuinely
+    // NEW against the accumulated history — digests only cross the wire,
+    // the batch never rescans history text
+    "dedup_incremental" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      Dedup.incrementalExact(
+        doc.filter(col("doc_id") % 3 =!= 0), doc.filter(col("doc_id") % 3 === 0),
+        "text", "doc_id")
+    }),
+
     "dedup_minhash_sig" -> ((s, d) => {
       val m = Dedup.minhashed(t(s, d, "documents"), "text", "doc_id", k = 8)
       m.select(col("doc_id") +: (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
@@ -648,6 +658,13 @@ object TextQueries {
     "dedup_exact_docs" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) - 1 AS n_dups
          FROM documents GROUP BY 1""",
+    "dedup_incremental" ->
+      """WITH h AS (SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id % 3 <> 0),
+            b AS (SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
+                  FROM documents WHERE doc_id % 3 = 0 GROUP BY 1)
+         SELECT b.doc_id, b.text_hash
+         FROM b LEFT JOIN h ON b.text_hash = h.text_hash
+         WHERE h.text_hash IS NULL""",
     "dedup_minhash_sig" -> {
       val cols = (0 until 8).map(j => duckMinhash(j, "hs") + s" AS m$j").mkString(", ")
       s"""WITH sh AS (SELECT doc_id, $duckShingleHashes AS hs FROM documents)
