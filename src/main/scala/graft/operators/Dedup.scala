@@ -151,12 +151,20 @@ object Dedup {
     * operator's meaning, and two copies could drift apart and silently
     * break the spec-proven batch/stream parity. */
   private[graft] def verifyPairs(cands: DataFrame, sketch: DataFrame,
-                                 idCol: String, threshold: Double): DataFrame = {
+                                 idCol: String, threshold: Double): DataFrame =
+    verifyPairsAcross(cands, sketch, sketch, idCol, threshold)
+
+  /** [[verifyPairs]] with distinct sketch frames per side — the
+    * cross-set (history vs batch) form shares the same defining verify
+    * expression, it just sources `sh_a`/`sh_b` from different frames. */
+  private[graft] def verifyPairsAcross(cands: DataFrame,
+                                       sketchA: DataFrame, sketchB: DataFrame,
+                                       idCol: String, threshold: Double): DataFrame = {
     val inter = graft.expressions.HashExpressions.sortedIntersectCount(col("sh_a"), col("sh_b"))
     cands
       .select(col("id_a"), col("id_b"))
-      .join(sketch.select(col(idCol).as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
-      .join(sketch.select(col(idCol).as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
+      .join(sketchA.select(col(idCol).as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
+      .join(sketchB.select(col(idCol).as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
       .withColumn("inter", inter)
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
@@ -201,6 +209,50 @@ object Dedup {
     // up) and its checkpoint blocks stay resident until the frame is
     // GC'd or explicitly released via GraftShim.unpersistCheckpoint.
     try out.localCheckpoint() finally m.unpersist()
+  }
+
+  /** INCREMENTAL near-dup — the fuzzy twin of [[incrementalExact]]:
+    * which documents of the NEW batch are near-duplicates (char-shingle
+    * Jaccard ≥ τ) of something already in the history? Same
+    * sketch → band-collision → sig-agree prefilter → exact-verify
+    * pipeline as [[minhashNearDups]], but the candidate join is
+    * CROSS-SET: batch band keys probe the history's band index, so
+    * candidate volume scales with batch size × collision rate, never
+    * with |history|².
+    *
+    * At production scale the history side of this join is a PRE-STORED
+    * band index (band_key → id, maintained incrementally as batches are
+    * accepted — the same banded state `streaming/StreamDedup` keeps per
+    * key); this method resketches it from text for the self-contained
+    * form. Ids must be distinct within each side; the two sides may
+    * overlap (a pair is reported under its (history, batch) ids).
+    *
+    * @return (id_a = history doc, id_b = batch doc, jaccard)
+    */
+  def minhashNearDupsAgainst(history: DataFrame, batch: DataFrame,
+                             textCol: String, idCol: String, threshold: Double,
+                             k: Int = 128, rowsPerBand: Int = 8, shingleN: Int = 3,
+                             sketchParallelism: Int = 0): DataFrame = {
+    val mh = minhashed(fanOut(history, sketchParallelism), textCol, idCol, k, rowsPerBand, shingleN)
+      .filter(size(col("hs")) > 0).cache()
+    val mb = minhashed(fanOut(batch, sketchParallelism), textCol, idCol, k, rowsPerBand, shingleN)
+      .filter(size(col("hs")) > 0).cache()
+    def bands(m: DataFrame, side: String) =
+      m.select(col(idCol).as(s"id_$side"), size(col("hs")).as(s"n$side"),
+        explode(col("bands")).as("band"))
+    val candidates = bands(mh, "a").join(bands(mb, "b"), Seq("band"))
+      // sound prune: j >= t implies t*|B| <= |A| (and symmetrically)
+      .filter(col("na") >= col("nb") * threshold && col("nb") >= col("na") * threshold)
+      .select("id_a", "id_b").distinct()
+    val agree = graft.expressions.HashExpressions.positionalAgree(col("sig_a"), col("sig_b"))
+    val plausible = candidates
+      .join(mh.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(mb.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .filter(agree >= minAgree(k, threshold))
+      .select("id_a", "id_b")
+    val out = verifyPairsAcross(plausible, mh, mb, idCol, threshold)
+    // same eager-materialize/release contract as minhashNearDups
+    try out.localCheckpoint() finally { mh.unpersist(); mb.unpersist() }
   }
 
   /** Near-dup pairs by word-n-gram Jaccard inside a blocking key (e.g.

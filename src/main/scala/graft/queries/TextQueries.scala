@@ -114,6 +114,18 @@ object TextQueries {
     // corpus-scale inputs arrive pre-partitioned and would pass 0
     "dedup_minhash_lsh" -> ((s, d) => lshPairs(s, d)),
 
+    // the fuzzy twin of dedup_incremental: batch docs that are
+    // NEAR-duplicates of the accumulated history — batch band keys probe
+    // the history band index (pre-stored in production), candidates
+    // scale with batch size × collision rate, never |history|²
+    "dedup_incremental_near" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      Dedup.minhashNearDupsAgainst(
+        doc.filter(col("doc_id") % 3 =!= 0), doc.filter(col("doc_id") % 3 === 0),
+        "text", "doc_id", threshold = 0.8,
+        sketchParallelism = s.sparkContext.defaultParallelism)
+    }),
+
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
         blockCol = "lang", threshold = 0.8,
@@ -654,7 +666,31 @@ object TextQueries {
         WHERE j >= 0.8"""
   }
 
+  /** Cross-set (history vs batch) replay of the LSH pipeline: same
+    * sh/sig/banded CTEs as [[lshPairsSql]], the join constrained to
+    * history×batch; the size-ratio prune is subsumed exactly by
+    * j ≥ τ (j ≥ τ ⇒ min(|A|,|B|) ≥ τ·max), so only the defining
+    * band-collision and sig-agree conditions appear. */
+  private[queries] lazy val lshAgainstSql: String = {
+    val ms = (0 until 128).map(j => duckMinhash(j, "hs") + s" AS m$j").mkString(", ")
+    val bands = (0 until 16).map { b =>
+      val parts = (0 until 8).map(r => s"CAST(m${b * 8 + r} AS VARCHAR)").mkString(" || '#' || ")
+      s"md5($parts)"
+    }.mkString("[", ", ", "]")
+    s"""WITH sh AS (SELECT doc_id, $duckShingleHashes AS hs FROM documents WHERE len(text) >= 3),
+          sig AS (SELECT doc_id, hs AS s, $ms FROM sh),
+          banded AS (SELECT doc_id, s, $duckSigList AS sg, $bands AS bands FROM sig)
+        SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, $duckJaccardRaw AS j
+          FROM banded a JOIN banded b
+            ON a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
+           AND len(list_intersect(a.bands, b.bands)) > 0
+           AND ${duckSigAgree("a", "b")})
+        WHERE j >= 0.8"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "dedup_incremental_near" -> lshAgainstSql,
     "dedup_exact_docs" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) - 1 AS n_dups
          FROM documents GROUP BY 1""",

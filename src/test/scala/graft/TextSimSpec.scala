@@ -426,4 +426,29 @@ class TextSimSpec extends SparkSpec {
       deq.filter($"vec_id" === 0), k = 2).select("vec_id").as[Long].collect().toSet
     assert(quant === exact, "top-2 after int8 round-trip must match exact")
   }
+
+  test("minhashNearDupsAgainst finds exactly the cross-set pairs of the self-join") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val docs = Seq(
+      (1L, base), (2L, base + " again"),                      // history near-dups of batch
+      (3L, "completely different text with nothing shared at all here now"),
+      (10L, base + " indeed"),                                // batch: near-dup of 1,2
+      (11L, base + " indeed truly"),                          // batch: near-dup of 10 (internal!)
+      (12L, "another unrelated batch document about other topics entirely")
+    ).toDF("doc_id", "text")
+    val history = docs.filter($"doc_id" < 10)
+    val batch = docs.filter($"doc_id" >= 10)
+    val cross = graft.operators.Dedup.minhashNearDupsAgainst(
+        history, batch, "text", "doc_id", threshold = 0.7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // reference: the self-join over the combined corpus, restricted to
+    // (history, batch) pairs — batch-internal pairs (10,11) must NOT appear
+    val selfJoin = graft.operators.Dedup.minhashNearDups(
+        docs, "text", "doc_id", threshold = 0.7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => a < 10 && b >= 10 }.toSet
+    assert(cross === selfJoin, "cross-set pairs must equal the self-join's cross slice")
+    assert(cross.nonEmpty, "fixture must exercise real cross-set near-dups")
+    assert(!cross.exists { case (a, _) => a >= 10 }, "no batch-internal pairs")
+  }
 }
