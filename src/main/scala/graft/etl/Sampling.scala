@@ -140,4 +140,51 @@ object Sampling {
       .withColumn("__quota", lit(n))
     stratifiedQuota(df, strataCols, keyCol, quotas, "__quota")
   }
+
+  /** Ids packable into a reservoir key: [0, 2^32). */
+  val ReservoirMaxId: Long = (1L << 32) - 1
+
+  /** Hash-ordered packed key for [[reservoirByGroup]]: 28 hash bits above
+    * 32 id bits, always positive, so min-k over the packed BIGINT IS the
+    * hash-first-k sample AND decodes back to the id without a join
+    * (collision-proof by construction — the id is carried, not re-looked
+    * up; same packing discipline as `Dedup.packChunkKey`). Null or
+    * out-of-range ids raise through the fused guard — a silently dropped
+    * id would bias the sample the operator exists to keep uniform. */
+  def reservoirKey(idCol: Column): Column = {
+    val id = idCol.cast("long")
+    val bad = id.isNull || id < 0 || id > ReservoirMaxId
+    coalesce(
+      when(bad, raise_error(concat(
+        lit(s"reservoirByGroup: id outside [0,$ReservoirMaxId]: "),
+        coalesce(idCol.cast("string"), lit("null"))))),
+      shiftleft(shiftright(hashOrder(idCol), 4), 32).bitwiseOR(id))
+  }
+
+  /** SINGLE-PASS uniform k-sample of distinct ids per group — the
+    * bounded-state form of [[capPerStratum]]'s hash-first-k semantics.
+    * Where the cap plans 3 pruned scans + a candidate window (exact for
+    * any quota), this runs ONE scan through a min-k
+    * TypedImperativeAggregate ([[graft.expressions.MinKDistinct]]): O(k)
+    * sorted buffer per partial, normal map-side partial aggregation, the
+    * shuffle carries ≤ k packed longs per (partition, group) however many
+    * rows flow through. That mergeable max-heap state is literally a
+    * reservoir — and because it is a plain aggregate it runs UNCHANGED as
+    * incremental streaming state (parity spec'd in TrainingMixSpec), the
+    * sampling analog of `q_hll_distinct`'s register max-agg.
+    *
+    * Output: (groupCols…, sample_rank (1-based hash order), idCol).
+    * Deterministic, rerun/partition/engine-stable; duplicate ids within a
+    * group collapse (the sample is over DISTINCT ids). */
+  def reservoirByGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+                       k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "reservoirByGroup needs at least one group column")
+    require(k > 0, s"reservoir size must be positive, got $k")
+    val grp = groupCols.map(col)
+    df.groupBy(grp: _*)
+      .agg(graft.expressions.MinKAgg.minKDistinct(reservoirKey(col(idCol)), k).as("__ks"))
+      .select(grp :+ posexplode(col("__ks")).as(Seq("__pos", "__pk")): _*)
+      .select(grp :+ (col("__pos") + 1).as("sample_rank")
+        :+ col("__pk").bitwiseAND(lit(ReservoirMaxId)).as(idCol): _*)
+  }
 }

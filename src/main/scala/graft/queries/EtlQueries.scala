@@ -286,9 +286,67 @@ object EtlQueries {
           Clean.coerceNumeric(col("o_orderstatus"), "bigint").as("bad"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), sum(col("num")).as("sum_num"), count(col("bad")).as("n_bad")))
+      ,
+
+    // SCHEMA EVOLUTION across partition generations — the drift every
+    // long-lived 100 TB table accumulates: an early snapshot carries
+    // o_totalprice, a later one dropped it and added status/priority.
+    // `mergeSchema` unions the parquet footers at PLAN time (no data
+    // rewrite — absent columns surface as typed nulls per file), so one
+    // reader spans every generation; partition discovery types `snap`
+    // from the directory name. The two snapshots are materialized once
+    // per (app, sf dir) into a swept temp dir ([[snapshotDir]])
+    "etl_schema_evolve" -> ((s, d) =>
+      s.read.option("mergeSchema", "true").parquet(snapshotDir(s, d))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_orderpriority"),
+          col("snap").cast("int").as("snap")))
   )
 
+  /** Two parquet snapshot generations of `orders` with DIFFERENT schemas
+    * (written once per (application, sf dir) — same memo discipline as
+    * `SimQueries.annStoreCache`; one shutdown hook sweeps the temp
+    * dirs). */
+  private val snapshotCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val snapshotTmp =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+  private lazy val snapshotHook: Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => snapshotTmp.forEach(rm)))
+  }
+
+  private def snapshotDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    snapshotCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft_snap")
+      snapshotHook
+      snapshotTmp.add(base.toFile)
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$base/snap=1")
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$base/snap=2")
+      base.toString
+    })
+
   val oracle: Map[String, String] = Map(
+    // the merged-footer read replayed as a typed union: each generation
+    // contributes its own columns, absent ones as typed NULLs
+    "etl_schema_evolve" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST(NULL AS VARCHAR) AS o_orderstatus,
+                CAST(NULL AS VARCHAR) AS o_orderpriority,
+                1 AS snap
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE),
+                o_orderstatus, o_orderpriority, 2
+         FROM orders WHERE o_orderkey % 2 <> 0""",
     // per-column stats + KMV distinct replay, one CTE pair per column;
     // generated from the same column list as the Spark side
     "etl_profile" -> {

@@ -414,10 +414,67 @@ object RelationalQueries {
         .select(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"),
           cents(col("o_totalprice")).as("price_c"))
         .groupBy("month")
-        .agg(count(lit(1)).as("n_orders"), money(sum(col("price_c"))).as("total")))
+        .agg(count(lit(1)).as("n_orders"), money(sum(col("price_c"))).as("total"))),
+
+    // CO-LOCATED fact-fact join over bucketed storage — the amortized
+    // shuffle SURVEY §5 prescribes for repeated 100 TB joins: both fact
+    // tables are bucketed on the join key at WRITE time (once per (app,
+    // sf dir) — [[bucketedTables]]), so the sort-merge join (pinned with
+    // a merge hint: at real scale neither side broadcasts) reads bucket
+    // i against bucket i with ZERO Exchange on either input; the only
+    // shuffle left in the plan is the final tiny per-priority aggregate.
+    // RelationalSpec asserts that executed-plan shape mechanically
+    "q_bucketed_join" -> ((s, d) => {
+      val (ot, lt) = bucketedTables(s, d)
+      s.table(ot).join(s.table(lt).hint("merge"), "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          (sum(col("qc")).cast("double") / 100.0).as("sum_qty"))
+    })
   )
 
+  /** Bucketed `orders`/`lineitem` managed tables (8 buckets on the join
+    * key), written once per (application, sf dir) — the ingest-time cost
+    * the co-located join amortizes; same memo discipline as
+    * `SimQueries.annStoreCache`. Managed tables land under the session's
+    * warehouse dir and are dropped+recreated per application. */
+  private val bucketCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def bucketedTables(s: org.apache.spark.sql.SparkSession,
+                             d: String): (String, String) =
+    bucketCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      val (ot, lt) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
+      // a previous JVM's managed-table LOCATION survives while the
+      // in-memory catalog forgets the table — drop both or the write
+      // fails with LOCATION_ALREADY_EXISTS
+      Seq(ot, lt).foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val loc = new java.io.File(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        if (loc.exists()) rm(loc)
+      }
+      graft.sinks.BucketedSink.writeBucketed(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        ot, "o_orderkey", 8)
+      graft.sinks.BucketedSink.writeBucketed(
+        t(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+          cents(col("l_quantity")).as("qc")),
+        lt, "o_orderkey", 8)
+      (ot, lt)
+    })
+
   val oracle: Map[String, String] = Map(
+    // bucketing changes the physical plan, never the rows
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1""",
     // the deterministic bound, not the sketch: DuckDB asserts the exact
     // count and TRUE; the Spark side must reproduce both — a sketch
     // drifting past 5% error flips within_bound and fails the hash

@@ -59,6 +59,18 @@ object StreamQueries {
       CountMin.estimateFor(CountMin.cells(ev, Seq("day"), "user_id"),
         Seq("day"), watch, "user_id")
     }),
+    // per-type uniform user sample via the bounded min-k reservoir: the
+    // O(k) sorted-buffer state is a plain mergeable aggregate, so the
+    // SAME expression runs as incremental streaming state (the sampling
+    // analog of stream_distinct_approx's register max-agg — batch/stream
+    // parity spec'd in TrainingMixSpec); ≤16 packed longs of state per
+    // event type however many events arrive
+    "stream_reservoir" -> ((s, d) =>
+      graft.etl.Sampling.reservoirByGroup(
+        t(s, d, "events").select(
+          org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.col("user_id")),
+        Seq("event_type"), "user_id", 16)),
     "stream_sessionize" -> ((s, d) => Events.sessionize(t(s, d, "events"))),
     "stream_sliding_agg" -> ((s, d) => Events.slidingAgg(t(s, d, "events"))),
     "stream_dedup" -> ((s, d) => {
@@ -190,6 +202,15 @@ object StreamQueries {
          FROM w GROUP BY 1, 2""",
     "stream_dedup" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+    // naive hash-rank window over the same packed key the min-k
+    // aggregate maintains (28 md5 bits over 32 id bits)
+    "stream_reservoir" ->
+      """WITH h AS (SELECT DISTINCT event_type, user_id,
+                      ((CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) >> 4) << 32)
+                        | user_id AS pk
+                    FROM events)
+         SELECT event_type, row_number() OVER (PARTITION BY event_type ORDER BY pk) AS sample_rank, user_id
+         FROM h QUALIFY sample_rank <= 16""",
     // the later doc of every verified LSH pair, with its earliest source —
     // the pair CTE is the same generated SQL dedup_minhash_lsh verifies
     "stream_dedup_near" ->

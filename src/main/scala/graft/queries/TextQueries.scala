@@ -208,6 +208,16 @@ object TextQueries {
         .withColumn("split", graft.etl.Sampling.splitLabel(col("doc_id")))
         .groupBy("split", "lang").agg(count(lit(1)).as("n"))),
 
+    // SINGLE-PASS bounded-state uniform sample: 16 hash-first docs per
+    // source through the min-k aggregate — one scan, O(k) state per
+    // partial, ≤k packed longs per (partition, group) on the shuffle
+    // (where ta_source_cap's exact-window plan takes 3 pruned scans).
+    // The oracle is the naive hash-rank window over the same packed key
+    "ta_reservoir_sample" -> ((s, d) =>
+      graft.etl.Sampling.reservoirByGroup(
+        t(s, d, "documents").select(col("source"), col("doc_id")),
+        Seq("source"), "doc_id", 16)),
+
     // quality-WEIGHTED Bernoulli downsampling: every doc keeps with its
     // OWN probability (here: longer docs at a higher rate, capped at 1)
     // — the training-mix dial between a hard quality floor and
@@ -833,6 +843,15 @@ object TextQueries {
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tk AS bef
                   FROM m)
          SELECT doc_id, tk, quality FROM o WHERE bef < 15000""",
+    // the packed key replays exactly: 28 md5 hash bits over 32 id bits,
+    // min-k per group = the hash-rank window's first k rows
+    "ta_reservoir_sample" ->
+      """WITH h AS (SELECT DISTINCT source, doc_id,
+                      ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) >> 4) << 32)
+                        | doc_id AS pk
+                    FROM documents)
+         SELECT source, row_number() OVER (PARTITION BY source ORDER BY pk) AS sample_rank, doc_id
+         FROM h QUALIFY sample_rank <= 16""",
     "ta_split_sample" ->
       """SELECT CASE WHEN b < 80 THEN 'train'
                      WHEN b < 90 THEN 'validation'

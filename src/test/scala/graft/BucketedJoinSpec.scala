@@ -49,6 +49,19 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("q_bucketed_join's only shuffle is the final tiny aggregate") {
+    // the inventory query reads the memoized bucketed tables with a merge
+    // hint: the fact-fact join must consume the write-time bucketing (no
+    // Exchange on either input), leaving exactly the per-priority agg
+    // exchange — even with AQE on (the production setting)
+    val df = SparkEntry.queries("q_bucketed_join")(spark, sf)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected only the agg exchange, plan:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"bucketed join should sort-merge:\n$plan")
+  }
+
   test("bucket pruning: an equality filter on the bucket key scans one bucket") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
       .select($"o_orderkey", $"o_totalprice")

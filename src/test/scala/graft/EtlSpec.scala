@@ -87,4 +87,27 @@ class EtlSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(got === Set((2L, "y2"), (3L, "z"), (4L, "new")))
   }
+
+  test("schema evolution: the merged read spans generations with typed nulls") {
+    // generation 1 wrote o_totalprice and predates status/priority;
+    // generation 2 dropped the price and added them — ONE mergeSchema
+    // read serves both, absent columns as typed nulls per file
+    val df = q("etl_schema_evolve")
+    assert(df.schema("o_totalprice").dataType.typeName === "double")
+    assert(df.schema("o_orderstatus").dataType.typeName === "string")
+    val bySnap = df.groupBy($"snap")
+      .agg(count(lit(1)).as("n"), count($"o_totalprice").as("np"),
+        count($"o_orderstatus").as("ns"))
+      .as[(Int, Long, Long, Long)].collect()
+      .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    val (n1, p1, s1) = bySnap(1)
+    val (n2, p2, s2) = bySnap(2)
+    assert(n1 > 0 && p1 === n1 && s1 === 0L,
+      "generation 1: every row has a price, none a status")
+    assert(n2 > 0 && p2 === 0L && s2 === n2,
+      "generation 2: every row has a status, none a price")
+    // together the generations cover the source table exactly once
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(n1 + n2 === total)
+  }
 }

@@ -201,4 +201,68 @@ class TrainingMixSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq
     assert(got === Seq(1L), "the first doc always starts at offset 0")
   }
+
+  // --- single-pass bounded-state reservoir ------------------------------
+
+  private def naiveReservoir(df: DataFrame, grp: String, id: String,
+                             k: Int): DataFrame = {
+    val w = Window.partitionBy(col(grp)).orderBy(Sampling.reservoirKey(col(id)))
+    df.select(col(grp), col(id)).distinct()
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .select(col(grp), col("sample_rank"), col(id))
+  }
+
+  test("reservoirByGroup matches the naive hash-rank window, dups collapsed") {
+    // events repeat user_ids within a type — the sample must be over
+    // DISTINCT ids, exactly the naive window over the distinct pairs
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_type", $"user_id")
+    val got = Sampling.reservoirByGroup(ev, Seq("event_type"), "user_id", 16)
+    assert(rows(got) === rows(naiveReservoir(ev, "event_type", "user_id", 16)))
+  }
+
+  test("reservoir sample is partition-invariant") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_type", $"user_id")
+    def sample(d: DataFrame) =
+      rows(Sampling.reservoirByGroup(d, Seq("event_type"), "user_id", 8))
+    assert(sample(ev.repartition(1)) === sample(ev.repartition(7)))
+  }
+
+  test("reservoir raises on null or out-of-range ids") {
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(msg).getOrElse("")
+    for (bad <- Seq(Some(-1L), Some(1L << 32), None)) {
+      val df = Seq(("a", Some(1L)), ("a", bad)).toDF("g", "id")
+      val e = intercept[Exception] {
+        Sampling.reservoirByGroup(df, Seq("g"), "id", 4).collect()
+      }
+      assert(msg(e).contains("reservoirByGroup"), s"for id=$bad got: ${msg(e)}")
+    }
+  }
+
+  test("reservoir min-k state runs unchanged as streaming state (complete-mode parity)") {
+    // the O(k) sorted buffer is a plain mergeable aggregate — the same
+    // expression is incremental streaming state (the sampling analog of
+    // the HLL register max-agg); final state must equal the batch build
+    import graft.expressions.MinKAgg
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_type", $"user_id")
+    def minK(df: DataFrame) = df.groupBy($"event_type")
+      .agg(MinKAgg.minKDistinct(Sampling.reservoirKey($"user_id"), 16).as("ks"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$sf/events.parquet").schema)
+      .parquet(s"$sf/events.parque[t]")
+      .select($"event_type", $"user_id")
+    val qy = minK(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("reservoir_state").start()
+    qy.processAllAvailable(); qy.stop()
+    val viaStream = spark.table("reservoir_state")
+      .as[(String, Seq[Long])].collect().toMap
+    val viaBatch = minK(batch).as[(String, Seq[Long])].collect().toMap
+    assert(viaStream === viaBatch, "stream and batch reservoirs must be identical")
+  }
 }
