@@ -95,7 +95,8 @@ object AnalysisQueries {
           (graft.etl.Clean.parseMoney(col("price")) * 100).cast("bigint").as("price_c"))
       def at(rank: org.apache.spark.sql.Column) =
         max(when(col("rank") === rank, col("price_c")))
-      graft.operators.Rank.withGroupRank(parsed, Seq("l_returnflag"), "price_c")
+      graft.operators.Rank.withGroupRank(parsed, Seq("l_returnflag"), "price_c",
+          materializeInput = true) // the regex money parse must not run twice
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           ((at(call_function("div", col("n") + 1, lit(2L))) +
