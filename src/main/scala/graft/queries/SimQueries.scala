@@ -82,6 +82,27 @@ object SimQueries {
         threshold = 0.45, blockCol = Some("centroid_id"))
     }),
 
+    // sign-random-projection LSH — the banded (training-free) candidate
+    // generator for the HIGH-cosine regime IVF clustering is overkill
+    // for: near-exact duplicates are planted deterministically (one
+    // damped dimension per vector, cos ≈ 0.98–0.999 — the ta_url_canon
+    // pattern: the oracle replays the same construction), and the
+    // 48-bit/3-band signatures recover them with candidate mass ≈ the
+    // true dup mass (measured α≈1.0–1.2; random collisions ≈ 1.5e-5 per
+    // band pair)
+    "dedup_embedding_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val base = e.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      val variant = e.select((col("vec_id") + lit(1048576L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === pmod(col("vec_id"), lit(64)).cast("int"),
+            x.cast("double") * 0.5) // ×0.5 is exact in IEEE — engine-portable
+            .otherwise(x.cast("double"))).as("v"))
+      graft.operators.RandomProjection.rpLshPairs(
+        base.unionByName(variant), "v", "vec_id", dims = 64, threshold = 0.9)
+    }),
+
     "sim_topk_cosine" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.topK(e, "embedding", "vec_id", e.filter(col("vec_id") === 0), k = 10)
@@ -501,6 +522,44 @@ object SimQueries {
             FROM na a JOIN na b
               ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
           WHERE c >= 0.45""",
+    // the 48 hyperplane masks are the SAME plan-time constants the Spark
+    // expression compiles in (shared generator — the two sides cannot
+    // drift); dots are exact BIGINT micro-unit arithmetic, the verify is
+    // the standard sequential-fold cosine
+    "dedup_embedding_lsh" ->
+      s"""WITH base AS ($vecs),
+            var1 AS (SELECT vec_id AS ovid, v FROM base),
+            var2 AS (SELECT ovid + 1048576 AS vec_id,
+                            list_transform(range(1, len(v)+1),
+                              i -> CASE WHEN i - 1 = ovid % 64
+                                        THEN v[CAST(i AS INT)] * 0.5
+                                        ELSE v[CAST(i AS INT)] END) AS v
+                     FROM var1),
+            corpus AS (SELECT * FROM base UNION ALL SELECT * FROM var2),
+            q AS (SELECT vec_id,
+                         list_transform(v, x -> CAST(round(x*1000000) AS BIGINT)) AS qv
+                  FROM corpus),
+            masks(b, m) AS (VALUES ${graft.operators.RandomProjection.signMasksSqlValues(48, 64)}),
+            dots AS (SELECT vec_id, b,
+                            list_reduce(list_prepend(CAST(0 AS BIGINT),
+                              list_transform(range(1, 65),
+                                i -> qv[CAST(i AS INT)] *
+                                     (CASE WHEN (m >> CAST(i - 1 AS INT)) & 1 = 1 THEN 1 ELSE -1 END))),
+                              (a, x) -> a + x) AS dot
+                     FROM q CROSS JOIN masks),
+            bands AS (SELECT vec_id, b // 16 AS band,
+                             CAST(sum(CASE WHEN dot >= 0
+                                           THEN CAST(1 AS BIGINT) << CAST(b % 16 AS INT)
+                                           ELSE 0 END) AS BIGINT) AS bv
+                      FROM dots GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                     FROM bands x JOIN bands y
+                       ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
+            n AS (${normed("SELECT vec_id, v FROM corpus")}),
+            scored AS (SELECT id_a, id_b, $pairDot / (a.nrm * b.nrm) AS c
+                       FROM cand JOIN n a ON a.vec_id = id_a
+                                 JOIN n b ON b.vec_id = id_b)
+          SELECT id_a, id_b, round(c, 6) AS cosine FROM scored WHERE c >= 0.9""",
     "sim_topk_cosine" ->
       s"""WITH n AS (${normed(vecs)}),
             q AS (SELECT v, nrm FROM n WHERE vec_id = 0)
