@@ -66,6 +66,47 @@ object RandomProjection {
         size(vec).cast("string")))),
       transform(vec, x => round(x.cast("double") * 1e6).cast("long")))
 
+  /** Banded SRP signatures: one (idCol, band, band_value) row per band —
+    * the shuffle-free scan projection every SRP consumer starts from
+    * (`bits` codegen'd integer folds per row, then posexplode). */
+  def bandedSignatures(df: DataFrame, vecCol: String, idCol: String,
+                       dims: Int, bits: Int = 48,
+                       bandBits: Int = 16): DataFrame = {
+    require(bits % bandBits == 0, s"bits=$bits must be a multiple of bandBits=$bandBits")
+    require(bandBits >= 1 && bandBits <= 62, s"bandBits out of range: $bandBits")
+    val masks = signMasks(bits, dims)
+    // stage the quantized vector once: the dot folds re-read one
+    // materialized array column, not `bits` re-quantizations
+    val staged = df.select(col(idCol),
+      quantized(col(vecCol), dims).as("__q"))
+    val dots = masks.zipWithIndex.map { case (m, b) =>
+      aggregate(zip_with(col("__q"), signArray(m, dims), (x, s) => x * s),
+        lit(0L), (a, x) => a + x).as(s"__d$b")
+    }
+    val withDots = staged.select(col(idCol) +: dots: _*)
+    val bandVals = (0 until bits / bandBits).map { k =>
+      (0 until bandBits).map { i =>
+        when(col(s"__d${k * bandBits + i}") >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    withDots.select(col(idCol), posexplode(array(bandVals: _*)).as(Seq("band", "band_value")))
+  }
+
+  /** Distinct candidate pairs sharing ≥1 band value, with the EARLIEST
+    * agreeing band retained (`min_band` — lets a caller price the bands
+    * dial: pairs found by the first k bands are those with min_band < k).
+    * Only (band, value, id) triples ever shuffle. */
+  def rpLshCandidates(df: DataFrame, vecCol: String, idCol: String,
+                      dims: Int, bits: Int = 48,
+                      bandBits: Int = 16): DataFrame = {
+    val sigs = bandedSignatures(df, vecCol, idCol, dims, bits, bandBits)
+    sigs.select(col("band"), col("band_value"), col(idCol).as("id_a"))
+      .join(sigs.select(col("band"), col("band_value"), col(idCol).as("id_b")),
+        Seq("band", "band_value"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(min(col("band")).as("min_band"))
+  }
+
   /** Verified near-dup pairs via banded SRP signatures: (id_a, id_b,
     * cosine) for every candidate pair sharing ≥1 of the `bits/bandBits`
     * band values with exact cosine ≥ `threshold` (unrounded compare,
@@ -77,30 +118,8 @@ object RandomProjection {
   def rpLshPairs(df: DataFrame, vecCol: String, idCol: String, dims: Int,
                  threshold: Double, bits: Int = 48,
                  bandBits: Int = 16): DataFrame = {
-    require(bits % bandBits == 0, s"bits=$bits must be a multiple of bandBits=$bandBits")
-    require(bandBits >= 1 && bandBits <= 62, s"bandBits out of range: $bandBits")
-    val masks = signMasks(bits, dims)
-    // stage the quantized vector once: 48 dot folds re-reading one
-    // materialized array column, not 48 re-quantizations
-    val staged = df.select(col(idCol).as("__id"),
-      quantized(col(vecCol), dims).as("__q"))
-    val dots = masks.zipWithIndex.map { case (m, b) =>
-      aggregate(zip_with(col("__q"), signArray(m, dims), (x, s) => x * s),
-        lit(0L), (a, x) => a + x).as(s"__d$b")
-    }
-    val withDots = staged.select(col("__id") +: dots: _*)
-    val bandVals = (0 until bits / bandBits).map { k =>
-      (0 until bandBits).map { i =>
-        when(col(s"__d${k * bandBits + i}") >= 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
-    val sigs = withDots
-      .select(col("__id"), posexplode(array(bandVals: _*)).as(Seq("__band", "__bv")))
-    val cand = sigs.select(col("__band"), col("__bv"), col("__id").as("id_a"))
-      .join(sigs.select(col("__band"), col("__bv"), col("__id").as("id_b")),
-        Seq("__band", "__bv"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val cand = rpLshCandidates(df, vecCol, idCol, dims, bits, bandBits)
+      .select("id_a", "id_b")
     // exact-cosine verify: vectors joined back by id (never through the
     // band join, which would carry them once per band)
     import graft.expressions.VectorExpressions.{dot, l2norm}

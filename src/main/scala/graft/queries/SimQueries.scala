@@ -103,6 +103,46 @@ object SimQueries {
         base.unionByName(variant), "v", "vec_id", dims = 64, threshold = 0.9)
     }),
 
+    // PRICE THE BANDS DIAL (the SRP analog of sim_ann_recall's nProbe
+    // pricing): over the planted-positive set, how many τ=0.9 true pairs
+    // do the first 1/2/3 bands recover — the measured recall curve a
+    // 100 TB operator needs before choosing its band count. Truth is the
+    // planted pair set (the deterministic construction above; measured:
+    // no unplanted pair reaches τ at these scales), so both sides stay
+    // linear — no all-pairs truth scan
+    "dedup_lsh_recall" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val base = e.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      val variant = e.select((col("vec_id") + lit(1048576L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === pmod(col("vec_id"), lit(64)).cast("int"),
+            x.cast("double") * 0.5)
+            .otherwise(x.cast("double"))).as("v"))
+      val corpus = base.unionByName(variant)
+      val cand = graft.operators.RandomProjection.rpLshCandidates(
+        corpus, "v", "vec_id", dims = 64)
+      import graft.expressions.VectorExpressions.{dot, l2norm}
+      val planted = base.select(col("vec_id").as("id_a"), col("v").as("va"))
+        .join(variant.select((col("vec_id") - lit(1048576L)).as("id_a"),
+          col("vec_id").as("id_b"), col("v").as("vb")), "id_a")
+        .withColumn("cos",
+          dot(col("va"), col("vb")) / (l2norm(col("va")) * l2norm(col("vb"))))
+        .join(cand, Seq("id_a", "id_b"), "left")
+      val isTrue = col("cos") >= 0.9
+      val one = planted.agg(
+        sum(when(isTrue, 1L).otherwise(0L)).as("n_true"),
+        sum(when(isTrue && col("min_band") <= 0, 1L).otherwise(0L)).as("f1"),
+        sum(when(isTrue && col("min_band") <= 1, 1L).otherwise(0L)).as("f2"),
+        sum(when(isTrue && col("min_band") <= 2, 1L).otherwise(0L)).as("f3"))
+      one.select(explode(array(
+          struct(lit(1).as("n_bands"), col("n_true"), col("f1").as("n_found")),
+          struct(lit(2).as("n_bands"), col("n_true"), col("f2").as("n_found")),
+          struct(lit(3).as("n_bands"), col("n_true"), col("f3").as("n_found")))).as("r"))
+        .select(col("r.n_bands"), col("r.n_true"), col("r.n_found"),
+          round(col("r.n_found").cast("double") / col("r.n_true"), 6).as("recall"))
+    }),
+
     "sim_topk_cosine" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.topK(e, "embedding", "vec_id", e.filter(col("vec_id") === 0), k = 10)
@@ -560,6 +600,58 @@ object SimQueries {
                        FROM cand JOIN n a ON a.vec_id = id_a
                                  JOIN n b ON b.vec_id = id_b)
           SELECT id_a, id_b, round(c, 6) AS cosine FROM scored WHERE c >= 0.9""",
+    // same construction as dedup_embedding_lsh, candidates restricted to
+    // the planted alignment (id, id+2^20) — truth and found both linear
+    "dedup_lsh_recall" ->
+      s"""WITH base AS ($vecs),
+            var1 AS (SELECT vec_id AS ovid, v FROM base),
+            var2 AS (SELECT ovid + 1048576 AS vec_id,
+                            list_transform(range(1, len(v)+1),
+                              i -> CASE WHEN i - 1 = ovid % 64
+                                        THEN v[CAST(i AS INT)] * 0.5
+                                        ELSE v[CAST(i AS INT)] END) AS v
+                     FROM var1),
+            corpus AS (SELECT * FROM base UNION ALL SELECT * FROM var2),
+            q AS (SELECT vec_id,
+                         list_transform(v, x -> CAST(round(x*1000000) AS BIGINT)) AS qv
+                  FROM corpus),
+            masks(b, m) AS (VALUES ${graft.operators.RandomProjection.signMasksSqlValues(48, 64)}),
+            dots AS (SELECT vec_id, b,
+                            list_reduce(list_prepend(CAST(0 AS BIGINT),
+                              list_transform(range(1, 65),
+                                i -> qv[CAST(i AS INT)] *
+                                     (CASE WHEN (m >> CAST(i - 1 AS INT)) & 1 = 1 THEN 1 ELSE -1 END))),
+                              (a, x) -> a + x) AS dot
+                     FROM q CROSS JOIN masks),
+            bands AS (SELECT vec_id, b // 16 AS band,
+                             CAST(sum(CASE WHEN dot >= 0
+                                           THEN CAST(1 AS BIGINT) << CAST(b % 16 AS INT)
+                                           ELSE 0 END) AS BIGINT) AS bv
+                      FROM dots GROUP BY 1, 2),
+            cand AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                            min(x.band) AS min_band
+                     FROM bands x JOIN bands y
+                       ON x.band = y.band AND x.bv = y.bv
+                      AND y.vec_id = x.vec_id + 1048576
+                     GROUP BY 1, 2),
+            n AS (${normed("SELECT vec_id, v FROM corpus")}),
+            pl AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                          $pairDot / (a.nrm * b.nrm) AS c
+                   FROM n a JOIN n b ON b.vec_id = a.vec_id + 1048576),
+            j AS (SELECT pl.c, cand.min_band
+                  FROM pl LEFT JOIN cand
+                    ON cand.id_a = pl.id_a AND cand.id_b = pl.id_b),
+            agg AS (SELECT
+                      CAST(sum(CASE WHEN c >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+                      CAST(sum(CASE WHEN c >= 0.9 AND min_band <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                      CAST(sum(CASE WHEN c >= 0.9 AND min_band <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+                      CAST(sum(CASE WHEN c >= 0.9 AND min_band <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS f3
+                    FROM j)
+          SELECT CAST(k AS INT) AS n_bands, n_true,
+                 CASE k WHEN 1 THEN f1 WHEN 2 THEN f2 ELSE f3 END AS n_found,
+                 round(CAST(CASE k WHEN 1 THEN f1 WHEN 2 THEN f2 ELSE f3 END AS DOUBLE)
+                       / n_true, 6) AS recall
+          FROM agg CROSS JOIN range(1, 4) r(k)""",
     "sim_topk_cosine" ->
       s"""WITH n AS (${normed(vecs)}),
             q AS (SELECT v, nrm FROM n WHERE vec_id = 0)
