@@ -188,6 +188,28 @@ object SimQueries {
         query = e.filter(col("vec_id") === 1), k = 10, nProbe = 2)
     }),
 
+    // the store INGEST lifecycle end-to-end, run cold every call: write
+    // the base corpus centroid-partitioned, APPEND an arriving batch
+    // (assigned against the same centroids — new files land only in
+    // their clusters, untouched partitions never rewritten), then search
+    // the post-append store. The oracle is the full-corpus IVF search:
+    // append-then-search must equal having ingested everything up front
+    "sim_ann_upsert" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = centroids(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_up")
+      annHook
+      annTmpDirs.add(dir)
+      val path = dir.toString + "/store"
+      def assign(part: org.apache.spark.sql.DataFrame) =
+        Similarity.ivfAssign(part, "embedding", "vec_id", cents, "cid", keepVec = true)
+      graft.sinks.AnnStore.write(assign(e.filter(col("vec_id") >= 100)), path)
+      graft.sinks.AnnStore.append(assign(e.filter(col("vec_id") < 100)), path)
+      Similarity.ivfSearchAssigned(
+        graft.sinks.AnnStore.read(s, path), "vec_id", cents, "cid", "embedding",
+        query = e.filter(col("vec_id") === 1), k = 10, nProbe = 2)
+    }),
+
     // IVF centroid TRAINING, oracle-checked: deterministic init (first k
     // ids) + fixed iterations + per-round 6-dp mean rounding make Lloyd's
     // k-means exactly replayable in SQL — closing the one ANN stage that
@@ -702,6 +724,8 @@ object SimQueries {
     // identical SEMANTICS to sim_ann_search (different query row): the
     // partitioned store changes the physical plan, never the answer
     "sim_ann_pruned" -> annSearchSql(qid = 1),
+    // append-then-search ≡ ingest-everything-then-search
+    "sim_ann_upsert" -> annSearchSql(qid = 1),
     "sim_hybrid_search" ->
       s"""WITH n AS (${normed(vecs)}),
             kw AS (SELECT doc_id FROM documents

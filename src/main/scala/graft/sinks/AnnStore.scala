@@ -24,6 +24,20 @@ object AnnStore {
   def write(assigned: DataFrame, path: String): Unit =
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
+  /** APPEND a new assigned batch into an existing store — the ingest
+    * path's steady state: arriving vectors are coarse-assigned against
+    * the SAME centroids (a zero-shuffle broadcast fold) and their files
+    * land only in the clusters they belong to; untouched partitions'
+    * files are never rewritten, and a reader planned after the append
+    * sees old + new with the identical pruning contract (spec-proven:
+    * the post-append probe still carries the static partition filter
+    * and equals the full-corpus search). Re-clustering is a separate,
+    * deliberate operation — appending against drifted centroids only
+    * degrades recall, never correctness, since search scans whatever
+    * partitions the probe names. */
+  def append(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+
   /** Read the store back. `centroid_id` returns as a partition column —
     * a foldable filter on it prunes directories at planning time instead
     * of scanning the corpus. */

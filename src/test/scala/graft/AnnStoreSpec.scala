@@ -82,6 +82,42 @@ class AnnStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("append: post-append search equals full ingest, pruning contract intact") {
+    // base written first, a batch appended against the SAME centroids:
+    // untouched partitions' files must not be rewritten, and the
+    // post-append probe must still plan a static partition filter
+    val dir = java.nio.file.Files.createTempDirectory("graft_annspec").toFile
+    storeDirs += dir
+    val path = dir.toString + "/store"
+    def assign(part: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfAssign(part, "embedding", "vec_id", cents, "cid", keepVec = true)
+    AnnStore.write(assign(corpus.filter($"vec_id" >= 100)), path)
+    // record per-partition file sets before the append
+    def filesIn(cid: Long): Set[String] = {
+      val f = new java.io.File(path, s"centroid_id=$cid")
+      if (f.exists()) f.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+      else Set.empty
+    }
+    val before = (0L until 8L).map(c => c -> filesIn(c)).toMap
+    AnnStore.append(assign(corpus.filter($"vec_id" < 100)), path)
+    val after = (0L until 8L).map(c => c -> filesIn(c)).toMap
+    (0L until 8L).foreach { c =>
+      assert(before(c).subsetOf(after(c)),
+        s"append must never rewrite or drop partition $c's existing files")
+    }
+    assert((0L until 8L).exists(c => after(c).size > before(c).size),
+      "the appended batch should have landed somewhere")
+    val query = corpus.filter($"vec_id" === 1)
+    val fromStore = Similarity.ivfSearchAssigned(AnnStore.read(spark, path),
+        "vec_id", cents, "cid", "embedding", query, k = 10, nProbe = 2)
+      .as[(Long, Double)].collect().toSeq
+    val fromRaw = Similarity.ivfSearch(corpus, "embedding", "vec_id",
+        cents, "cid", query, k = 10, nProbe = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(fromStore === fromRaw,
+      "append-then-search must equal having ingested everything up front")
+  }
+
   test("PQ store search matches the in-memory IVF+PQ composition exactly") {
     val pq = graft.operators.ProductQuant
     val dir = java.nio.file.Files.createTempDirectory("graft_annspec").toFile
