@@ -68,4 +68,66 @@ class PropertySpec extends SparkSpec {
     assert(bad.isEmpty,
       "canonical form must be a fixpoint: " + bad.collect().take(3).mkString(", "))
   }
+
+  test("reservoir equals the naive hash-rank window on random grouped data (5 seeds)") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.etl.Sampling
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200 + rnd.nextInt(300)
+      val k = 1 + rnd.nextInt(8)
+      // dup ids within groups likely; group count varies per seed
+      val rows = (0 until n).map { _ =>
+        (s"g${rnd.nextInt(1 + rnd.nextInt(6))}", rnd.nextInt(80).toLong)
+      }.toDF("g", "id")
+      val got = Sampling.reservoirByGroup(rows, Seq("g"), "id", k)
+        .collect().map(_.toString).sorted.toSeq
+      val w = Window.partitionBy($"g").orderBy(Sampling.reservoirKey($"id"))
+      val naive = rows.distinct()
+        .withColumn("sample_rank", row_number().over(w))
+        .filter($"sample_rank" <= k)
+        .select($"g", $"sample_rank", $"id")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === naive, s"seed=$seed k=$k: bounded-state and window disagree")
+    }
+  }
+
+  test("SRP-LSH: random same-length vectors — reported pairs are always sound (3 seeds)") {
+    import graft.operators.RandomProjection
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val dims = 64
+      val vecs = (0 until 60).map { i =>
+        (i.toLong, Seq.fill(dims)(rnd.nextDouble() * 2 - 1))
+      }
+      val df = vecs.toDF("vec_id", "v")
+      val tau = 0.3 // low threshold: random pairs can land above it
+      val got = RandomProjection.rpLshPairs(df, "v", "vec_id", dims, tau)
+        .as[(Long, Long, Double)].collect()
+      val byId = vecs.toMap
+      def cos(a: Seq[Double], b: Seq[Double]) = {
+        val d = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      got.foreach { case (a, b, c) =>
+        assert(a < b, s"seed=$seed: pair order violated")
+        val truth = cos(byId(a), byId(b))
+        assert(truth >= tau && math.abs(truth - c) < 1e-5,
+          s"seed=$seed: unsound pair ($a,$b) at $c, truth $truth")
+      }
+    }
+  }
+
+  test("rank selection is invariant to input materialization (both plans, same ranks)") {
+    import graft.operators.Rank
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 500).map(i => (s"g${i % 3}", rnd.nextInt(50).toLong, i.toLong))
+      .toDF("g", "v", "tb")
+    def ranks(mat: Boolean) =
+      Rank.withGroupRank(rows, Seq("g"), "v", tiebreakCols = Seq("tb"),
+          materializeInput = mat)
+        .collect().map(_.toString).sorted.toSeq
+    assert(ranks(mat = false) === ranks(mat = true),
+      "materializeInput is a pure evaluation-count optimization")
+  }
 }
