@@ -451,8 +451,10 @@ object RelationalQueries {
       // fails with LOCATION_ALREADY_EXISTS
       Seq(ot, lt).foreach { tbl =>
         s.sql(s"DROP TABLE IF EXISTS $tbl")
+        // plain prefix strip, not URI parsing — a warehouse path with a
+        // space (legal on disk, illegal in a URI) must not throw here
         val loc = new java.io.File(
-          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl)
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
         }
