@@ -171,6 +171,22 @@ object RelationalQueries {
     // the exact side here is semi-join-bounded to the watch-list, so
     // both sides stay scale-safe. Cells, estimates, and overcounts all
     // replay exactly in SQL — the frequency analog of q_hll_distinct
+    // heavy-hitter DISCOVERY, exact: which keys exceed 10% of traffic,
+    // without knowing the suspects (CountMin probes a watch list; this
+    // finds the list — the input to q_skew_salted_*'s salting decision).
+    // Skew is planted deterministically: 60% of events funnel into 3 hot
+    // keys (~20% each), the rest spread over ~1500 cold keys. Stage-1
+    // Misra-Gries candidates are order-dependent internally, but the
+    // exact-recount + true-threshold output is deterministic — the
+    // oracle is the plain exact query
+    "q_heavy_keys" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val key = when(col("event_id") % 5 < 3, pmod(col("user_id"), lit(3)))
+        .otherwise(col("user_id") + lit(1000000L))
+      graft.operators.HeavyKeys.heavyKeys(
+        ev.select(key.cast("long").as("hot_key")), "hot_key", k = 9)
+    }),
+
     "q_cms_estimate" -> ((s, d) => {
       import graft.operators.CountMin
       val ev = t(s, d, "events")
@@ -486,6 +502,15 @@ object RelationalQueries {
          FROM orders GROUP BY 1""",
     "q_hll_distinct" -> Common.hllOracleSql(
       "SELECT event_type, user_id AS k FROM events", "event_type"),
+    // the exact semantics, no sketch to replay: every key above the
+    // n/(k+1) threshold with its exact count
+    "q_heavy_keys" ->
+      """WITH s AS (SELECT CASE WHEN event_id % 5 < 3 THEN user_id % 3
+                                ELSE user_id + 1000000 END AS hot_key
+                    FROM events),
+            c AS (SELECT hot_key, count(*) AS cnt FROM s GROUP BY 1),
+            t AS (SELECT count(*) AS n FROM s)
+         SELECT hot_key, cnt, n FROM c CROSS JOIN t WHERE cnt * 10 > n""",
     "q_cms_estimate" -> Common.cmsOracleSql(
       "SELECT user_id AS k FROM events",
       "SELECT DISTINCT user_id AS k FROM events WHERE user_id % 29 = 0",
