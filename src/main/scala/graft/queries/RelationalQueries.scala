@@ -508,8 +508,9 @@ object RelationalQueries {
       """WITH s AS (SELECT CASE WHEN event_id % 5 < 3 THEN user_id % 3
                                 ELSE user_id + 1000000 END AS hot_key
                     FROM events),
-            c AS (SELECT hot_key, count(*) AS cnt FROM s GROUP BY 1),
-            t AS (SELECT count(*) AS n FROM s)
+            c AS (SELECT hot_key, count(*) AS cnt FROM s
+                  WHERE hot_key IS NOT NULL GROUP BY 1),
+            t AS (SELECT count(hot_key) AS n FROM s)
          SELECT hot_key, cnt, n FROM c CROSS JOIN t WHERE cnt * 10 > n""",
     "q_cms_estimate" -> Common.cmsOracleSql(
       "SELECT user_id AS k FROM events",
