@@ -272,6 +272,22 @@ object RelationalQueries {
           count(lit(1)).as("n_events"))
     }),
 
+    // per-row PERCENT_RANK over unbounded groups — the same two-level
+    // rank selection serving the full window-function family: global
+    // rank = broadcast offset + per-partition local rank, so no event
+    // type ever funnels through one reducer's total order (the unique
+    // tiebreak makes row_number ≡ SQL rank, so percent_rank replays
+    // exactly); single-row groups pinned to 0 like the SQL definition
+    "q_percent_rank" -> ((s, d) =>
+      graft.operators.Rank.withGroupRank(
+          t(s, d, "events")
+            .select(col("event_type"), cents(col("value")).as("vc"), col("event_id")),
+          Seq("event_type"), "vc", tiebreakCols = Seq("event_id"))
+        .select(col("event_type"), col("event_id"),
+          when(col("n") === 1, lit(0.0))
+            .otherwise(round((col("rank") - 1).cast("double") / (col("n") - 1), 6))
+            .as("pct_rank"))),
+
     // the MERGEABLE approximate-quantile path — the dashboard form
     // q_percentiles' exact rank selection is too heavy for: an
     // order-free HdrHistogram-style integer-bucket sketch (≤ ~7.4k
@@ -502,6 +518,13 @@ object RelationalQueries {
          FROM orders GROUP BY 1""",
     "q_hll_distinct" -> Common.hllOracleSql(
       "SELECT event_type, user_id AS k FROM events", "event_type"),
+    // the unique tiebreak makes rank ≡ row_number, so the native window
+    // function replays the two-level plan's arithmetic exactly
+    "q_percent_rank" ->
+      """SELECT event_type, event_id,
+                round(percent_rank() OVER (PARTITION BY event_type
+                  ORDER BY CAST(round(value*100) AS BIGINT), event_id), 6) AS pct_rank
+         FROM events""",
     // the exact semantics, no sketch to replay: every key above the
     // n/(k+1) threshold with its exact count
     "q_heavy_keys" ->

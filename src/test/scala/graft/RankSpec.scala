@@ -82,6 +82,17 @@ class RankSpec extends SparkSpec {
     }
   }
 
+  test("q_percent_rank plan: the full-row window family rides the same partitioned plan") {
+    withAqeOff {
+      val specs = corpusWindowSpecs(q("q_percent_rank"), "vc")
+      assert(specs.nonEmpty, "expected a corpus-side window (the local rank)")
+      specs.foreach { s =>
+        assert(s.exists(_.contains("__pid")),
+          s"corpus window partitioned by ${s.mkString(",")} — a per-group single-reducer sort")
+      }
+    }
+  }
+
   test("ana_median_by_group plan: no per-group window or percentile buffer over corpus rows") {
     withAqeOff {
       val df = q("ana_median_by_group")
