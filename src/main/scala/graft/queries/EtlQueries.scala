@@ -288,6 +288,18 @@ object EtlQueries {
         .agg(count(lit(1)).as("n"), sum(col("num")).as("sum_num"), count(col("bad")).as("n_bad")))
       ,
 
+    // JSONL ROUND-TRIP — the wire format LLM corpora actually ship in:
+    // documents written as JSON lines (escaped newlines and all) and
+    // read back distributed with an EXPLICIT schema (no inference pass —
+    // at 100 TB schema inference is a full extra scan), emitted row-for
+    // -row. The oracle reads the original parquet: the hash passes iff
+    // the round-trip is lossless, text bytes included
+    "etl_jsonl_roundtrip" -> ((s, d) =>
+      s.read
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .json(jsonlDir(s, d))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))),
+
     // SCHEMA EVOLUTION across partition generations — the drift every
     // long-lived 100 TB table accumulates: an early snapshot carries
     // o_totalprice, a later one dropped it and added status/priority.
@@ -318,6 +330,17 @@ object EtlQueries {
     Runtime.getRuntime.addShutdownHook(new Thread(() => snapshotTmp.forEach(rm)))
   }
 
+  /** Documents as JSON lines, written once per (application, sf dir) —
+    * same memo + sweep discipline as [[snapshotDir]]. */
+  private def jsonlDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    snapshotCache.computeIfAbsent("jsonl|" + s.sparkContext.applicationId + "|" + d, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft_jsonl")
+      snapshotHook
+      snapshotTmp.add(base.toFile)
+      t(s, d, "documents").write.mode("overwrite").json(base.toString + "/docs")
+      base.toString + "/docs"
+    })
+
   private def snapshotDir(s: org.apache.spark.sql.SparkSession, d: String): String =
     snapshotCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
       val base = java.nio.file.Files.createTempDirectory("graft_snap")
@@ -335,6 +358,10 @@ object EtlQueries {
     })
 
   val oracle: Map[String, String] = Map(
+    // the original table: the hash passes iff the JSONL round-trip
+    // reproduced every value, text bytes included
+    "etl_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     // the merged-footer read replayed as a typed union: each generation
     // contributes its own columns, absent ones as typed NULLs
     "etl_schema_evolve" ->
