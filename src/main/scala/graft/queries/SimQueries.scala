@@ -188,6 +188,50 @@ object SimQueries {
         query = e.filter(col("vec_id") === 1), k = 10, nProbe = 2)
     }),
 
+    // the EMBEDDING-MODALITY prep pipeline end-to-end — the vector twin
+    // of pipeline_corpus_prep: planted-variant corpus → SRP-LSH verified
+    // pairs (τ=0.9) → connected components → keep each cluster's min-id
+    // representative → PQ-encode the survivors against a corpus-trained
+    // codebook → per-label report (corpus size, survivors, integer code
+    // checksum). Every stage is the library operator the standalone keys
+    // verify; the oracle chains the SAME generated CTEs (srpCtes +
+    // recursive components + pqBaseFrom), so the composition is
+    // hash-checked end to end
+    "pipeline_embedding_prep" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val base = e.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      val variant = e.select((col("vec_id") + lit(1048576L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === pmod(col("vec_id"), lit(64)).cast("int"),
+            x.cast("double") * 0.5)
+            .otherwise(x.cast("double"))).as("v"))
+      val corpus = base.unionByName(variant)
+      val pairs = graft.operators.RandomProjection
+        .rpLshPairs(corpus, "v", "vec_id", dims = 64, threshold = 0.9)
+        .select("id_a", "id_b")
+      // min-id representative per cluster: every clustered non-minimum drops
+      val drops = graft.operators.Components.run(pairs, "id_a", "id_b")
+        .labels.filter(col("id") =!= col("comp"))
+        .select(col("id").as("vec_id"))
+      val survivors = corpus.join(drops, Seq("vec_id"), "left_anti")
+      val cb = graft.operators.ProductQuant.train(
+        corpus, "v", "vec_id", m = 4, k = 8, dims = 64, iters = 2)
+      val codeSum = graft.operators.ProductQuant
+        .encode(survivors, "v", "vec_id", cb, m = 4, dims = 64)
+        .select(col("vec_id"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"))
+      corpus.select(col("vec_id"),
+          when(col("vec_id") >= 1048576L, col("vec_id") - 1048576L)
+            .otherwise(col("vec_id")).as("orig"))
+        .join(e.select(col("vec_id").as("orig"), col("label")), "orig")
+        .join(codeSum, Seq("vec_id"), "left")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_corpus"),
+          count(col("code_sum")).as("n_survivors"),
+          sum(col("code_sum")).as("sum_code"))
+    }),
+
     // the store INGEST lifecycle end-to-end, run cold every call: write
     // the base corpus centroid-partitioned, APPEND an arriving batch
     // (assigned against the same centroids — new files land only in
@@ -499,8 +543,39 @@ object SimQueries {
   /** Shared PQ CTE prefix: subspace slices, first-8 init, two unrolled
     * iterations (pc0→pc1→pc2, mirroring `ProductQuant.train(m=4, k=8,
     * iters=2)`), final encode assignment `bpe` against pc2. */
-  private def pqBase: String =
-    s"""nall AS ($vecs),
+  /** The SRP-LSH construction as shared CTEs (planted-variant corpus →
+    * quantized dots against the mask literals → 3×16-bit bands) — used
+    * verbatim by the dedup_embedding_lsh / dedup_lsh_recall /
+    * pipeline_embedding_prep oracles so the three can never drift. */
+  private def srpCtes: String =
+    s"""base AS ($vecs),
+        var1 AS (SELECT vec_id AS ovid, v FROM base),
+        var2 AS (SELECT ovid + 1048576 AS vec_id,
+                        list_transform(range(1, len(v)+1),
+                          i -> CASE WHEN i - 1 = ovid % 64
+                                    THEN v[CAST(i AS INT)] * 0.5
+                                    ELSE v[CAST(i AS INT)] END) AS v
+                 FROM var1),
+        corpus AS (SELECT * FROM base UNION ALL SELECT * FROM var2),
+        qz AS (SELECT vec_id,
+                      list_transform(v, x -> CAST(round(x*1000000) AS BIGINT)) AS qv
+               FROM corpus),
+        masks(b, m) AS (VALUES ${graft.operators.RandomProjection.signMasksSqlValues(48, 64)}),
+        sdots AS (SELECT vec_id, b,
+                         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, 65),
+                             i -> qv[CAST(i AS INT)] *
+                                  (CASE WHEN (m >> CAST(i - 1 AS INT)) & 1 = 1 THEN 1 ELSE -1 END))),
+                           (a, x) -> a + x) AS dot
+                  FROM qz CROSS JOIN masks),
+        bands AS (SELECT vec_id, b // 16 AS band,
+                         CAST(sum(CASE WHEN dot >= 0
+                                       THEN CAST(1 AS BIGINT) << CAST(b % 16 AS INT)
+                                       ELSE 0 END) AS BIGINT) AS bv
+                  FROM sdots GROUP BY 1, 2)"""
+
+  private def pqBaseFrom(src: String): String =
+    s"""nall AS ($src),
         ns AS (SELECT vec_id, CAST(r.j AS INT) AS subspace,
                       list_slice(v, CAST(r.j*16 + 1 AS INT), CAST(r.j*16 + 16 AS INT)) AS sv
                FROM nall, unnest(range(0, 4)) AS r(j)),
@@ -511,6 +586,8 @@ object SimQueries {
         ${pqIter("pc0", "pc1", "p1")},
         ${pqIter("pc1", "pc2", "p2")},
         ${pqAssign("pc2", "pe")}"""
+
+  private def pqBase: String = pqBaseFrom(vecs)
 
   val oracle: Map[String, String] = Map(
     "sim_pq_codes" ->
@@ -589,31 +666,7 @@ object SimQueries {
     // drift); dots are exact BIGINT micro-unit arithmetic, the verify is
     // the standard sequential-fold cosine
     "dedup_embedding_lsh" ->
-      s"""WITH base AS ($vecs),
-            var1 AS (SELECT vec_id AS ovid, v FROM base),
-            var2 AS (SELECT ovid + 1048576 AS vec_id,
-                            list_transform(range(1, len(v)+1),
-                              i -> CASE WHEN i - 1 = ovid % 64
-                                        THEN v[CAST(i AS INT)] * 0.5
-                                        ELSE v[CAST(i AS INT)] END) AS v
-                     FROM var1),
-            corpus AS (SELECT * FROM base UNION ALL SELECT * FROM var2),
-            q AS (SELECT vec_id,
-                         list_transform(v, x -> CAST(round(x*1000000) AS BIGINT)) AS qv
-                  FROM corpus),
-            masks(b, m) AS (VALUES ${graft.operators.RandomProjection.signMasksSqlValues(48, 64)}),
-            dots AS (SELECT vec_id, b,
-                            list_reduce(list_prepend(CAST(0 AS BIGINT),
-                              list_transform(range(1, 65),
-                                i -> qv[CAST(i AS INT)] *
-                                     (CASE WHEN (m >> CAST(i - 1 AS INT)) & 1 = 1 THEN 1 ELSE -1 END))),
-                              (a, x) -> a + x) AS dot
-                     FROM q CROSS JOIN masks),
-            bands AS (SELECT vec_id, b // 16 AS band,
-                             CAST(sum(CASE WHEN dot >= 0
-                                           THEN CAST(1 AS BIGINT) << CAST(b % 16 AS INT)
-                                           ELSE 0 END) AS BIGINT) AS bv
-                      FROM dots GROUP BY 1, 2),
+      s"""WITH $srpCtes,
             cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
                      FROM bands x JOIN bands y
                        ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
@@ -625,31 +678,7 @@ object SimQueries {
     // same construction as dedup_embedding_lsh, candidates restricted to
     // the planted alignment (id, id+2^20) — truth and found both linear
     "dedup_lsh_recall" ->
-      s"""WITH base AS ($vecs),
-            var1 AS (SELECT vec_id AS ovid, v FROM base),
-            var2 AS (SELECT ovid + 1048576 AS vec_id,
-                            list_transform(range(1, len(v)+1),
-                              i -> CASE WHEN i - 1 = ovid % 64
-                                        THEN v[CAST(i AS INT)] * 0.5
-                                        ELSE v[CAST(i AS INT)] END) AS v
-                     FROM var1),
-            corpus AS (SELECT * FROM base UNION ALL SELECT * FROM var2),
-            q AS (SELECT vec_id,
-                         list_transform(v, x -> CAST(round(x*1000000) AS BIGINT)) AS qv
-                  FROM corpus),
-            masks(b, m) AS (VALUES ${graft.operators.RandomProjection.signMasksSqlValues(48, 64)}),
-            dots AS (SELECT vec_id, b,
-                            list_reduce(list_prepend(CAST(0 AS BIGINT),
-                              list_transform(range(1, 65),
-                                i -> qv[CAST(i AS INT)] *
-                                     (CASE WHEN (m >> CAST(i - 1 AS INT)) & 1 = 1 THEN 1 ELSE -1 END))),
-                              (a, x) -> a + x) AS dot
-                     FROM q CROSS JOIN masks),
-            bands AS (SELECT vec_id, b // 16 AS band,
-                             CAST(sum(CASE WHEN dot >= 0
-                                           THEN CAST(1 AS BIGINT) << CAST(b % 16 AS INT)
-                                           ELSE 0 END) AS BIGINT) AS bv
-                      FROM dots GROUP BY 1, 2),
+      s"""WITH $srpCtes,
             cand AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
                             min(x.band) AS min_band
                      FROM bands x JOIN bands y
@@ -726,6 +755,45 @@ object SimQueries {
     "sim_ann_pruned" -> annSearchSql(qid = 1),
     // append-then-search ≡ ingest-everything-then-search
     "sim_ann_upsert" -> annSearchSql(qid = 1),
+    // the composed prep chain replayed from the SAME generated CTE
+    // builders the standalone keys use: srpCtes → verified pairs →
+    // recursive reachability components (min-id labels, the
+    // dedup_components rule) → survivors → pqBaseFrom over the corpus →
+    // per-label integer report
+    "pipeline_embedding_prep" ->
+      s"""WITH RECURSIVE $srpCtes,
+            cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                     FROM bands x JOIN bands y
+                       ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
+            n AS (${normed("SELECT vec_id, v FROM corpus")}),
+            p AS (SELECT id_a, id_b FROM (
+                    SELECT id_a, id_b, $pairDot / (a.nrm * b.nrm) AS c
+                    FROM cand JOIN n a ON a.vec_id = id_a
+                              JOIN n b ON b.vec_id = id_b)
+                  WHERE c >= 0.9),
+            e AS (SELECT id_a AS es, id_b AS ed FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            reach AS (SELECT es AS v, ed AS r FROM e
+                      UNION SELECT reach.v, e.ed FROM reach JOIN e ON reach.r = e.es),
+            drops AS (SELECT v AS vec_id FROM (
+                        SELECT v, least(v, min(r)) AS comp FROM reach GROUP BY v)
+                      WHERE comp <> v),
+            surv AS (SELECT vec_id FROM corpus
+                     WHERE vec_id NOT IN (SELECT vec_id FROM drops)),
+            ${pqBaseFrom("SELECT vec_id, v FROM corpus")},
+            cs AS (SELECT vec_id, CAST(sum(cid) AS BIGINT) AS code_sum
+                   FROM bpe JOIN surv USING (vec_id) GROUP BY 1),
+            rep AS (SELECT c.vec_id,
+                           CASE WHEN c.vec_id >= 1048576
+                                THEN c.vec_id - 1048576 ELSE c.vec_id END AS orig
+                    FROM corpus c),
+            lbl AS (SELECT vec_id AS orig, label FROM embeddings)
+          SELECT l.label, count(*) AS n_corpus,
+                 count(cs.code_sum) AS n_survivors,
+                 CAST(sum(cs.code_sum) AS BIGINT) AS sum_code
+          FROM rep JOIN lbl l ON rep.orig = l.orig
+               LEFT JOIN cs ON cs.vec_id = rep.vec_id
+          GROUP BY 1""",
     "sim_hybrid_search" ->
       s"""WITH n AS (${normed(vecs)}),
             kw AS (SELECT doc_id FROM documents
