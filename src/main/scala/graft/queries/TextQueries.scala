@@ -36,7 +36,7 @@ object TextQueries {
     * (the production amortized shape) is recorded separately. */
   val memoized: Set[String] =
     Set("dedup_components", "dedup_keep_representatives",
-      "dedup_minhash_lsh", "stream_dedup_near")
+      "dedup_provenance_merge", "dedup_minhash_lsh", "stream_dedup_near")
 
   /** Drop both memoized shared stages and release their checkpoint blocks
     * (each memo value is exactly one `localCheckpoint()`ed frame): the
@@ -191,6 +191,23 @@ object TextQueries {
       graft.operators.Components.keepRepresentativesFromLabels(
         t(s, d, "documents"), "doc_id", preparedLabels(s, d))
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))),
+
+    // ATTRIBUTION-PRESERVING dedup: dropping a near-dup must not drop
+    // its provenance (license/source bookkeeping survives the collapse).
+    // Every doc maps to its cluster representative (unclustered docs
+    // represent themselves) and the representative carries the merged
+    // member count + sorted distinct source list — the third consumer of
+    // the ONE shared pair-graph labeling
+    "dedup_provenance_merge" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+      docs.join(preparedLabels(s, d).withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("comp"), col("doc_id")))
+        .groupBy("rep")
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("source")).as("n_sources"),
+          concat_ws(",", sort_array(collect_set(col("source")))).as("sources"))
+    }),
 
     // token-budget packing: docs -> fixed-budget packs per lang (window
     // cumsum, the distributed form of greedy sequence packing)
@@ -758,6 +775,24 @@ object TextQueries {
             reach AS (SELECT es AS v, ed AS r FROM e
                       UNION SELECT reach.v, e.ed FROM reach JOIN e ON reach.r = e.es)
           SELECT v AS id, least(v, min(r)) AS comp FROM reach GROUP BY v""",
+    // same reachability labeling; unclustered docs represent themselves
+    "dedup_provenance_merge" ->
+      s"""WITH RECURSIVE $duckNgramCtes,
+            p AS (SELECT id_a, id_b FROM (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b, $duckJaccardRaw AS j
+                    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+                  WHERE j >= 0.8),
+            e AS (SELECT id_a AS es, id_b AS ed FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            reach AS (SELECT es AS v, ed AS r FROM e
+                      UNION SELECT reach.v, e.ed FROM reach JOIN e ON reach.r = e.es),
+            lbl AS (SELECT v AS doc_id, least(v, min(r)) AS comp FROM reach GROUP BY v),
+            wc AS (SELECT d.doc_id, d.source, coalesce(l.comp, d.doc_id) AS rep
+                   FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id)
+          SELECT rep, count(*) AS n_members,
+                 count(DISTINCT source) AS n_sources,
+                 string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+          FROM wc GROUP BY rep""",
     "ta_redact_pii" -> {
       val steps = graft.functions.TextFunctions.PiiPatterns
       def red(expr: String, upTo: Int): String =
