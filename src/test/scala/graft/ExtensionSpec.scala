@@ -23,6 +23,24 @@ class ExtensionSpec extends SparkSpec {
     assert(h >= 0 && h < 2147483647L && ic === 2L)
   }
 
+  test("bounded-state aggregates usable from SQL: min-k and heavy candidates") {
+    GraftFunctions.register(spark)
+    Seq(9L, 1L, 5L, 1L, 3L, 7L).toDF("x").createOrReplaceTempView("mk_in")
+    val mk = spark.sql("SELECT graft_min_k(x, 3) FROM mk_in")
+      .as[Seq[Long]].head()
+    assert(mk === Seq(1L, 3L, 5L), "3 smallest distinct, ascending")
+    // one dominant key among noise: it must appear in the candidates
+    (Seq.fill(50)(42L) ++ (0L until 30L)).toDF("x").createOrReplaceTempView("hh_in")
+    val hh = spark.sql("SELECT graft_heavy_candidates(x, 4) FROM hh_in")
+      .as[Seq[Long]].head()
+    assert(hh.size <= 4 && hh.contains(42L))
+    // the size parameter must be a literal — it sizes the state buffer
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_min_k(x, CAST(x AS INT)) FROM mk_in").collect()
+    }
+    assert(e.getMessage.contains("INTEGER literal"))
+  }
+
   test("GraftExtensions injects functions into a fresh session (deployment path)") {
     val orig = spark
     // getOrCreate returns the active session unchanged, so clear the
