@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
   *     guarantee that every key with frequency > n/(k+1) survives ANY
   *     update/merge order. The surviving set beyond the guaranteed keys
   *     IS order-dependent — harmless, because:
-  *  2. EXACT RECOUNT: the ≤ k candidates broadcast back as a semi-join
-  *     filter, one exact count per candidate plus the exact total, and
-  *     the true threshold `cnt · (k+1) > n` filters the false
-  *     candidates out. The output — every key with frequency strictly
+  *  2. EXACT RECOUNT: the ≤ k candidates broadcast back as a join
+  *     filter (the exact total computed in stage 1's same aggregate
+  *     rides along), and the true threshold `cnt · (k+1) > n` filters
+  *     the false candidates out. The output — every key with frequency strictly
   *     above n/(k+1), with its exact count — is therefore DETERMINISTIC
   *     regardless of partitioning (spec'd), though stage 1's
   *     intermediate counters are not.
@@ -31,18 +31,20 @@ import org.apache.spark.sql.functions._
   */
 object HeavyKeys {
 
-  /** (keyCol, cnt, n) for every key with frequency > n/(k+1), exact. */
+  /** (keyCol, cnt, n) for every key with frequency > n/(k+1), exact.
+    * Exactly two scans: the summary pass computes candidates AND the
+    * non-null total in one aggregate; the recount pass joins the ≤ k
+    * broadcast candidates (n riding along) and counts them exactly. */
   def heavyKeys(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k > 0, s"heavyKeys: k must be positive, got $k")
     val keyed = df.select(col(keyCol))
-    val cand = keyed
-      .agg(graft.expressions.MisraGriesAgg.candidates(col(keyCol), k).as("__ks"))
-      .select(explode(col("__ks")).as(keyCol))
-    val counts = keyed.filter(col(keyCol).isNotNull)
-      .join(broadcast(cand), Seq(keyCol), "left_semi")
-      .groupBy(keyCol).agg(count(lit(1)).as("cnt"))
-    val total = keyed.agg(count(col(keyCol)).as("n"))
-    counts.crossJoin(broadcast(total))
+    val summary = keyed.agg(
+      graft.expressions.MisraGriesAgg.candidates(col(keyCol), k).as("__ks"),
+      count(col(keyCol)).as("n"))
+    val cand = summary.select(explode(col("__ks")).as(keyCol), col("n"))
+    keyed.filter(col(keyCol).isNotNull)
+      .join(broadcast(cand), Seq(keyCol))
+      .groupBy(col(keyCol), col("n")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * (k + 1) > col("n"))
       .select(col(keyCol), col("cnt"), col("n"))
   }
