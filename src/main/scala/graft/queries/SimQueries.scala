@@ -427,6 +427,32 @@ object SimQueries {
       val qv = e.filter(col("vec_id") === 0)
         .select(transform(col("embedding"), _.cast("double"))).head().getSeq[Double](0)
       pq.search(codes, "vec_id", cb, qv, m = 4, dims = 64, k = 10)
+    }),
+
+    // PRICE THE QUANTIZATION: how much of the exact L2 top-k does the
+    // ADC code-only ranking keep — the measured recall a deployment
+    // trades for reading m bytes/row instead of the float vectors (the
+    // PQ analog of sim_ann_recall's nProbe and dedup_lsh_recall's bands
+    // pricing). Exact side is a distributed partial top-k
+    // (TakeOrderedAndProject), never a global sort
+    "sim_pq_recall" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val pq = graft.operators.ProductQuant
+      val cb = pq.train(e, "embedding", "vec_id", m = 4, k = 8, dims = 64, iters = 2)
+      val codes = pq.encode(e, "embedding", "vec_id", cb, m = 4, dims = 64)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), _.cast("double"))).head().getSeq[Double](0)
+      val adc = pq.search(codes, "vec_id", cb, qv, m = 4, dims = 64, k = 10)
+        .select("vec_id")
+      val qlit = array(qv.map(lit): _*)
+      val exact = e.select(col("vec_id"),
+          round(aggregate(zip_with(transform(col("embedding"), _.cast("double")), qlit,
+            (x, q) => (x - q) * (x - q)), lit(0.0), (a, x) => a + x), 6).as("d2"))
+        .orderBy(col("d2"), col("vec_id")).limit(10)
+      adc.join(exact.select("vec_id"), "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10).as("k"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / 10.0, 6).as("recall"))
     })
   )
 
@@ -643,6 +669,30 @@ object SimQueries {
                    GROUP BY b.vec_id)
           SELECT vec_id, adist FROM sc
           QUALIFY row_number() OVER (ORDER BY adist, vec_id) <= 10""",
+    // ADC top-k ∩ exact-L2 top-k over the same corpus — both rankings
+    // replay term-for-term
+    "sim_pq_recall" ->
+      s"""WITH $pqBase,
+            q AS (SELECT v FROM nall WHERE vec_id = 0),
+            dt AS (SELECT c.subspace, c.cid,
+                          round(${fold("list_transform(range(1, len(c.v)+1), i -> (q.v[c.subspace*16 + CAST(i AS INT)] - c.v[CAST(i AS INT)]) * (q.v[c.subspace*16 + CAST(i AS INT)] - c.v[CAST(i AS INT)]))")}, 6) AS pd
+                   FROM pc2 c CROSS JOIN q),
+            sc AS (SELECT b.vec_id,
+                          round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                            list(dt.pd ORDER BY b.subspace)), (a, x) -> a + x), 6) AS adist
+                   FROM bpe b JOIN dt
+                     ON b.subspace = dt.subspace AND b.cid = dt.cid
+                   GROUP BY b.vec_id),
+            adc AS (SELECT vec_id FROM sc
+                    QUALIFY row_number() OVER (ORDER BY adist, vec_id) <= 10),
+            ex AS (SELECT a.vec_id,
+                          round(${fold("list_transform(range(1, len(a.v)+1), i -> (a.v[CAST(i AS INT)] - q.v[CAST(i AS INT)]) * (a.v[CAST(i AS INT)] - q.v[CAST(i AS INT)]))")}, 6) AS d2
+                   FROM nall a CROSS JOIN q
+                   QUALIFY row_number() OVER (ORDER BY d2, vec_id) <= 10),
+            ov AS (SELECT count(*) AS n_overlap FROM adc JOIN ex USING (vec_id))
+          SELECT 10 AS k, n_overlap,
+                 round(CAST(n_overlap AS DOUBLE) / 10.0, 6) AS recall
+          FROM ov""",
     "dedup_embedding" ->
       s"""WITH n AS (${normed(vecs)}),
             c AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 8),
