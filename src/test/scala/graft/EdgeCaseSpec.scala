@@ -166,4 +166,25 @@ class EdgeCaseSpec extends SparkSpec {
       .as[(Long, String, Seq[(Long, String)])].collect()
     assert(viaEmptyBase.toSeq === Seq((1L, "a", Seq((10L, "x")))))
   }
+
+  test("round-11 operators on empty input: empty output, never a crash") {
+    val noKeyed = Seq.empty[(String, Long)].toDF("g", "id")
+    assert(graft.etl.Sampling.reservoirByGroup(noKeyed, Seq("g"), "id", 4).isEmpty,
+      "empty reservoir input")
+    val noVecs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v")
+    assert(graft.operators.RandomProjection
+      .rpLshPairs(noVecs, "v", "vec_id", dims = 64, threshold = 0.9).isEmpty,
+      "empty SRP corpus")
+    assert(graft.operators.HeavyKeys
+      .heavyKeys(Seq.empty[Long].toDF("key"), "key", 5).isEmpty,
+      "empty heavy-keys input")
+    // single-row group: reservoir keeps it at rank 1
+    val one = Seq(("g", 7L)).toDF("g", "id")
+    assert(graft.etl.Sampling.reservoirByGroup(one, Seq("g"), "id", 4)
+      .as[(String, Int, Long)].collect().toSeq === Seq(("g", 1, 7L)))
+    // all-null keys: heavyKeys sees n=0 and returns nothing
+    assert(graft.operators.HeavyKeys
+      .heavyKeys(Seq(Option.empty[Long], Option.empty[Long]).toDF("key"), "key", 3)
+      .isEmpty, "null-only input has no heavy hitters")
+  }
 }
