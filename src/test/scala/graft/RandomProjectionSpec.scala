@@ -69,6 +69,16 @@ class RandomProjectionSpec extends SparkSpec {
     assert(msg(e).contains("rpLshPairs"), s"got: ${msg(e)}")
   }
 
+  test("band signatures are partitioning- and rerun-stable") {
+    def sigs(parts: Int) = RandomProjection
+      .bandedSignatures(vecsDf.repartition(parts), "v", "vec_id", dims)
+      .as[(Long, Int, Long)].collect().toSet
+    val one = sigs(1)
+    assert(one === sigs(7), "signatures must not depend on partitioning")
+    assert(one === sigs(1), "signatures must not depend on the run")
+    assert(one.map(_._2) === Set(0, 1, 2), "three bands per vector")
+  }
+
   test("the signature stage never shuffles: one Exchange per side of the band join") {
     // the scan→quantize→48-fold→band projection must be map-side; the
     // first Exchange a signature row meets is the band-bucket join
