@@ -148,17 +148,24 @@ object Sampling {
     * 32 id bits, always positive, so min-k over the packed BIGINT IS the
     * hash-first-k sample AND decodes back to the id without a join
     * (collision-proof by construction — the id is carried, not re-looked
-    * up; same packing discipline as `Dedup.packChunkKey`). Null or
-    * out-of-range ids raise through the fused guard — a silently dropped
-    * id would bias the sample the operator exists to keep uniform. */
+    * up; same packing discipline as `Dedup.packChunkKey`). Null,
+    * out-of-range, or NON-INTEGRAL ids raise through the fused guard — a
+    * silently dropped id would bias the sample the operator exists to
+    * keep uniform, and a fractional id (DOUBLE 5.7) would silently
+    * truncate to 5 in the packed key while hashing md5("5.7") that no
+    * oracle replay of the long id could match. The hash is taken over
+    * the CANONICAL long cast, never the raw column, so int/long/decimal
+    * encodings of the same id always hash identically. */
   def reservoirKey(idCol: Column): Column = {
     val id = idCol.cast("long")
-    val bad = id.isNull || id < 0 || id > ReservoirMaxId
+    // id =!= idCol is the round-trip integrality check: true exactly when
+    // the long cast lost information (5.7 → 5); null ids hit isNull first
+    val bad = id.isNull || id < 0 || id > ReservoirMaxId || id =!= idCol
     coalesce(
       when(bad, raise_error(concat(
-        lit(s"reservoirByGroup: id outside [0,$ReservoirMaxId]: "),
+        lit(s"reservoirByGroup: id not an integer in [0,$ReservoirMaxId]: "),
         coalesce(idCol.cast("string"), lit("null"))))),
-      shiftleft(shiftright(hashOrder(idCol), 4), 32).bitwiseOR(id))
+      shiftleft(shiftright(hashOrder(id), 4), 32).bitwiseOR(id))
   }
 
   /** SINGLE-PASS uniform k-sample of distinct ids per group — the

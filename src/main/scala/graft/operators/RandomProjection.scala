@@ -57,14 +57,22 @@ object RandomProjection {
       lit(if (((mask >> d) & 1L) == 1L) 1L else -1L)): _*)
 
   /** Exact integer micro-unit quantization of a float/double vector,
-    * with a fused length guard (a wrong-width vector would silently
-    * zip against the hyperplane prefix and hash into wrong buckets). */
-  def quantized(vec: Column, dims: Int): Column =
+    * with a fused malformed-input guard. A wrong-width vector would
+    * silently zip against the hyperplane prefix and hash into wrong
+    * buckets; a NULL vector (or one containing NULL elements) is worse:
+    * every dot evaluates NULL, every `when(dot >= 0, …)` bit drops to 0,
+    * and ALL such vectors collide on band_value 0 in every band — m
+    * malformed rows become an O(m²) candidate join while their true
+    * near-dups are silently missed. Raise instead (the repo's
+    * raise-on-bad-input discipline, cf. `Sampling.reservoirKey`). */
+  def quantized(vec: Column, dims: Int): Column = {
+    val bad = vec.isNull || size(vec) =!= dims || exists(vec, _.isNull)
     coalesce(
-      when(size(vec) =!= dims, raise_error(concat(
-        lit(s"rpLshPairs: expected $dims-dim vector, got size "),
-        size(vec).cast("string")))),
+      when(bad, raise_error(concat(
+        lit(s"SRP quantize: expected a non-null $dims-dim vector with no null elements, got size "),
+        coalesce(size(vec).cast("string"), lit("NULL"))))),
       transform(vec, x => round(x.cast("double") * 1e6).cast("long")))
+  }
 
   /** Banded SRP signatures: one (idCol, band, band_value) row per band —
     * the shuffle-free scan projection every SRP consumer starts from

@@ -263,8 +263,11 @@ object RelationalQueries {
     "q_percentiles" -> ((s, d) => {
       def pick(p: Double) =
         Common.money(max(when(col("rank") === ceil(col("n") * p), col("vc"))))
+      // NULL values filtered before ranking (mirrored in the oracle):
+      // Spark orders NULLS FIRST, DuckDB NULLS LAST — see q_percent_rank
       graft.operators.Rank.withGroupRank(
           t(s, d, "events")
+            .filter(col("value").isNotNull)
             .select(col("event_type"), cents(col("value")).as("vc"), col("event_id")),
           Seq("event_type"), "vc", tiebreakCols = Seq("event_id"))
         .groupBy("event_type")
@@ -277,10 +280,14 @@ object RelationalQueries {
     // rank = broadcast offset + per-partition local rank, so no event
     // type ever funnels through one reducer's total order (the unique
     // tiebreak makes row_number ≡ SQL rank, so percent_rank replays
-    // exactly); single-row groups pinned to 0 like the SQL definition
+    // exactly); single-row groups pinned to 0 like the SQL definition.
+    // NULL values are filtered BEFORE ranking (mirrored in the oracle):
+    // Spark orders NULLS FIRST, DuckDB NULLS LAST, so a null value would
+    // silently shift every rank in its group differently per engine
     "q_percent_rank" -> ((s, d) =>
       graft.operators.Rank.withGroupRank(
           t(s, d, "events")
+            .filter(col("value").isNotNull)
             .select(col("event_type"), cents(col("value")).as("vc"), col("event_id")),
           Seq("event_type"), "vc", tiebreakCols = Seq("event_id"))
         .select(col("event_type"), col("event_id"),
@@ -524,7 +531,7 @@ object RelationalQueries {
       """SELECT event_type, event_id,
                 round(percent_rank() OVER (PARTITION BY event_type
                   ORDER BY CAST(round(value*100) AS BIGINT), event_id), 6) AS pct_rank
-         FROM events""",
+         FROM events WHERE value IS NOT NULL""",
     // the exact semantics, no sketch to replay: every key above the
     // n/(k+1) threshold with its exact count
     "q_heavy_keys" ->
@@ -596,7 +603,7 @@ object RelationalQueries {
       "event_type", Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)),
     "q_percentiles" ->
       """WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS vc, event_id
-                    FROM events),
+                    FROM events WHERE value IS NOT NULL),
            r AS (SELECT event_type, vc,
                         row_number() OVER (PARTITION BY event_type
                                            ORDER BY vc, event_id) AS rn,

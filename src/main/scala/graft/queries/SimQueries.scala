@@ -53,6 +53,20 @@ object SimQueries {
       path
     })
 
+  /** ONE reusable temp dir per (application, sf dir) for the
+    * `sim_ann_upsert` lifecycle key: each invocation rebuilds the store
+    * from scratch (the key's contract is a COLD write+append+search), but
+    * into the SAME dir after deleting the previous copy — so repeated
+    * bench passes in one long-lived JVM hold at most one store copy on
+    * disk instead of accumulating one per invocation until shutdown. */
+  private def annUpsertDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    annStoreCache.computeIfAbsent("upsert|" + s.sparkContext.applicationId + "|" + d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_up")
+      annHook
+      annTmpDirs.add(dir)
+      dir.toString
+    })
+
   /** Drop the memoized ANN store (and delete its files): the next
     * `sim_ann_pruned` call pays the full ingest-time build again. Bench
     * calls this before each timed pass of a memoized key so the artifact
@@ -241,10 +255,10 @@ object SimQueries {
     "sim_ann_upsert" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val cents = centroids(s, d)
-      val dir = java.nio.file.Files.createTempDirectory("graft_ann_up")
-      annHook
-      annTmpDirs.add(dir)
-      val path = dir.toString + "/store"
+      val path = annUpsertDir(s, d) + "/store"
+      // previous invocation's copy goes first: disk stays bounded at one
+      // store however many passes a bench JVM runs
+      deleteRecursively(new java.io.File(path))
       def assign(part: org.apache.spark.sql.DataFrame) =
         Similarity.ivfAssign(part, "embedding", "vec_id", cents, "cid", keepVec = true)
       graft.sinks.AnnStore.write(assign(e.filter(col("vec_id") >= 100)), path)

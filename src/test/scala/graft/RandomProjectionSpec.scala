@@ -66,7 +66,28 @@ class RandomProjectionSpec extends SparkSpec {
     val e = intercept[Exception] {
       RandomProjection.rpLshPairs(bad, "v", "vec_id", dims, 0.9).collect()
     }
-    assert(msg(e).contains("rpLshPairs"), s"got: ${msg(e)}")
+    assert(msg(e).contains("SRP quantize"), s"got: ${msg(e)}")
+  }
+
+  test("NULL vectors and NULL elements raise instead of colliding on band 0") {
+    // a NULL dot would turn every `when(dot >= 0, …)` bit into 0, so all
+    // malformed vectors would share band_value 0 in every band — an
+    // O(m²) candidate join plus silently-missed true near-dups
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(msg).getOrElse("")
+    val nullVec = Seq((1L, Option.empty[Seq[Double]]),
+      (2L, Some(Seq.fill(dims)(0.5)))).toDF("vec_id", "v")
+    val e1 = intercept[Exception] {
+      RandomProjection.bandedSignatures(nullVec, "v", "vec_id", dims).collect()
+    }
+    assert(msg(e1).contains("SRP quantize"), s"got: ${msg(e1)}")
+    val nullElem = Seq((1L, Seq.fill(dims)(Option(0.5)).updated(3, None)),
+      (2L, Seq.fill(dims)(Option(0.5)))).toDF("vec_id", "v")
+    val e2 = intercept[Exception] {
+      RandomProjection.bandedSignatures(nullElem, "v", "vec_id", dims).collect()
+    }
+    assert(msg(e2).contains("SRP quantize"), s"got: ${msg(e2)}")
   }
 
   test("band signatures are partitioning- and rerun-stable") {

@@ -243,6 +243,28 @@ class TrainingMixSpec extends SparkSpec {
     }
   }
 
+  test("reservoir raises on non-integral ids instead of silently truncating") {
+    // a DOUBLE id like 5.7 would truncate to 5 in the packed key while
+    // hashing md5("5.7") no oracle replay of the long id could match —
+    // the round-trip check (cast-to-long ≠ original) raises instead
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(msg).getOrElse("")
+    val df = Seq(("a", 1.0), ("a", 5.7)).toDF("g", "id")
+    val e = intercept[Exception] {
+      Sampling.reservoirByGroup(df, Seq("g"), "id", 4).collect()
+    }
+    assert(msg(e).contains("reservoirByGroup"), s"got: ${msg(e)}")
+    // integral doubles pass: 1.0 and 2.0 hash exactly like longs 1 and 2
+    val okD = Sampling.reservoirByGroup(
+      Seq(("a", 1.0), ("a", 2.0)).toDF("g", "id"), Seq("g"), "id", 4)
+      .select(col("id").cast("long")).as[Long].collect().toSet
+    val okL = Sampling.reservoirByGroup(
+      Seq(("a", 1L), ("a", 2L)).toDF("g", "id"), Seq("g"), "id", 4)
+      .select(col("id")).as[Long].collect().toSet
+    assert(okD === okL, "integral double ids must sample exactly like longs")
+  }
+
   test("reservoir min-k state runs unchanged as streaming state (complete-mode parity)") {
     // the O(k) sorted buffer is a plain mergeable aggregate — the same
     // expression is incremental streaming state (the sampling analog of
