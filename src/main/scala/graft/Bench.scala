@@ -47,10 +47,19 @@ import org.apache.spark.sql.SparkSession
   *  - CAPPED-KEY HEALING (round-10 postmortem: `capped` keys are
   *    single-pass, so one contention spike IS the artifact —
   *    mm_image_dedup recorded 10.15 s vs 1.25 s quiet at identical
-  *    code): a capped key whose lone pass exceeds 3× its last
-  *    full-suite median (parsed from bench_history.jsonl) gets one
-  *    re-pass and records the MIN; a genuine regression reproduces in
-  *    the re-pass and stays visible.
+  *    code): a capped key whose lone pass exceeds 3× its QUIET history
+  *    value gets one re-pass and records the MIN; a genuine regression
+  *    reproduces in the re-pass and stays visible. The anchor is the
+  *    per-key MIN over the last 5 full-suite entries in
+  *    bench_history.jsonl — round 11 anchored to the single prior
+  *    artifact, which was itself a spike (dedup_audio_fp 6.93 s vs
+  *    1.87 s quiet), so a 12.46 s pass read as only 1.8× "prior" and
+  *    no heal fired; the min-of-last-N quiet anchor can't be poisoned
+  *    by one contended round.
+  *  - MID-SUITE SENTINEL: a third sentinel measurement halfway through
+  *    the suite (`sentinel_mid_s`) — round 11's failure mode was a
+  *    late-onset contention window invisible to pre/post (0.26/0.24
+  *    looked calm while mid-suite codec keys ran 5–10×).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -99,13 +108,18 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     })
     val sentinelPre = sentinel()
-    // last full-suite run's per-query medians (bench_history.jsonl):
-    // the reference for the capped-key healing rule — a capped key runs
-    // ONE pass, so a contention spike has no median to hide behind
-    // (round-10 artifact: mm_image_dedup recorded 10.15 s where the
-    // quiet value at identical code was 1.25 s). Missing/unparseable
-    // history just disables the rule.
-    val priorMedians: Map[String, Double] = try {
+    // QUIET per-query anchors for the capped-key healing rule: the
+    // per-key MIN over the last 5 full-suite entries in
+    // bench_history.jsonl. A capped key runs ONE pass, so a contention
+    // spike has no median to hide behind (round-10 artifact:
+    // mm_image_dedup recorded 10.15 s where the quiet value at identical
+    // code was 1.25 s) — and the anchor must itself be contention-proof:
+    // round 11 compared against only the LAST recorded run, which was a
+    // spike for exactly the keys that spiked again, so no heal fired and
+    // a 178 s artifact shipped for a 104 s engine. Min-of-last-N can't
+    // be poisoned by one contended round. Missing/unparseable history
+    // just disables the rule.
+    val quietMedians: Map[String, Double] = try {
       val p = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_HISTORY", "bench_history.jsonl"))
       if (!java.nio.file.Files.exists(p)) Map.empty
@@ -123,7 +137,8 @@ object Bench {
                 .findAllMatchIn(rest.substring(0, end))
                 .map(m => m.group(1) -> m.group(2).toDouble).toMap)
             }
-          }.find(_.nonEmpty).getOrElse(Map.empty)
+          }.filter(_.nonEmpty).take(5).toList
+          .flatMap(_.toSeq).groupMapReduce(_._1)(_._2)(math.min)
       }
     } catch { case _: Throwable => Map.empty }
     val memoKeys = SparkEntry.memoizedQueries
@@ -131,6 +146,7 @@ object Bench {
     val capped = scala.collection.mutable.ListBuffer[String]()
     val healed = scala.collection.mutable.ListBuffer[String]()
     @volatile var deadlineHit = false
+    @volatile var sentinelMid = Double.NaN
     @volatile var sentinelPost = Double.NaN
 
     // per-key final state, mutated as the suite runs so the shutdown hook
@@ -168,7 +184,7 @@ object Bench {
       val healedJson = healed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val partialJson = if (only.isEmpty) "" else ""","partial":true"""
       val truncJson = if (truncated) ""","truncated":true""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"memoized":$memoJson,"memo_cleared":true,"warm":$warmJson,"unstable":$unstableJson,"capped":$cappedJson,"healed":$healedJson,"deadline_hit":$deadlineHit,"heavy_s":$heavyS,"deadline_s":$deadlineS,"sentinel_pre_s":$sentinelPre,"sentinel_post_s":${num(sentinelPost)},"passes":$passes$partialJson$truncJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"memoized":$memoJson,"memo_cleared":true,"warm":$warmJson,"unstable":$unstableJson,"capped":$cappedJson,"healed":$healedJson,"deadline_hit":$deadlineHit,"heavy_s":$heavyS,"deadline_s":$deadlineS,"sentinel_pre_s":$sentinelPre,"sentinel_mid_s":${num(sentinelMid)},"sentinel_post_s":${num(sentinelPost)},"passes":$passes$partialJson$truncJson,"sf":"$sfDir"}"""
     }
     // COMPACT duplicate of the summary, printed as the FINAL stdout line.
     // Rounds 1-9 of driver artifacts all carry `parsed: null`: the driver
@@ -188,7 +204,7 @@ object Bench {
       val cappedJson = capped.map("\"" + _ + "\"").mkString("[", ",", "]")
       val healedJson = healed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val truncJson = if (truncated) ""","truncated":true""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries_in":"bench_history.jsonl","failed":$failedJson,"unstable":$unstableJson,"capped":$cappedJson,"healed":$healedJson,"deadline_hit":$deadlineHit,"sentinel_pre_s":$sentinelPre,"sentinel_post_s":${num(sentinelPost)},"passes":$passes$truncJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries_in":"bench_history.jsonl","failed":$failedJson,"unstable":$unstableJson,"capped":$cappedJson,"healed":$healedJson,"deadline_hit":$deadlineHit,"sentinel_pre_s":$sentinelPre,"sentinel_mid_s":${num(sentinelMid)},"sentinel_post_s":${num(sentinelPost)},"passes":$passes$truncJson,"sf":"$sfDir"}"""
     }
     def passTimesJson: String = lock.synchronized {
       results.map { case (k, (_, ts)) =>
@@ -239,6 +255,12 @@ object Bench {
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
+    // the mid-suite sentinel fires once, after half the keys complete —
+    // a late-onset contention window (round 11: pre/post 0.26/0.24
+    // looked calm while codec keys mid-suite ran 5–10×) becomes visible
+    // in the artifact instead of only in the per-key spikes it causes
+    val midIndex = ordered.size / 2
+    var completedKeys = 0
     ordered.foreach { case (name, fn) =>
       if (!deadlineHit && elapsed > deadlineS) {
         deadlineHit = true
@@ -281,6 +303,11 @@ object Bench {
       appendLine("SPARK_GRAFT_PARTIAL", "bench_partial.jsonl",
         s"""{"at":"${java.time.Instant.now()}","query":"$name","median":${num(med)},"pass_times":${times.mkString("[", ",", "]")},"elapsed_s":$elapsed}""")
       System.err.println(f"[bench] $name%-28s ${num(med)}%8s s  passes=${times.size}  elapsed=$elapsed%.1f s")
+      completedKeys += 1
+      if (completedKeys == midIndex && ordered.size >= 10) {
+        sentinelMid = sentinel()
+        System.err.println(f"[bench] mid-suite sentinel: $sentinelMid%.2f s")
+      }
     }
 
     // self-healing: one extra pass for contention-flagged keys, median
@@ -306,7 +333,8 @@ object Bench {
     }
 
     // capped-key healing: a capped key's single cold pass reading >3×
-    // its last recorded full-suite median is a contention spike, not a
+    // its QUIET history value (min over the last 5 full runs — never a
+    // single possibly-contended artifact) is a contention spike, not a
     // plan change — one re-pass, record the MIN (the spike is excluded,
     // not averaged in), same `healed` ledger as the unstable rule.
     // Budget-guarded like the unstable pass; a genuine regression stays
@@ -314,15 +342,15 @@ object Bench {
     capped.toList.foreach { name =>
       if (elapsed < deadlineS) {
         val (med, ts) = lock.synchronized(results(name))
-        priorMedians.get(name).filter(p => p > 0 && !med.isNaN && med > 3 * p)
-          .foreach { prior =>
+        quietMedians.get(name).filter(p => p > 0 && !med.isNaN && med > 3 * p)
+          .foreach { quiet =>
             timedPass(name, SparkEntry.queries(name)).foreach { extra =>
               lock.synchronized {
                 results(name) = (math.min(med, extra), ts :+ extra)
                 healed += name
               }
               System.err.println(
-                f"[bench] healed capped $name: re-pass $extra%.2f s vs spike ${med}%.2f s (prior $prior%.2f s)")
+                f"[bench] healed capped $name: re-pass $extra%.2f s vs spike ${med}%.2f s (quiet $quiet%.2f s)")
             }
           }
       }
