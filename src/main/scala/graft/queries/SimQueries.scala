@@ -16,7 +16,7 @@ object SimQueries {
     * before each timed pass via [[clearMemos]], so the artifact's median
     * measures the full build+search cost; the warm (store-prebuilt) search
     * time is recorded separately as a `warm` entry. */
-  val memoized: Set[String] = Set("sim_ann_pruned")
+  val memoized: Set[String] = Set("sim_ann_pruned", "sim_ivfpq_search")
 
   /** One centroid-partitioned [[graft.sinks.AnnStore]] per (application,
     * sf dir), built on first use — same memo discipline as
@@ -51,6 +51,30 @@ object SimQueries {
       val path = dir.toString + "/store"
       graft.sinks.AnnStore.write(assigned, path)
       path
+    })
+
+  /** One centroid-partitioned PQ-code store (+ its codebook) per
+    * (application, sf dir) — the `sim_ivfpq_search` serving index:
+    * codebook trained, corpus encoded, codes laid out by their coarse
+    * cluster ([[graft.sinks.AnnStore.writePq]]), codebook persisted next
+    * to them (it is part of the index — a query must not retrain it).
+    * Same memo/sweep discipline as [[annStore]]: Bench clears the memo
+    * per pass so the artifact's median is the cold index build, and the
+    * `warm` entry records the serving-only cost — the production
+    * build-once-query-many shape. */
+  private def pqStore(s: org.apache.spark.sql.SparkSession, d: String): String =
+    annStoreCache.computeIfAbsent("pq|" + s.sparkContext.applicationId + "|" + d, _ => {
+      val e = t(s, d, "embeddings")
+      val pq = graft.operators.ProductQuant
+      val cb = pq.train(e, "embedding", "vec_id", m = 4, k = 8, dims = 64, iters = 2)
+      val codes = pq.encode(e, "embedding", "vec_id", cb, m = 4, dims = 64)
+      val assigned = Similarity.ivfAssign(e, "embedding", "vec_id", centroids(s, d), "cid")
+      val dir = java.nio.file.Files.createTempDirectory("graft_pq")
+      annHook
+      annTmpDirs.add(dir)
+      graft.sinks.AnnStore.writePq(assigned, codes, "vec_id", dir.toString + "/store")
+      cb.write.mode("overwrite").parquet(dir.toString + "/codebook")
+      dir.toString
     })
 
   /** ONE reusable temp dir per (application, sf dir) for the
@@ -404,29 +428,27 @@ object SimQueries {
           aggregate(col("codes"), lit(0L), (a, c) => a + c.cast("long")).as("code_sum"))
     }),
 
-    // IVF+PQ — the production vector-store serving stack composed from
-    // existing operators: the coarse quantizer prunes to nProbe clusters
-    // (ivfAssign + the bounded driver probe route), then ADC ranks ONLY
-    // the surviving codes — at 100 TB the query reads nProbe/K of the
-    // corpus and never touches a float vector. Both stages deterministic,
-    // so the whole pipeline replays in SQL
+    // IVF+PQ — the production vector-store serving stack, served from
+    // the PREBUILT centroid-partitioned code store: the coarse quantizer
+    // routes to nProbe clusters driver-side, the route plans as a STATIC
+    // `centroid_id IN (...)` partition filter on the store (AnnStoreSpec
+    // proves the executed scan reads only the probed clusters' code
+    // files), and ADC ranks the surviving codes against the query's
+    // broadcast distance table — at 100 TB the query reads
+    // (nProbe/K) · m bytes per corpus row and never touches a float
+    // vector. The store+codebook build is the memoized ingest stage
+    // (cold in bench, like sim_ann_pruned); searchPruned is spec-proven
+    // rank-identical to the in-memory assign⋈encode composition, so the
+    // SQL oracle replays unchanged
     "sim_ivfpq_search" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val pq = graft.operators.ProductQuant
-      val cents = e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid")
-      val cb = pq.train(e, "embedding", "vec_id", m = 4, k = 8, dims = 64, iters = 2)
-      val codes = pq.encode(e, "embedding", "vec_id", cb, m = 4, dims = 64)
-      val assigned = Similarity.ivfAssign(e, "embedding", "vec_id", cents, "cid")
+      val base = pqStore(s, d)
+      val codes = graft.sinks.AnnStore.read(s, base + "/store")
+      val cb = s.read.parquet(base + "/codebook")
       val qv = e.filter(col("vec_id") === 0)
         .select(transform(col("embedding"), _.cast("double"))).head().getSeq[Double](0)
-      // probe route: same rounded-cosine (sim DESC, cid) rule as
-      // ivfSearchAssigned; ≤ nProbe ints of routing metadata
-      val probe = Similarity.topK(cents, "embedding", "cid", qv, k = 2)
-        .select(col("cid")).collect().map(_.getLong(0)).toIndexedSeq
-      val survivors = assigned.filter(col("centroid_id").isin(probe: _*))
-        .select(col("vec_id"))
-      pq.search(codes.join(survivors, Seq("vec_id"), "left_semi"),
-        "vec_id", cb, qv, m = 4, dims = 64, k = 10)
+      graft.operators.ProductQuant.searchPruned(codes, "vec_id", cb,
+        centroids(s, d), "cid", "embedding", qv, m = 4, dims = 64, k = 10, nProbe = 2)
     }),
 
     // the PQ SERVING path end-to-end: asymmetric-distance (ADC) ranking
