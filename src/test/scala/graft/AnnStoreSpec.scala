@@ -209,4 +209,96 @@ class AnnStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         s"probe scan should read only probed clusters: read $read of $totalFiles files")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  // --- compaction: the third of the store lifecycle -----------------------
+
+  private def dirState(path: String, cid: Long): Map[String, String] = {
+    // (file name -> md5 of bytes): the byte-identity evidence for the
+    // untouched-partition claim
+    val d = new java.io.File(path, s"centroid_id=$cid")
+    if (!d.exists()) Map.empty
+    else d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      f.getName -> md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+        .map("%02x".format(_)).mkString
+    }.toMap
+  }
+
+  private def fileCount(path: String, cid: Long): Int = {
+    val d = new java.io.File(path, s"centroid_id=$cid")
+    if (!d.exists()) 0
+    else d.listFiles().count(_.getName.endsWith(".parquet"))
+  }
+
+  test("compact: fragmented clusters collapse to one file, search identical, untouched partitions byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annspec").toFile
+    storeDirs += dir
+    val path = dir.toString + "/store"
+    def assign(part: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfAssign(part, "embedding", "vec_id", cents, "cid", keepVec = true)
+    // the ingest steady state compact exists for: a base write + 3 appends
+    AnnStore.write(assign(corpus.filter($"vec_id" >= 100)), path)
+    AnnStore.append(assign(corpus.filter($"vec_id" < 40)), path)
+    AnnStore.append(assign(corpus.filter($"vec_id" >= 40 && $"vec_id" < 75)), path)
+    AnnStore.append(assign(corpus.filter($"vec_id" >= 75 && $"vec_id" < 100)), path)
+    val cids = (0L until 8L)
+    val before = cids.map(c => c -> dirState(path, c)).toMap
+    val fragmented = cids.filter(c => fileCount(path, c) > 1)
+    assert(fragmented.nonEmpty, "appends should have fragmented some cluster")
+    val query = corpus.filter($"vec_id" === 1)
+    def search() = Similarity.ivfSearchAssigned(AnnStore.read(spark, path),
+        "vec_id", cents, "cid", "embedding", query, k = 10, nProbe = 2)
+      .as[(Long, Double)].collect().toSeq
+    def allRows() = AnnStore.read(spark, path)
+      .select($"vec_id", $"centroid_id".cast("long")).as[(Long, Long)].collect().toSet
+    val searchBefore = search()
+    val rowsBefore = allRows()
+    val compacted = AnnStore.compact(spark, path)
+    assert(compacted === fragmented.sorted,
+      s"exactly the >1-file clusters must compact: $compacted vs $fragmented")
+    compacted.foreach { c =>
+      assert(fileCount(path, c) === 1, s"cluster $c should hold ONE file after compact")
+    }
+    (cids.toSet -- compacted.toSet).foreach { c =>
+      assert(dirState(path, c) === before(c),
+        s"untouched cluster $c's files must stay byte-identical")
+    }
+    assert(search() === searchBefore, "compaction must never change search results")
+    assert(allRows() === rowsBefore, "compaction must never change the stored rows")
+    // idempotent: a compact store has nothing to compact
+    assert(AnnStore.compact(spark, path) === Seq.empty)
+    // no scratch dirs left behind
+    assert(!new java.io.File(path + ".compact_tmp").exists())
+    assert(!new java.io.File(path + ".compact_old").exists())
+  }
+
+  test("compact on the PQ code store preserves ADC ranking") {
+    val pq = graft.operators.ProductQuant
+    val dir = java.nio.file.Files.createTempDirectory("graft_annspec").toFile
+    storeDirs += dir
+    val path = dir.toString + "/pqstore"
+    val cb = pq.train(corpus, "embedding", "vec_id", m = 4, k = 8, dims = 64, iters = 2)
+      .localCheckpoint()
+    val codes = pq.encode(corpus, "embedding", "vec_id", cb, m = 4, dims = 64)
+    val assigned = Similarity.ivfAssign(corpus, "embedding", "vec_id", cents, "cid")
+    def slice(lo: Long, hi: Long) =
+      assigned.filter($"vec_id" >= lo && $"vec_id" < hi)
+        .select($"vec_id", $"centroid_id").join(codes, Seq("vec_id"))
+    // fragment the code store the way a code ingest would: base + appends
+    AnnStore.writePq(assigned.filter($"vec_id" >= 100), codes, "vec_id", path)
+    AnnStore.append(slice(0, 50), path)
+    AnnStore.append(slice(50, 100), path)
+    val qv = corpus.filter($"vec_id" === 0)
+      .select(transform($"embedding", _.cast("double"))).head().getSeq[Double](0)
+    def searchPq() = pq.searchPruned(AnnStore.read(spark, path), "vec_id", cb,
+        cents, "cid", "embedding", qv, m = 4, dims = 64, k = 10, nProbe = 2)
+      .as[(Long, Double)].collect().toSeq
+    val beforeSearch = searchPq()
+    val filesBefore = AnnStore.read(spark, path).inputFiles.length
+    val compacted = AnnStore.compact(spark, path)
+    assert(compacted.nonEmpty, "the appended code store should have fragmented clusters")
+    assert(AnnStore.read(spark, path).inputFiles.length < filesBefore,
+      "compaction should reduce the code-file count")
+    assert(searchPq() === beforeSearch, "ADC ranking must survive compaction")
+  }
 }
