@@ -371,6 +371,24 @@ object SimQueries {
       Dedup.semanticDedup(assigned, "vec_id", threshold = 0.45)
     }),
 
+    // the KEEP-GROUP-MINIMUM variant dedup_semantic's scaladoc points to
+    // below the near-clique regime: the SAME trained clusters and
+    // intra-cluster τ pair scan, but pairs feed connected components and
+    // each τ-connected group keeps exactly its most-atypical member
+    // (lowest centroid-sim, id tiebreak); unpaired vectors survive as
+    // themselves. At τ = 0.45 similarity CHAINS span the clusters, so
+    // this key's kept set differs from dedup_semantic's chain rule by
+    // construction — the two keys together pin down both contracts.
+    // Oracle = the same recursive-CTE closure the dedup_components
+    // family replays
+    "dedup_semantic_components" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = Similarity.kmeansFit(e, "embedding", "vec_id", k = 8, iters = 2)
+      val assigned = Similarity.ivfAssign(e, "embedding", "vec_id",
+        cents.withColumnRenamed("c_v", "embedding"), "centroid_id", keepVec = true)
+      Dedup.semanticDedupComponents(assigned, "vec_id", threshold = 0.45)
+    }),
+
     // Index-health report over the TRAINED codebook: per-centroid mass
     // and similarity spread — the numbers that price k (nlist) and spot
     // the skewed cluster that will dominate every probe of it. One
@@ -974,6 +992,28 @@ object SimQueries {
                       AND (b.sim < a.sim OR (b.sim = a.sim AND b.vec_id < a.vec_id)))
           SELECT a.vec_id, a.cid AS centroid_id, a.sim AS centroid_sim
           FROM asg a ANTI JOIN dom d ON a.vec_id = d.vec_id""",
+    // replay train -> assign, the intra-cluster τ pair scan, then the
+    // recursive reachability closure (the dedup_components rule): each
+    // τ-connected group keeps its (min sim, min id) member; unpaired
+    // vectors keep themselves
+    "dedup_semantic_components" ->
+      s"""WITH RECURSIVE ${kmeansAssigned.stripPrefix("WITH ")},
+            na AS (SELECT n.vec_id, n.v, n.nrm, a.cid, a.sim
+                   FROM n JOIN asg a ON n.vec_id = a.vec_id),
+            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM na a JOIN na b
+                    ON a.cid = b.cid AND a.vec_id < b.vec_id
+                  WHERE $pairDot / (a.nrm * b.nrm) >= 0.45),
+            e AS (SELECT id_a AS es, id_b AS ed FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            reach AS (SELECT es AS v, ed AS r FROM e
+                      UNION SELECT reach.v, e.ed FROM reach JOIN e ON reach.r = e.es),
+            comp AS (SELECT v AS vec_id, least(v, min(r)) AS comp FROM reach GROUP BY v),
+            wc AS (SELECT a.vec_id, a.cid, a.sim, coalesce(c.comp, a.vec_id) AS comp
+                   FROM asg a LEFT JOIN comp c ON a.vec_id = c.vec_id)
+          SELECT vec_id, cid AS centroid_id, sim AS centroid_sim
+          FROM wc
+          QUALIFY row_number() OVER (PARTITION BY comp ORDER BY sim, vec_id) = 1""",
     "sim_cluster_stats" ->
       s"""$kmeansAssigned
           SELECT cid AS centroid_id, count(*) AS n,
