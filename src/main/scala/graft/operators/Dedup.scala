@@ -229,6 +229,22 @@ object Dedup {
     *
     * @return (id_a = history doc, id_b = batch doc, jaccard)
     */
+  /** Cross-set band-collision candidates — the batch side probing the
+    * history band index, with the sound size-ratio prune (j ≥ τ implies
+    * τ·|B| ≤ |A| and symmetrically). Exposed (like
+    * [[minhashBandCandidates]]) so scale runs can measure the
+    * incremental path's candidate volume independently of exact
+    * verification; inputs are [[minhashed]] frames. */
+  def minhashCrossCandidates(mh: DataFrame, mb: DataFrame, idCol: String,
+                             threshold: Double): DataFrame = {
+    def bands(m: DataFrame, side: String) =
+      m.select(col(idCol).as(s"id_$side"), size(col("hs")).as(s"n$side"),
+        explode(col("bands")).as("band"))
+    bands(mh, "a").join(bands(mb, "b"), Seq("band"))
+      .filter(col("na") >= col("nb") * threshold && col("nb") >= col("na") * threshold)
+      .select("id_a", "id_b").distinct()
+  }
+
   def minhashNearDupsAgainst(history: DataFrame, batch: DataFrame,
                              textCol: String, idCol: String, threshold: Double,
                              k: Int = 128, rowsPerBand: Int = 8, shingleN: Int = 3,
@@ -237,13 +253,7 @@ object Dedup {
       .filter(size(col("hs")) > 0).cache()
     val mb = minhashed(fanOut(batch, sketchParallelism), textCol, idCol, k, rowsPerBand, shingleN)
       .filter(size(col("hs")) > 0).cache()
-    def bands(m: DataFrame, side: String) =
-      m.select(col(idCol).as(s"id_$side"), size(col("hs")).as(s"n$side"),
-        explode(col("bands")).as("band"))
-    val candidates = bands(mh, "a").join(bands(mb, "b"), Seq("band"))
-      // sound prune: j >= t implies t*|B| <= |A| (and symmetrically)
-      .filter(col("na") >= col("nb") * threshold && col("nb") >= col("na") * threshold)
-      .select("id_a", "id_b").distinct()
+    val candidates = minhashCrossCandidates(mh, mb, idCol, threshold)
     val agree = graft.expressions.HashExpressions.positionalAgree(col("sig_a"), col("sig_b"))
     val plausible = candidates
       .join(mh.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
