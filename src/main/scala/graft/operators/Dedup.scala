@@ -58,6 +58,56 @@ object Dedup {
       .select(col(idCol), col("text_hash"))
   }
 
+  /** LINE-level boilerplate removal (the CCNet/RefinedWeb pre-filter):
+    * any line whose exact text appears in at least `minDocs` DISTINCT
+    * documents is boilerplate — navigation, headers, footers, cookie
+    * banners — and is removed from EVERY document (unlike
+    * `chunkDedupKeepFirst`, which keeps one copy of a duplicated window,
+    * the frequency rule deletes all copies: a line shared by 10k docs
+    * is template, not content). Documents are reconstructed with their
+    * surviving lines in original order; empty lines never count toward
+    * the threshold and are preserved as structure.
+    *
+    * Plan shape at 100 TB: the frequency count shuffles (line-digest,
+    * doc-distinct) pairs — 16-byte digests, never line text — with
+    * map-side partial distinct; the reassembly shuffles each doc's
+    * lines once (unavoidable: reconstruction needs the text), keyed by
+    * doc id so it co-partitions with any downstream per-doc stage. The
+    * hot-line set itself is never collected or broadcast — a template
+    * line shared by millions of docs is exactly the skewed key a
+    * broadcast would not help with; the digest join handles it as a
+    * plain shuffle join under AQE skew handling.
+    *
+    * @return (idCol, n_lines, n_removed, `clean_text`) — one row per
+    *         input document, including documents whose every line was
+    *         boilerplate (clean_text = "") */
+  def removeBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
+                             minDocs: Int, delim: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+        .as(Seq("__line_no", "__line")))
+    val hot = lines.filter(col("__line") =!= "")
+      .select(md5(col("__line")).as("__lh"), col(idCol))
+      .groupBy("__lh").agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__lh")
+    val kept = lines.join(hot, md5(col("__line")) === col("__lh"), "left_anti")
+    kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        concat_ws(delim,
+          transform(array_sort(collect_list(struct(col("__line_no"), col("__line")))),
+            s => s.getField("__line"))).as("clean_text"))
+      // right-join the doc set back so an all-boilerplate doc still
+      // reports a row (its every line dropped, clean_text empty)
+      .join(df.select(col(idCol),
+          size(split(col(textCol), java.util.regex.Pattern.quote(delim))).as("n_lines")),
+        Seq(idCol), "right")
+      .select(col(idCol), col("n_lines"),
+        (col("n_lines") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Per-doc MinHash signature + LSH band keys. Zero-shuffle projection:
     * one md5 per distinct shingle (→ 31-bit int), then k universal-hash
     * mins over the int array. */

@@ -91,6 +91,17 @@ object SimQueries {
       dir.toString
     })
 
+  /** Same bounded-disk discipline for the `sim_ann_compact` lifecycle
+    * key: one reusable dir per (application, sf dir), previous store
+    * copy deleted at the start of each invocation. */
+  private def annCompactDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    annStoreCache.computeIfAbsent("compact|" + s.sparkContext.applicationId + "|" + d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_cp")
+      annHook
+      annTmpDirs.add(dir)
+      dir.toString
+    })
+
   /** Drop the memoized ANN store (and delete its files): the next
     * `sim_ann_pruned` call pays the full ingest-time build again. Bench
     * calls this before each timed pass of a memoized key so the artifact
@@ -287,6 +298,32 @@ object SimQueries {
         Similarity.ivfAssign(part, "embedding", "vec_id", cents, "cid", keepVec = true)
       graft.sinks.AnnStore.write(assign(e.filter(col("vec_id") >= 100)), path)
       graft.sinks.AnnStore.append(assign(e.filter(col("vec_id") < 100)), path)
+      Similarity.ivfSearchAssigned(
+        graft.sinks.AnnStore.read(s, path), "vec_id", cents, "cid", "embedding",
+        query = e.filter(col("vec_id") === 1), k = 10, nProbe = 2)
+    }),
+
+    // the store lifecycle's THIRD stage, run cold end to end: write the
+    // base corpus, append two batches (fragmenting their target
+    // clusters), COMPACT the fragmented clusters back to one file each,
+    // then search the compacted store. Files are layout, never
+    // semantics: the oracle is the same full-corpus IVF search as
+    // sim_ann_upsert — write+append+compact+search must equal having
+    // ingested everything up front, with the compacted clusters at one
+    // file each (compact() raising on any parity break is spec-level;
+    // here the search result IS the checked fact)
+    "sim_ann_compact" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = centroids(s, d)
+      val path = annCompactDir(s, d) + "/store"
+      deleteRecursively(new java.io.File(path))
+      def assign(part: org.apache.spark.sql.DataFrame) =
+        Similarity.ivfAssign(part, "embedding", "vec_id", cents, "cid", keepVec = true)
+      graft.sinks.AnnStore.write(assign(e.filter(col("vec_id") >= 100)), path)
+      graft.sinks.AnnStore.append(assign(e.filter(col("vec_id") < 50)), path)
+      graft.sinks.AnnStore.append(
+        assign(e.filter(col("vec_id") >= 50 && col("vec_id") < 100)), path)
+      graft.sinks.AnnStore.compact(s, path)
       Similarity.ivfSearchAssigned(
         graft.sinks.AnnStore.read(s, path), "vec_id", cents, "cid", "embedding",
         query = e.filter(col("vec_id") === 1), k = 10, nProbe = 2)
@@ -859,6 +896,9 @@ object SimQueries {
     "sim_ann_pruned" -> annSearchSql(qid = 1),
     // append-then-search ≡ ingest-everything-then-search
     "sim_ann_upsert" -> annSearchSql(qid = 1),
+    // write+append+compact+search ≡ ingest-everything-then-search:
+    // compaction is layout, never semantics
+    "sim_ann_compact" -> annSearchSql(qid = 1),
     // the composed prep chain replayed from the SAME generated CTE
     // builders the standalone keys use: srpCtes → verified pairs →
     // recursive reachability components (min-id labels, the

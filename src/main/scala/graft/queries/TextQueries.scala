@@ -290,6 +290,34 @@ object TextQueries {
           sum(when(col("rn") === 1, 1).otherwise(0)).cast("bigint").as("n_kept"))
     }),
 
+    // LINE-level boilerplate removal (the CCNet/RefinedWeb pre-filter,
+    // distinct from ta_chunk_dedup's keep-first rule): a line appearing
+    // in ≥ 5 distinct docs is template — navigation, headers, footers —
+    // and is removed from EVERY doc, then docs are reconstructed in
+    // line order. Multi-line docs are synthesized deterministically
+    // (the ta_redact_pii pattern): a per-source subscribe header +
+    // 12-token body lines + a per-source copyright footer, so each
+    // source's 25 header/footer copies cross the threshold while body
+    // content survives — and the oracle replays the identical
+    // construction + removal + reassembly
+    "ta_line_dedup" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nBody = greatest(ceil(size(toks).cast("double") / 12).cast("int"), lit(1))
+      val bodyArr = transform(sequence(lit(0), nBody - 1),
+        i => concat_ws(" ", slice(toks, i * 12 + 1, lit(12))))
+      val docLines = concat(
+        array(concat(lit("subscribe at "), col("source"))),
+        bodyArr,
+        array(concat(lit("(c) "), col("source"), lit(" all rights reserved"))))
+      val synth = t(s, d, "documents")
+        .select(col("doc_id"), concat_ws("\n", docLines).as("ml_text"))
+      graft.operators.Dedup
+        .removeBoilerplateLines(synth, "ml_text", "doc_id", minDocs = 5)
+        .select(col("doc_id"), col("n_lines").cast("long").as("n_lines"),
+          col("n_removed").cast("long").as("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+    }),
+
     // per-source contribution cap (the crawl pipeline's per-domain cap):
     // at most 10 hash-first docs per source. The plan prefilters each
     // stratum by a hash cutoff before ranking, so a hot source never
@@ -852,6 +880,37 @@ object TextQueries {
          SELECT doc_id, count(*) AS n_chunks,
                 CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM k GROUP BY doc_id""",
+    // replay construction (header + 12-token body lines + footer),
+    // frequency rule (>= 5 distinct docs), removal, and in-order
+    // reassembly — the md5 of the rebuilt text is the checked fact
+    "ta_line_dedup" ->
+      """WITH base AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+                       FROM documents),
+            built AS (
+              SELECT doc_id,
+                     list_prepend('subscribe at ' || source,
+                       list_append(
+                         list_transform(
+                           range(0, greatest(CAST(ceil(len(toks) / 12.0) AS INT), 1)),
+                           i -> array_to_string(
+                                  list_slice(toks, CAST(i*12 + 1 AS INT), CAST(i*12 + 12 AS INT)), ' ')),
+                         '(c) ' || source || ' all rights reserved')) AS lines
+              FROM base),
+            ln AS (SELECT doc_id, CAST(r.i AS INT) AS line_no,
+                          lines[CAST(r.i + 1 AS INT)] AS line
+                   FROM built, unnest(range(0, len(lines))) AS r(i)),
+            hot AS (SELECT md5(line) AS lh FROM ln WHERE line <> ''
+                    GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5),
+            kept AS (SELECT doc_id, line_no, line FROM ln
+                     WHERE md5(line) NOT IN (SELECT lh FROM hot)),
+            agg AS (SELECT doc_id, count(*) AS n_kept,
+                           string_agg(line, chr(10) ORDER BY line_no) AS clean_text
+                    FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines FROM built)
+         SELECT t.doc_id, t.n_lines,
+                t.n_lines - coalesce(a.n_kept, 0) AS n_removed,
+                md5(coalesce(a.clean_text, '')) AS clean_md5
+         FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id""",
     // naive per-stratum hash rank: the prefiltered plan must be
     // row-identical to it
     "ta_source_cap" ->

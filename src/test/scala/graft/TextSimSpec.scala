@@ -451,4 +451,42 @@ class TextSimSpec extends SparkSpec {
     assert(cross.nonEmpty, "fixture must exercise real cross-set near-dups")
     assert(!cross.exists { case (a, _) => a >= 10 }, "no batch-internal pairs")
   }
+
+  test("removeBoilerplateLines: frequency rule, order, empty lines, all-boilerplate docs") {
+    val hdr = "subscribe to our newsletter"
+    val docs = Seq(
+      (1L, s"$hdr\nalpha beta\n\ngamma delta\n$hdr"),  // hdr twice in ONE doc
+      (2L, s"$hdr\nepsilon zeta"),
+      (3L, s"$hdr\neta theta\nrare shared line"),
+      (4L, s"$hdr\nrare shared line\niota kappa"),     // "rare shared line": 2 docs < minDocs
+      (5L, hdr)                                        // all boilerplate
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .removeBoilerplateLines(docs, "text", "doc_id", minDocs = 3)
+      .as[(Long, Int, Long, String)].collect().sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    // hdr appears in 5 distinct docs (twice in doc 1 — distinct-doc
+    // counting, not occurrence counting) => removed EVERYWHERE
+    assert(byId(1L)._4 === "alpha beta\n\ngamma delta",
+      "both header copies removed, empty line preserved, order kept")
+    assert(byId(1L)._2 === 5 && byId(1L)._3 === 2)
+    // a line shared by only 2 docs stays below minDocs=3 and survives
+    assert(byId(3L)._4 === "eta theta\nrare shared line")
+    assert(byId(4L)._4 === "rare shared line\niota kappa")
+    // a doc that was pure boilerplate still reports, emptied
+    assert(byId(5L)._4 === "" && byId(5L)._3 === 1 && byId(5L)._2 === 1)
+  }
+
+  test("removeBoilerplateLines is partition-invariant") {
+    val docs = (1L to 40L).map { i =>
+      (i, s"shared header line\nbody $i content\nshared footer line")
+    }.toDF("doc_id", "text")
+    def run(parts: Int) = graft.operators.Dedup
+      .removeBoilerplateLines(docs.repartition(parts), "text", "doc_id", minDocs = 5)
+      .as[(Long, Int, Long, String)].collect().toSet
+    val one = run(1)
+    assert(one === run(7), "result must not depend on partitioning")
+    assert(one.forall(_._4.startsWith("body ")), "only body lines survive")
+    assert(one.forall(_._3 === 2L), "header and footer removed from every doc")
+  }
 }
