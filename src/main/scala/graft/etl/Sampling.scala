@@ -168,6 +168,40 @@ object Sampling {
       shiftleft(shiftright(hashOrder(id), 4), 32).bitwiseOR(id))
   }
 
+  /** Deterministic EPOCH SHUFFLE — the reproducible global permutation a
+    * training run reads its corpus in: every document gets a (shard,
+    * pos) address where `shard` partitions the corpus into `nShards`
+    * equal-expectation output files and `pos` is the document's exact
+    * position within its shard. The permutation is the md5 order of
+    * (seed ‖ id): rerun-, partition-, and engine-stable, and a NEW seed
+    * is a fresh independent permutation — epochs reshuffle by changing
+    * one string, never by `rand()` (which is none of those things).
+    * Every subpopulation lands uniformly across shards (hash bucketing
+    * is implicitly stratified — no shard accidentally concentrates one
+    * source, the training-order bias a sequential write bakes in).
+    *
+    * Scale shape: shard assignment is a pure map-side projection; the
+    * within-shard position comes from [[graft.operators.Rank]]'s
+    * two-level rank — a range exchange plus a broadcast offset table —
+    * NEVER a per-shard single-reducer sort (the naive window over
+    * `nShards` low-cardinality partitions funnels corpus/nShards rows
+    * through one task each; at 100 TB that is the same scale-killer the
+    * percentile keys replaced in round 11). Writing the result
+    * partitioned by `shard`, ordered by `pos`, is the shard-writer
+    * shape every data loader consumes.
+    *
+    * @return (idCol, shard, pos) — pos is 1-based and dense per shard */
+  def epochShuffle(df: DataFrame, idCol: String, seed: String,
+                   nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    require(seed.nonEmpty, "epochShuffle: empty seed")
+    val h = hashOrder(concat(lit(seed), lit("|"), col(idCol).cast("string")))
+    val keyed = df.select(col(idCol), (h % nShards).as("shard"), h.as("__h"))
+    graft.operators.Rank.withGroupRank(keyed, Seq("shard"), "__h",
+        tiebreakCols = Seq(idCol))
+      .select(col(idCol), col("shard"), col("rank").as("pos"))
+  }
+
   /** SINGLE-PASS uniform k-sample of distinct ids per group — the
     * bounded-state form of [[capPerStratum]]'s hash-first-k semantics.
     * Where the cap plans 3 pruned scans + a candidate window (exact for

@@ -290,6 +290,18 @@ object TextQueries {
           sum(when(col("rn") === 1, 1).otherwise(0)).cast("bigint").as("n_kept"))
     }),
 
+    // deterministic EPOCH SHUFFLE: every doc addressed by (shard, pos)
+    // under the md5 order of (seed | id) — the reproducible global
+    // permutation training runs read, reshuffled per epoch by changing
+    // the seed string (never rand()). Position within shard is the
+    // scale-safe two-level rank, not a per-shard single-reducer window
+    "ta_epoch_shuffle" -> ((s, d) =>
+      graft.etl.Sampling.epochShuffle(
+          t(s, d, "documents").select("doc_id"), "doc_id",
+          seed = "epoch-1", nShards = 8)
+        .select(col("doc_id"), col("shard"),
+          col("pos").cast("long").as("pos"))),
+
     // LINE-level boilerplate removal (the CCNet/RefinedWeb pre-filter,
     // distinct from ta_chunk_dedup's keep-first rule): a line appearing
     // in ≥ 5 distinct docs is template — navigation, headers, footers —
@@ -880,6 +892,15 @@ object TextQueries {
          SELECT doc_id, count(*) AS n_chunks,
                 CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM k GROUP BY doc_id""",
+    // the naive per-shard rank window: the two-level plan must be
+    // row-identical to it
+    "ta_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+                           CAST(concat('0x', substr(md5('epoch-1|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+                    FROM documents)
+         SELECT doc_id, hv % 8 AS shard,
+                row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos
+         FROM h""",
     // replay construction (header + 12-token body lines + footer),
     // frequency rule (>= 5 distinct docs), removal, and in-order
     // reassembly — the md5 of the rebuilt text is the checked fact

@@ -243,6 +243,43 @@ class TrainingMixSpec extends SparkSpec {
     }
   }
 
+  test("epochShuffle equals the naive per-shard rank window and is partition-invariant") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id")
+    def run(parts: Int) =
+      Sampling.epochShuffle(docs.repartition(parts), "doc_id", "epoch-1", 8)
+        .select(col("doc_id"), col("shard").cast("long"), col("pos").cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+    val got = run(1)
+    assert(got === run(7), "the permutation must not depend on partitioning")
+    // reference: the naive window over the same keys
+    import org.apache.spark.sql.expressions.Window
+    val h = Sampling.hashOrder(concat(lit("epoch-1"), lit("|"), col("doc_id").cast("string")))
+    val naive = docs.select(col("doc_id"), (h % 8).as("shard"), h.as("hv"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("hv"), col("doc_id"))))
+      .select(col("doc_id"), col("shard").cast("long"), col("pos").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === naive, "two-level rank must be row-identical to the naive window")
+  }
+
+  test("epochShuffle: a new seed is an independent permutation; positions are dense") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id")
+    def perm(seed: String) =
+      Sampling.epochShuffle(docs, "doc_id", seed, 4)
+        .select(col("doc_id"), col("shard").cast("long"), col("pos").cast("long"))
+        .as[(Long, Long, Long)].collect()
+    val e1 = perm("epoch-1"); val e1b = perm("epoch-1"); val e2 = perm("epoch-2")
+    assert(e1.toSet === e1b.toSet, "same seed, same permutation")
+    assert(e1.toSet !== e2.toSet, "a new seed must reshuffle")
+    // every shard's positions are exactly 1..n_shard (dense, no holes)
+    e1.groupBy(_._2).foreach { case (s0, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $s0 positions must be dense 1..n")
+    }
+    // the permutation covers every doc exactly once
+    assert(e1.map(_._1).distinct.length === e1.length)
+  }
+
   test("reservoir raises on non-integral ids instead of silently truncating") {
     // a DOUBLE id like 5.7 would truncate to 5 in the packed key while
     // hashing md5("5.7") no oracle replay of the long id could match —
