@@ -187,4 +187,38 @@ class EdgeCaseSpec extends SparkSpec {
       .heavyKeys(Seq(Option.empty[Long], Option.empty[Long]).toDF("key"), "key", 3)
       .isEmpty, "null-only input has no heavy hitters")
   }
+
+  test("round-12 operators on empty and degenerate input") {
+    // empty corpus: boilerplate removal returns no rows, never a crash
+    assert(Dedup.removeBoilerplateLines(noDocs, "text", "doc_id", minDocs = 2)
+      .isEmpty, "empty line-dedup input")
+    // a single doc can never cross a minDocs >= 2 threshold: identity
+    val one = Seq((1L, "a\nb\na")).toDF("doc_id", "text")
+    val r = Dedup.removeBoilerplateLines(one, "text", "doc_id", minDocs = 2)
+      .as[(Long, Int, Long, String)].collect()
+    assert(r.toSeq === Seq((1L, 3, 0L, "a\nb\na")),
+      "within-doc repeats don't count toward the distinct-doc threshold")
+    // epoch shuffle on an empty frame / nShards = 1
+    val noIds = Seq.empty[Long].toDF("doc_id")
+    assert(graft.etl.Sampling.epochShuffle(noIds, "doc_id", "s", 4).isEmpty)
+    val three = Seq(5L, 9L, 2L).toDF("doc_id")
+    val shuffled = graft.etl.Sampling.epochShuffle(three, "doc_id", "s", 1)
+      .as[(Long, Long, Long)].collect()
+    assert(shuffled.map(_._2).toSet === Set(0L), "one shard holds everything")
+    assert(shuffled.map(_._3).sorted.toSeq === Seq(1L, 2L, 3L), "dense positions")
+    // compact on a store with nothing fragmented: idempotent no-op
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge_cp").toFile
+    try {
+      val path = dir.toString + "/store"
+      Seq((1L, 0L), (2L, 1L)).toDF("vec_id", "centroid_id")
+        .write.partitionBy("centroid_id").parquet(path)
+      assert(graft.sinks.AnnStore.compact(spark, path) === Seq.empty,
+        "single-file clusters have nothing to compact")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }
