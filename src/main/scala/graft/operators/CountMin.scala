@@ -53,10 +53,14 @@ object CountMin {
     * aggregation maintained by a streaming sum-agg is the windowed
     * streaming form. */
   def cells(df: DataFrame, groupCols: Seq[String], keyCol: String): DataFrame = {
-    val h = hash60(col(keyCol))
-    df.select(groupCols.map(col) :+
+    // stage the key hash ONCE per row in a codegen'd projection: the
+    // position lambda references `h` twice per depth, and higher-order
+    // functions are CodegenFallback — an md5 embedded in the lambda
+    // body re-evaluates per element (measured 8 evaluations/row here)
+    df.select(groupCols.map(col) :+ hash60(col(keyCol)).as("__h"): _*)
+      .select(groupCols.map(col) :+
         explode(transform(sequence(lit(0), lit(Depth - 1)), j =>
-          struct(j.cast("int").as("row"), position(h, j).as("pos")))).as("rp"): _*)
+          struct(j.cast("int").as("row"), position(col("__h"), j).as("pos")))).as("rp"): _*)
       .groupBy(groupCols.map(col) :+ col("rp.row").as("row") :+
         col("rp.pos").as("pos"): _*)
       .agg(count(lit(1)).as("cnt"))
@@ -89,10 +93,13 @@ object CountMin {
     * never shuffled; neither side scales with the corpus. */
   def estimateFor(cellsDf: DataFrame, groupCols: Seq[String],
                   watch: DataFrame, watchKeyCol: String): DataFrame = {
-    val h = hash60(col(watchKeyCol))
-    val probes = watch.select((col(watchKeyCol) +: groupCols.map(col)) :+
-      explode(transform(sequence(lit(0), lit(Depth - 1)), j =>
-        struct(j.cast("int").as("row"), position(h, j).as("pos")))).as("rp"): _*)
+    // same staged-hash discipline as `cells` (tiny side, same shape)
+    val probes = watch
+      .select((col(watchKeyCol) +: groupCols.map(col)) :+
+        hash60(col(watchKeyCol)).as("__h"): _*)
+      .select((col(watchKeyCol) +: groupCols.map(col)) :+
+        explode(transform(sequence(lit(0), lit(Depth - 1)), j =>
+          struct(j.cast("int").as("row"), position(col("__h"), j).as("pos")))).as("rp"): _*)
       .select((col(watchKeyCol) +: groupCols.map(col)) :+
         col("rp.row").as("row") :+ col("rp.pos").as("pos"): _*)
     probes
