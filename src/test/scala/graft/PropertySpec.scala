@@ -130,4 +130,44 @@ class PropertySpec extends SparkSpec {
     assert(ranks(mat = false) === ranks(mat = true),
       "materializeInput is a pure evaluation-count optimization")
   }
+
+  test("removeBoilerplateLines is identity when no line crosses the threshold (5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 13)
+      // per-doc UNIQUE lines (salted by doc id) -> no line can reach any
+      // minDocs >= 2, so reconstruction must reproduce every doc exactly,
+      // whatever the line count, ordering, or embedded empty lines
+      val docs = (1L to 20L).map { id =>
+        val n = 1 + rnd.nextInt(6)
+        val lines = (0 until n).map { j =>
+          if (rnd.nextInt(4) == 0) "" else s"doc$id line$j ${rnd.nextInt(100)}"
+        }
+        (id, lines.mkString("\n"))
+      }.toDF("doc_id", "text")
+      val out = Dedup.removeBoilerplateLines(docs, "text", "doc_id", minDocs = 2)
+        .select($"doc_id", $"n_removed", $"clean_text")
+        .as[(Long, Long, String)].collect()
+      val orig = docs.as[(Long, String)].collect().toMap
+      out.foreach { case (id, removed, clean) =>
+        assert(removed === 0L, s"seed=$seed doc=$id: unique lines must all survive")
+        assert(clean === orig(id), s"seed=$seed doc=$id: reconstruction must be exact")
+      }
+      assert(out.length === orig.size)
+    }
+  }
+
+  test("epochShuffle is a bijection onto dense shard positions for random id sets (5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 29)
+      val ids = (0 until 200).map(_ => rnd.nextInt(100000).toLong).distinct
+      val out = graft.etl.Sampling.epochShuffle(
+          ids.toDF("doc_id"), "doc_id", s"seed-$seed", 1 + rnd.nextInt(7))
+        .as[(Long, Long, Long)].collect()
+      assert(out.map(_._1).toSet === ids.toSet, s"seed=$seed: every id addressed once")
+      out.groupBy(_._2).foreach { case (shard, rows) =>
+        assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+          s"seed=$seed shard=$shard: positions must be dense 1..n")
+      }
+    }
+  }
 }
