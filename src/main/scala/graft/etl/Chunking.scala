@@ -21,13 +21,18 @@ object Chunking {
                    size: Int, stride: Int): DataFrame = {
     require(stride > 0 && size >= stride,
       s"need size >= stride > 0, got size=$size stride=$stride")
-    val toks = split(col(textCol), " ")
-    val starts = sequence(lit(0), greatest(org.apache.spark.sql.functions.size(toks) - 1, lit(0)), lit(stride))
     // null/empty docs produce NO chunks: without the filter, a null text
     // emits one phantom (n_tokens NULL, md5("")) chunk and an empty text a
     // bogus 1-token chunk sharing the same hash — chunk-level hash dedup
-    // would merge them into one fake identity
+    // would merge them into one fake identity.
+    // The token array is STAGED once per row before the window lambda:
+    // a split embedded in the lambda body re-evaluates per window
+    // (higher-order functions are CodegenFallback — the wordNgrams /
+    // CountMin lesson)
+    val toks = col("__toks")
+    val starts = sequence(lit(0), greatest(org.apache.spark.sql.functions.size(toks) - 1, lit(0)), lit(stride))
     df.filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
       .select(col(idCol),
         posexplode(transform(starts, st => slice(toks, st + 1, lit(size)))).as(Seq("chunk_idx", "chunk")))
       .select(col(idCol), col("chunk_idx"),

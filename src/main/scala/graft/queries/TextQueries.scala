@@ -140,9 +140,12 @@ object TextQueries {
     // containment 1.0 by identity) is filtered out
     "dedup_containment" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val toks = split(col("text"), " ")
+      // token array staged once per row (a split inside the window
+      // lambda re-evaluates per window — HOFs are CodegenFallback)
+      val toks = col("__toks")
       val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(24))
       val chunks = docs.filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("__toks"))
         .select(col("doc_id"), col("lang"),
           posexplode(transform(starts, st => slice(toks, st + 1, lit(32))))
             .as(Seq("chunk_idx", "chunk")))
@@ -313,7 +316,8 @@ object TextQueries {
     // content survives — and the oracle replays the identical
     // construction + removal + reassembly
     "ta_line_dedup" -> ((s, d) => {
-      val toks = split(col("text"), " ")
+      // token array staged once per row — same lesson as chunkWindows
+      val toks = col("__toks")
       val nBody = greatest(ceil(size(toks).cast("double") / 12).cast("int"), lit(1))
       val bodyArr = transform(sequence(lit(0), nBody - 1),
         i => concat_ws(" ", slice(toks, i * 12 + 1, lit(12))))
@@ -322,6 +326,7 @@ object TextQueries {
         bodyArr,
         array(concat(lit("(c) "), col("source"), lit(" all rights reserved"))))
       val synth = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("__toks"))
         .select(col("doc_id"), concat_ws("\n", docLines).as("ml_text"))
       graft.operators.Dedup
         .removeBoilerplateLines(synth, "ml_text", "doc_id", minDocs = 5)
