@@ -173,6 +173,56 @@ object Multimodal {
     }
   }
 
+  final case class FrameDelta(doc_id: Long, frame_idx: Int, delta_energy: Long)
+
+  /** SCENE-CHANGE signal over the frame container — the shot-boundary
+    * statistic a video training pipeline thresholds into keyframes:
+    * each frame's delta energy Σ_pixels |p_f − p_{f−1}| against its
+    * predecessor. Frames decode SEQUENTIALLY holding only the previous
+    * frame's raster — memory per row is two frames however long the
+    * video (the container streams; nothing buffers whole). Frame 0 is
+    * the opening keyframe by definition and emits no delta row.
+    * Integer arithmetic over the lossless codec ⇒ the synthetic-frame
+    * deltas replay exactly in SQL. Batched per partition like
+    * [[decodePngs]]; the payload column is gone after this projection. */
+  def frameDeltas(ds: Dataset[VideoPayload], batchSize: Int = 64): Dataset[FrameDelta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { v =>
+          val in = new java.io.DataInputStream(new ByteArrayInputStream(v.payload))
+          var prev: java.awt.image.BufferedImage = null
+          (0 until v.n_frames).flatMap { f =>
+            val len = in.readInt()
+            val fb = new Array[Byte](len)
+            in.readFully(fb)
+            val img = ImageIO.read(new ByteArrayInputStream(fb))
+            require(img != null, s"frame $f of ${v.doc_id} is not decodable")
+            val out = if (prev == null) None
+            else {
+              require(img.getWidth == prev.getWidth && img.getHeight == prev.getHeight,
+                s"frame $f of ${v.doc_id} changed dimensions mid-video")
+              var s = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  s += math.abs(img.getRaster.getSample(x, y, 0) -
+                    prev.getRaster.getSample(x, y, 0))
+                  x += 1
+                }
+                y += 1
+              }
+              Some(FrameDelta(v.doc_id, f, s))
+            }
+            prev = img
+            out
+          }
+        }
+      }
+    }
+  }
+
   final case class ImageHash(doc_id: Long, phash: Long)
 
   /** Perceptual difference-hash (dHash-64) over decoded image payloads —

@@ -593,6 +593,24 @@ object TextQueries {
         parallelism = s.sparkContext.defaultParallelism), stride = 2).toDF()
     }),
 
+    // SCENE/shot-boundary detection over the frame container: every
+    // frame's delta energy vs its predecessor (frames decode
+    // sequentially, memory bounded at two frames per row), flagged as a
+    // cut where the delta exceeds 1.1x the video's own mean — the
+    // ADAPTIVE threshold real shot detectors use, in exact integer
+    // arithmetic (delta*cnt*10 > sum*11, no float compare). Frame 0 is
+    // the opening keyframe by definition and emits no row
+    "mm_scene_detect" -> ((s, d) => {
+      val m = graft.multimodal.Multimodal
+      val deltas = m.frameDeltas(m.synthesizeVideos(t(s, d, "documents"), "doc_id",
+        parallelism = s.sparkContext.defaultParallelism)).toDF()
+      val stats = deltas.groupBy("doc_id")
+        .agg(sum(col("delta_energy")).as("__s"), count(lit(1)).as("__c"))
+      deltas.join(broadcast(stats), Seq("doc_id"))
+        .select(col("doc_id"), col("frame_idx"), col("delta_energy"),
+          (col("delta_energy") * col("__c") * 10 > col("__s") * 11).as("is_cut"))
+    }),
+
     // REAL audio codec round-trip: 16-bit PCM WAV encode + AudioSystem
     // decode (JDK javax.sound.sampled, no extra deps)
     "mm_audio_decode" -> ((s, d) => {
@@ -1260,6 +1278,21 @@ object TextQueries {
                          (doc_id*31 + f*17 + y*7 + x*13) % 256)))) AS BIGINT) AS sum_gray
          FROM documents, unnest(range(0, 3 + doc_id % 5)) AS r(f)
          WHERE f % 2 = 0""",
+    // per-frame delta energy replayed from the synthetic pixel formula;
+    // the adaptive cut flag compares in exact integer arithmetic
+    "mm_scene_detect" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(f AS INT) AS frame_idx,
+                  CAST(list_sum(flatten(list_transform(range(0, 4 + doc_id % 11), y ->
+                         list_transform(range(0, 4 + doc_id % 13), x ->
+                           abs((doc_id*31 + f*17 + y*7 + x*13) % 256 -
+                               (doc_id*31 + (f-1)*17 + y*7 + x*13) % 256))))) AS BIGINT) AS delta_energy
+           FROM documents, unnest(range(1, 3 + doc_id % 5)) AS r(f)),
+           st AS (SELECT doc_id, sum(delta_energy) AS s, count(*) AS c
+                  FROM d GROUP BY 1)
+         SELECT d.doc_id, d.frame_idx, d.delta_energy,
+                d.delta_energy * st.c * 10 > st.s * 11 AS is_cut
+         FROM d JOIN st USING (doc_id)""",
     // 16-bit PCM samples round-trip losslessly through the WAV container
     "mm_audio_decode" ->
       """SELECT doc_id, CAST(100 + doc_id % 50 AS INT) AS n_samples,

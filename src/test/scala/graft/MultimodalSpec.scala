@@ -148,6 +148,27 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.nonEmpty, "the synthetic corpus must actually contain near-dup images")
   }
 
+  test("frameDeltas matches the per-pixel formula and covers frames 1..n-1") {
+    val deltas = Multimodal.frameDeltas(
+      Multimodal.synthesizeVideos(
+        spark.range(1, 8).select($"id".as("doc_id")), "doc_id"))
+      .collect().groupBy(_.doc_id)
+    (1L to 7L).foreach { id =>
+      val n = 3 + (id % 5).toInt
+      val w = 4 + (id % 13).toInt
+      val h = 4 + (id % 11).toInt
+      def pix(f: Int, x: Int, y: Int): Long =
+        java.lang.Math.floorMod(id * 31 + f * 17L + y * 7 + x * 13, 256L)
+      val expected = (1 until n).map { f =>
+        f -> (for (y <- 0 until h; x <- 0 until w)
+          yield math.abs(pix(f, x, y) - pix(f - 1, x, y))).sum
+      }.toMap
+      val got = deltas(id).map(r => r.frame_idx -> r.delta_energy).toMap
+      assert(got === expected, s"doc $id: deltas must replay the pixel formula")
+      assert(!got.contains(0), "frame 0 is the opening keyframe, no delta row")
+    }
+  }
+
   test("decodeFeatures routes image payloads through the real codec") {
     val png = Multimodal.synthesizePngs(
       spark.range(5).select($"id".as("doc_id")), "doc_id")
