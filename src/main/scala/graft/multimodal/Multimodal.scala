@@ -225,6 +225,28 @@ object Multimodal {
 
   final case class ImageHash(doc_id: Long, phash: Long)
 
+  /** The dHash-64 grid shared by [[dHash]] (stills) and [[frameHashes]]
+    * (video keyframes): 9×8 gradient samples via the same integer floor
+    * sampling as [[resizePngs]], bit (y·8+x) = 1 iff grid(x+1,y) >
+    * grid(x,y). */
+  private def dHash64(img: BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      var prev = img.getRaster.getSample(0, y * h / 8, 0)
+      while (x < 8) {
+        val cur = img.getRaster.getSample((x + 1) * w / 9, y * h / 8, 0)
+        if (cur > prev) hash |= 1L << (y * 8 + x)
+        prev = cur
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
   /** Perceptual difference-hash (dHash-64) over decoded image payloads —
     * the bridge from the codec family to the dedup family: resize to a
     * 9×8 gradient grid with the SAME integer floor sampling as
@@ -243,21 +265,46 @@ object Multimodal {
         batch.map { m =>
           val img = ImageIO.read(new ByteArrayInputStream(m.payload))
           require(img != null, s"payload of ${m.doc_id} is not a decodable image")
-          val (w, h) = (img.getWidth, img.getHeight)
-          var hash = 0L
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            var prev = img.getRaster.getSample(0, y * h / 8, 0)
-            while (x < 8) {
-              val cur = img.getRaster.getSample((x + 1) * w / 9, y * h / 8, 0)
-              if (cur > prev) hash |= 1L << (y * 8 + x)
-              prev = cur
-              x += 1
+          ImageHash(m.doc_id, dHash64(img))
+        }
+      }
+    }
+  }
+
+  final case class FrameHash(doc_id: Long, frame_idx: Int, fhash: Long)
+
+  /** KEYFRAME perceptual hashes over the frame container — the signature
+    * stage of video dedup: dHash-64 every `stride`-th frame ([[dHash]]'s
+    * exact grid over [[sampleFrames]]'s decode; skipped frames are seeked
+    * past by their length prefix, never decoded). A video's sampled-hash
+    * SET is its content signature: near-identical videos (re-encodes,
+    * trims, small edits) share most keyframe hashes, so signature Jaccard
+    * drops straight into [[graft.operators.Dedup.setJaccardPairs]]. Output
+    * is ceil(n_frames/stride) 20-byte rows per video — the payload column
+    * is gone after this projection, and per-row memory is one frame
+    * however long the container. Integer arithmetic over the lossless
+    * codec ⇒ the synthetic-frame hashes replay exactly in SQL. */
+  def frameHashes(ds: Dataset[VideoPayload], stride: Int,
+                  batchSize: Int = 64): Dataset[FrameHash] = {
+    import ds.sparkSession.implicits._
+    require(stride > 0, "stride must be positive")
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { v =>
+          val in = new java.io.DataInputStream(new ByteArrayInputStream(v.payload))
+          (0 until v.n_frames).flatMap { f =>
+            val len = in.readInt()
+            if (f % stride == 0) {
+              val fb = new Array[Byte](len)
+              in.readFully(fb)
+              val img = ImageIO.read(new ByteArrayInputStream(fb))
+              require(img != null, s"frame $f of ${v.doc_id} is not decodable")
+              Some(FrameHash(v.doc_id, f, dHash64(img)))
+            } else {
+              in.skipBytes(len): Unit // seek past, never decode
+              None
             }
-            y += 1
           }
-          ImageHash(m.doc_id, hash)
         }
       }
     }

@@ -380,6 +380,50 @@ object Dedup {
       .withColumn("sz", size(col("grams")))
       .filter(col("sz") > 0)
 
+  /** Exact set-Jaccard near-dup pairs over ARBITRARY element sets — the
+    * [[ngramJaccardPairs]] machinery generalized past text: the caller
+    * brings (id, elements) rows (any element type with a stable string
+    * form — keyframe hashes, feature codes, shingle digests) and gets
+    * every pair with Jaccard ≥ threshold. Candidates come from the same
+    * PPJoin prefix filter under the (hash31, element) order
+    * ([[ngramPrefixCandidates]] — complete for j ≥ τ, volume scales with
+    * element frequency, never the O(n²) pair join), then exact
+    * intersect/union verification. Elements deduplicate in-row; a null
+    * set or null element raises (silently dropping one would shift set
+    * sizes and misprice every Jaccard it touches — the raise-on-bad-input
+    * discipline of `reservoirKey`/`weightedBernoulli`). Empty sets carry
+    * no evidence either way and are excluded, as in [[ngramGramFrame]]. */
+  def setJaccardPairs(df: DataFrame, elemsCol: String, idCol: String,
+                      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val rawSet = coalesce(
+      when(col(elemsCol).isNull,
+        raise_error(lit(s"setJaccardPairs: null $elemsCol set"))),
+      col(elemsCol))
+    val elems = array_distinct(transform(rawSet, e =>
+      coalesce(
+        when(e.isNull, raise_error(lit(s"setJaccardPairs: null element in $elemsCol"))),
+        e.cast("string"))))
+    // cached for the same reason as ngramJaccardPairs: the element frame
+    // feeds the prefix explode, both candidate sides, and both
+    // verification joins
+    val g = df.select(col(idCol).as("id"), lit("_").as("block"),
+        transform(array_sort(transform(elems, e =>
+            struct(graft.expressions.HashExpressions.md5prefix31(e).as("h"), e.as("g")))),
+          s => s.getField("g")).as("grams"))
+      .withColumn("sz", size(col("grams")))
+      .filter(col("sz") > 0)
+      .cache()
+    val candidates = ngramPrefixCandidates(g, threshold)
+    val out = candidates
+      .join(g.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
+      .join(g.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("g_a"), col("g_b")).as("j"))
+      .filter(col("j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+    try out.localCheckpoint() finally g.unpersist()
+  }
+
   /** Packed (doc, chunk-ordinal) probe key for asymmetric containment:
     * doc_id in the high 31 bits, chunk ordinal in the low 32 — collision-
     * free for any chunk count a single document can physically produce

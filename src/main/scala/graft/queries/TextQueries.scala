@@ -678,6 +678,25 @@ object TextQueries {
       hashed.join(repCanon, Seq("phash"))
         .select(col("doc_id"), col("canon").as("canon_id"),
           (col("doc_id") === col("canon")).as("is_canon"))
+    }),
+
+    // VIDEO near-dup dedup — the dedup composition for the THIRD
+    // modality: dHash every 2nd frame of the container (skipped frames
+    // seeked past, never decoded), a video's sampled-hash SET is its
+    // keyframe signature; identical signatures collapse to min-id
+    // representatives (exact video dedup — repeated-content mass), then
+    // signature-Jaccard >= 0.5 pairs among representatives via the
+    // PPJoin prefix filter (complete for j >= tau, candidate volume
+    // scales with keyframe-hash frequency, never all-pairs). The oracle
+    // replays pixel formula -> grid -> bits -> signature sets ->
+    // brute-force Jaccard exactly
+    "mm_video_dedup" -> ((s, d) => {
+      val m = graft.multimodal.Multimodal
+      val fh = m.frameHashes(m.synthesizeVideos(t(s, d, "documents"), "doc_id",
+        parallelism = s.sparkContext.defaultParallelism), stride = 2).toDF()
+      val sigs = fh.groupBy("doc_id").agg(array_sort(collect_set(col("fhash"))).as("sig"))
+      val reps = sigs.groupBy("sig").agg(min(col("doc_id")).as("doc_id"))
+      graft.operators.Dedup.setJaccardPairs(reps, "sig", "doc_id", threshold = 0.5)
     })
   )
 
@@ -1390,6 +1409,38 @@ object TextQueries {
                     CASE WHEN a.bits[CAST(i AS INT)] <> c.bits[CAST(i AS INT)]
                          THEN 1 ELSE 0 END)) AS hamming
            FROM reps a JOIN reps c ON a.doc_id < c.doc_id)
-         WHERE hamming <= 2"""
+         WHERE hamming <= 2""",
+    // video keyframe signatures replayed from the synthetic pixel
+    // formula: per sampled frame (every 2nd of 3 + id%5) the dHash bit
+    // string (bijective with the packed 64-bit hash, so grouping by it
+    // == grouping by the hash), signature = sorted distinct bit-string
+    // set; identical signatures collapse to min-id representatives,
+    // then brute-force pairs at Jaccard >= 0.5 (one integer intersect,
+    // one IEEE division — same arithmetic as the Spark verify)
+    "mm_video_dedup" ->
+      """WITH px AS (
+           SELECT doc_id, f,
+                  list_transform(range(0, 8), y ->
+                    list_transform(range(0, 9), x ->
+                      (doc_id*31 + f*17 + ((y * (4 + doc_id % 11)) // 8)*7
+                                 + ((x * (4 + doc_id % 13)) // 9)*13) % 256)) AS px
+           FROM documents, unnest(range(0, 3 + doc_id % 5)) AS r(f)
+           WHERE f % 2 = 0),
+         b AS (
+           SELECT doc_id,
+                  array_to_string(flatten(list_transform(px, row ->
+                    list_transform(range(1, 9), x ->
+                      CASE WHEN row[CAST(x AS INT) + 1] > row[CAST(x AS INT)]
+                           THEN 1 ELSE 0 END))), '') AS bs
+           FROM px),
+         sig AS (SELECT doc_id, list_sort(list_distinct(list(bs))) AS sig
+                 FROM b GROUP BY doc_id),
+         reps AS (SELECT min(doc_id) AS doc_id, sig FROM sig GROUP BY sig)
+         SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+           SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+                  CAST(len(list_intersect(a.sig, c.sig)) AS DOUBLE) /
+                  CAST(len(a.sig) + len(c.sig) - len(list_intersect(a.sig, c.sig)) AS DOUBLE) AS j
+           FROM reps a JOIN reps c ON a.doc_id < c.doc_id)
+         WHERE j >= 0.5"""
   )
 }

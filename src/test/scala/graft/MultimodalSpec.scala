@@ -148,6 +148,28 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.nonEmpty, "the synthetic corpus must actually contain near-dup images")
   }
 
+  test("frameHashes: frame 0 equals the still dHash; sampling covers every stride-th frame") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(30)
+    val vids = Multimodal.synthesizeVideos(docs, "doc_id")
+    val fh = Multimodal.frameHashes(vids, stride = 2).collect()
+    // frame 0 adds extra = 0 to the pixel formula — it IS the still image,
+    // so its keyframe hash must equal dHash of the synthesized PNG
+    val stills = Multimodal.dHash(Multimodal.synthesizePngs(docs, "doc_id"))
+      .collect().map(h => h.doc_id -> h.phash).toMap
+    val zeroFrames = fh.filter(_.frame_idx == 0)
+    assert(zeroFrames.nonEmpty)
+    zeroFrames.foreach(f => assert(f.fhash === stills(f.doc_id),
+      s"doc ${f.doc_id}: frame-0 hash must equal the still dHash"))
+    // every 2nd frame sampled: ceil(n_frames/2) hashes per video, and each
+    // sampled hash agrees with the stride-1 full decode
+    val counts = fh.groupBy(_.doc_id).view.mapValues(_.length).toMap
+    vids.collect().foreach(v =>
+      assert(counts(v.doc_id) === (v.n_frames + 1) / 2, s"doc ${v.doc_id}"))
+    val all = Multimodal.frameHashes(vids, stride = 1).collect()
+      .map(f => (f.doc_id, f.frame_idx) -> f.fhash).toMap
+    fh.foreach(f => assert(all((f.doc_id, f.frame_idx)) === f.fhash))
+  }
+
   test("frameDeltas matches the per-pixel formula and covers frames 1..n-1") {
     val deltas = Multimodal.frameDeltas(
       Multimodal.synthesizeVideos(

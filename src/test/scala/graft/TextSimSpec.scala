@@ -21,6 +21,38 @@ class TextSimSpec extends SparkSpec {
     assert(df === Seq(1.0, 0.0))
   }
 
+  test("setJaccardPairs equals brute force, deduplicates in-row, raises on nulls") {
+    val rows = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "e")), // j(1,2) = 3/5
+      (3L, Seq("a", "b")),           // j(1,3) = 2/4 = 0.5 exactly (boundary kept)
+      (4L, Seq("x", "y", "z")),
+      (5L, Seq("x", "y", "z")),      // j(4,5) = 1.0
+      (6L, Seq.empty[String])        // empty: excluded, pairs with nothing
+    ).toDF("id", "elems")
+    val got = Dedup.setJaccardPairs(rows, "elems", "id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val sets = Map(1L -> Set("a", "b", "c", "d"), 2L -> Set("a", "b", "c", "e"),
+      3L -> Set("a", "b"), 4L -> Set("x", "y", "z"), 5L -> Set("x", "y", "z"))
+    val brute = (for {
+      (ia, sa) <- sets.toSeq; (ib, sb) <- sets.toSeq if ia < ib
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size if j >= 0.5
+    } yield (ia, ib, math.rint(j * 1e6) / 1e6)).toSet
+    assert(got === brute, "prefix-filter candidates + exact verify must equal brute force")
+    assert(brute.exists(_._3 == 0.5), "the boundary pair must survive the >= threshold")
+    // duplicate elements within a row deduplicate before sizing
+    val dup = Seq((1L, Seq("a", "a", "b")), (2L, Seq("a", "b"))).toDF("id", "elems")
+    val p = Dedup.setJaccardPairs(dup, "elems", "id", threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(p.toSeq === Seq((1L, 2L, 1.0)))
+    // a null element (or a null set) raises rather than silently shifting sizes
+    val badElem = Seq((1L, Seq("a", null.asInstanceOf[String]))).toDF("id", "elems")
+    assertThrows[Exception](Dedup.setJaccardPairs(badElem, "elems", "id", 0.5).collect())
+    val badSet = Seq((1L, Seq("a")), (2L, null.asInstanceOf[Seq[String]])).toDF("id", "elems")
+    assertThrows[Exception](Dedup.setJaccardPairs(badSet, "elems", "id", 0.5).collect())
+    assertThrows[IllegalArgumentException](Dedup.setJaccardPairs(rows, "elems", "id", 0.0))
+  }
+
   test("minhash LSH finds planted near-duplicates and respects threshold") {
     val pairs = q("dedup_minhash_lsh").cache()
     assert(pairs.count() > 0, "synthetic corpus contains near-dups; LSH must surface them")
