@@ -102,6 +102,16 @@ object SimQueries {
       dir.toString
     })
 
+  /** Same bounded-disk discipline for the `sim_ann_delete` lifecycle
+    * key. */
+  private def annDeleteDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    annStoreCache.computeIfAbsent("delete|" + s.sparkContext.applicationId + "|" + d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_del")
+      annHook
+      annTmpDirs.add(dir)
+      dir.toString
+    })
+
   /** Drop the memoized ANN store (and delete its files): the next
     * `sim_ann_pruned` call pays the full ingest-time build again. Bench
     * calls this before each timed pass of a memoized key so the artifact
@@ -326,6 +336,32 @@ object SimQueries {
       graft.sinks.AnnStore.compact(s, path)
       Similarity.ivfSearchAssigned(
         graft.sinks.AnnStore.read(s, path), "vec_id", cents, "cid", "embedding",
+        query = e.filter(col("vec_id") === 1), k = 10, nProbe = 2)
+    }),
+
+    // the store lifecycle's FOURTH stage, run cold end to end: write the
+    // base corpus, DELETE a deterministic id slice — tombstones append
+    // to the hidden sidecar, NO data file is rewritten (O(deleted ids),
+    // the Delta/Iceberg delete-vector shape; readLive masks them via a
+    // broadcast anti-join) — then PURGE (only the clusters actually
+    // holding tombstoned rows rewrite through the atomic swap, sidecar
+    // drops last) and search the purged store. Deleted centroid IDS stay
+    // centroids — they are index metadata, not corpus rows. Tombstone vs
+    // purged serving parity is spec-level (AnnStoreSpec); here the
+    // checked fact is the search: write+delete+purge+search must equal
+    // the full-corpus IVF search minus the deleted ids
+    "sim_ann_delete" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = centroids(s, d)
+      val path = annDeleteDir(s, d) + "/store"
+      deleteRecursively(new java.io.File(path))
+      graft.sinks.AnnStore.write(
+        Similarity.ivfAssign(e, "embedding", "vec_id", cents, "cid", keepVec = true), path)
+      graft.sinks.AnnStore.delete(
+        e.filter(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"), "vec_id", path)
+      graft.sinks.AnnStore.purge(s, path, "vec_id")
+      Similarity.ivfSearchAssigned(
+        graft.sinks.AnnStore.readLive(s, path, "vec_id"), "vec_id", cents, "cid", "embedding",
         query = e.filter(col("vec_id") === 1), k = 10, nProbe = 2)
     }),
 
@@ -605,7 +641,7 @@ object SimQueries {
 
   /** ANN probe-2 top-10 oracle, parameterized by the query row id —
     * shared by the raw-corpus and prebuilt-store forms. */
-  private def annSearchSql(qid: Int): String =
+  private def annSearchSql(qid: Int, corpusWhere: String = "TRUE"): String =
     s"""WITH n AS (${normed(vecs)}),
           c AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 8),
           scored AS (
@@ -616,7 +652,8 @@ object SimQueries {
             SELECT vec_id, centroid_id FROM scored
             QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1),
           na AS (SELECT n.vec_id, n.v, n.nrm, a.centroid_id
-                 FROM n JOIN assigned a ON n.vec_id = a.vec_id),
+                 FROM n JOIN assigned a ON n.vec_id = a.vec_id
+                 WHERE $corpusWhere),
           qa AS (SELECT centroid_id FROM scored WHERE vec_id = $qid
                  QUALIFY row_number() OVER (ORDER BY sim DESC, centroid_id) <= 2),
           q AS (SELECT v, nrm FROM n WHERE vec_id = $qid)
@@ -899,6 +936,9 @@ object SimQueries {
     // write+append+compact+search ≡ ingest-everything-then-search:
     // compaction is layout, never semantics
     "sim_ann_compact" -> annSearchSql(qid = 1),
+    // delete is semantics (tombstones/purge are layout + timing): the
+    // oracle is the same full-corpus IVF search minus the deleted ids
+    "sim_ann_delete" -> annSearchSql(qid = 1, corpusWhere = "n.vec_id % 7 <> 3"),
     // the composed prep chain replayed from the SAME generated CTE
     // builders the standalone keys use: srpCtes → verified pairs →
     // recursive reachability components (min-id labels, the

@@ -94,50 +94,161 @@ object AnnStore {
     * the call is idempotent). */
   def compact(spark: SparkSession, path: String, maxFiles: Int = 1): Seq[Long] = {
     require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, path)
+    val targets = clusterDirs(fs, new Path(path)).filter { c =>
+      fs.listStatus(c).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")) > maxFiles
+    }.map(clusterId).sorted
+    if (targets.isEmpty) return Seq.empty
+    swapRewrite(spark, fs, path, targets,
+      read(spark, path).filter(col("centroid_id").isin(targets: _*)))
+    targets
+  }
+
+  // ---- tombstone deletes (the lifecycle's fourth stage) ----
+
+  /** The tombstone sidecar lives INSIDE the store root under an
+    * underscore name: parquet discovery ignores `_`-prefixed paths, so
+    * [[read]] never sees it, and the whole store state (data + pending
+    * deletes) travels as one directory tree. */
+  private def tombstoneDir(path: String): String = path + "/_tombstones"
+
+  /** DELETE by id — the store lifecycle's fourth stage (write → append →
+    * compact → delete): appends the batch's ids as 8-byte TOMBSTONE rows
+    * to the hidden sidecar and touches NO data file — at 100 TB a delete
+    * costs O(deleted ids), never a cluster rewrite (the Delta/Iceberg
+    * delete-vector shape). Readers mask tombstoned rows via [[readLive]];
+    * [[purge]] reclaims the bytes on the compaction cadence. The id
+    * column name must be the store's id column — [[readLive]]/[[purge]]
+    * join on it. Deleting an id not in the store is a recorded no-op
+    * (the anti-join never finds it), so delete is idempotent and
+    * order-free across batches. */
+  def delete(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol)).write.mode("append").parquet(tombstoneDir(path))
+
+  /** Pending tombstone ids, or None when no delete has been recorded
+    * since the last [[purge]] (callers skip the mask join entirely —
+    * zero plan cost on a tombstone-free store). */
+  def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new Path(tombstoneDir(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.isFile)) Some(spark.read.parquet(p.toString))
+    else None
+  }
+
+  /** Read the store MINUS tombstoned rows — the serving view after
+    * deletes: the base scan keeps its partition-pruning contract (a
+    * probe filter on `centroid_id` pushes below the mask join), and the
+    * tombstone set rides a BROADCAST anti-join (deletes are bounded by
+    * the purge cadence, never corpus-scale — at 100 TB the mask is a
+    * map-side hash probe per row, no shuffle). */
+  def readLive(spark: SparkSession, path: String, idCol: String): DataFrame = {
+    val base = read(spark, path)
+    tombstones(spark, path) match {
+      case Some(ts) =>
+        base.join(org.apache.spark.sql.functions.broadcast(ts.select(col(idCol))),
+          Seq(idCol), "left_anti")
+      case None => base
+    }
+  }
+
+  /** PURGE — physically reclaim tombstoned rows, on the compaction
+    * cadence: (1) one id-column-pruned scan (a few bytes/row — the
+    * column-store win) finds the clusters actually holding tombstoned
+    * rows, (2) exactly those clusters rewrite minus the tombstone set
+    * through [[compact]]'s atomic per-cluster swap (untouched partitions'
+    * files stay byte-identical), (3) the sidecar drops LAST — a crash at
+    * any point leaves tombstones that still mask correctly (rows already
+    * purged just anti-join to nothing), so the call is idempotent and
+    * [[readLive]] never serves a deleted row through any crash window. A
+    * cluster whose every row is tombstoned disappears (no empty dir).
+    * Returns the rewritten cluster ids (empty = nothing pending, and any
+    * stale fully-purged sidecar is cleared). Like compact, not safe
+    * against concurrent writers — callers own sequencing. */
+  def purge(spark: SparkSession, path: String, idCol: String): Seq[Long] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, path)
+    tombstones(spark, path) match {
+      case None => Seq.empty
+      case Some(ts) =>
+        val tsb = org.apache.spark.sql.functions.broadcast(ts.select(col(idCol)))
+        // pruned scan: only (idCol, centroid_id) are read to route the purge
+        // partition discovery may type centroid_id INT or BIGINT depending
+        // on the ingested values — canonicalize before collecting the route
+        val targets = read(spark, path).select(col(idCol), col("centroid_id"))
+          .join(tsb, Seq(idCol), "left_semi")
+          .select(col("centroid_id").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        if (targets.nonEmpty)
+          swapRewrite(spark, fs, path, targets,
+            read(spark, path).filter(col("centroid_id").isin(targets: _*))
+              .join(tsb, Seq(idCol), "left_anti"))
+        // drop the sidecar last: every earlier crash leaves a consistent
+        // (masked) store; reaching here means the rows are gone for real
+        fs.delete(new Path(tombstoneDir(path)), true)
+        targets
+    }
+  }
+
+  // ---- shared per-cluster atomic-swap machinery (compact + purge) ----
+
+  private def clusterDirs(fs: FileSystem, root: Path): Seq[Path] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("centroid_id="))
+
+  private def clusterId(p: Path): Long = p.getName.stripPrefix("centroid_id=").toLong
+
+  private def mv(fs: FileSystem, from: Path, to: Path): Unit =
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(s"AnnStore: rename $from -> $to failed")
+
+  /** Recover a crashed prior swap: for every cluster parked in oldRoot
+    * with no live dst dir, promote the committed tmp if present, else
+    * restore the original — never delete the only copy. Restoring is
+    * always safe for purge too: its sidecar drops only after all swaps
+    * complete, so restored rows are still masked by [[readLive]]. */
+  private def recoverSwap(fs: FileSystem, path: String): Unit = {
     val dst = new Path(path)
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmpRoot = new Path(path + ".compact_tmp")
-    val oldRoot = new Path(path + ".compact_old")
-    def mv(from: Path, to: Path): Unit =
-      if (!fs.rename(from, to))
-        throw new java.io.IOException(s"compact: rename $from -> $to failed")
-    def clusterDirs(root: Path): Seq[Path] =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq.filter(_.isDirectory)
-        .map(_.getPath).filter(_.getName.startsWith("centroid_id="))
-    def clusterId(p: Path): Long = p.getName.stripPrefix("centroid_id=").toLong
-    // recover a crashed prior compaction: for every cluster parked in
-    // oldRoot with no live dst dir, promote the committed tmp if present,
-    // else restore the original — never delete the only copy
-    clusterDirs(oldRoot).foreach { oldC =>
+    val tmpRoot = new Path(path + ".swap_tmp")
+    val oldRoot = new Path(path + ".swap_old")
+    clusterDirs(fs, oldRoot).foreach { oldC =>
       val dstC = new Path(dst, oldC.getName)
       val tmpC = new Path(tmpRoot, oldC.getName)
       if (!fs.exists(dstC)) {
-        if (fs.exists(tmpC)) mv(tmpC, dstC) else mv(oldC, dstC)
+        if (fs.exists(tmpC)) mv(fs, tmpC, dstC) else mv(fs, oldC, dstC)
       }
     }
     if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
     if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
-    val targets = clusterDirs(dst).filter { c =>
-      fs.listStatus(c).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")) > maxFiles
-    }.map(clusterId).sorted
-    if (targets.isEmpty) return Seq.empty
-    // one pruned distributed rewrite of only the fragmented clusters;
-    // repartition by cluster => each cluster's rows reach one task =>
-    // exactly one file per cluster dir (never a coalesce(1) of the store)
-    read(spark, path)
-      .filter(col("centroid_id").isin(targets: _*))
+  }
+
+  /** Rewrite `targets`' cluster dirs with `replacement`'s rows (already
+    * filtered to those clusters): one pruned distributed job,
+    * repartitioned by cluster so each cluster's rows reach one task →
+    * exactly one file per cluster dir (never a coalesce(1) of the
+    * store), then the per-cluster atomic swap through scratch dirs
+    * OUTSIDE the store root (a `centroid_id=3.old` dir inside it would
+    * corrupt partition discovery): mv(dst→old), mv(tmp→dst), delete old.
+    * A target with no surviving rows produces no tmp dir and its dst is
+    * parked without replacement — the cluster disappears. */
+  private def swapRewrite(spark: SparkSession, fs: FileSystem, path: String,
+                          targets: Seq[Long], replacement: DataFrame): Unit = {
+    val dst = new Path(path)
+    val tmpRoot = new Path(path + ".swap_tmp")
+    val oldRoot = new Path(path + ".swap_old")
+    replacement
       .repartition(targets.size, col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(tmpRoot.toString)
     fs.mkdirs(oldRoot)
     targets.foreach { c =>
       val name = s"centroid_id=$c"
       val dstC = new Path(dst, name)
-      mv(dstC, new Path(oldRoot, name))
-      mv(new Path(tmpRoot, name), dstC)
+      val tmpC = new Path(tmpRoot, name)
+      mv(fs, dstC, new Path(oldRoot, name))
+      if (fs.exists(tmpC)) mv(fs, tmpC, dstC)
     }
     fs.delete(oldRoot, true)
     fs.delete(tmpRoot, true)
-    targets
   }
 }

@@ -268,8 +268,8 @@ class AnnStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // idempotent: a compact store has nothing to compact
     assert(AnnStore.compact(spark, path) === Seq.empty)
     // no scratch dirs left behind
-    assert(!new java.io.File(path + ".compact_tmp").exists())
-    assert(!new java.io.File(path + ".compact_old").exists())
+    assert(!new java.io.File(path + ".swap_tmp").exists())
+    assert(!new java.io.File(path + ".swap_old").exists())
   }
 
   test("compact on the PQ code store preserves ADC ranking") {
@@ -300,5 +300,73 @@ class AnnStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(AnnStore.read(spark, path).inputFiles.length < filesBefore,
       "compaction should reduce the code-file count")
     assert(searchPq() === beforeSearch, "ADC ranking must survive compaction")
+  }
+
+  // --- deletes: the fourth of the store lifecycle --------------------------
+
+  test("delete masks via tombstones without touching data files; purge reclaims exactly the affected clusters") {
+    val path = buildStore()
+    val cids = (0L until 8L)
+    val stateAtWrite = cids.map(c => c -> dirState(path, c)).toMap
+    val deleted = corpus.filter(pmod($"vec_id", lit(7)) === 3).select("vec_id")
+    val deletedIds = deleted.as[Long].collect().toSet
+    val query = corpus.filter($"vec_id" === 1)
+    def searchOver(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfSearchAssigned(df, "vec_id", cents, "cid", "embedding",
+        query, k = 10, nProbe = 2).as[(Long, Double)].collect().toSeq
+
+    AnnStore.delete(deleted, "vec_id", path)
+    // delete is O(deleted ids): every data file is byte-identical after it
+    cids.foreach(c => assert(dirState(path, c) === stateAtWrite(c),
+      s"delete must not touch cluster $c's data files"))
+    // read still sees the rows; readLive masks exactly the tombstoned set
+    val rawIds = AnnStore.read(spark, path).select("vec_id").as[Long].collect().toSet
+    val liveIds = AnnStore.readLive(spark, path, "vec_id").select("vec_id").as[Long].collect().toSet
+    assert(rawIds.intersect(deletedIds) === deletedIds)
+    assert(liveIds === rawIds -- deletedIds)
+    val maskedSearch = searchOver(AnnStore.readLive(spark, path, "vec_id"))
+    assert(maskedSearch.forall(r => !deletedIds.contains(r._1)),
+      "a masked search must never serve a deleted row")
+
+    // which clusters actually hold tombstoned rows (purge's rewrite set)
+    val affected = AnnStore.read(spark, path)
+      .filter($"vec_id".isin(deletedIds.toSeq: _*))
+      .select($"centroid_id".cast("long")).distinct().as[Long].collect().toSet
+    val purged = AnnStore.purge(spark, path, "vec_id")
+    assert(purged.toSet === affected, "purge must rewrite exactly the affected clusters")
+    (cids.toSet -- affected).foreach(c => assert(dirState(path, c) === stateAtWrite(c),
+      s"cluster $c holds no tombstoned row and must stay byte-identical"))
+    // the sidecar is gone: readLive == read, and the rows are physically gone
+    assert(AnnStore.tombstones(spark, path).isEmpty)
+    assert(AnnStore.read(spark, path).select("vec_id").as[Long].collect().toSet
+      === rawIds -- deletedIds)
+    // masked (pre-purge) and purged serving are the same semantics
+    assert(searchOver(AnnStore.readLive(spark, path, "vec_id")) === maskedSearch,
+      "tombstone masking and physical purge must serve identical results")
+    // idempotent: nothing pending
+    assert(AnnStore.purge(spark, path, "vec_id") === Seq.empty)
+    // no scratch dirs left behind
+    assert(!new java.io.File(path + ".swap_tmp").exists())
+    assert(!new java.io.File(path + ".swap_old").exists())
+  }
+
+  test("purging every row of a cluster removes its directory; unknown-id deletes are no-ops") {
+    val path = buildStore()
+    val store = AnnStore.read(spark, path)
+    // fully tombstone one cluster + delete an id that was never ingested
+    val victim = store.select($"centroid_id".cast("long")).as[Long].head()
+    val victimIds = store.filter($"centroid_id" === victim)
+      .select("vec_id").as[Long].collect().toSet
+    AnnStore.delete(store.filter($"centroid_id" === victim).select("vec_id"), "vec_id", path)
+    AnnStore.delete(Seq(999999999L).toDF("vec_id"), "vec_id", path)
+    val purged = AnnStore.purge(spark, path, "vec_id")
+    assert(purged === Seq(victim), "only the victim cluster holds tombstoned rows")
+    assert(!new java.io.File(path, s"centroid_id=$victim").exists(),
+      "a fully-purged cluster's directory must disappear, not linger empty")
+    val left = AnnStore.readLive(spark, path, "vec_id").select("vec_id").as[Long].collect().toSet
+    assert(left.intersect(victimIds) === Set.empty)
+    assert(left.nonEmpty, "other clusters survive")
+    // the unknown id's tombstone purged away with the batch: sidecar clear
+    assert(AnnStore.tombstones(spark, path).isEmpty)
   }
 }
