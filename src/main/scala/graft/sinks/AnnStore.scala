@@ -132,8 +132,13 @@ object AnnStore {
   def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new Path(tombstoneDir(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.isFile)) Some(spark.read.parquet(p.toString))
-    else None
+    // an empty delete batch can leave a sidecar holding only _SUCCESS —
+    // count DATA files, or the read would fail schema inference
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (hasData) Some(spark.read.parquet(p.toString)) else None
   }
 
   /** Read the store MINUS tombstoned rows — the serving view after

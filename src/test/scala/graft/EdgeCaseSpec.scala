@@ -214,11 +214,33 @@ class EdgeCaseSpec extends SparkSpec {
         .write.partitionBy("centroid_id").parquet(path)
       assert(graft.sinks.AnnStore.compact(spark, path) === Seq.empty,
         "single-file clusters have nothing to compact")
+      // deletes on a tombstone-free store: readLive == read (no mask
+      // join), purge is a no-op, delete of an empty batch stays empty
+      assert(graft.sinks.AnnStore.tombstones(spark, path).isEmpty)
+      assert(graft.sinks.AnnStore.readLive(spark, path, "vec_id")
+        .select("vec_id").as[Long].collect().toSet === Set(1L, 2L))
+      assert(graft.sinks.AnnStore.purge(spark, path, "vec_id") === Seq.empty)
+      graft.sinks.AnnStore.delete(noIds.withColumnRenamed("doc_id", "vec_id"),
+        "vec_id", path)
+      assert(graft.sinks.AnnStore.purge(spark, path, "vec_id") === Seq.empty,
+        "an empty tombstone batch purges to nothing")
+      assert(graft.sinks.AnnStore.tombstones(spark, path).isEmpty,
+        "purge clears even an all-noop sidecar")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
       rm(dir)
     }
+    // video/set-dedup degenerate inputs: empty corpus and empty element
+    // sets produce empty well-formed frames, never a crash
+    assert(graft.multimodal.Multimodal.frameHashes(
+      graft.multimodal.Multimodal.synthesizeVideos(noDocs, "doc_id"),
+      stride = 2).isEmpty, "empty video corpus")
+    val noSets = Seq.empty[(Long, Seq[String])].toDF("id", "elems")
+    assert(Dedup.setJaccardPairs(noSets, "elems", "id", 0.5).isEmpty)
+    val singleton = Seq((1L, Seq("a"))).toDF("id", "elems")
+    assert(Dedup.setJaccardPairs(singleton, "elems", "id", 0.5).isEmpty,
+      "one set pairs with nothing")
   }
 }
