@@ -170,4 +170,28 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("setJaccardPairs equals brute force on random set families at any partitioning (5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 53)
+      // small element universe => real overlap structure at every threshold
+      val universe = ('a' to 'j').map(_.toString)
+      val fams = (0 until 40).map { i =>
+        (i.toLong, rnd.shuffle(universe).take(1 + rnd.nextInt(6)))
+      }
+      val tau = Seq(0.3, 0.5, 0.8)(rnd.nextInt(3))
+      val brute = (for {
+        (ia, sa) <- fams.map { case (i, s) => (i, s.toSet) }
+        (ib, sb) <- fams.map { case (i, s) => (i, s.toSet) } if ia < ib
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= tau
+      } yield (ia, ib, BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+      for (parts <- Seq(1, 7)) {
+        val got = Dedup.setJaccardPairs(
+            fams.toDF("id", "elems").repartition(parts), "elems", "id", tau)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(got === brute, s"seed=$seed tau=$tau parts=$parts")
+      }
+    }
+  }
 }
