@@ -96,15 +96,7 @@ object Multimodal {
         batch.map { m =>
           val img = ImageIO.read(new ByteArrayInputStream(m.payload))
           require(img != null, s"payload of ${m.doc_id} is not a decodable image")
-          val (w, h) = (img.getWidth, img.getHeight)
-          var s = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { s += img.getRaster.getSample(x, y, 0); x += 1 }
-            y += 1
-          }
-          ImageDecoded(m.doc_id, w, h, s)
+          ImageDecoded(m.doc_id, img.getWidth, img.getHeight, graySum(img))
         }
       }
     }
@@ -112,6 +104,43 @@ object Multimodal {
 
   final case class VideoPayload(doc_id: Long, payload: Array[Byte], n_frames: Int)
   final case class FrameDecoded(doc_id: Long, frame_idx: Int, width: Int, height: Int, sum_gray: Long)
+
+  /** The ONE length-prefixed container walk shared by every frame
+    * consumer ([[sampleFrames]], [[frameDeltas]], [[frameHashes]]):
+    * skipped frames are SEEKED past by their length prefix, never
+    * decoded; kept frames decode and feed `f` in frame order (so `f`
+    * may carry sequential state, as frameDeltas does). */
+  private def walkFrames[T](v: VideoPayload, keep: Int => Boolean)(
+      f: (Int, BufferedImage) => Option[T]): Seq[T] = {
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(v.payload))
+    (0 until v.n_frames).flatMap { idx =>
+      val len = in.readInt()
+      if (keep(idx)) {
+        val fb = new Array[Byte](len)
+        in.readFully(fb)
+        val img = ImageIO.read(new ByteArrayInputStream(fb))
+        require(img != null, s"frame $idx of ${v.doc_id} is not decodable")
+        f(idx, img)
+      } else {
+        in.skipBytes(len): Unit // seek past, never decode
+        None
+      }
+    }
+  }
+
+  /** Exact grayscale pixel sum of a decoded raster — the shared
+    * arithmetic the codec round-trip keys check against their SQL
+    * oracles. */
+  private def graySum(img: BufferedImage): Long = {
+    var s = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) { s += img.getRaster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    s
+  }
 
   /** Synthesize one "video" per id: a length-prefixed container of
     * `3 + id mod 5` PNG frames (4-byte big-endian frame length + frame
@@ -147,26 +176,8 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.flatMap { v =>
-          val in = new java.io.DataInputStream(new ByteArrayInputStream(v.payload))
-          (0 until v.n_frames).flatMap { f =>
-            val len = in.readInt()
-            if (f % stride == 0) {
-              val fb = new Array[Byte](len)
-              in.readFully(fb)
-              val img = ImageIO.read(new ByteArrayInputStream(fb))
-              require(img != null, s"frame $f of ${v.doc_id} is not decodable")
-              var s = 0L
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) { s += img.getRaster.getSample(x, y, 0); x += 1 }
-                y += 1
-              }
-              Some(FrameDecoded(v.doc_id, f, img.getWidth, img.getHeight, s))
-            } else {
-              in.skipBytes(len): Unit // seek past, never decode
-              None
-            }
+          walkFrames(v, _ % stride == 0) { (f, img) =>
+            Some(FrameDecoded(v.doc_id, f, img.getWidth, img.getHeight, graySum(img)))
           }
         }
       }
@@ -190,14 +201,10 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.flatMap { v =>
-          val in = new java.io.DataInputStream(new ByteArrayInputStream(v.payload))
-          var prev: java.awt.image.BufferedImage = null
-          (0 until v.n_frames).flatMap { f =>
-            val len = in.readInt()
-            val fb = new Array[Byte](len)
-            in.readFully(fb)
-            val img = ImageIO.read(new ByteArrayInputStream(fb))
-            require(img != null, s"frame $f of ${v.doc_id} is not decodable")
+          // walkFrames feeds frames in order, so the one-frame lookback
+          // lives in this closure: memory is two rasters per row
+          var prev: BufferedImage = null
+          walkFrames(v, _ => true) { (f, img) =>
             val out = if (prev == null) None
             else {
               require(img.getWidth == prev.getWidth && img.getHeight == prev.getHeight,
@@ -291,20 +298,7 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.flatMap { v =>
-          val in = new java.io.DataInputStream(new ByteArrayInputStream(v.payload))
-          (0 until v.n_frames).flatMap { f =>
-            val len = in.readInt()
-            if (f % stride == 0) {
-              val fb = new Array[Byte](len)
-              in.readFully(fb)
-              val img = ImageIO.read(new ByteArrayInputStream(fb))
-              require(img != null, s"frame $f of ${v.doc_id} is not decodable")
-              Some(FrameHash(v.doc_id, f, dHash64(img)))
-            } else {
-              in.skipBytes(len): Unit // seek past, never decode
-              None
-            }
-          }
+          walkFrames(v, _ % stride == 0)((f, img) => Some(FrameHash(v.doc_id, f, dHash64(img))))
         }
       }
     }
@@ -475,16 +469,9 @@ object Multimodal {
         batch.map { m =>
           val img = ImageIO.read(new ByteArrayInputStream(m.payload))
           if (img != null) {
-            var s = 0L
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) { s += img.getRaster.getSample(x, y, 0); x += 1 }
-              y += 1
-            }
             MediaFeature(m.id, img.getWidth, img.getHeight,
               Array(img.getWidth.toFloat, img.getHeight.toFloat,
-                s.toFloat / (img.getWidth * img.getHeight), m.byte_len.toFloat))
+                graySum(img).toFloat / (img.getWidth * img.getHeight), m.byte_len.toFloat))
           } else {
             val f = m.payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000003L)
             MediaFeature(m.id, m.width, m.height,

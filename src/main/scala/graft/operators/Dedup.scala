@@ -338,16 +338,28 @@ object Dedup {
     // the candidate self-join, and BOTH verification joins — uncached it
     // recomputes the per-row n-gram build up to 5×
     val g = ngramGramFrame(in, textCol, idCol, blockCol, n).cache()
-    val candidates = ngramPrefixCandidates(g, threshold)
-    val out = candidates
-      .join(g.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
-      .join(g.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
-      .select(col("block"), col("id_a"), col("id_b"), jaccard(col("g_a"), col("g_b")).as("j"))
-      .filter(col("j") >= threshold)
-      .select(col("block"), col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
     // eager materialize-and-release, same rationale as minhashNearDups:
     // don't pin the cached gram frame beyond this call
-    try out.localCheckpoint() finally g.unpersist()
+    try jaccardPairsOver(g, threshold, withBlock = true).localCheckpoint()
+    finally g.unpersist()
+  }
+
+  /** The shared candidate-and-verify core of [[ngramJaccardPairs]] and
+    * [[setJaccardPairs]] over a cached hash-ordered element frame
+    * (id, block, grams, sz): prefix-filter candidates
+    * ([[ngramPrefixCandidates]]), exact intersect/union verify, 6-dp
+    * rounding. */
+  private def jaccardPairsOver(g: DataFrame, threshold: Double,
+                               withBlock: Boolean): DataFrame = {
+    val keyCols = if (withBlock) Seq(col("block")) else Seq.empty[Column]
+    ngramPrefixCandidates(g, threshold)
+      .join(g.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
+      .join(g.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
+      .select(keyCols ++ Seq(col("id_a"), col("id_b"),
+        jaccard(col("g_a"), col("g_b")).as("j")): _*)
+      .filter(col("j") >= threshold)
+      .select(keyCols ++ Seq(col("id_a"), col("id_b"),
+        round(col("j"), 6).as("jaccard")): _*)
   }
 
   /** PPJoin prefix-filter candidate generation over the hash-ordered gram
@@ -372,10 +384,21 @@ object Dedup {
     * of [[ngramJaccardPairs]], exposed for instrumentation. */
   def ngramGramFrame(df: DataFrame, textCol: String, idCol: String,
                      blockCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol).as("id"), col(blockCol).as("block"),
+    hashOrderedSets(df, col(idCol), col(blockCol),
+      array_distinct(wordNgrams(col(textCol), n)))
+
+  /** The ONE hash-ordered element frame both Jaccard entry points build:
+    * elements sorted under the (hash31, element) order — a plain
+    * lexicographic order degenerates prefix buckets (they all start with
+    * the same alphabetically-early elements and the join tends to n²);
+    * the hash order spreads prefix membership uniformly. Empty sets
+    * carry no evidence either way and are excluded. */
+  private def hashOrderedSets(df: DataFrame, idCol: Column, blockCol: Column,
+                              elems: Column): DataFrame =
+    df.select(idCol.as("id"), blockCol.as("block"),
         transform(
-          array_sort(transform(array_distinct(wordNgrams(col(textCol), n)),
-            gr => struct(graft.expressions.HashExpressions.md5prefix31(gr).as("h"), gr.as("g")))),
+          array_sort(transform(elems,
+            e => struct(graft.expressions.HashExpressions.md5prefix31(e).as("h"), e.as("g")))),
           s => s.getField("g")).as("grams"))
       .withColumn("sz", size(col("grams")))
       .filter(col("sz") > 0)
@@ -407,21 +430,9 @@ object Dedup {
     // cached for the same reason as ngramJaccardPairs: the element frame
     // feeds the prefix explode, both candidate sides, and both
     // verification joins
-    val g = df.select(col(idCol).as("id"), lit("_").as("block"),
-        transform(array_sort(transform(elems, e =>
-            struct(graft.expressions.HashExpressions.md5prefix31(e).as("h"), e.as("g")))),
-          s => s.getField("g")).as("grams"))
-      .withColumn("sz", size(col("grams")))
-      .filter(col("sz") > 0)
-      .cache()
-    val candidates = ngramPrefixCandidates(g, threshold)
-    val out = candidates
-      .join(g.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
-      .join(g.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("g_a"), col("g_b")).as("j"))
-      .filter(col("j") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
-    try out.localCheckpoint() finally g.unpersist()
+    val g = hashOrderedSets(df, col(idCol), lit("_"), elems).cache()
+    try jaccardPairsOver(g, threshold, withBlock = false).localCheckpoint()
+    finally g.unpersist()
   }
 
   /** Packed (doc, chunk-ordinal) probe key for asymmetric containment:

@@ -77,40 +77,29 @@ object SimQueries {
       dir.toString
     })
 
-  /** ONE reusable temp dir per (application, sf dir) for the
-    * `sim_ann_upsert` lifecycle key: each invocation rebuilds the store
-    * from scratch (the key's contract is a COLD write+append+search), but
-    * into the SAME dir after deleting the previous copy — so repeated
-    * bench passes in one long-lived JVM hold at most one store copy on
-    * disk instead of accumulating one per invocation until shutdown. */
+  /** ONE reusable temp dir per (application, sf dir, lifecycle key):
+    * each lifecycle invocation rebuilds its store from scratch (the
+    * keys' contract is a COLD write+…+search), but into the SAME dir
+    * after deleting the previous copy — so repeated bench passes in one
+    * long-lived JVM hold at most one store copy on disk instead of
+    * accumulating one per invocation until shutdown. */
+  private def scratchDir(s: org.apache.spark.sql.SparkSession, d: String,
+                         tag: String): String =
+    annStoreCache.computeIfAbsent(tag + "|" + s.sparkContext.applicationId + "|" + d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_" + tag)
+      annHook
+      annTmpDirs.add(dir)
+      dir.toString
+    })
+
   private def annUpsertDir(s: org.apache.spark.sql.SparkSession, d: String): String =
-    annStoreCache.computeIfAbsent("upsert|" + s.sparkContext.applicationId + "|" + d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_ann_up")
-      annHook
-      annTmpDirs.add(dir)
-      dir.toString
-    })
+    scratchDir(s, d, "upsert")
 
-  /** Same bounded-disk discipline for the `sim_ann_compact` lifecycle
-    * key: one reusable dir per (application, sf dir), previous store
-    * copy deleted at the start of each invocation. */
   private def annCompactDir(s: org.apache.spark.sql.SparkSession, d: String): String =
-    annStoreCache.computeIfAbsent("compact|" + s.sparkContext.applicationId + "|" + d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_ann_cp")
-      annHook
-      annTmpDirs.add(dir)
-      dir.toString
-    })
+    scratchDir(s, d, "compact")
 
-  /** Same bounded-disk discipline for the `sim_ann_delete` lifecycle
-    * key. */
   private def annDeleteDir(s: org.apache.spark.sql.SparkSession, d: String): String =
-    annStoreCache.computeIfAbsent("delete|" + s.sparkContext.applicationId + "|" + d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_ann_del")
-      annHook
-      annTmpDirs.add(dir)
-      dir.toString
-    })
+    scratchDir(s, d, "delete")
 
   /** Drop the memoized ANN store (and delete its files): the next
     * `sim_ann_pruned` call pays the full ingest-time build again. Bench

@@ -123,8 +123,19 @@ object AnnStore {
     * join on it. Deleting an id not in the store is a recorded no-op
     * (the anti-join never finds it), so delete is idempotent and
     * order-free across batches. */
-  def delete(ids: DataFrame, idCol: String, path: String): Unit =
-    ids.select(col(idCol)).write.mode("append").parquet(tombstoneDir(path))
+  def delete(ids: DataFrame, idCol: String, path: String): Unit = {
+    // a null tombstone can never match a row, so the intended delete
+    // (a takedown, a GDPR erasure) would silently not happen — raise
+    // instead, the raise-on-bad-input discipline of setJaccardPairs etc.
+    val id = col(idCol)
+    ids.select(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.when(id.isNull,
+          org.apache.spark.sql.functions.raise_error(
+            org.apache.spark.sql.functions.lit(
+              s"AnnStore.delete: null $idCol in the delete batch"))),
+        id).as(idCol))
+      .write.mode("append").parquet(tombstoneDir(path))
+  }
 
   /** Pending tombstone ids, or None when no delete has been recorded
     * since the last [[purge]] (callers skip the mask join entirely —
@@ -215,17 +226,22 @@ object AnnStore {
     * complete, so restored rows are still masked by [[readLive]]. */
   private def recoverSwap(fs: FileSystem, path: String): Unit = {
     val dst = new Path(path)
-    val tmpRoot = new Path(path + ".swap_tmp")
-    val oldRoot = new Path(path + ".swap_old")
-    clusterDirs(fs, oldRoot).foreach { oldC =>
-      val dstC = new Path(dst, oldC.getName)
-      val tmpC = new Path(tmpRoot, oldC.getName)
-      if (!fs.exists(dstC)) {
-        if (fs.exists(tmpC)) mv(fs, tmpC, dstC) else mv(fs, oldC, dstC)
+    // "compact" is the pre-delete-era scratch naming: a store that
+    // crashed mid-compact under it must still recover, or its parked
+    // cluster stays orphaned forever
+    Seq("swap", "compact").foreach { tag =>
+      val tmpRoot = new Path(path + s".${tag}_tmp")
+      val oldRoot = new Path(path + s".${tag}_old")
+      clusterDirs(fs, oldRoot).foreach { oldC =>
+        val dstC = new Path(dst, oldC.getName)
+        val tmpC = new Path(tmpRoot, oldC.getName)
+        if (!fs.exists(dstC)) {
+          if (fs.exists(tmpC)) mv(fs, tmpC, dstC) else mv(fs, oldC, dstC)
+        }
       }
+      if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+      if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
     }
-    if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
-    if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
   }
 
   /** Rewrite `targets`' cluster dirs with `replacement`'s rows (already
