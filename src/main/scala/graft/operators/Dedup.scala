@@ -79,12 +79,18 @@ object Dedup {
     * plain shuffle join under AQE skew handling.
     *
     * @return (idCol, n_lines, n_removed, `clean_text`) — one row per
-    *         input document, including documents whose every line was
-    *         boilerplate (clean_text = "") */
+    *         NON-NULL-text input document, including documents whose
+    *         every line was boilerplate (clean_text = ""). Null-text
+    *         docs produce NO output row (the [[graft.etl.Chunking]]
+    *         chunkWindows convention — without the filter, `split(null)`
+    *         drops the doc from the line side while `size(split(null))`
+    *         is -1 on the reassembly side, emitting a bogus
+    *         (n_lines=-1, n_removed=-1) row). */
   def removeBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
                              minDocs: Int, delim: String = "\n"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val lines = df.select(col(idCol),
+    val docs = df.filter(col(textCol).isNotNull)
+    val lines = docs.select(col(idCol),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
         .as(Seq("__line_no", "__line")))
     val hot = lines.filter(col("__line") =!= "")
@@ -100,7 +106,7 @@ object Dedup {
             s => s.getField("__line"))).as("clean_text"))
       // right-join the doc set back so an all-boilerplate doc still
       // reports a row (its every line dropped, clean_text empty)
-      .join(df.select(col(idCol),
+      .join(docs.select(col(idCol),
           size(split(col(textCol), java.util.regex.Pattern.quote(delim))).as("n_lines")),
         Seq(idCol), "right")
       .select(col(idCol), col("n_lines"),

@@ -41,9 +41,44 @@ object AnnStore {
 
   /** Read the store back. `centroid_id` returns as a partition column —
     * a foldable filter on it prunes directories at planning time instead
-    * of scanning the corpus. */
-  def read(spark: SparkSession, path: String): DataFrame =
+    * of scanning the corpus.
+    *
+    * CRASH GUARD: a writer that died mid-swap leaves cluster dirs parked
+    * in `<path>.swap_old` (or the legacy `.compact_old`) with no live
+    * `centroid_id=N` dir — a plain parquet read of such a store silently
+    * serves a store MISSING whole clusters. Readers are not writers
+    * (recovery here would race the crashed writer's restart), so this
+    * raises instead; [[recover]] — or the next compact/purge, which
+    * recovers on entry — heals the store first. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    requireRecovered(spark, path)
     spark.read.parquet(path)
+  }
+
+  /** Heal a store whose writer crashed mid-swap: promote each parked
+    * cluster's committed tmp if present, else restore the original —
+    * the same recovery compact/purge run on entry, callable by an
+    * operator who owns the (single) writer role. Idempotent; a no-op on
+    * a healthy store. */
+  def recover(spark: SparkSession, path: String): Unit =
+    recoverSwap(new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+
+  /** Raise if a crashed swap is pending: any cluster dir parked under a
+    * swap scratch root with no live twin means [[read]] would serve a
+    * partial store. Cheap — two root existence probes on the happy
+    * path. */
+  private def requireRecovered(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("swap", "compact").foreach { tag =>
+      val oldRoot = new Path(path + s".${tag}_old")
+      val parked = clusterDirs(fs, oldRoot)
+        .filter(c => !fs.exists(new Path(new Path(path), c.getName)))
+      if (parked.nonEmpty)
+        throw new IllegalStateException(
+          s"AnnStore: crashed swap pending at $oldRoot (${parked.map(_.getName).mkString(", ")} " +
+            "parked with no live twin) — run AnnStore.recover (or compact/purge) before reading")
+    }
+  }
 
   /** Persist PQ CODES partitioned by their IVF cluster — the IVF+PQ
     * serving layout: `codes` ([[graft.operators.ProductQuant.encode]]'s
@@ -122,12 +157,27 @@ object AnnStore {
     * column name must be the store's id column — [[readLive]]/[[purge]]
     * join on it. Deleting an id not in the store is a recorded no-op
     * (the anti-join never finds it), so delete is idempotent and
-    * order-free across batches. */
+    * order-free across batches.
+    *
+    * The tombstone id is CANONICALIZED to the store's own id type before
+    * it lands in the sidecar: two delete batches arriving with different
+    * caller types (INT then BIGINT) would otherwise write mixed-schema
+    * parquet into `_tombstones`, and the later sidecar read could fail
+    * or silently widen — breaking [[readLive]]/[[purge]]. One footer
+    * read prices the lookup; a batch whose id can't carry the store's
+    * type is a caller bug and raises here, not mid-purge. */
   def delete(ids: DataFrame, idCol: String, path: String): Unit = {
+    val spark = ids.sparkSession
+    val storeType = spark.read.parquet(path).schema
+      .find(_.name == idCol)
+      .getOrElse(throw new IllegalArgumentException(
+        s"AnnStore.delete: store at $path has no column `$idCol` " +
+          "(the id column name must be the store's id column)"))
+      .dataType
     // a null tombstone can never match a row, so the intended delete
     // (a takedown, a GDPR erasure) would silently not happen — raise
     // instead, the raise-on-bad-input discipline of setJaccardPairs etc.
-    val id = col(idCol)
+    val id = col(idCol).cast(storeType)
     ids.select(org.apache.spark.sql.functions.coalesce(
         org.apache.spark.sql.functions.when(id.isNull,
           org.apache.spark.sql.functions.raise_error(
@@ -206,70 +256,25 @@ object AnnStore {
     }
   }
 
-  // ---- shared per-cluster atomic-swap machinery (compact + purge) ----
+  // ---- per-cluster atomic-swap machinery (compact + purge) ----
+  // one shared definition across the partitioned sinks: [[PartitionSwap]]
+
+  private val Prefix = "centroid_id="
+  // "compact" is the pre-delete-era scratch naming: a store that crashed
+  // mid-compact under it must still recover, or its parked cluster stays
+  // orphaned forever
+  private val Tags = Seq("swap", "compact")
 
   private def clusterDirs(fs: FileSystem, root: Path): Seq[Path] =
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.filter(_.isDirectory)
-      .map(_.getPath).filter(_.getName.startsWith("centroid_id="))
+    PartitionSwap.partitionDirs(fs, root, Prefix)
 
-  private def clusterId(p: Path): Long = p.getName.stripPrefix("centroid_id=").toLong
+  private def clusterId(p: Path): Long = p.getName.stripPrefix(Prefix).toLong
 
-  private def mv(fs: FileSystem, from: Path, to: Path): Unit =
-    if (!fs.rename(from, to))
-      throw new java.io.IOException(s"AnnStore: rename $from -> $to failed")
+  private def recoverSwap(fs: FileSystem, path: String): Unit =
+    PartitionSwap.recoverSwap(fs, path, Prefix, Tags)
 
-  /** Recover a crashed prior swap: for every cluster parked in oldRoot
-    * with no live dst dir, promote the committed tmp if present, else
-    * restore the original — never delete the only copy. Restoring is
-    * always safe for purge too: its sidecar drops only after all swaps
-    * complete, so restored rows are still masked by [[readLive]]. */
-  private def recoverSwap(fs: FileSystem, path: String): Unit = {
-    val dst = new Path(path)
-    // "compact" is the pre-delete-era scratch naming: a store that
-    // crashed mid-compact under it must still recover, or its parked
-    // cluster stays orphaned forever
-    Seq("swap", "compact").foreach { tag =>
-      val tmpRoot = new Path(path + s".${tag}_tmp")
-      val oldRoot = new Path(path + s".${tag}_old")
-      clusterDirs(fs, oldRoot).foreach { oldC =>
-        val dstC = new Path(dst, oldC.getName)
-        val tmpC = new Path(tmpRoot, oldC.getName)
-        if (!fs.exists(dstC)) {
-          if (fs.exists(tmpC)) mv(fs, tmpC, dstC) else mv(fs, oldC, dstC)
-        }
-      }
-      if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
-      if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
-    }
-  }
-
-  /** Rewrite `targets`' cluster dirs with `replacement`'s rows (already
-    * filtered to those clusters): one pruned distributed job,
-    * repartitioned by cluster so each cluster's rows reach one task →
-    * exactly one file per cluster dir (never a coalesce(1) of the
-    * store), then the per-cluster atomic swap through scratch dirs
-    * OUTSIDE the store root (a `centroid_id=3.old` dir inside it would
-    * corrupt partition discovery): mv(dst→old), mv(tmp→dst), delete old.
-    * A target with no surviving rows produces no tmp dir and its dst is
-    * parked without replacement — the cluster disappears. */
   private def swapRewrite(spark: SparkSession, fs: FileSystem, path: String,
-                          targets: Seq[Long], replacement: DataFrame): Unit = {
-    val dst = new Path(path)
-    val tmpRoot = new Path(path + ".swap_tmp")
-    val oldRoot = new Path(path + ".swap_old")
-    replacement
-      .repartition(targets.size, col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(tmpRoot.toString)
-    fs.mkdirs(oldRoot)
-    targets.foreach { c =>
-      val name = s"centroid_id=$c"
-      val dstC = new Path(dst, name)
-      val tmpC = new Path(tmpRoot, name)
-      mv(fs, dstC, new Path(oldRoot, name))
-      if (fs.exists(tmpC)) mv(fs, tmpC, dstC)
-    }
-    fs.delete(oldRoot, true)
-    fs.delete(tmpRoot, true)
-  }
+                          targets: Seq[Long], replacement: DataFrame): Unit =
+    PartitionSwap.swapRewrite(spark, fs, path, "centroid_id",
+      targets.map(c => s"$Prefix$c"), replacement)
 }

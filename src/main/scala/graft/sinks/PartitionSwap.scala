@@ -1,0 +1,108 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Per-partition atomic-swap machinery shared by the partitioned sinks
+  * ([[AnnStore]]'s centroid layout, [[BandStore]]'s band-bucket layout):
+  * rewrite a subset of `<col>=<value>` partition dirs through scratch
+  * roots OUTSIDE the store (a `<col>=3.old` dir inside it would corrupt
+  * partition discovery), with crash recovery that never deletes the only
+  * copy. Rename must be atomic (local FS / HDFS); object stores need a
+  * table format on top. One definition: two copies of the mv/park/promote
+  * dance could drift and silently break the spec-proven crash windows. */
+private[sinks] object PartitionSwap {
+
+  /** `<prefix><value>` partition dirs directly under `root`. */
+  def partitionDirs(fs: FileSystem, root: Path, prefix: String): Seq[Path] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith(prefix))
+
+  def mv(fs: FileSystem, from: Path, to: Path): Unit =
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(s"PartitionSwap: rename $from -> $to failed")
+
+  /** Recover a crashed prior swap: for every partition parked in oldRoot
+    * with no live dst dir, promote the committed tmp if present, else
+    * restore the original — never delete the only copy. Restoring is
+    * always safe for tombstone purges too: their sidecar drops only after
+    * all swaps complete, so restored rows are still masked. `tags` covers
+    * the current scratch naming plus any legacy one a store written by an
+    * older version may still carry. */
+  def recoverSwap(fs: FileSystem, path: String, prefix: String,
+                  tags: Seq[String]): Unit = {
+    val dst = new Path(path)
+    tags.foreach { tag =>
+      val tmpRoot = new Path(path + s".${tag}_tmp")
+      val oldRoot = new Path(path + s".${tag}_old")
+      partitionDirs(fs, oldRoot, prefix).foreach { oldC =>
+        val dstC = new Path(dst, oldC.getName)
+        val tmpC = new Path(tmpRoot, oldC.getName)
+        if (!fs.exists(dstC)) {
+          if (fs.exists(tmpC)) mv(fs, tmpC, dstC) else mv(fs, oldC, dstC)
+        }
+      }
+      if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+      if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
+    }
+  }
+
+  /** Raise if a crashed swap is pending: any partition dir parked under a
+    * swap scratch root with no live twin means a plain read would serve a
+    * PARTIAL store with no error. Readers are not writers (recovery here
+    * would race the crashed writer's restart), so reads fail loudly and
+    * the store's `recover` — or the next compact/purge, which recovers on
+    * entry — heals first. Cheap: scratch-root existence probes on the
+    * happy path. */
+  def requireRecovered(spark: SparkSession, path: String, prefix: String,
+                       store: String, tags: Seq[String]): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tags.foreach { tag =>
+      val oldRoot = new Path(path + s".${tag}_old")
+      val parked = partitionDirs(fs, oldRoot, prefix)
+        .filter(c => !fs.exists(new Path(new Path(path), c.getName)))
+      if (parked.nonEmpty)
+        throw new IllegalStateException(
+          s"$store: crashed swap pending at $oldRoot (${parked.map(_.getName).mkString(", ")} " +
+            s"parked with no live twin) — run $store.recover (or compact/purge) before reading")
+    }
+  }
+
+  /** Rewrite the named partition dirs with `replacement`'s rows (already
+    * filtered to those partitions): one pruned distributed job,
+    * repartitioned by the partition column so each partition's rows reach
+    * one task → exactly one file per dir (never a coalesce(1) of the
+    * store), then the per-partition atomic swap: mv(dst→old),
+    * mv(tmp→dst), delete old. A partition with no surviving rows produces
+    * no tmp dir and its dst is parked without replacement — it
+    * disappears. */
+  def swapRewrite(spark: SparkSession, fs: FileSystem, path: String,
+                  partCol: String, dirNames: Seq[String],
+                  replacement: DataFrame): Unit = {
+    val dst = new Path(path)
+    val tmpRoot = new Path(path + ".swap_tmp")
+    val oldRoot = new Path(path + ".swap_old")
+    replacement
+      .repartition(dirNames.size, col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmpRoot.toString)
+    fs.mkdirs(oldRoot)
+    dirNames.foreach { name =>
+      val dstC = new Path(dst, name)
+      val tmpC = new Path(tmpRoot, name)
+      mv(fs, dstC, new Path(oldRoot, name))
+      if (fs.exists(tmpC)) mv(fs, tmpC, dstC)
+    }
+    fs.delete(oldRoot, true)
+    fs.delete(tmpRoot, true)
+  }
+
+  /** Partition dirs under `path` whose parquet file count exceeds
+    * `maxFiles` — compaction's target set. */
+  def fragmented(fs: FileSystem, path: String, prefix: String,
+                 maxFiles: Int): Seq[Path] =
+    partitionDirs(fs, new Path(path), prefix).filter { c =>
+      fs.listStatus(c).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")) > maxFiles
+    }
+}

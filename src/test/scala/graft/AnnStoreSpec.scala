@@ -350,6 +350,58 @@ class AnnStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(!new java.io.File(path + ".swap_old").exists())
   }
 
+  test("read raises on a crashed swap (parked cluster, no live twin); recover heals it") {
+    val path = buildStore()
+    val rowsBefore = AnnStore.read(spark, path)
+      .select($"vec_id", $"centroid_id".cast("long")).as[(Long, Long)].collect().toSet
+    // simulate a writer dying mid-swap: cluster 3 parked in .swap_old,
+    // no replacement promoted — a plain parquet read would silently
+    // serve a store missing that whole cluster
+    val oldRoot = new java.io.File(path + ".swap_old")
+    assert(oldRoot.mkdirs())
+    val victim = new java.io.File(path, "centroid_id=3")
+    assert(victim.exists(), "fixture: cluster 3 must exist")
+    assert(victim.renameTo(new java.io.File(oldRoot, "centroid_id=3")))
+    val e = intercept[IllegalStateException] { AnnStore.read(spark, path) }
+    assert(e.getMessage.contains("crashed swap"), e.getMessage)
+    // readLive routes through the same guard
+    intercept[IllegalStateException] { AnnStore.readLive(spark, path, "vec_id") }
+    AnnStore.recover(spark, path)
+    assert(AnnStore.read(spark, path)
+      .select($"vec_id", $"centroid_id".cast("long")).as[(Long, Long)].collect().toSet
+      === rowsBefore, "recovery must restore the parked cluster exactly")
+    assert(!oldRoot.exists(), "recover must clear the scratch root")
+    // a mid-swap crash AFTER tmp promotion (live twin exists) is readable:
+    // the parked dir is the superseded copy, not missing data
+    val old2 = new java.io.File(path + ".swap_old"); assert(old2.mkdirs())
+    assert(new java.io.File(old2, "centroid_id=3").mkdirs())
+    assert(AnnStore.read(spark, path).count() > 0,
+      "a parked cluster WITH a live twin must not block reads")
+    AnnStore.recover(spark, path)
+  }
+
+  test("delete canonicalizes tombstone id types: INT and BIGINT batches land as one schema") {
+    val path = buildStore()
+    // first batch arrives typed INT, second BIGINT — without the cast the
+    // sidecar holds mixed-schema parquet and the next read can fail/widen
+    AnnStore.delete(Seq(3, 5).toDF("vec_id").select($"vec_id".cast("int").as("vec_id")),
+      "vec_id", path)
+    AnnStore.delete(Seq(7L).toDF("vec_id"), "vec_id", path)
+    val ts = AnnStore.tombstones(spark, path).get
+    assert(ts.schema("vec_id").dataType ===
+      AnnStore.read(spark, path).schema("vec_id").dataType,
+      "tombstone id type must be the store's id type")
+    assert(ts.as[Long].collect().toSet === Set(3L, 5L, 7L))
+    val live = AnnStore.readLive(spark, path, "vec_id")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(!live.exists(Set(3L, 5L, 7L)), "both batches' ids must mask")
+    // a delete against a column the store doesn't carry raises up front
+    val e = intercept[IllegalArgumentException] {
+      AnnStore.delete(Seq(1L).toDF("nope"), "nope", path)
+    }
+    assert(e.getMessage.contains("no column"))
+  }
+
   test("purging every row of a cluster removes its directory; unknown-id deletes are no-ops") {
     val path = buildStore()
     val store = AnnStore.read(spark, path)

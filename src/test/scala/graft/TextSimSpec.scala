@@ -509,6 +509,20 @@ class TextSimSpec extends SparkSpec {
     assert(byId(5L)._4 === "" && byId(5L)._3 === 1 && byId(5L)._2 === 1)
   }
 
+  test("removeBoilerplateLines: null-text docs produce no output row, never a bogus (-1,-1)") {
+    val docs = Seq(
+      (1L, Some("shared line\nbody one")),
+      (2L, Some("shared line\nbody two")),
+      (3L, None: Option[String])
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .removeBoilerplateLines(docs, "text", "doc_id", minDocs = 2)
+      .as[(Long, Int, Long, String)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L),
+      "the null-text doc must be absent, not reported with n_lines=-1")
+    assert(out.forall(_._2 >= 0) && out.forall(_._3 >= 0))
+  }
+
   test("removeBoilerplateLines is partition-invariant") {
     val docs = (1L to 40L).map { i =>
       (i, s"shared header line\nbody $i content\nshared footer line")
