@@ -68,6 +68,30 @@ object TextQueries {
       Dedup.minhashNearDups(t(s, d, "documents"), "text", "doc_id", threshold = 0.8,
         sketchParallelism = s.sparkContext.defaultParallelism))
 
+  /** ONE reusable temp dir per (application, sf dir) for the band-store
+    * lifecycle key: each invocation rebuilds the index from scratch (the
+    * key's contract is a COLD write+append+compact+probe), but into the
+    * SAME dir after deleting the previous copy — repeated bench passes
+    * hold at most one index copy on disk. Swept at JVM exit. */
+  private val bandScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val bandHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      bandScratch.values.forEach(p => deleteRecursively(new java.io.File(p)))))
+  }
+
+  private def bandScratchDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    bandScratch.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_band")
+      bandHook
+      dir.toString
+    })
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
   /** The shared component LABELS. Only the labels survive in the memo:
     * both consumers read labels exclusively, so the pair frame's
     * checkpoint blocks are released as soon as the labeling materializes
@@ -124,6 +148,33 @@ object TextQueries {
         doc.filter(col("doc_id") % 3 =!= 0), doc.filter(col("doc_id") % 3 === 0),
         "text", "doc_id", threshold = 0.8,
         sketchParallelism = s.sparkContext.defaultParallelism)
+    }),
+
+    // the PERSISTED form of dedup_incremental_near — the store that makes
+    // the daily-crawl shape incremental for real, run COLD end to end:
+    // index half the history, APPEND the other half (band rows land only
+    // in their buckets), COMPACT the fragmented buckets (layout, never
+    // semantics), then PROBE with the batch — reading only the batch's
+    // colliding band partitions (static pruning on the bucket route; the
+    // index never shuffles). The oracle is the same cross-set LSH replay
+    // as dedup_incremental_near: index-then-probe must equal re-sketching
+    // everything
+    "dedup_band_store" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val path = bandScratchDir(s, d) + "/index"
+      deleteRecursively(new java.io.File(path))
+      // testdata arrives as one tiny split — fan the sketch out like the
+      // other LSH keys; corpus-scale inputs are already partitioned
+      val par = s.sparkContext.defaultParallelism
+      val hist = doc.filter(col("doc_id") % 3 =!= 0).repartition(par)
+      graft.sinks.BandStore.write(hist.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", path)
+      graft.sinks.BandStore.append(hist.filter(col("doc_id") % 2 =!= 0),
+        "text", "doc_id", path)
+      graft.sinks.BandStore.compact(s, path)
+      graft.sinks.BandStore.probe(s, path,
+        doc.filter(col("doc_id") % 3 === 0).repartition(par),
+        "text", "doc_id", threshold = 0.8)
     }),
 
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -800,6 +851,9 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "dedup_incremental_near" -> lshAgainstSql,
+    // index-then-probe ≡ re-sketch-everything: the store changes where
+    // the history's banded signatures LIVE, never what they say
+    "dedup_band_store" -> lshAgainstSql,
     "dedup_exact_docs" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) - 1 AS n_dups
          FROM documents GROUP BY 1""",

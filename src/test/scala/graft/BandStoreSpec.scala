@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sinks.BandStore
+
+/** The persisted LSH band index's claims:
+  *  1. probe over the store is value-identical to the self-contained
+  *     `minhashNearDupsAgainst` (which re-sketches the history);
+  *  2. the probe's candidate scan PRUNES — it reads only the batch's
+  *     colliding band buckets, and the history never enters a shuffle;
+  *  3. append and compact are layout, never semantics (the AnnStore
+  *     lifecycle discipline on the band tables).
+  */
+class BandStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def history = docs.filter($"doc_id" % 3 =!= 0)
+  private def batch = docs.filter($"doc_id" % 3 === 0)
+
+  private val storeDirs = scala.collection.mutable.ListBuffer[java.io.File]()
+
+  override def afterAll(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    storeDirs.foreach(rm)
+  }
+
+  private def newPath(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandspec").toFile
+    storeDirs += dir
+    dir.toString + "/index"
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+
+  test("probe equals the self-contained minhashNearDupsAgainst exactly") {
+    val path = newPath()
+    BandStore.write(history, "text", "doc_id", path)
+    val fromStore = pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8))
+    val selfContained = pairs(Dedup.minhashNearDupsAgainst(
+      history, batch, "text", "doc_id", threshold = 0.8))
+    assert(fromStore === selfContained)
+    assert(fromStore.nonEmpty, "fixture must exercise real cross-set near-dups")
+  }
+
+  test("append: indexing history in two batches equals one-shot write") {
+    val path = newPath()
+    BandStore.write(history.filter($"doc_id" % 2 === 0), "text", "doc_id", path)
+    BandStore.append(history.filter($"doc_id" % 2 =!= 0), "text", "doc_id", path)
+    val appended = pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8))
+    val oneShot = {
+      val p2 = newPath()
+      BandStore.write(history, "text", "doc_id", p2)
+      pairs(BandStore.probe(spark, p2, batch, "text", "doc_id", 0.8))
+    }
+    assert(appended === oneShot)
+  }
+
+  test("probe's candidate scan prunes to the batch's colliding buckets; batch side broadcasts") {
+    val path = newPath()
+    BandStore.write(history, "text", "doc_id", path, buckets = 16)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = BandStore.params(spark, path)
+      // a SMALL batch (3 docs): its band keys cover few of the 16 buckets,
+      // so the pruning is observable (a corpus-wide batch would legally
+      // touch every bucket)
+      val mb = Dedup.minhashed(batch.limit(3), "text", "doc_id",
+          p.k, p.rowsPerBand, p.shingleN)
+        .filter(size($"hs") > 0).cache()
+      try {
+        val plausible = BandStore.plausibleCandidates(spark, path, mb, "doc_id", 0.8, p)
+        plausible.collect()
+        val scans = plausible.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("graft_bandspec")) => f
+        }
+        assert(scans.nonEmpty, "expected a parquet scan of the band index")
+        val scan = scans.head
+        assert(scan.partitionFilters.exists(_.toString.contains("bucket")),
+          s"bucket route should plan as a partition filter, scan:\n$scan")
+        val bandsRoot = new java.io.File(path, "bands")
+        val totalDirs = bandsRoot.listFiles().count(_.getName.startsWith("bucket="))
+        val nProbed = mb.select(explode($"bands").as("band"))
+          .select(pmod(xxhash64($"band"), lit(p.buckets))).distinct().count()
+        assert(nProbed < totalDirs,
+          s"fixture: 3 docs' bands must not cover all $totalDirs buckets")
+        val readFiles = scan.metrics("numFiles").value
+        val perBucket = bandsRoot.listFiles()
+          .filter(_.getName.startsWith("bucket="))
+          .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sorted.reverse
+        assert(readFiles <= perBucket.take(nProbed.toInt).sum,
+          s"scan should read at most the $nProbed probed buckets' files, read $readFiles")
+        // the history side must never shuffle: the one join in the plan is
+        // a broadcast of the batch bands over the pruned scan
+        val plan = plausible.queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"),
+          s"batch bands should broadcast over the scanned index:\n$plan")
+      } finally { mb.unpersist(); () }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("compact collapses fragmented buckets, untouched partitions byte-identical, probe unchanged") {
+    val path = newPath()
+    // three slices fragment their target buckets
+    BandStore.write(history.filter($"doc_id" % 3 === 1), "text", "doc_id", path, buckets = 8)
+    BandStore.append(history.filter($"doc_id" % 9 === 2), "text", "doc_id", path)
+    BandStore.append(history.filter($"doc_id" % 9 === 5), "text", "doc_id", path)
+    BandStore.append(history.filter($"doc_id" % 9 === 8), "text", "doc_id", path)
+    def state(table: String): Map[String, Map[String, String]] = {
+      val root = new java.io.File(path, table)
+      root.listFiles().filter(_.getName.startsWith("bucket=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          f.getName -> md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+        }.toMap
+      }.toMap
+    }
+    val beforeBands = state("bands")
+    val beforeProbe = pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8))
+    // .toSeq first: collecting ("bands", n) pairs straight off the Map
+    // would rebuild a Map keyed by the literal "bands" and keep ONE entry
+    val fragmented = beforeBands.toSeq.collect {
+      case (d, fs) if fs.size > 1 => ("bands", d.stripPrefix("bucket=").toLong)
+    }.toSet ++ state("docs").toSeq.collect {
+      case (d, fs) if fs.size > 1 => ("docs", d.stripPrefix("bucket=").toLong)
+    }.toSet
+    assert(fragmented.nonEmpty, "appends should have fragmented some bucket")
+    val compacted = BandStore.compact(spark, path)
+    assert(compacted.toSet === fragmented,
+      s"exactly the >1-file buckets must compact: $compacted vs $fragmented")
+    val afterBands = state("bands")
+    compacted.filter(_._1 == "bands").foreach { case (_, b) =>
+      assert(afterBands(s"bucket=$b").size === 1,
+        s"bands bucket $b should hold ONE file after compact")
+    }
+    (beforeBands.keySet -- compacted.collect { case ("bands", b) => s"bucket=$b" })
+      .foreach { d =>
+        assert(afterBands(d) === beforeBands(d),
+          s"untouched bands $d files must stay byte-identical")
+      }
+    assert(pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8))
+      === beforeProbe, "compaction must never change probe results")
+    assert(BandStore.compact(spark, path) === Seq.empty, "idempotent")
+  }
+
+  test("probe raises on a crashed compact (parked bucket, no live twin); recover heals") {
+    val path = newPath()
+    BandStore.write(history, "text", "doc_id", path, buckets = 8)
+    val before = pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8))
+    val bandsRoot = new java.io.File(path, "bands")
+    val victim = bandsRoot.listFiles().filter(_.getName.startsWith("bucket=")).head
+    val oldRoot = new java.io.File(path, "bands.swap_old")
+    assert(oldRoot.mkdirs())
+    assert(victim.renameTo(new java.io.File(oldRoot, victim.getName)))
+    val e = intercept[IllegalStateException] {
+      BandStore.probe(spark, path, batch, "text", "doc_id", 0.8)
+    }
+    assert(e.getMessage.contains("crashed swap"), e.getMessage)
+    BandStore.recover(spark, path)
+    assert(pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8)) === before)
+  }
+
+  test("append and probe pin the store's sketch parameters, not the caller's") {
+    val path = newPath()
+    BandStore.write(history, "text", "doc_id", path, k = 16, rowsPerBand = 4, buckets = 8)
+    val p = BandStore.params(spark, path)
+    assert(p === BandStore.Params(16, 4, 3, 8))
+    // a probe under the stored k=16 family must equal the self-contained
+    // operator under the SAME parameters — the store decides, silently
+    // probing under the default k=128 would report garbage
+    val fromStore = pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8))
+    val selfContained = pairs(Dedup.minhashNearDupsAgainst(
+      history, batch, "text", "doc_id", threshold = 0.8, k = 16, rowsPerBand = 4))
+    assert(fromStore === selfContained)
+  }
+}
