@@ -101,6 +101,9 @@ object SimQueries {
   private def annDeleteDir(s: org.apache.spark.sql.SparkSession, d: String): String =
     scratchDir(s, d, "delete")
 
+  private def annReclusterDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    scratchDir(s, d, "recluster")
+
   /** Drop the memoized ANN store (and delete its files): the next
     * `sim_ann_pruned` call pays the full ingest-time build again. Bench
     * calls this before each timed pass of a memoized key so the artifact
@@ -351,6 +354,29 @@ object SimQueries {
       graft.sinks.AnnStore.purge(s, path, "vec_id")
       Similarity.ivfSearchAssigned(
         graft.sinks.AnnStore.readLive(s, path, "vec_id"), "vec_id", cents, "cid", "embedding",
+        query = e.filter(col("vec_id") === 1), k = 10, nProbe = 2)
+    }),
+
+    // the store lifecycle's DRIFT REMEDY, run cold end to end: ingest the
+    // whole corpus against a deliberately BAD 2-centroid index (the drift
+    // regime append's contract tolerates — degraded recall, never
+    // correctness), RECLUSTER (retrain deterministic Lloyd's from the
+    // live store, reassign, whole-store atomic swap, centroid sidecar
+    // committed last), then probe-2 search routed by the NEW centroids.
+    // The oracle replays trained-centroid IVF from scratch: a store that
+    // drifted and was reclustered must answer exactly like one built
+    // against the trained centroids from day one
+    "sim_ann_recluster" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val path = annReclusterDir(s, d) + "/store"
+      deleteRecursively(new java.io.File(path))
+      val bad = e.filter(col("vec_id") < 2).withColumnRenamed("vec_id", "cid")
+      graft.sinks.AnnStore.write(
+        Similarity.ivfAssign(e, "embedding", "vec_id", bad, "cid", keepVec = true), path)
+      val cents = graft.sinks.AnnStore.recluster(s, path, "vec_id", k = 8, iters = 2)
+      Similarity.ivfSearchAssigned(
+        graft.sinks.AnnStore.read(s, path), "vec_id",
+        cents.withColumnRenamed("c_v", "embedding"), "centroid_id", "embedding",
         query = e.filter(col("vec_id") === 1), k = 10, nProbe = 2)
     }),
 
@@ -928,6 +954,24 @@ object SimQueries {
     // delete is semantics (tombstones/purge are layout + timing): the
     // oracle is the same full-corpus IVF search minus the deleted ids
     "sim_ann_delete" -> annSearchSql(qid = 1, corpusWhere = "n.vec_id % 7 <> 3"),
+    // drift + recluster ≡ trained-from-day-one: the oracle trains the
+    // same two deterministic Lloyd's rounds the recluster runs
+    // (kmeansAssigned = sim_kmeans_fit's CTEs + assignment), routes the
+    // query to its 2 nearest TRAINED centroids, and ranks only those
+    // clusters — the drifted ingest leaves no trace in the answer
+    "sim_ann_recluster" ->
+      s"""$kmeansAssigned,
+            qa AS (SELECT cid FROM sc WHERE vec_id = 1
+                   QUALIFY row_number() OVER (ORDER BY sim DESC, cid) <= 2),
+            q AS (SELECT v, nrm FROM n WHERE vec_id = 1)
+          SELECT vec_id, cosine FROM (
+            SELECT a.vec_id,
+                   round($pairDot / (a.nrm * b.nrm), 6) AS cosine
+            FROM (SELECT x.vec_id, x.v, x.nrm, g.cid
+                  FROM n x JOIN asg g ON x.vec_id = g.vec_id) a
+            CROSS JOIN (SELECT v, nrm FROM q) b
+            JOIN qa ON a.cid = qa.cid)
+          QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id) <= 10""",
     // the composed prep chain replayed from the SAME generated CTE
     // builders the standalone keys use: srpCtes → verified pairs →
     // recursive reachability components (min-id labels, the

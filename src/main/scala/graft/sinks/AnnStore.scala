@@ -55,18 +55,32 @@ object AnnStore {
     spark.read.parquet(path)
   }
 
-  /** Heal a store whose writer crashed mid-swap: promote each parked
-    * cluster's committed tmp if present, else restore the original —
-    * the same recovery compact/purge run on entry, callable by an
-    * operator who owns the (single) writer role. Idempotent; a no-op on
+  /** Heal a store whose writer crashed mid-swap (per-cluster compact/
+    * purge swaps AND whole-store recluster swaps): promote each committed
+    * tmp if present, else restore the original — the same recovery the
+    * swap-performing ops run on entry, callable by an operator who owns
+    * the writer role (it takes the writer fence). Idempotent; a no-op on
     * a healthy store. */
-  def recover(spark: SparkSession, path: String): Unit =
-    recoverSwap(new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  def recover(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    PartitionSwap.withWriterLock(fs, path, "AnnStore") {
+      recoverRecluster(fs, path)
+      recoverSwap(fs, path)
+    }
+  }
+
+  /** Clear a stale writer fence left by a crashed compact/purge/
+    * recluster — see [[PartitionSwap.breakLock]]'s caveat: the caller
+    * asserts the crashed owner is dead. */
+  def breakLock(spark: SparkSession, path: String): Boolean =
+    PartitionSwap.breakLock(
+      new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration), path)
 
   /** Raise if a crashed swap is pending: any cluster dir parked under a
-    * swap scratch root with no live twin means [[read]] would serve a
-    * partial store. Cheap — two root existence probes on the happy
-    * path. */
+    * swap scratch root with no live twin — or a whole-store recluster
+    * swap caught between its two renames — means [[read]] would serve a
+    * partial (or no) store. Cheap — a few root existence probes on the
+    * happy path. */
   private def requireRecovered(spark: SparkSession, path: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq("swap", "compact").foreach { tag =>
@@ -78,6 +92,10 @@ object AnnStore {
           s"AnnStore: crashed swap pending at $oldRoot (${parked.map(_.getName).mkString(", ")} " +
             "parked with no live twin) — run AnnStore.recover (or compact/purge) before reading")
     }
+    if (!fs.exists(new Path(path)) &&
+        (fs.exists(new Path(path + ".recluster_tmp")) || fs.exists(new Path(path + ".recluster_old"))))
+      throw new IllegalStateException(
+        s"AnnStore: crashed recluster pending at $path — run AnnStore.recover before reading")
   }
 
   /** Persist PQ CODES partitioned by their IVF cluster — the IVF+PQ
@@ -130,14 +148,19 @@ object AnnStore {
   def compact(spark: SparkSession, path: String, maxFiles: Int = 1): Seq[Long] = {
     require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverSwap(fs, path)
-    val targets = clusterDirs(fs, new Path(path)).filter { c =>
-      fs.listStatus(c).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")) > maxFiles
-    }.map(clusterId).sorted
-    if (targets.isEmpty) return Seq.empty
-    swapRewrite(spark, fs, path, targets,
-      read(spark, path).filter(col("centroid_id").isin(targets: _*)))
-    targets
+    PartitionSwap.withWriterLock(fs, path, "AnnStore") {
+      recoverRecluster(fs, path)
+      recoverSwap(fs, path)
+      val targets = clusterDirs(fs, new Path(path)).filter { c =>
+        fs.listStatus(c).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")) > maxFiles
+      }.map(clusterId).sorted
+      if (targets.isEmpty) Seq.empty
+      else {
+        swapRewrite(spark, fs, path, targets,
+          read(spark, path).filter(col("centroid_id").isin(targets: _*)))
+        targets
+      }
+    }
   }
 
   // ---- tombstone deletes (the lifecycle's fourth stage) ----
@@ -229,30 +252,124 @@ object AnnStore {
     * [[readLive]] never serves a deleted row through any crash window. A
     * cluster whose every row is tombstoned disappears (no empty dir).
     * Returns the rewritten cluster ids (empty = nothing pending, and any
-    * stale fully-purged sidecar is cleared). Like compact, not safe
-    * against concurrent writers — callers own sequencing. */
+    * stale fully-purged sidecar is cleared). Like compact, serialized
+    * against other swap-performing writers by the writer fence. */
   def purge(spark: SparkSession, path: String, idCol: String): Seq[Long] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverSwap(fs, path)
-    tombstones(spark, path) match {
-      case None => Seq.empty
-      case Some(ts) =>
-        val tsb = org.apache.spark.sql.functions.broadcast(ts.select(col(idCol)))
-        // pruned scan: only (idCol, centroid_id) are read to route the purge
-        // partition discovery may type centroid_id INT or BIGINT depending
-        // on the ingested values — canonicalize before collecting the route
-        val targets = read(spark, path).select(col(idCol), col("centroid_id"))
-          .join(tsb, Seq(idCol), "left_semi")
-          .select(col("centroid_id").cast("long")).distinct()
-          .collect().map(_.getLong(0)).toSeq.sorted
-        if (targets.nonEmpty)
-          swapRewrite(spark, fs, path, targets,
-            read(spark, path).filter(col("centroid_id").isin(targets: _*))
-              .join(tsb, Seq(idCol), "left_anti"))
-        // drop the sidecar last: every earlier crash leaves a consistent
-        // (masked) store; reaching here means the rows are gone for real
-        fs.delete(new Path(tombstoneDir(path)), true)
-        targets
+    PartitionSwap.withWriterLock(fs, path, "AnnStore") {
+      recoverRecluster(fs, path)
+      recoverSwap(fs, path)
+      tombstones(spark, path) match {
+        case None => Seq.empty
+        case Some(ts) =>
+          val tsb = org.apache.spark.sql.functions.broadcast(ts.select(col(idCol)))
+          // pruned scan: only (idCol, centroid_id) are read to route the purge
+          // partition discovery may type centroid_id INT or BIGINT depending
+          // on the ingested values — canonicalize before collecting the route
+          val targets = read(spark, path).select(col(idCol), col("centroid_id"))
+            .join(tsb, Seq(idCol), "left_semi")
+            .select(col("centroid_id").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSeq.sorted
+          if (targets.nonEmpty)
+            swapRewrite(spark, fs, path, targets,
+              read(spark, path).filter(col("centroid_id").isin(targets: _*))
+                .join(tsb, Seq(idCol), "left_anti"))
+          // drop the sidecar last: every earlier crash leaves a consistent
+          // (masked) store; reaching here means the rows are gone for real
+          fs.delete(new Path(tombstoneDir(path)), true)
+          targets
+      }
+    }
+  }
+
+  // ---- recluster (the lifecycle's drift remedy) ----
+
+  /** The trained-centroid sidecar a [[recluster]] leaves behind: the
+    * centroids are INDEX METADATA (a store can't route probes without
+    * them), so after a recluster they travel inside the store root under
+    * an underscore name parquet discovery ignores. (Stores built by
+    * [[write]] from an external centroid frame don't carry one — their
+    * centroids live wherever the caller keeps them.) */
+  def centroids(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path + "/_centroids")
+
+  /** RE-CLUSTER the store — the committed remedy for centroid drift that
+    * [[append]]'s contract points at ("appending against drifted
+    * centroids only degrades recall, never correctness"): retrain
+    * centroids from the LIVE store (`Similarity.kmeansFit` — the same
+    * deterministic Lloyd's the `sim_kmeans_fit` oracle replays), reassign
+    * every live row (zero-shuffle broadcast fold), write the full new
+    * layout + its `_centroids` sidecar to a scratch dir, then swap the
+    * WHOLE store atomically. Whole-store, not per-cluster: reassignment
+    * moves rows BETWEEN clusters, so no per-cluster intermediate state is
+    * consistent. Tombstoned rows drop during the rewrite, and the sidecar
+    * swaps away with the old tree — recluster subsumes [[purge]].
+    *
+    * Crash windows (all healed by [[recover]] / the next writer op):
+    * the scratch tree commits its `_centroids` sidecar LAST, so recovery
+    * promotes the new store iff that final marker exists, else restores
+    * the original — a half-written scratch tree is never promoted, and
+    * between the two renames readers raise loudly ([[read]]'s guard)
+    * rather than serve nothing. Serialized against other writers by the
+    * writer fence.
+    *
+    * Scale shape: one distributed retrain + reassign + rewrite of the
+    * live store — O(corpus), the deliberate heavyweight op on the
+    * compaction cadence (run it when [[graft.operators.Similarity
+    * .assignmentQuality]] decays past the operator's floor). The rewrite
+    * lands `k` output partitions (one task per cluster, like compact);
+    * at extreme per-cluster sizes raise the file count by repartitioning
+    * downstream.
+    *
+    * @return the new centroids (centroid_id, c_v), also persisted as the
+    *         store's `_centroids` sidecar */
+  def recluster(spark: SparkSession, path: String, idCol: String,
+                k: Int, iters: Int = 2): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    PartitionSwap.withWriterLock(fs, path, "AnnStore") {
+      recoverRecluster(fs, path)
+      recoverSwap(fs, path)
+      val tmpRoot = new Path(path + ".recluster_tmp")
+      val oldRoot = new Path(path + ".recluster_old")
+      if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+      if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
+      val live = readLive(spark, path, idCol).select(col(idCol), col("v"))
+      val cents = graft.operators.Similarity.kmeansFit(live, "v", idCol, k, iters)
+      val assigned = graft.operators.Similarity.ivfAssign(
+        live, "v", idCol, cents.withColumnRenamed("c_v", "v"), "centroid_id",
+        keepVec = true)
+      assigned.repartition(k, col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(tmpRoot.toString)
+      // the COMMIT MARKER: recovery promotes the scratch tree iff this
+      // final write's _SUCCESS exists — everything before it is abandoned
+      cents.write.mode("overwrite").parquet(tmpRoot.toString + "/_centroids")
+      PartitionSwap.mv(fs, new Path(path), oldRoot)
+      PartitionSwap.mv(fs, tmpRoot, new Path(path))
+      fs.delete(oldRoot, true)
+      cents
+    }
+  }
+
+  /** Recover a crashed whole-store recluster swap: with no live store,
+    * promote the scratch tree iff its commit marker (`_centroids`'
+    * `_SUCCESS`, the last thing [[recluster]] writes before the renames)
+    * exists, else restore the original; with a live store, any scratch
+    * is leftover — drop it. Never deletes the only copy. */
+  private def recoverRecluster(fs: FileSystem, path: String): Unit = {
+    val dst = new Path(path)
+    val tmpRoot = new Path(path + ".recluster_tmp")
+    val oldRoot = new Path(path + ".recluster_old")
+    if (!fs.exists(dst)) {
+      if (fs.exists(new Path(tmpRoot, "_centroids/_SUCCESS"))) {
+        PartitionSwap.mv(fs, tmpRoot, dst)
+        if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
+      } else if (fs.exists(oldRoot)) {
+        PartitionSwap.mv(fs, oldRoot, dst)
+        if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+      }
+    } else {
+      if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+      if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
     }
   }
 

@@ -105,4 +105,47 @@ private[sinks] object PartitionSwap {
     partitionDirs(fs, new Path(path), prefix).filter { c =>
       fs.listStatus(c).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")) > maxFiles
     }
+
+  // ---- writer fence ----
+
+  private def lockPath(path: String) = new Path(path + ".lock")
+
+  /** Run `body` holding the store's WRITER FENCE — the enforcement of the
+    * "not safe against concurrent writers" caveat every swap-performing
+    * op used to merely document: the fence file is created atomically
+    * (create-if-absent — atomic on local FS / HDFS; object stores need a
+    * conditional-put or table format), so a second writer RAISES instead
+    * of interleaving its renames with ours and corrupting the store. The
+    * token records pid@host so the raise names the holder. A crashed
+    * holder leaves a stale fence by design — breaking it is a human
+    * decision ([[breakLock]]), not something a new writer may assume. */
+  def withWriterLock[T](fs: FileSystem, path: String, store: String)(body: => T): T = {
+    val lp = lockPath(path)
+    val token =
+      s"${ProcessHandle.current().pid()}@${java.net.InetAddress.getLocalHost.getHostName}"
+    val acquired =
+      try {
+        val o = fs.create(lp, false)
+        o.write(token.getBytes("UTF-8")); o.close(); true
+      } catch { case _: java.io.IOException => false }
+    if (!acquired) {
+      val holder =
+        try {
+          val in = fs.open(lp)
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        } catch { case _: java.io.IOException => "<unreadable>" }
+      throw new IllegalStateException(
+        s"$store: writer fence $lp is held by [$holder] — another " +
+          "compact/purge/recluster is running, or its owner crashed; after " +
+          s"confirming the owner is dead, clear it with $store.breakLock")
+    }
+    try body finally { fs.delete(lp, false); () }
+  }
+
+  /** Clear a stale writer fence left by a crashed holder. Returns whether
+    * a fence existed. The caller asserts the owner is dead — breaking a
+    * LIVE holder's fence reintroduces exactly the interleaved-rename
+    * corruption the fence exists to prevent. */
+  def breakLock(fs: FileSystem, path: String): Boolean =
+    fs.delete(lockPath(path), false)
 }

@@ -380,6 +380,102 @@ class AnnStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     AnnStore.recover(spark, path)
   }
 
+  test("writer fence: a held fence blocks compact/purge/recluster; breakLock clears; ops release it") {
+    val path = buildStore()
+    assert(new java.io.File(path + ".lock").createNewFile(),
+      "fixture: simulate another writer's fence")
+    Seq(
+      () => AnnStore.compact(spark, path),
+      () => AnnStore.purge(spark, path, "vec_id"),
+      () => AnnStore.recluster(spark, path, "vec_id", k = 8)
+    ).foreach { op =>
+      val e = intercept[IllegalStateException](op())
+      assert(e.getMessage.contains("writer fence"), e.getMessage)
+    }
+    assert(AnnStore.breakLock(spark, path), "breakLock clears a stale fence")
+    assert(AnnStore.compact(spark, path) === Seq.empty,
+      "after breakLock the writer proceeds (fresh store: nothing fragmented)")
+    assert(!new java.io.File(path + ".lock").exists(),
+      "the fence must release when the op completes")
+  }
+
+  test("recluster: drifted store retrains, rows preserved, quality recovered, search = trained-from-day-one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annspec").toFile
+    storeDirs += dir
+    val path = dir.toString + "/store"
+    // planted drift: the whole corpus ingested against TWO centroids
+    val bad = corpus.filter($"vec_id" < 2).withColumnRenamed("vec_id", "cid")
+    AnnStore.write(
+      Similarity.ivfAssign(corpus, "embedding", "vec_id", bad, "cid", keepVec = true), path)
+    // a deleted row must not survive the recluster rewrite
+    AnnStore.delete(Seq(41L).toDF("vec_id"), "vec_id", path)
+    val qualityBefore = AnnStore.read(spark, path).agg(avg($"sim")).head().getDouble(0)
+    val cents = AnnStore.recluster(spark, path, "vec_id", k = 8, iters = 2)
+    val store = AnnStore.read(spark, path)
+    val qualityAfter = store.agg(avg($"sim")).head().getDouble(0)
+    assert(qualityAfter > qualityBefore,
+      s"recluster must recover assignment quality: $qualityBefore -> $qualityAfter")
+    assert(store.select($"centroid_id".cast("long")).distinct().count() === 8,
+      "the drifted 2-cluster layout must become the trained k=8 layout")
+    assert(store.select("vec_id").as[Long].collect().toSet
+      === corpus.select("vec_id").as[Long].collect().toSet - 41L,
+      "every live row survives, the tombstoned one is gone")
+    assert(AnnStore.tombstones(spark, path).isEmpty,
+      "the sidecar swaps away with the old tree — recluster subsumes purge")
+    // returned centroids === persisted sidecar === a from-scratch fit on
+    // the live corpus (the store holds exactly the live rows)
+    def centSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"centroid_id".cast("int"), $"c_v").as[(Int, Seq[Double])]
+        .collect().toSet
+    assert(centSet(AnnStore.centroids(spark, path)) === centSet(cents))
+    val direct = Similarity.kmeansFit(
+      corpus.filter($"vec_id" =!= 41L), "embedding", "vec_id", k = 8, iters = 2)
+    assert(centSet(cents) === centSet(direct),
+      "recluster trains the same deterministic Lloyd's as a from-scratch fit")
+    // the answer carries no trace of the drifted ingest
+    val query = corpus.filter($"vec_id" === 1)
+    val fromStore = Similarity.ivfSearchAssigned(store, "vec_id",
+      cents.withColumnRenamed("c_v", "embedding"), "centroid_id", "embedding",
+      query, k = 10, nProbe = 2).as[(Long, Double)].collect().toSeq
+    val fromScratch = Similarity.ivfSearch(corpus.filter($"vec_id" =!= 41L),
+      "embedding", "vec_id", direct.withColumnRenamed("c_v", "embedding"),
+      "centroid_id", query, k = 10, nProbe = 2).as[(Long, Double)].collect().toSeq
+    assert(fromStore === fromScratch)
+  }
+
+  test("recluster crash windows: the commit marker decides promote vs restore; reads raise in between") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annspec").toFile
+    storeDirs += dir
+    val path = dir.toString + "/store"
+    AnnStore.write(
+      Similarity.ivfAssign(corpus, "embedding", "vec_id", cents, "cid", keepVec = true), path)
+    AnnStore.recluster(spark, path, "vec_id", k = 8, iters = 2)
+    val committed = AnnStore.read(spark, path)
+      .select($"vec_id", $"centroid_id".cast("long")).as[(Long, Long)].collect().toSet
+    // window: dst renamed away, scratch tree FULLY committed (it carries
+    // the _centroids marker) -> promote. (A reclustered store root IS a
+    // committed scratch tree, so renaming it simulates the window.)
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".recluster_tmp")))
+    val e = intercept[IllegalStateException] { AnnStore.read(spark, path) }
+    assert(e.getMessage.contains("crashed recluster"), e.getMessage)
+    AnnStore.recover(spark, path)
+    assert(AnnStore.read(spark, path)
+      .select($"vec_id", $"centroid_id".cast("long")).as[(Long, Long)].collect().toSet
+      === committed, "a committed scratch tree must be promoted")
+    assert(!new java.io.File(path + ".recluster_tmp").exists())
+    // window: dst parked in .recluster_old, scratch UNCOMMITTED (no
+    // marker) -> restore the original, drop the partial tree
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".recluster_old")))
+    assert(new java.io.File(path + ".recluster_tmp", "centroid_id=0").mkdirs())
+    intercept[IllegalStateException] { AnnStore.read(spark, path) }
+    AnnStore.recover(spark, path)
+    assert(AnnStore.read(spark, path)
+      .select($"vec_id", $"centroid_id".cast("long")).as[(Long, Long)].collect().toSet
+      === committed, "an uncommitted scratch tree must be abandoned, the original restored")
+    assert(!new java.io.File(path + ".recluster_tmp").exists()
+      && !new java.io.File(path + ".recluster_old").exists())
+  }
+
   test("delete canonicalizes tombstone id types: INT and BIGINT batches land as one schema") {
     val path = buildStore()
     // first batch arrives typed INT, second BIGINT — without the cast the
