@@ -597,6 +597,34 @@ object TextQueries {
     "ta_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), fingerprint(col("text")).as("fp"))),
 
+    // REAL subword tokenization — the frozen-merge-table greedy BPE the
+    // regex "BPE-ish" proxy in ta_tokens stands in for: per-source totals
+    // under Bpe.DefaultMerges (the spec-provenanced static artifact). The
+    // oracle replays the encoder as a recursive CTE applying the same
+    // (lowest-rank, leftmost) rule over DISTINCT words — the count is
+    // part of the operator's definition, not an approximation
+    "ta_bpe_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("source"), graft.functions.Bpe.bpeTokenCount(col("text")).as("bpe"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("bpe")).as("sum_bpe"))),
+
+    // budget selection in the tokens a TRAINING RUN actually consumes:
+    // same histogram-thresholded quality selection as ta_budget_select,
+    // but the per-doc cost is the real BPE token count, so the selected
+    // set is the one a tokenizer-aware pipeline would ship
+    "ta_bpe_budget" -> ((s, d) => {
+      val w = tokens(col("text"))
+      val nW = size(w).cast("double")
+      val dup = lit(1.0) - size(array_distinct(w)).cast("double") / nW
+      val stop = tokenCount(col("text"), Seq("the", "a")).cast("double") / nW
+      val scored = t(s, d, "documents").select(col("doc_id"),
+        graft.functions.Bpe.bpeTokenCount(col("text")).as("tk"),
+        round(lit(0.5) * stop + lit(0.5) * (lit(1.0) - dup), 6).as("quality"))
+      graft.etl.Selection.tokenBudgetSelect(scored, "tk", "quality", "doc_id",
+        budget = 40000L)
+    }),
+
     // the flagship LLM-pipeline deliverable, oracle-checked END-TO-END:
     // normalize -> exact dedup -> LSH near-dup clusters -> one
     // representative per cluster -> quality floor -> md5 split ->
@@ -849,8 +877,67 @@ object TextQueries {
         WHERE j >= 0.8"""
   }
 
+  /** The frozen merge table as a DuckDB map literal (rank lookup keyed
+    * "left right" — tokens never contain a space). */
+  private def bpeMergeMapSql: String = {
+    val ms = graft.functions.Bpe.DefaultMerges
+    val keys = ms.map { case (a, b) => s"'$a $b'" }.mkString(", ")
+    val vals = ms.indices.mkString(", ")
+    s"map([$keys], [$vals])"
+  }
+
+  /** Recursive-CTE replay of the greedy BPE encoder over each DISTINCT
+    * word: every step merges the (lowest-rank, leftmost) adjacent pair —
+    * `BpeUtil.countTokens`' exact rule — until no pair is in the table
+    * (`bi` NULL terminates that word's recursion). Ends with `doctk`
+    * (doc_id, bpe). Callers must open with `WITH RECURSIVE`. */
+  private lazy val bpeDocTokensCtes: String =
+    s"""rm AS (SELECT $bpeMergeMapSql AS m),
+       dw AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+              FROM documents),
+       uw AS (SELECT DISTINCT w FROM dw),
+       init AS (SELECT w,
+                  list_transform(range(1, length(w)+1), i -> substr(w, CAST(i AS INT), 1)) AS toks,
+                  0 AS step
+                FROM uw),
+       enc AS (
+         SELECT * FROM init
+         UNION ALL
+         SELECT w,
+                list_concat(list_concat(toks[1:bi-1], [toks[bi] || toks[bi+1]]), toks[bi+2:]) AS toks,
+                step + 1
+         FROM (
+           SELECT e.w, e.toks, e.step, list_position(rks, list_min(rks)) AS bi
+           FROM (SELECT w, toks, step,
+                        list_transform(range(1, len(toks)),
+                          i -> rm.m[toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1]][1]) AS rks
+                 FROM enc CROSS JOIN rm) e
+         ) WHERE bi IS NOT NULL),
+       wt AS (SELECT w, len(toks) AS n FROM enc
+              QUALIFY row_number() OVER (PARTITION BY w ORDER BY step DESC) = 1),
+       doctk AS (SELECT d.doc_id, CAST(sum(wt.n) AS BIGINT) AS bpe
+                 FROM dw d JOIN wt ON d.w = wt.w GROUP BY 1)"""
+
   val oracle: Map[String, String] = Map(
     "dedup_incremental_near" -> lshAgainstSql,
+    "ta_bpe_tokens" ->
+      s"""WITH RECURSIVE $bpeDocTokensCtes
+          SELECT d.source, count(*) AS n_docs,
+                 CAST(sum(coalesce(t.bpe, 0)) AS BIGINT) AS sum_bpe
+          FROM documents d LEFT JOIN doctk t USING (doc_id)
+          GROUP BY 1""",
+    "ta_bpe_budget" ->
+      s"""WITH RECURSIVE $bpeDocTokensCtes,
+            q AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            sc AS (SELECT q.doc_id, t.bpe AS tk,
+                     round(0.5*(len(list_filter(q.w, x -> x IN ('the','a')))*1.0/len(q.w))
+                         + 0.5*(1.0 - (1.0 - len(list_distinct(q.w))*1.0/len(q.w))), 6) AS quality
+                   FROM q JOIN doctk t USING (doc_id)),
+            o AS (SELECT doc_id, tk, quality,
+                    sum(tk) OVER (ORDER BY quality DESC, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tk AS bef
+                  FROM sc)
+          SELECT doc_id, tk, quality FROM o WHERE bef < 40000""",
     // index-then-probe ≡ re-sketch-everything: the store changes where
     // the history's banded signatures LIVE, never what they say
     "dedup_band_store" -> lshAgainstSql,

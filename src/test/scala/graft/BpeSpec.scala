@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.expressions.BpeUtil
+import graft.functions.Bpe
+
+/** The BPE tokenizer's claims: the frozen artifact is reproducible from
+  * its training corpus (provenance is spec-checked, not trusted), the
+  * encoder applies the (lowest-rank, leftmost) rule exactly, and the
+  * codegen'd expression equals the local fold. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("train reproduces the frozen DefaultMerges from the sf0.001 corpus") {
+    val freqs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy($"f".desc, $"w")
+      .limit(10000)
+      .as[(String, Long)].collect().toSeq
+    assert(Bpe.train(freqs, Bpe.DefaultMerges.size) === Bpe.DefaultMerges,
+      "the shipped artifact must be exactly what the trainer produces")
+  }
+
+  test("encoder: greedy lowest-rank-leftmost merging, hand-checked") {
+    val merges = Seq(("t", "h"), ("h", "e"), ("a", "n"), ("an", "d"), ("e", "r"))
+    val table = BpeUtil.buildTable(merges)
+    def n(s: String) = BpeUtil.countTokens(UTF8String.fromString(s), table)
+    assert(n("the") === 2L)     // t,h,e -> th,e ('th e' is NOT a merge)
+    assert(n("and") === 1L)     // a,n,d -> an,d -> and
+    assert(n("other") === 3L)   // o,th,e,r -> o,th,er
+    assert(n("banana") === 4L)  // b,an,an,a — (a,n) merges both, no overlap chain
+    assert(n("thethe") === 4L)  // th,e,th,e — merged tokens form NEW pairs only
+    assert(n("") === 0L)
+    assert(n("the and") === 3L)
+    assert(n("the  and ") === 3L, "multi-space and trailing space add no tokens")
+    assert(n("xyz") === 3L, "untouched words count their codepoints")
+  }
+
+  test("trainer stops at vocabulary saturation; tiebreak is deterministic") {
+    // 'ab' x2: one merge exhausts everything
+    assert(Bpe.train(Seq(("ab", 2L)), 100) === Seq(("a", "b")))
+    // count tie between (a,b) from 'ab' and (c,d) from 'cd': lexicographic
+    // pair order decides, deterministically
+    assert(Bpe.train(Seq(("ab", 3L), ("cd", 3L)), 1) === Seq(("a", "b")))
+  }
+
+  test("codegen'd expression equals the local fold over the corpus; counts are genuinely subword") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val viaExpr = docs.select(Bpe.bpeTokenCount($"text").as("n"))
+      .agg(sum($"n")).as[Long].head()
+    val table = BpeUtil.buildTable(Bpe.DefaultMerges)
+    val viaLocal = docs.select($"text").as[String].collect()
+      .map(t => BpeUtil.countTokens(UTF8String.fromString(t), table)).sum
+    assert(viaExpr === viaLocal)
+    val words = docs.select(sum(size(split($"text", " ")))).as[Long].head()
+    assert(viaExpr > words,
+      "a subword table must count MORE than one token per word somewhere")
+    val chars = docs.select(sum(length(regexp_replace($"text", " ", "")))).as[Long].head()
+    assert(viaExpr < chars, "…and fewer than one token per character")
+  }
+}
