@@ -207,4 +207,36 @@ object TextFunctions {
   /** BPE-ish subword count: letter runs, digit runs, or single symbols. */
   def bpeishCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** HTML entities decoded by [[extractHtmlText]], in application order:
+    * named/numeric entities first, `&amp;` strictly LAST — so the
+    * double-escape `&amp;lt;` decodes to the literal text "&lt;", never
+    * to "<" (the standard decode order). Plain string replaces, not
+    * regexes: identical `replace()` semantics in every engine. */
+  private[graft] val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** HTML → text extraction — the missing FIRST stage of a crawl
+    * pipeline (corpora arrive as markup; every text operator here starts
+    * at clean text): drop `script`/`style` blocks and comments WHOLLY
+    * (their content is code, not prose), strip remaining tags to a
+    * space (keeping their text content — the naive-extractor contract:
+    * `title`/`alt` text survives), decode the common entities
+    * ([[HtmlEntities]]), collapse whitespace, trim. Pure codegen'd
+    * regexp/replace pipeline; RE2-portable patterns (inline `(?is)`
+    * flags, non-greedy spans, no backrefs/lookaround) so an SQL oracle
+    * applies the identical rewrites — the `ta_redact_pii` discipline.
+    * Whitespace class is the explicit `[ \t\n\r]` (Java's `\s` and
+    * RE2's disagree on vertical tab). */
+  def extractHtmlText(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = HtmlEntities.foldLeft(noTags) { case (acc, (e, r)) =>
+      replace(acc, lit(e), lit(r))
+    }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+  }
 }

@@ -597,6 +597,27 @@ object TextQueries {
     "ta_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), fingerprint(col("text")).as("fp"))),
 
+    // HTML -> text extraction, the crawl pipeline's FIRST stage: markup
+    // synthesized deterministically per doc (head with title/style/
+    // script, comments, entity-laden trailer — the ta_line_dedup
+    // synthesize-then-operate pattern), then the composed regexp/replace
+    // extraction. script/style/comments drop wholly; tag TEXT survives;
+    // entities decode with &amp; last (the double-escape rule); the
+    // oracle applies the identical RE2-portable rewrites
+    "ta_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>"), col("source"), lit("</title>"),
+        lit("<style type=\"text/css\">p { color: #fff; }</style>"),
+        lit("<script>if (1 < 2) { emit(\"x\"); }</script></head>"),
+        lit("<body><!-- doc "), col("doc_id"), lit(" --><h1>"), col("source"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><p>Q&amp;A &lt;raw&gt; &quot;quoted&quot; &#39;x&#39;&nbsp;end &amp;lt;esc&amp;gt;</p></body></html>"))
+      t(s, d, "documents")
+        .select(col("doc_id"), extractHtmlText(html).as("clean"))
+        .select(col("doc_id"), length(col("clean")).cast("long").as("n_chars"),
+          md5(col("clean")).as("clean_md5"))
+    }),
+
     // REAL subword tokenization — the frozen-merge-table greedy BPE the
     // regex "BPE-ish" proxy in ta_tokens stands in for: per-source totals
     // under Bpe.DefaultMerges (the spec-provenanced static artifact). The
@@ -918,8 +939,34 @@ object TextQueries {
        doctk AS (SELECT d.doc_id, CAST(sum(wt.n) AS BIGINT) AS bpe
                  FROM dw d JOIN wt ON d.w = wt.w GROUP BY 1)"""
 
+  /** The entity-decode chain as nested DuckDB `replace()` calls —
+    * generated from the SAME [[graft.functions.TextFunctions.HtmlEntities]]
+    * list the Spark expression folds, so the two can never drift. */
+  private lazy val htmlEntitySql: String =
+    graft.functions.TextFunctions.HtmlEntities
+      .foldLeft("t") { case (acc, (e, r)) =>
+        s"replace($acc, '${e.replace("'", "''")}', '${r.replace("'", "''")}')"
+      }
+
   val oracle: Map[String, String] = Map(
     "dedup_incremental_near" -> lshAgainstSql,
+    "ta_html_extract" ->
+      s"""WITH h AS (SELECT doc_id,
+                '<html><head><title>' || source || '</title>' ||
+                '<style type="text/css">p { color: #fff; }</style>' ||
+                '<script>if (1 < 2) { emit("x"); }</script></head>' ||
+                '<body><!-- doc ' || doc_id || ' --><h1>' || source ||
+                '</h1><p>' || text ||
+                '</p><p>Q&amp;A &lt;raw&gt; &quot;quoted&quot; &#39;x&#39;&nbsp;end &amp;lt;esc&amp;gt;</p></body></html>' AS html
+              FROM documents),
+            s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+            s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+            s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+            s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
+            e1 AS (SELECT doc_id, $htmlEntitySql AS t FROM s4),
+            fin AS (SELECT doc_id, trim(regexp_replace(t, '[ \\t\\n\\r]+', ' ', 'g')) AS clean FROM e1)
+          SELECT doc_id, CAST(length(clean) AS BIGINT) AS n_chars, md5(clean) AS clean_md5
+          FROM fin""",
     "ta_bpe_tokens" ->
       s"""WITH RECURSIVE $bpeDocTokensCtes
           SELECT d.source, count(*) AS n_docs,

@@ -509,6 +509,23 @@ class TextSimSpec extends SparkSpec {
     assert(byId(5L)._4 === "" && byId(5L)._3 === 1 && byId(5L)._2 === 1)
   }
 
+  test("extractHtmlText: script/style/comments drop wholly, tag text survives, entities decode with &amp; last") {
+    val cases = Seq(
+      ("<p>alpha</p><p>beta</p>", "alpha beta"),
+      ("<SCRIPT type='x'>var a = '<p>not text</p>';</SCRIPT>ok", "ok"),
+      ("<style>p{}</style>a<style\nmedia=\"x\">q{}</style>b", "a b"),
+      ("pre<!-- hidden <b>bold</b> -->post", "pre post"),
+      ("<title>kept title</title>body", "kept title body"),
+      ("Q&amp;A &lt;x&gt; &quot;q&quot; &#39;a&#39;&nbsp;end", "Q&A <x> \"q\" 'a' end"),
+      // the double-escape rule: &amp;lt; is the literal TEXT "&lt;"
+      ("&amp;lt;esc&amp;gt;", "&lt;esc&gt;"),
+      ("  a   \n\t b  ", "a b"))
+    val df = cases.zipWithIndex.map { case ((in, _), i) => (i, in) }.toDF("i", "html")
+    val got = df.select($"i", graft.functions.TextFunctions.extractHtmlText($"html").as("t"))
+      .as[(Int, String)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(got === cases.map(_._2))
+  }
+
   test("removeBoilerplateLines: null-text docs produce no output row, never a bogus (-1,-1)") {
     val docs = Seq(
       (1L, Some("shared line\nbody one")),
