@@ -74,6 +74,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val heavyS = sys.env.getOrElse("SPARK_GRAFT_HEAVY_S", "5.0").toDouble
+    // composed whole-pipeline keys get a larger cap: their one cold pass
+    // IS the entire multi-stage composition, and capping it permanently
+    // left pipeline_corpus_prep a 1-pass median in every round's artifact
+    val heavyComposedS = sys.env.getOrElse("SPARK_GRAFT_HEAVY_COMPOSED_S", "18.0").toDouble
+    def heavyCap(name: String): Double =
+      if (SparkEntry.composedQueries(name)) heavyComposedS else heavyS
     val deadlineS = sys.env.getOrElse("SPARK_GRAFT_DEADLINE_S", "480").toDouble
     val suiteT0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - suiteT0) / 1e9
@@ -184,7 +190,7 @@ object Bench {
       val healedJson = healed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val partialJson = if (only.isEmpty) "" else ""","partial":true"""
       val truncJson = if (truncated) ""","truncated":true""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"memoized":$memoJson,"memo_cleared":true,"warm":$warmJson,"unstable":$unstableJson,"capped":$cappedJson,"healed":$healedJson,"deadline_hit":$deadlineHit,"heavy_s":$heavyS,"deadline_s":$deadlineS,"sentinel_pre_s":$sentinelPre,"sentinel_mid_s":${num(sentinelMid)},"sentinel_post_s":${num(sentinelPost)},"passes":$passes$partialJson$truncJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"memoized":$memoJson,"memo_cleared":true,"warm":$warmJson,"unstable":$unstableJson,"capped":$cappedJson,"healed":$healedJson,"deadline_hit":$deadlineHit,"heavy_s":$heavyS,"heavy_composed_s":$heavyComposedS,"deadline_s":$deadlineS,"sentinel_pre_s":$sentinelPre,"sentinel_mid_s":${num(sentinelMid)},"sentinel_post_s":${num(sentinelPost)},"passes":$passes$partialJson$truncJson,"sf":"$sfDir"}"""
     }
     // COMPACT duplicate of the summary, printed as the FINAL stdout line.
     // Rounds 1-9 of driver artifacts all carry `parsed: null`: the driver
@@ -276,7 +282,7 @@ object Bench {
             times += t
             // heavy cap: one honest cold pass of an 18 s query tells the
             // truth about its cost; three of them blow the driver window
-            if (pass == 1 && t > heavyS) { stop = true; capped += name }
+            if (pass == 1 && t > heavyCap(name)) { stop = true; capped += name }
           case None =>
             // a deterministic failure fails every pass — don't pay it again
             stop = true

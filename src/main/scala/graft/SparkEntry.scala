@@ -27,13 +27,23 @@ object SparkEntry {
     * COLD (full shared-stage build included); the amortized warm re-read —
     * the production one-stage-many-consumers shape — is recorded
     * separately in the artifact's `warm` map. */
-  def memoizedQueries: Set[String] = TextQueries.memoized ++ SimQueries.memoized
+  def memoizedQueries: Set[String] =
+    TextQueries.memoized ++ SimQueries.memoized ++ RelationalQueries.memoized
+
+  /** Composed whole-pipeline keys: one cold pass is genuinely the entire
+    * multi-stage composition, so Bench grants them the larger
+    * `SPARK_GRAFT_HEAVY_COMPOSED_S` cap — a real multi-pass median
+    * instead of a permanently `capped` single cold pass. */
+  def composedQueries: Set[String] =
+    Set("pipeline_corpus_prep", "pipeline_embedding_prep")
 
   /** Drop every application-lifetime memoized stage (checkpoint blocks
-    * released, ANN store files deleted); the next consumer rebuilds from
-    * the parquet inputs. Single-threaded callers only. */
+    * released, ANN store files deleted, bucketed tables dropped); the
+    * next consumer rebuilds from the parquet inputs. Single-threaded
+    * callers only. */
   def clearMemos(): Unit = {
     TextQueries.clearMemos()
     SimQueries.clearMemos()
+    RelationalQueries.clearMemos()
   }
 }

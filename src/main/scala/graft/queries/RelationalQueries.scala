@@ -478,11 +478,34 @@ object RelationalQueries {
     * `SimQueries.annStoreCache`. Managed tables land under the session's
     * warehouse dir and are dropped+recreated per application. */
   private val bucketCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (org.apache.spark.sql.SparkSession, String, String)]()
+
+  /** Query keys that read [[bucketCache]] — surfaced through
+    * `SparkEntry.memoizedQueries` so Bench clears the memo before every
+    * timed pass: the artifact's median then measures the COLD
+    * build-tables+join cost consistently (three rounds of `unstable`
+    * flags came from pass 1 paying the managed-table build while passes
+    * 2-3 rode the memo), and the `warm` entry records the amortized
+    * join-only serving shape. */
+  val memoized: Set[String] = Set("q_bucketed_join")
+
+  /** Drop the memoized bucketed tables (managed — DROP deletes their
+    * data) so the next consumer pays the full ingest-time build again.
+    * Same single-threaded-caller contract as the other clearMemos. */
+  def clearMemos(): Unit = {
+    bucketCache.values.forEach { case (s, ot, lt) =>
+      Seq(ot, lt).foreach { tbl =>
+        try s.sql(s"DROP TABLE IF EXISTS $tbl")
+        catch { case _: Throwable => () } // a stopped session: nothing to drop
+      }
+    }
+    bucketCache.clear()
+  }
 
   private def bucketedTables(s: org.apache.spark.sql.SparkSession,
-                             d: String): (String, String) =
-    bucketCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
+                             d: String): (String, String) = {
+    val (_, ot, lt) = bucketCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
       val (ot, lt) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
       // a previous JVM's managed-table LOCATION survives while the
@@ -506,8 +529,10 @@ object RelationalQueries {
         t(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey"),
           cents(col("l_quantity")).as("qc")),
         lt, "o_orderkey", 8)
-      (ot, lt)
+      (s, ot, lt)
     })
+    (ot, lt)
+  }
 
   val oracle: Map[String, String] = Map(
     // bucketing changes the physical plan, never the rows
