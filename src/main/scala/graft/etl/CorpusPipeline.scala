@@ -32,16 +32,30 @@ object CorpusPipeline {
       packBudget: Long = 2000,
       trainPct: Int = 80,
       validationPct: Int = 10,
-      sketchParallelism: Int = 0)
+      sketchParallelism: Int = 0,
+      // crawl corpora arrive as MARKUP: htmlInput prepends the
+      // extraction stage (TextFunctions.extractHtmlText) so the pipeline
+      // starts at the wire format, not at already-clean text. Spec-proven
+      // equivalence: prepare(markup, htmlInput=true) ≡
+      // prepare(extracted text) row for row.
+      htmlInput: Boolean = false)
 
   /** Returns the prepared corpus: input columns + `split` + `pack_id`,
-    * one row per kept document. */
+    * one row per kept document (with `textCol` holding the EXTRACTED
+    * text when `htmlInput` is set). */
   def prepare(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val id = col(cfg.idCol)
+
+    // 0. optional wire-format stage: HTML → text before any dedup (a
+    // page's markup noise must not defeat exact dedup of equal content)
+    val input =
+      if (cfg.htmlInput)
+        docs.withColumn(cfg.textCol, extractHtmlText(col(cfg.textCol)))
+      else docs
     val text = col(cfg.textCol)
 
     // 1. exact dedup on normalized text: winner = min id per digest
-    val keyed = docs.withColumn("__norm_hash", md5(normalizeText(text)))
+    val keyed = input.withColumn("__norm_hash", md5(normalizeText(text)))
     val exactKept = Clean.dedupByKey(keyed, Seq("__norm_hash"), Seq(id))
       .drop("__norm_hash")
 

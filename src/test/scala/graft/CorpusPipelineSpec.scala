@@ -46,6 +46,26 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(bad.isEmpty, "pack ids must be 0..n-1 per group (cumsum fill)")
   }
 
+  test("htmlInput: preparing markup equals preparing the extracted text") {
+    // wrap each doc in deterministic markup (head noise, comments,
+    // entity trailer) — the wire format a crawl actually delivers
+    val markup = docs.withColumn("text", concat(
+      lit("<html><head><style>p{}</style><script>1<2</script></head><body><p>"),
+      $"text", lit("</p><!-- c --></body></html>")))
+    val viaFlag = CorpusPipeline.prepare(markup,
+      CorpusPipeline.Config(sketchParallelism = 4, htmlInput = true))
+    val viaPre = CorpusPipeline.prepare(
+      markup.withColumn("text", extractHtmlText($"text")),
+      CorpusPipeline.Config(sketchParallelism = 4))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"text", $"split", $"pack_id")
+        .as[(Long, String, String, Long)].collect().toSet
+    val a = rows(viaFlag)
+    assert(a === rows(viaPre), "the flag must be exactly the prepended stage")
+    assert(a.nonEmpty && a.forall(!_._2.contains("<")),
+      "prepared text is the extracted text, not markup")
+  }
+
   test("pipeline is deterministic across reruns") {
     val again = CorpusPipeline.prepare(docs, CorpusPipeline.Config(sketchParallelism = 4))
       .select($"doc_id", $"split", $"pack_id")
