@@ -31,11 +31,12 @@ object SparkEntry {
     TextQueries.memoized ++ SimQueries.memoized ++ RelationalQueries.memoized
 
   /** Composed whole-pipeline keys: one cold pass is genuinely the entire
-    * multi-stage composition, so Bench grants them the larger
-    * `SPARK_GRAFT_HEAVY_COMPOSED_S` cap — a real multi-pass median
-    * instead of a permanently `capped` single cold pass. */
+    * multi-stage composition (corpus prep chain; the band-index
+    * write→append→compact→probe lifecycle), so Bench grants them the
+    * larger `SPARK_GRAFT_HEAVY_COMPOSED_S` cap — a real multi-pass
+    * median instead of a permanently `capped` single cold pass. */
   def composedQueries: Set[String] =
-    Set("pipeline_corpus_prep", "pipeline_embedding_prep")
+    Set("pipeline_corpus_prep", "pipeline_embedding_prep", "dedup_band_store")
 
   /** Drop every application-lifetime memoized stage (checkpoint blocks
     * released, ANN store files deleted, bucketed tables dropped); the

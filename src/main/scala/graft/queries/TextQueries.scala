@@ -167,8 +167,12 @@ object TextQueries {
       // other LSH keys; corpus-scale inputs are already partitioned
       val par = s.sparkContext.defaultParallelism
       val hist = doc.filter(col("doc_id") % 3 =!= 0).repartition(par)
+      // 16 buckets: the route bound should track corpus scale (like
+      // IVF's K) — 64 dirs of per-task files on a 5k-doc corpus is
+      // directory overhead, not pruning; buckets are layout, the oracle
+      // is bucket-count-blind
       graft.sinks.BandStore.write(hist.filter(col("doc_id") % 2 === 0),
-        "text", "doc_id", path)
+        "text", "doc_id", path, buckets = 16)
       graft.sinks.BandStore.append(hist.filter(col("doc_id") % 2 =!= 0),
         "text", "doc_id", path)
       graft.sinks.BandStore.compact(s, path)
