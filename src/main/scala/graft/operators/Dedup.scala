@@ -114,6 +114,74 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** SPAN-level exact dedup (the ExactSubstr rule of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): any
+    * token span of length ≥ `winLen` whose exact text occurs at
+    * `minOccur`+ positions ANYWHERE in the corpus — another document or
+    * the same one — is duplicated mass, and every token it covers is
+    * removed from every occurrence. This is the third granularity of the
+    * exact-dedup family: [[exact]] drops whole-doc copies,
+    * [[removeBoilerplateLines]] drops template LINES, and this drops
+    * repeated SPANS that cross line structure (quoted passages, licence
+    * blocks, lyric refrains — the memorization-driving mass the paper
+    * measures). Like the line rule (and unlike the paper's
+    * keep-one-occurrence suffix-array formulation), removal is
+    * symmetric: occurrence counting is positional, so a span repeated
+    * twice inside ONE document is removed too.
+    *
+    * Mechanics: windows of `winLen` tokens at stride 1 — a duplicated
+    * span of length ≥ winLen is, at every offset, some duplicated
+    * window, so marking all tokens covered by a hot window removes
+    * exactly the spans the rule names (shorter repeats are invisible by
+    * design; winLen IS the threshold). Tokens are space-split, the
+    * engine-portable convention of the ta_* family.
+    *
+    * Plan shape at 100 TB: window hashing is a scan-side projection
+    * (O(len·winLen) chars md5'd per doc — a rolling Rabin-Karp
+    * `Expression` is the constant-factor upgrade if the hash cost ever
+    * shows up; the PLAN is already linear). Hot detection shuffles
+    * 16-byte digests with map-side partial counts — never window text.
+    * Cover marking semi-joins windows to the hot set and ships (id,
+    * position) ints for HOT windows only — volume is the corpus's
+    * duplication mass, not its size. Reconstruction joins each doc's
+    * bounded covered-position set back to the doc row (ONE text-carrying
+    * shuffle, keyed by id) and filters tokens in place — documents are
+    * never exploded token-by-token.
+    *
+    * @return (idCol, n_tokens, n_dup_tokens, clean_text) — one row per
+    *         non-null-text doc (the [[removeBoilerplateLines]] null
+    *         convention); docs shorter than winLen have no windows and
+    *         pass through unchanged. */
+  def removeRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
+                          winLen: Int, minOccur: Int = 2): DataFrame = {
+    require(winLen >= 2, s"winLen must be >= 2, got $winLen")
+    require(minOccur >= 2, s"minOccur must be >= 2, got $minOccur")
+    val docs = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    val win = docs
+      .select(col(idCol), col("__toks"),
+        explode(when(col("__n") >= winLen, sequence(lit(1), col("__n") - winLen + 1))
+          .otherwise(array().cast("array<int>"))).as("__s"))
+      .select(col(idCol), col("__s"),
+        md5(concat_ws(" ", slice(col("__toks"), col("__s"), lit(winLen)))).as("__wh"))
+    val hot = win.groupBy("__wh").agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= minOccur).select("__wh")
+    // positions covered by some hot window — expanded AFTER the semi
+    // join, so only the duplicated mass fans out winLen-fold
+    val covered = win.join(hot, Seq("__wh"), "left_semi")
+      .select(col(idCol), explode(sequence(col("__s"), col("__s") + winLen - 1)).as("__p"))
+      .distinct()
+      .groupBy(idCol).agg(collect_set(col("__p")).as("__cov"))
+    docs.join(covered, Seq(idCol), "left")
+      .withColumn("__cov", coalesce(col("__cov"), array().cast("array<int>")))
+      .select(col(idCol),
+        col("__n").cast("long").as("n_tokens"),
+        size(col("__cov")).cast("long").as("n_dup_tokens"),
+        concat_ws(" ", filter(col("__toks"),
+          (t, i) => !array_contains(col("__cov"), i + 1))).as("clean_text"))
+  }
+
   /** Per-doc MinHash signature + LSH band keys. Zero-shuffle projection:
     * one md5 per distinct shingle (→ 31-bit int), then k universal-hash
     * mins over the int array. */

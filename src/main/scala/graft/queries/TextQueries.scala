@@ -128,6 +128,18 @@ object TextQueries {
         "text", "doc_id")
     }),
 
+    // SPAN-level exact dedup (the ExactSubstr rule): every 12-token
+    // window occurring >= 2 times anywhere in the corpus is duplicated
+    // mass, and all tokens it covers are removed from every occurrence.
+    // Runs on the RAW corpus — the planted exact/near-dup docs share
+    // long spans naturally, so this is the operator on real input, not
+    // a synthesized fixture. The checked fact is the rebuilt text's md5
+    "dedup_substring" -> ((s, d) =>
+      Dedup.removeRepeatedSpans(t(s, d, "documents"), "text", "doc_id",
+          winLen = 12, minOccur = 2)
+        .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"),
+          md5(col("clean_text")).as("clean_md5"))),
+
     "dedup_minhash_sig" -> ((s, d) => {
       val m = Dedup.minhashed(t(s, d, "documents"), "text", "doc_id", k = 8)
       m.select(col("doc_id") +: (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
@@ -954,6 +966,30 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "dedup_incremental_near" -> lshAgainstSql,
+    // replay: stride-1 12-token windows, global occurrence count >= 2,
+    // covered-position expansion, in-order reconstruction of survivors
+    "dedup_substring" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents WHERE text IS NOT NULL),
+            win AS (SELECT doc_id, CAST(r.s AS INT) AS s,
+                           md5(array_to_string(
+                             list_slice(toks, CAST(r.s AS INT), CAST(r.s + 11 AS INT)), ' ')) AS wh
+                    FROM base, unnest(range(1, greatest(len(toks) - 12 + 2, 1))) AS r(s)),
+            hot AS (SELECT wh FROM win GROUP BY wh HAVING count(*) >= 2),
+            cov AS (SELECT DISTINCT w.doc_id, w.s + CAST(o.o AS INT) AS p
+                    FROM win w JOIN hot USING (wh), unnest(range(0, 12)) AS o(o)),
+            tok AS (SELECT b.doc_id, CAST(r.p AS INT) AS p, b.toks[CAST(r.p AS INT)] AS tok
+                    FROM base b, unnest(range(1, len(b.toks) + 1)) AS r(p)),
+            kept AS (SELECT t.doc_id, t.p, t.tok FROM tok t
+                     LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+                     WHERE c.doc_id IS NULL)
+         SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+                CAST(len(b.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_dup_tokens,
+                md5(coalesce(k.clean_text, '')) AS clean_md5
+         FROM base b
+         LEFT JOIN (SELECT doc_id, count(*) AS n_kept,
+                           string_agg(tok, ' ' ORDER BY p) AS clean_text
+                    FROM kept GROUP BY doc_id) k USING (doc_id)""",
     "ta_html_extract" ->
       s"""WITH h AS (SELECT doc_id,
                 '<html><head><title>' || source || '</title>' ||

@@ -509,6 +509,48 @@ class TextSimSpec extends SparkSpec {
     assert(byId(5L)._4 === "" && byId(5L)._3 === 1 && byId(5L)._2 === 1)
   }
 
+  test("removeRepeatedSpans: ExactSubstr rule — cross-doc spans, within-doc repeats, short docs, nulls") {
+    val span = (1 to 15).map(i => s"s$i").mkString(" ")
+    val run = (1 to 12).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, Some(s"a1 a2 a3 $span z1 z2")),        // span at positions 4..18
+      (2L, Some(s"b1 b2 $span y1 y2 y3")),        // same span, different frame
+      (3L, Some("c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14")), // unique
+      (4L, Some("short doc only five tokens")),    // < winLen: no windows
+      (5L, Some(s"$run mid1 mid2 $run")),          // within-ONE-doc repeat
+      (6L, None: Option[String])
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .removeRepeatedSpans(docs, "text", "doc_id", winLen = 12)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // only windows wholly inside the shared span are hot, so coverage is
+    // exactly the span — the unique frames survive in order
+    assert(out(1L)._4 === "a1 a2 a3 z1 z2" && out(1L)._3 === 15L && out(1L)._2 === 20L)
+    assert(out(2L)._4 === "b1 b2 y1 y2 y3" && out(2L)._3 === 15L)
+    assert(out(3L)._4.startsWith("c1 ") && out(3L)._3 === 0L, "unique doc untouched")
+    assert(out(4L)._4 === "short doc only five tokens" && out(4L)._3 === 0L,
+      "a doc shorter than winLen has no windows and passes through")
+    // occurrence counting is positional, not per-doc: a span repeated
+    // twice inside one document is duplicated mass too
+    assert(out(5L)._4 === "mid1 mid2" && out(5L)._3 === 24L && out(5L)._2 === 26L)
+    assert(!out.contains(6L), "null-text docs produce no output row")
+  }
+
+  test("removeRepeatedSpans is partition-invariant and winLen-threshold-sharp") {
+    val shared11 = (1 to 11).map(i => s"w$i").mkString(" ")  // one token SHORT of winLen
+    val docs = (1L to 30L).map { i =>
+      (i, s"$shared11 unique${i}a unique${i}b unique${i}c")
+    }.toDF("doc_id", "text")
+    def run(parts: Int) = graft.operators.Dedup
+      .removeRepeatedSpans(docs.repartition(parts), "text", "doc_id", winLen = 12)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val one = run(1)
+    assert(one === run(7), "result must not depend on partitioning")
+    // every window spans into the unique tail, so NOTHING is hot: an
+    // 11-token repeat is invisible at winLen=12 — the threshold is sharp
+    assert(one.forall(_._3 === 0L), "repeats shorter than winLen are kept")
+  }
+
   test("extractHtmlText: script/style/comments drop wholly, tag text survives, entities decode with &amp; last") {
     val cases = Seq(
       ("<p>alpha</p><p>beta</p>", "alpha beta"),
