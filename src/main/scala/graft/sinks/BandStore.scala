@@ -33,10 +33,29 @@ import graft.operators.Dedup
   *    unbounded shingle arrays are fetched for candidate-scale rows,
   *    never corpus-scale.
   *  - `_params/` — the sketch parameters (k, rowsPerBand, shingleN,
-  *    buckets) pinned at [[write]] time: an append or probe sketched
-  *    under different parameters would be silently wrong (signatures
-  *    from different hash families never agree), so both derive their
-  *    parameters from the store, not the caller.
+  *    buckets, leanSigs) pinned at [[write]] time: an append or probe
+  *    sketched under different parameters would be silently wrong
+  *    (signatures from different hash families never agree), so both
+  *    derive their parameters from the store, not the caller.
+  *
+  * TWO LAYOUTS, pinned at write time (`leanSigs`), identical semantics
+  * (spec-proven probe parity both ways):
+  *  - DENSE (default): the k-slot signature rides on every band row —
+  *    the sig-agreement prefilter runs map-side over the pruned bands/
+  *    scan with zero extra round trips. Lowest latency for the daily
+  *    small-batch probe, but a doc's ~1 KB signature is stored (and bulk-
+  *    scanned) once per band — ~16 KB/doc on the standard 16-band
+  *    config, comparable to re-reading the text.
+  *  - LEAN (`leanSigs = true`): bands/ carries only (band, id, n_sh)
+  *    (~450 B/doc with band keys) and the signature moves to ONE column
+  *    on the per-doc docs/ table — parquet's columnar layout means the
+  *    sig-agreement fetch reads only candidate buckets' sig bytes and
+  *    the exact verify only their hs bytes, never each other's. Costs
+  *    one extra bounded route collect + pruned read per probe; wins
+  *    ~16× stored sig bytes and the corresponding bulk-probe scan mass.
+  *    Pick lean when probes are bulk (batch ~ corpus scale, e.g.
+  *    backfills) or storage dominates; dense for latency-critical
+  *    small probes. Measured head-to-head in `tools/ScaleCurveBand`.
   *
   * Lifecycle mirrors [[AnnStore]]: write → append (new files land only
   * in their buckets; untouched partitions never rewritten) → compact
@@ -56,7 +75,8 @@ object BandStore {
   private val Prefix = "bucket="
   private val Tags = Seq("swap")
 
-  final case class Params(k: Int, rowsPerBand: Int, shingleN: Int, buckets: Int)
+  final case class Params(k: Int, rowsPerBand: Int, shingleN: Int, buckets: Int,
+                          leanSigs: Boolean)
 
   private def bandsDir(path: String) = path + "/bands"
   private def docsDir(path: String) = path + "/docs"
@@ -68,15 +88,15 @@ object BandStore {
     * touches every bucket still prunes nothing worse than a full scan. */
   def write(history: DataFrame, textCol: String, idCol: String, path: String,
             k: Int = 128, rowsPerBand: Int = 8, shingleN: Int = 3,
-            buckets: Int = 64): Unit = {
+            buckets: Int = 64, leanSigs: Boolean = false): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val spark = history.sparkSession
     import spark.implicits._
-    Seq((k, rowsPerBand, shingleN, buckets))
-      .toDF("k", "rows_per_band", "shingle_n", "buckets")
+    Seq((k, rowsPerBand, shingleN, buckets, leanSigs))
+      .toDF("k", "rows_per_band", "shingle_n", "buckets", "lean_sigs")
       .write.mode("overwrite").parquet(paramsDir(path))
     writeSketched(history, textCol, idCol, path,
-      Params(k, rowsPerBand, shingleN, buckets), mode = "overwrite")
+      Params(k, rowsPerBand, shingleN, buckets, leanSigs), mode = "overwrite")
   }
 
   /** Append a new accepted batch — the steady state: the batch is
@@ -95,21 +115,35 @@ object BandStore {
     val m = Dedup.minhashed(df, textCol, idCol, p.k, p.rowsPerBand, p.shingleN)
       .filter(size(col("hs")) > 0).cache()
     try {
-      m.select(explode(col("bands")).as("band"), col(idCol),
+      val bandCols =
+        if (p.leanSigs) Seq(explode(col("bands")).as("band"), col(idCol),
+          size(col("hs")).as("n_sh"))
+        else Seq(explode(col("bands")).as("band"), col(idCol),
           size(col("hs")).as("n_sh"), col("sig"))
+      m.select(bandCols: _*)
         .withColumn("bucket", pmod(xxhash64(col("band")), lit(p.buckets)))
         .write.mode(mode).partitionBy("bucket").parquet(bandsDir(path))
-      m.select(col(idCol), col("hs"))
+      // lean: the signature lives ONCE on the per-doc table — a parquet
+      // column sibling to hs, so each fetch prunes the other's bytes
+      val docCols =
+        if (p.leanSigs) Seq(col(idCol), col("hs"), col("sig"))
+        else Seq(col(idCol), col("hs"))
+      m.select(docCols: _*)
         .withColumn("bucket", pmod(xxhash64(col(idCol)), lit(p.buckets)))
         .write.mode(mode).partitionBy("bucket").parquet(docsDir(path))
     } finally { m.unpersist(); () }
   }
 
-  /** The store's pinned sketch parameters. */
+  /** The store's pinned sketch parameters. `lean_sigs` reads tolerantly
+    * (absent column = dense) so pre-lean stores stay readable. */
   def params(spark: SparkSession, path: String): Params = {
-    val r = spark.read.parquet(paramsDir(path))
-      .select("k", "rows_per_band", "shingle_n", "buckets").head()
-    Params(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+    val df = spark.read.parquet(paramsDir(path))
+    val lean =
+      if (df.columns.contains("lean_sigs"))
+        df.select("lean_sigs").head().getBoolean(0)
+      else false
+    val r = df.select("k", "rows_per_band", "shingle_n", "buckets").head()
+    Params(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), lean)
   }
 
   /** PROBE: near-dup pairs (id_a = history doc, id_b = batch doc,
@@ -158,16 +192,22 @@ object BandStore {
     } finally { mb.unpersist(); () }
   }
 
-  /** Stages 2–3 of [[probe]] as a LAZY plan (package-private so the
-    * pruning spec can inspect the executed scan): band-collision +
-    * size-ratio + sig-agreement candidates of an already-sketched batch
-    * `mb` against the stored index. The bucket route is the only eager
-    * work (≤ `p.buckets` longs). */
+  /** Stages 2–3 of [[probe]] (package-private so the pruning spec can
+    * inspect the executed scans): band-collision + size-ratio +
+    * sig-agreement candidates of an already-sketched batch `mb` against
+    * the stored index. Dense stores run all three map-side over the
+    * pruned bands/ scan as ONE lazy plan (the bucket route is the only
+    * eager work, ≤ `p.buckets` longs); lean stores split at the
+    * sig-agreement — band collisions materialize (batch-scale), their
+    * id buckets route a SECOND pruned scan fetching only the docs/
+    * table's sig column, and agreement filters map-side against the
+    * broadcast collision set. Either way the index never shuffles. */
   private[graft] def plausibleCandidates(spark: SparkSession, path: String,
                                          mb: DataFrame, idCol: String,
                                          threshold: Double, p: Params): DataFrame = {
-    val bb = mb.select(col(idCol).as("id_b"), size(col("hs")).as("nb"),
-        col("sig").as("sig_b"), explode(col("bands")).as("band"))
+    val bb0 = mb.select(col(idCol).as("id_b"), size(col("hs")).as("nb"),
+      col("sig").as("sig_b"), explode(col("bands")).as("band"))
+    val bb = (if (p.leanSigs) bb0.drop("sig_b") else bb0)
       .withColumn("bucket", pmod(xxhash64(col("band")), lit(p.buckets)))
     // probe route: ≤ buckets longs, bounded by construction
     val probeBuckets: Seq[Any] =
@@ -177,13 +217,33 @@ object BandStore {
     else {
       val agree = graft.expressions.HashExpressions
         .positionalAgree(col("sig"), col("sig_b"))
-      spark.read.parquet(bandsDir(path))
+      val collisions = spark.read.parquet(bandsDir(path))
         .filter(col("bucket").isin(probeBuckets: _*))
         .join(broadcast(bb), Seq("band", "bucket"))
         .filter(col("n_sh") >= col("nb") * threshold &&
           col("nb") >= col("n_sh") * threshold)
-        .filter(agree >= Dedup.minAgree(p.k, threshold))
-        .select(col(idCol).as("id_a"), col("id_b")).distinct()
+      if (!p.leanSigs)
+        collisions
+          .filter(agree >= Dedup.minAgree(p.k, threshold))
+          .select(col(idCol).as("id_a"), col("id_b")).distinct()
+      else {
+        // band collisions are batch-scale (batch × collision rate) —
+        // materialize them, route the sig fetch, and keep them on the
+        // broadcast side so the index still never shuffles
+        val cands = collisions.select(col(idCol).as("id_a"), col("id_b"))
+          .distinct().localCheckpoint()
+        val sigBuckets: Seq[Any] = cands
+          .select(pmod(xxhash64(col("id_a")), lit(p.buckets)).as("bucket"))
+          .distinct().collect().map(_.get(0)).toIndexedSeq
+        val sigScan = spark.read.parquet(docsDir(path))
+          .filter(col("bucket").isin(sigBuckets: _*))
+          .select(col(idCol).as("id_a"), col("sig"))
+        val withBatchSig = cands
+          .join(mb.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        sigScan.join(broadcast(withBatchSig), Seq("id_a"))
+          .filter(agree >= Dedup.minAgree(p.k, threshold))
+          .select(col("id_a"), col("id_b"))
+      }
     }
   }
 

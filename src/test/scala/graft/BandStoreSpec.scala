@@ -169,11 +169,77 @@ class BandStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8)) === before)
   }
 
+  test("lean layout: probe parity with dense, bands/ sheds the 16x sig mass, appends stay lean") {
+    val dense = newPath(); val lean = newPath()
+    BandStore.write(history, "text", "doc_id", dense, buckets = 16)
+    BandStore.write(history, "text", "doc_id", lean, buckets = 16, leanSigs = true)
+    val pd = pairs(BandStore.probe(spark, dense, batch, "text", "doc_id", 0.8))
+    val pl = pairs(BandStore.probe(spark, lean, batch, "text", "doc_id", 0.8))
+    assert(pl === pd, "the layout flag must never change probe semantics")
+    assert(pl.nonEmpty, "fixture must exercise real cross-set near-dups")
+    def tableBytes(root: String, sub: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      walk(new java.io.File(root, sub))
+    }
+    // dense stores the k-slot sig on each of a doc's 16 band rows; lean
+    // stores it once on docs/ — bands/ must shed most of its bytes. The
+    // raw-width ratio is ~16x but parquet's encoding compresses the
+    // repetitive sig arrays and per-file footers dominate at spec scale,
+    // so the on-disk assertion is the conservative >3x (measured 3.9x
+    // here; tools/ScaleCurveBand records the sf0.1 number)
+    val bandsShrink = tableBytes(dense, "bands").toDouble / tableBytes(lean, "bands")
+    assert(bandsShrink > 3.0,
+      f"lean bands/ should shed the per-band sig mass, shrank only $bandsShrink%.1fx")
+    assert(!spark.read.parquet(s"$lean/bands").columns.contains("sig"))
+    // append derives the layout from the pinned params, not the caller
+    BandStore.append(batch, "text", "doc_id", lean)
+    assert(!spark.read.parquet(s"$lean/bands").columns.contains("sig"),
+      "append to a lean store must stay lean")
+    assert(spark.read.parquet(s"$lean/docs").columns.contains("sig"))
+  }
+
+  test("lean probe's sig fetch prunes to candidate buckets and reads ONLY the sig column") {
+    val path = newPath()
+    BandStore.write(history, "text", "doc_id", path, buckets = 16, leanSigs = true)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = BandStore.params(spark, path)
+      val mb = Dedup.minhashed(batch.limit(3), "text", "doc_id",
+          p.k, p.rowsPerBand, p.shingleN)
+        .filter(size($"hs") > 0).cache()
+      try {
+        val plausible = BandStore.plausibleCandidates(spark, path, mb, "doc_id", 0.8, p)
+        plausible.collect()
+        // the returned stage is the sig-agreement join: its scan must be
+        // the docs/ table, bucket-routed by the candidates' ids, and —
+        // the columnar point of the lean layout — its ReadSchema must
+        // carry the sig column WITHOUT the (much larger) hs arrays
+        val scans = plausible.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("/docs")) => f
+        }
+        assert(scans.nonEmpty, "expected a parquet scan of the docs table")
+        val scan = scans.head
+        assert(scan.partitionFilters.exists(_.toString.contains("bucket")),
+          s"candidate-id route should plan as a partition filter, scan:\n$scan")
+        val readSchema = scan.metadata("ReadSchema")
+        assert(readSchema.contains("sig") && !readSchema.contains("hs"),
+          s"sig fetch must not read the shingle arrays: $readSchema")
+        val plan = plausible.queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"),
+          s"candidates should broadcast over the pruned sig scan:\n$plan")
+      } finally { mb.unpersist(); () }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("append and probe pin the store's sketch parameters, not the caller's") {
     val path = newPath()
     BandStore.write(history, "text", "doc_id", path, k = 16, rowsPerBand = 4, buckets = 8)
     val p = BandStore.params(spark, path)
-    assert(p === BandStore.Params(16, 4, 3, 8))
+    assert(p === BandStore.Params(16, 4, 3, 8, leanSigs = false))
     // a probe under the stored k=16 family must equal the self-contained
     // operator under the SAME parameters — the store decides, silently
     // probing under the default k=128 would report garbage
