@@ -146,6 +146,22 @@ object BandStore {
     Params(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), lean)
   }
 
+  /** The persisted corpus sketch table — (idCol, hs), the STATIC side of
+    * [[graft.streaming.StreamDedup.verify]]'s stream-static exact-verify
+    * join ("at scale, a persisted sketch table keyed by id" — this is
+    * that table). Reads `docs/` behind the crashed-swap guard; the
+    * projection carries ONLY (id, hs), so a lean store's sig column (a
+    * parquet sibling) costs the join zero bytes. The streaming sketch
+    * stage must run under the store's pinned [[params]] — signatures
+    * from different hash families never agree — which is why this
+    * returns the table rather than hiding the params: the caller feeds
+    * `params(spark, path)` into `StreamDedup.banded` and the store into
+    * the verify, one source of truth for both. */
+  def sketchTable(spark: SparkSession, path: String, idCol: String): DataFrame = {
+    PartitionSwap.requireRecovered(spark, docsDir(path), Prefix, "BandStore", Tags)
+    spark.read.parquet(docsDir(path)).select(col(idCol), col("hs"))
+  }
+
   /** PROBE: near-dup pairs (id_a = history doc, id_b = batch doc,
     * jaccard ≥ threshold) of a new batch against the indexed history —
     * value-identical to `minhashNearDupsAgainst(history, batch, ...)`

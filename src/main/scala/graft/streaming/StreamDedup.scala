@@ -171,7 +171,12 @@ object StreamDedup {
     * sketch store (id, sorted shingle hashes) and keep pairs with exact
     * Jaccard ≥ τ. Stateless (stream-static), so it runs in append mode
     * behind [[candidates]]. `sketch` = `Dedup.minhashed(corpus).select(id,
-    * hs)` — at scale, a persisted sketch table keyed by id. */
+    * hs)` for an ad-hoc run; the persisted form is
+    * [[graft.sinks.BandStore.sketchTable]] — the SAME docs/ table the
+    * batch probe's exact verify reads, so the online and daily-batch
+    * dedup paths share one store (parity spec'd in StreamDedupSpec;
+    * sketch the stream under the store's pinned
+    * [[graft.sinks.BandStore.params]] or signatures never agree). */
   def verify(cands: DataFrame, sketch: DataFrame, idCol: String,
              threshold: Double): DataFrame =
     // candidate ids are structurally Long (CandPair) — align the sketch's

@@ -50,6 +50,39 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("verify against the persisted BandStore sketch table equals the inline sketch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the online path and the daily-batch probe share ONE store: the
+    // stream sketches under the store's pinned params and verifies
+    // against its docs/ table — no second sketch pipeline to drift
+    val path = java.nio.file.Files.createTempDirectory("graft_sdn_store")
+      .toString + "/index"
+    graft.sinks.BandStore.write(corpus, "text", "doc_id", path,
+      k = K, rowsPerBand = RPB, buckets = 8, leanSigs = true)
+    val p = graft.sinks.BandStore.params(spark, path)
+    val docs = corpus.as[(Long, String)].collect().sortBy(_._1)
+    val ms = MemoryStream[(Long, String)]
+    val banded = StreamDedup.banded(
+      ms.toDF.toDF("doc_id", "text"), "text", "doc_id",
+      k = p.k, rowsPerBand = p.rowsPerBand, shingleN = p.shingleN)
+    val cands = StreamDedup.candidates(banded, tau)
+    val sketch = graft.sinks.BandStore.sketchTable(spark, path, "doc_id")
+    // a lean store carries sig beside hs in docs/ — the sketch-table
+    // projection must exclude it so the verify join reads zero sig bytes
+    assert(sketch.columns.toSeq === Seq("doc_id", "hs"))
+    val verified = StreamDedup.verify(cands.toDF, sketch, "doc_id", tau)
+    val q = verified.writeStream.format("memory").queryName("sdn_store_out")
+      .outputMode("append").start()
+    try {
+      val thirds = docs.grouped(math.max(1, docs.length / 3 + 1)).toSeq
+      thirds.foreach { chunk => ms.addData(chunk.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("sdn_store_out")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed === batchPairs)
+      assert(streamed.nonEmpty, "corpus should contain near-dups")
+    } finally q.stop()
+  }
+
   test("stateTtl: pairs within the horizon still match the batch operator") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val docs = spark.read.parquet(s"$sf/documents.parquet")
