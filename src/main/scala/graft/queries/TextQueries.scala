@@ -193,6 +193,27 @@ object TextQueries {
         "text", "doc_id", threshold = 0.8)
     }),
 
+    // the band index's TAKEDOWN path, run cold end to end: index the
+    // history, tombstone a slice of it (O(ids), no data file touched),
+    // physically purge (exactly the affected buckets rewrite in both
+    // tables through the atomic swap), then probe — deleted docs must
+    // not resurface as dup sources. The oracle replays the LSH against
+    // history-minus-deleted: delete ≡ never having indexed those docs
+    "dedup_band_delete" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val path = bandScratchDir(s, d) + "/index_del"
+      deleteRecursively(new java.io.File(path))
+      val par = s.sparkContext.defaultParallelism
+      val hist = doc.filter(col("doc_id") % 3 =!= 0).repartition(par)
+      graft.sinks.BandStore.write(hist, "text", "doc_id", path, buckets = 16)
+      graft.sinks.BandStore.delete(
+        hist.filter(col("doc_id") % 5 === 1).select("doc_id"), "doc_id", path)
+      graft.sinks.BandStore.purge(s, path)
+      graft.sinks.BandStore.probe(s, path,
+        doc.filter(col("doc_id") % 3 === 0).repartition(par),
+        "text", "doc_id", threshold = 0.8)
+    }),
+
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
         blockCol = "lang", threshold = 0.8,
@@ -896,7 +917,7 @@ object TextQueries {
     * history×batch; the size-ratio prune is subsumed exactly by
     * j ≥ τ (j ≥ τ ⇒ min(|A|,|B|) ≥ τ·max), so only the defining
     * band-collision and sig-agree conditions appear. */
-  private[queries] lazy val lshAgainstSql: String = {
+  private[queries] def lshAgainstSqlWhere(histPred: String): String = {
     val ms = (0 until 128).map(j => duckMinhash(j, "hs") + s" AS m$j").mkString(", ")
     val bands = (0 until 16).map { b =>
       val parts = (0 until 8).map(r => s"CAST(m${b * 8 + r} AS VARCHAR)").mkString(" || '#' || ")
@@ -908,11 +929,14 @@ object TextQueries {
         SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, $duckJaccardRaw AS j
           FROM banded a JOIN banded b
-            ON a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
+            ON $histPred AND b.doc_id % 3 = 0
            AND len(list_intersect(a.bands, b.bands)) > 0
            AND ${duckSigAgree("a", "b")})
         WHERE j >= 0.8"""
   }
+
+  private[queries] lazy val lshAgainstSql: String =
+    lshAgainstSqlWhere("a.doc_id % 3 <> 0")
 
   /** The frozen merge table as a DuckDB map literal (rank lookup keyed
     * "left right" — tokens never contain a space). */
@@ -1028,6 +1052,10 @@ object TextQueries {
     // index-then-probe ≡ re-sketch-everything: the store changes where
     // the history's banded signatures LIVE, never what they say
     "dedup_band_store" -> lshAgainstSql,
+    // delete ≡ never having indexed the tombstoned docs: the oracle
+    // simply excludes them from the history side of the same replay
+    "dedup_band_delete" -> lshAgainstSqlWhere(
+      "a.doc_id % 3 <> 0 AND a.doc_id % 5 <> 1"),
     "dedup_exact_docs" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) - 1 AS n_dups
          FROM documents GROUP BY 1""",

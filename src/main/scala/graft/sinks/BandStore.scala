@@ -57,13 +57,17 @@ import graft.operators.Dedup
   *    backfills) or storage dominates; dense for latency-critical
   *    small probes. Measured head-to-head in `tools/ScaleCurveBand`.
   *
-  * Lifecycle mirrors [[AnnStore]]: write → append (new files land only
-  * in their buckets; untouched partitions never rewritten) → compact
-  * (per-bucket atomic swap via [[PartitionSwap]], layout never
-  * semantics). Reads fail loudly on a crashed swap ([[recover]] heals);
-  * swap-performing writers are serialized by the store-root writer fence
-  * ([[PartitionSwap.withWriterLock]]). write/append/delete-free ingest
-  * remains the caller's single-writer responsibility.
+  * Lifecycle mirrors [[AnnStore]] in full: write → append (new files
+  * land only in their buckets; untouched partitions never rewritten) →
+  * compact (per-bucket atomic swap via [[PartitionSwap]], layout never
+  * semantics) → delete (O(ids) tombstone sidecar; probes and the
+  * streaming sketch table mask deleted docs immediately) → purge
+  * (physically reclaims exactly the affected buckets in both tables on
+  * the compaction cadence). Reads fail loudly on a crashed swap
+  * ([[recover]] heals); swap-performing writers are serialized by the
+  * store-root writer fence ([[PartitionSwap.withWriterLock]]).
+  * write/append ingest sequencing remains the caller's single-writer
+  * responsibility.
   *
   * Reference scope: the reference engine has no incremental index at all
   * (its dedup is a whole-corpus pandas `drop_duplicates`,
@@ -149,7 +153,9 @@ object BandStore {
   /** The persisted corpus sketch table — (idCol, hs), the STATIC side of
     * [[graft.streaming.StreamDedup.verify]]'s stream-static exact-verify
     * join ("at scale, a persisted sketch table keyed by id" — this is
-    * that table). Reads `docs/` behind the crashed-swap guard; the
+    * that table). Reads `docs/` behind the crashed-swap guard, MINUS
+    * tombstoned docs (a deleted doc must stop verifying as a dup
+    * source on the online path exactly as on the batch path); the
     * projection carries ONLY (id, hs), so a lean store's sig column (a
     * parquet sibling) costs the join zero bytes. The streaming sketch
     * stage must run under the store's pinned [[params]] — signatures
@@ -159,7 +165,120 @@ object BandStore {
     * the verify, one source of truth for both. */
   def sketchTable(spark: SparkSession, path: String, idCol: String): DataFrame = {
     PartitionSwap.requireRecovered(spark, docsDir(path), Prefix, "BandStore", Tags)
-    spark.read.parquet(docsDir(path)).select(col(idCol), col("hs"))
+    val base = spark.read.parquet(docsDir(path)).select(col(idCol), col("hs"))
+    tombstones(spark, path) match {
+      case Some(ts) => base.join(broadcast(ts), Seq(idCol), "left_anti")
+      case None => base
+    }
+  }
+
+  // ---- tombstone deletes (the lifecycle's delete stage) ----
+
+  /** The tombstone sidecar — the [[AnnStore]] discipline: an
+    * underscore-named dir INSIDE the store root (invisible to the
+    * bands/docs parquet discovery, travels with the store). */
+  private def tombstoneDir(path: String) = path + "/_tombstones"
+
+  /** DELETE docs by id — the takedown path: appends the ids as tombstone
+    * rows to the hidden sidecar and touches NO data file, so a delete
+    * costs O(deleted ids) regardless of store size. A tombstoned doc
+    * stops being a dup source everywhere the store serves: [[probe]]
+    * masks its candidates before the sig/shingle fetches, and
+    * [[sketchTable]] masks the streaming verify side. [[purge]] reclaims
+    * the bytes on the compaction cadence. Ids are canonicalized to the
+    * store's id type (mixed-type sidecar batches would fail or silently
+    * widen on read), and a null id raises — a takedown that silently
+    * matches nothing is worse than a failure. */
+  def delete(ids: DataFrame, idCol: String, path: String): Unit = {
+    val spark = ids.sparkSession
+    val storeType = spark.read.parquet(docsDir(path)).schema
+      .find(_.name == idCol)
+      .getOrElse(throw new IllegalArgumentException(
+        s"BandStore.delete: store at $path has no id column `$idCol`"))
+      .dataType
+    val id = col(idCol).cast(storeType)
+    ids.select(coalesce(
+        when(id.isNull, raise_error(
+          lit(s"BandStore.delete: null $idCol in the delete batch"))),
+        id).as(idCol))
+      .write.mode("append").parquet(tombstoneDir(path))
+  }
+
+  /** Pending tombstone ids, or None when nothing has been deleted since
+    * the last [[purge]] — callers skip the mask join entirely (zero plan
+    * cost on a tombstone-free store). */
+  def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new Path(tombstoneDir(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an empty delete batch leaves a sidecar holding only _SUCCESS —
+    // count DATA files before reading, or schema inference fails
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (hasData) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** PURGE — physically remove tombstoned docs from BOTH tables, on the
+    * compaction cadence. Routing is asymmetric because only one side is
+    * derivable: docs/ buckets compute straight from the tombstone ids
+    * (the write-time `xxhash64(id) mod B` — zero reads), while a doc's
+    * bands/ buckets depend on its band keys, which depend on its TEXT
+    * (long gone at purge time) — so bands/ routes via a column-pruned
+    * scan of (id, bucket) only (a few bytes/row, the column-store win)
+    * semi-joined against the broadcast tombstones. Exactly the affected
+    * buckets rewrite minus the tombstone set through the shared
+    * per-partition atomic swap; the sidecar drops LAST, so a crash at
+    * any point leaves tombstones that still mask correctly — idempotent,
+    * and no deleted doc is ever served through any crash window. Returns
+    * the rewritten (table, bucket) pairs; serialized by the store-root
+    * writer fence. */
+  def purge(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val rootFs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    PartitionSwap.withWriterLock(rootFs, path, "BandStore") {
+      Seq(bandsDir(path), docsDir(path)).foreach { dir =>
+        PartitionSwap.recoverSwap(
+          new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration),
+          dir, Prefix, Tags)
+      }
+      tombstones(spark, path) match {
+        case None => Seq.empty
+        case Some(ts) =>
+          val p = params(spark, path)
+          val idCol = ts.columns.head
+          val tsb = broadcast(ts)
+          val docTargets: Seq[Long] = ts
+            .select(pmod(xxhash64(col(idCol)), lit(p.buckets)).as("bucket"))
+            .distinct().collect().map(_.getLong(0)).toIndexedSeq
+          val rewritten = Seq(
+            "bands" -> bandsDir(path), "docs" -> docsDir(path)).flatMap {
+            case (table, dir) =>
+              val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+              val targets: Seq[Long] =
+                if (table == "docs") {
+                  // derived route — intersect with the dirs that exist
+                  // (a tombstone for an id never stored routes nowhere)
+                  val live = PartitionSwap.partitionDirs(fs, new Path(dir), Prefix)
+                    .map(_.getName.stripPrefix(Prefix).toLong).toSet
+                  docTargets.filter(live).sorted
+                } else
+                  spark.read.parquet(dir).select(col(idCol), col("bucket"))
+                    .join(tsb, Seq(idCol), "left_semi")
+                    .select(col("bucket").cast("long")).distinct()
+                    .collect().map(_.getLong(0)).toIndexedSeq.sorted
+              if (targets.nonEmpty)
+                PartitionSwap.swapRewrite(spark, fs, dir, "bucket",
+                  targets.map(b => s"$Prefix$b"),
+                  spark.read.parquet(dir).filter(col("bucket").isin(targets: _*))
+                    .join(tsb, Seq(idCol), "left_anti"))
+              targets.map(table -> _)
+          }
+          // the sidecar drops last: every earlier crash leaves a masked,
+          // consistent store; reaching here means the rows are gone
+          rootFs.delete(new Path(tombstoneDir(path)), true)
+          rewritten
+      }
+    }
   }
 
   /** PROBE: near-dup pairs (id_a = history doc, id_b = batch doc,
@@ -177,6 +296,11 @@ object BandStore {
     *     prunes statically, and the exact shingle-set verify
     *     ([[Dedup.verifyPairsAcross]]'s defining expression) runs over
     *     candidate-scale rows only.
+    * Probes serve the LIVE history: candidates whose history doc is
+    * tombstoned ([[delete]]) are masked by a broadcast anti-join BEFORE
+    * the shingle fetch — a deleted doc costs no verify bytes and never
+    * reaches the output; on a tombstone-free store the mask join does
+    * not exist in the plan at all.
     * Returns an EAGER frame (localCheckpoint) — same contract as the
     * self-contained operator. */
   def probe(spark: SparkSession, path: String, batch: DataFrame,
@@ -186,8 +310,12 @@ object BandStore {
     val mb = Dedup.minhashed(batch, textCol, idCol, p.k, p.rowsPerBand, p.shingleN)
       .filter(size(col("hs")) > 0).cache()
     try {
-      val plausible = plausibleCandidates(spark, path, mb, idCol, threshold, p)
-        .localCheckpoint()
+      val plausibleAll = plausibleCandidates(spark, path, mb, idCol, threshold, p)
+      val plausible = (tombstones(spark, path) match {
+        case Some(ts) => plausibleAll.join(
+          broadcast(ts.select(col(ts.columns.head).as("id_a"))), Seq("id_a"), "left_anti")
+        case None => plausibleAll
+      }).localCheckpoint()
       // candidate ids' buckets: ≤ buckets longs again — candidate-driven
       // static pruning of the shingle-array fetch
       val candBuckets: Seq[Any] = plausible

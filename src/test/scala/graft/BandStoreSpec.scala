@@ -235,6 +235,77 @@ class BandStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("delete masks a dup source everywhere; purge reclaims it; untouched buckets byte-identical") {
+    val path = newPath()
+    BandStore.write(history, "text", "doc_id", path, buckets = 16)
+    val before = pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8))
+    assert(before.nonEmpty)
+    val victim = before.head._1 // a history doc serving as a dup source
+    BandStore.delete(Seq(victim).toDF("doc_id"), "doc_id", path)
+    // the takedown is visible IMMEDIATELY, before any rewrite: probe ≡
+    // the self-contained operator over history-minus-victim
+    val expected = pairs(Dedup.minhashNearDupsAgainst(
+      history.filter($"doc_id" =!= victim), batch, "text", "doc_id", threshold = 0.8))
+    val masked = pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8))
+    assert(masked === expected)
+    assert(masked === before.filterNot(_._1 == victim))
+    // the streaming verify side masks through the same sidecar
+    assert(BandStore.sketchTable(spark, path, "doc_id")
+      .filter($"doc_id" === victim).count() === 0)
+    def state(table: String): Map[String, Map[String, String]] = {
+      val root = new java.io.File(path, table)
+      root.listFiles().filter(_.getName.startsWith("bucket=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          f.getName -> md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+        }.toMap
+      }.toMap
+    }
+    val beforePurge = Map("bands" -> state("bands"), "docs" -> state("docs"))
+    val rewritten = BandStore.purge(spark, path)
+    assert(rewritten.nonEmpty)
+    assert(BandStore.tombstones(spark, path).isEmpty, "sidecar drops last")
+    // physically gone from BOTH tables
+    assert(spark.read.parquet(s"$path/bands").filter($"doc_id" === victim).count() === 0)
+    assert(spark.read.parquet(s"$path/docs").filter($"doc_id" === victim).count() === 0)
+    // the doc had 16 band rows but they share band-hash buckets; every
+    // bucket NOT rewritten must be byte-identical (purge touches exactly
+    // the victim's buckets)
+    Seq("bands", "docs").foreach { table =>
+      val touched = rewritten.collect { case (`table`, b) => s"bucket=$b" }.toSet
+      (beforePurge(table).keySet -- touched).foreach { d =>
+        assert(state(table)(d) === beforePurge(table)(d),
+          s"untouched $table $d must stay byte-identical through purge")
+      }
+    }
+    assert(pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8)) === expected,
+      "purge is physical reclamation, never a semantics change")
+    assert(BandStore.purge(spark, path) === Seq.empty, "idempotent")
+  }
+
+  test("delete raises on a null id; an unknown id masks nothing and purges nothing it shouldn't") {
+    val path = newPath()
+    BandStore.write(history, "text", "doc_id", path, buckets = 8)
+    val before = pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8))
+    // the raise surfaces as SparkException from a task or
+    // SparkRuntimeException when evaluated locally — assert the message
+    val e = intercept[Exception] {
+      BandStore.delete(Seq[Option[Long]](None).toDF("doc_id"), "doc_id", path)
+    }
+    assert(e.getMessage.contains("null doc_id"), e.getMessage)
+    // an id the store never held: delete records it, probe is unchanged,
+    // purge rewrites only the docs-side derived route's existing buckets
+    val ghost = 99999999L
+    BandStore.delete(Seq(ghost).toDF("doc_id"), "doc_id", path)
+    assert(pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8)) === before)
+    val rewritten = BandStore.purge(spark, path)
+    assert(rewritten.forall(_._1 == "docs"),
+      s"a ghost id must not route any bands/ rewrite: $rewritten")
+    assert(BandStore.tombstones(spark, path).isEmpty)
+    assert(pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8)) === before)
+  }
+
   test("append and probe pin the store's sketch parameters, not the caller's") {
     val path = newPath()
     BandStore.write(history, "text", "doc_id", path, k = 16, rowsPerBand = 4, buckets = 8)
