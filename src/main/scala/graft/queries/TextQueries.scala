@@ -683,6 +683,19 @@ object TextQueries {
         budget = 40000L)
     }),
 
+    // sequence packing in REAL tokenizer tokens — the same distributed
+    // window-cumsum pack assignment as ta_pack_budget, but each doc's
+    // cost is its BPE token count, so pack boundaries land where a
+    // training run's sequence budget actually lands (BPE counts run ~3×
+    // the whitespace proxy on this corpus — the budget scales with them)
+    "ta_bpe_pack" -> ((s, d) =>
+      graft.etl.Packing.withPackId(
+        t(s, d, "documents")
+          .withColumn("tk", graft.functions.Bpe.bpeTokenCount(col("text"))),
+        "tk", budget = 6000, partitionCols = Seq("lang"), orderCol = "doc_id")
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tk")).cast("bigint").as("sum_tokens"))),
+
     // the flagship LLM-pipeline deliverable, oracle-checked END-TO-END:
     // normalize -> exact dedup -> LSH near-dup clusters -> one
     // representative per cluster -> quality floor -> md5 split ->
@@ -1049,6 +1062,21 @@ object TextQueries {
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tk AS bef
                   FROM sc)
           SELECT doc_id, tk, quality FROM o WHERE bef < 40000""",
+    // the ta_pack_budget cumsum replay, costed in replayed BPE tokens
+    "ta_bpe_pack" ->
+      s"""WITH RECURSIVE $bpeDocTokensCtes,
+            t AS (SELECT d.lang, d.doc_id, k.bpe AS tk
+                  FROM documents d JOIN doctk k USING (doc_id)),
+            c AS (SELECT lang, doc_id, tk,
+                         sum(tk) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
+            r AS (SELECT lang, doc_id, tk, (cum - tk) // 6000 AS rawpack FROM c),
+            dd AS (SELECT lang, tk,
+                         dense_rank() OVER (PARTITION BY lang ORDER BY rawpack) - 1 AS pack_id
+                  FROM r)
+         SELECT lang, CAST(pack_id AS BIGINT) AS pack_id,
+                count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS sum_tokens
+         FROM dd GROUP BY 1, 2""",
     // index-then-probe ≡ re-sketch-everything: the store changes where
     // the history's banded signatures LIVE, never what they say
     "dedup_band_store" -> lshAgainstSql,

@@ -154,6 +154,24 @@ class InvariantSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("BPE-costed packing conserves the corpus token count; budget overshoots by at most one doc") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.SparkEntry.queries("ta_bpe_pack")(spark, sf)
+    val total = out.agg(sum($"sum_tokens")).as[Long].head()
+    val direct = docs
+      .select(graft.functions.Bpe.bpeTokenCount($"text").as("tk"))
+      .agg(sum($"tk")).as[Long].head()
+    assert(total === direct, "every doc lands in exactly one pack")
+    // a pack closes when the cumsum crosses the budget, so it may
+    // overshoot by less than its final doc — never more
+    val maxDoc = docs
+      .select(graft.functions.Bpe.bpeTokenCount($"text").as("tk"))
+      .agg(max($"tk")).as[Long].head()
+    assert(out.filter($"sum_tokens" >= lit(6000L) + lit(maxDoc)).count() === 0)
+    assert(out.count() > docs.select($"lang").distinct().count(),
+      "fixture must actually split languages into multiple packs")
+  }
+
   test("packing matches a sequential greedy fill per group") {
     val r = rng(9)
     val rows = Seq.tabulate(400)(i => (s"g${r.nextInt(3)}", i.toLong, (r.nextInt(900) + 1).toLong))
