@@ -36,7 +36,8 @@ object SparkEntry {
     * larger `SPARK_GRAFT_HEAVY_COMPOSED_S` cap — a real multi-pass
     * median instead of a permanently `capped` single cold pass. */
   def composedQueries: Set[String] =
-    Set("pipeline_corpus_prep", "pipeline_embedding_prep", "dedup_band_store")
+    Set("pipeline_corpus_prep", "pipeline_embedding_prep", "dedup_band_store",
+      "dedup_band_delete", "dedup_band_rebucket")
 
   /** Drop every application-lifetime memoized stage (checkpoint blocks
     * released, ANN store files deleted, bucketed tables dropped); the

@@ -214,6 +214,25 @@ object TextQueries {
         "text", "doc_id", threshold = 0.8)
     }),
 
+    // the band index's route-bound remedy, run cold end to end: index
+    // under a bucket count the corpus has outgrown, REBUCKET (whole-store
+    // atomic swap re-deriving every row's bucket; signatures untouched —
+    // O(index bytes), not O(corpus text)), then probe under the widened
+    // route. Rebucketing is pure layout, so the oracle is the same
+    // bucket-count-blind LSH replay — the sim_ann_compact discipline
+    "dedup_band_rebucket" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val path = bandScratchDir(s, d) + "/index_rb"
+      deleteRecursively(new java.io.File(path))
+      val par = s.sparkContext.defaultParallelism
+      val hist = doc.filter(col("doc_id") % 3 =!= 0).repartition(par)
+      graft.sinks.BandStore.write(hist, "text", "doc_id", path, buckets = 4)
+      graft.sinks.BandStore.rebucket(s, path, newBuckets = 16)
+      graft.sinks.BandStore.probe(s, path,
+        doc.filter(col("doc_id") % 3 === 0).repartition(par),
+        "text", "doc_id", threshold = 0.8)
+    }),
+
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
         blockCol = "lang", threshold = 0.8,
@@ -1084,6 +1103,8 @@ object TextQueries {
     // simply excludes them from the history side of the same replay
     "dedup_band_delete" -> lshAgainstSqlWhere(
       "a.doc_id % 3 <> 0 AND a.doc_id % 5 <> 1"),
+    // rebucket is pure layout — same bucket-count-blind replay
+    "dedup_band_rebucket" -> lshAgainstSql,
     "dedup_exact_docs" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) - 1 AS n_dups
          FROM documents GROUP BY 1""",

@@ -164,7 +164,7 @@ object BandStore {
     * `params(spark, path)` into `StreamDedup.banded` and the store into
     * the verify, one source of truth for both. */
   def sketchTable(spark: SparkSession, path: String, idCol: String): DataFrame = {
-    PartitionSwap.requireRecovered(spark, docsDir(path), Prefix, "BandStore", Tags)
+    requireRecovered(spark, path)
     val base = spark.read.parquet(docsDir(path)).select(col(idCol), col("hs"))
     tombstones(spark, path) match {
       case Some(ts) => base.join(broadcast(ts), Seq(idCol), "left_anti")
@@ -241,6 +241,7 @@ object BandStore {
           new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration),
           dir, Prefix, Tags)
       }
+      recoverRebucket(rootFs, path)
       tombstones(spark, path) match {
         case None => Seq.empty
         case Some(ts) =>
@@ -391,6 +392,101 @@ object BandStore {
     }
   }
 
+  /** RE-BUCKET the store — the remedy for a route bound that corpus
+    * growth has outgrown (the [[AnnStore.recluster]] analog for this
+    * store's one scale dial): `buckets` is pinned at [[write]] time and
+    * bounds BOTH the probe route and the partition-dir count, so a store
+    * that grows 100× under appends ends up with huge per-bucket
+    * partitions and a route that prunes almost nothing. Rebucketing
+    * recomputes every row's bucket under `newBuckets` (band rows by
+    * band hash, doc rows by id hash — the same write-time derivations),
+    * rewrites the whole tree to a scratch root, re-pins `_params`, and
+    * swaps the WHOLE store atomically. Whole-store, not per-partition:
+    * the bucket function changes, so rows move BETWEEN buckets and no
+    * per-bucket intermediate state is consistent. Pure layout: probe
+    * results are identical before and after (spec-proven), tombstones
+    * travel with the store, and the sketch parameters (k, bands,
+    * shingles, lean layout) never change — signatures are not
+    * re-derived, so no text is needed.
+    *
+    * Crash windows (healed by [[recover]] / the next writer op): the
+    * scratch tree commits its `_params` sidecar LAST, so recovery
+    * promotes the new tree iff that marker exists, else restores the
+    * original; between the two renames readers raise loudly rather than
+    * serve nothing. Serialized by the store-root writer fence.
+    *
+    * Scale shape: one distributed rewrite of the index tables —
+    * O(index), not O(corpus text): band rows are ~tens of bytes (lean)
+    * to ~1 KB (dense), so rebucketing a 100 TB corpus's index moves the
+    * index's bytes only. Run it on the compaction cadence when
+    * per-bucket size (or probe-route selectivity) drifts past the
+    * operator's floor. */
+  def rebucket(spark: SparkSession, path: String, newBuckets: Int): Unit = {
+    require(newBuckets >= 1, s"newBuckets must be >= 1, got $newBuckets")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    PartitionSwap.withWriterLock(fs, path, "BandStore") {
+      recoverRebucket(fs, path)
+      Seq(bandsDir(path), docsDir(path)).foreach { dir =>
+        PartitionSwap.recoverSwap(fs, dir, Prefix, Tags)
+      }
+      val p = params(spark, path)
+      val tmpRoot = new Path(path + ".rebucket_tmp")
+      val oldRoot = new Path(path + ".rebucket_old")
+      if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+      if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
+      val bands = spark.read.parquet(bandsDir(path)).drop("bucket")
+        .withColumn("bucket", pmod(xxhash64(col("band")), lit(newBuckets)))
+      bands.repartition(newBuckets, col("bucket"))
+        .write.partitionBy("bucket").parquet(tmpRoot.toString + "/bands")
+      // the doc table's id column is whatever the caller named it at
+      // write time — everything except (hs, sig, bucket) is the id
+      val docsDf = spark.read.parquet(docsDir(path))
+      val idCol = docsDf.columns
+        .filterNot(Set("hs", "sig", "bucket")).head
+      docsDf.drop("bucket")
+        .withColumn("bucket", pmod(xxhash64(col(idCol)), lit(newBuckets)))
+        .repartition(newBuckets, col("bucket"))
+        .write.partitionBy("bucket").parquet(tmpRoot.toString + "/docs")
+      // pending tombstones are store state — they travel with the tree
+      tombstones(spark, path).foreach(
+        _.write.parquet(tmpRoot.toString + "/_tombstones"))
+      // COMMIT MARKER: _params lands last — recovery promotes the
+      // scratch tree iff this write's _SUCCESS exists
+      import spark.implicits._
+      Seq((p.k, p.rowsPerBand, p.shingleN, newBuckets, p.leanSigs))
+        .toDF("k", "rows_per_band", "shingle_n", "buckets", "lean_sigs")
+        .write.parquet(tmpRoot.toString + "/_params")
+      PartitionSwap.mv(fs, new Path(path), oldRoot)
+      PartitionSwap.mv(fs, tmpRoot, new Path(path))
+      fs.delete(oldRoot, true)
+      ()
+    }
+  }
+
+  /** Recover a crashed whole-store rebucket swap (the
+    * [[AnnStore]] recluster-recovery twin): with no live store, promote
+    * the scratch tree iff its commit marker (`_params`' `_SUCCESS`, the
+    * last thing [[rebucket]] writes before the renames) exists, else
+    * restore the original; with a live store, any scratch is leftover —
+    * drop it. Never deletes the only copy. */
+  private def recoverRebucket(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val dst = new Path(path)
+    val tmpRoot = new Path(path + ".rebucket_tmp")
+    val oldRoot = new Path(path + ".rebucket_old")
+    if (!fs.exists(dst)) {
+      if (fs.exists(new Path(tmpRoot, "_params/_SUCCESS"))) {
+        PartitionSwap.mv(fs, tmpRoot, dst)
+        if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
+      } else if (fs.exists(oldRoot)) {
+        PartitionSwap.mv(fs, oldRoot, dst)
+        if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+      }
+    } else {
+      if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+      if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
+    }
+  }
+
   /** COMPACT fragmented band/doc buckets back to one file each — the
     * [[AnnStore.compact]] discipline on both tables: every append adds
     * files to its target buckets, so steady ingest grows per-partition
@@ -403,6 +499,7 @@ object BandStore {
     val rootFs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // one fence at the store root serializes writers across BOTH tables
     PartitionSwap.withWriterLock(rootFs, path, "BandStore") {
+      recoverRebucket(rootFs, path)
       Seq("bands" -> bandsDir(path), "docs" -> docsDir(path)).flatMap {
         case (table, dir) =>
           val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -423,6 +520,7 @@ object BandStore {
   def recover(spark: SparkSession, path: String): Unit = {
     val rootFs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     PartitionSwap.withWriterLock(rootFs, path, "BandStore") {
+      recoverRebucket(rootFs, path)
       Seq(bandsDir(path), docsDir(path)).foreach { dir =>
         val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
         PartitionSwap.recoverSwap(fs, dir, Prefix, Tags)
@@ -436,8 +534,17 @@ object BandStore {
     PartitionSwap.breakLock(
       new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration), path)
 
-  private def requireRecovered(spark: SparkSession, path: String): Unit =
+  private def requireRecovered(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a rebucket crash between its two renames leaves no live store —
+    // readers raise loudly (recover promotes or restores)
+    if (!fs.exists(new Path(path)) &&
+        (fs.exists(new Path(path + ".rebucket_tmp")) ||
+         fs.exists(new Path(path + ".rebucket_old"))))
+      throw new IllegalStateException(
+        s"BandStore: crashed rebucket pending at $path — run BandStore.recover before reading")
     Seq(bandsDir(path), docsDir(path)).foreach { dir =>
       PartitionSwap.requireRecovered(spark, dir, Prefix, "BandStore", Tags)
     }
+  }
 }

@@ -306,6 +306,56 @@ class BandStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8)) === before)
   }
 
+  test("rebucket is pure layout: probe parity, route bound re-pinned, tombstones travel") {
+    val path = newPath()
+    BandStore.write(history, "text", "doc_id", path, buckets = 4)
+    val before = pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8))
+    assert(before.nonEmpty)
+    // pending tombstones are store state — they must survive the swap
+    val victim = before.head._1
+    BandStore.delete(Seq(victim).toDF("doc_id"), "doc_id", path)
+    val masked = pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8))
+    BandStore.rebucket(spark, path, 16)
+    val p = BandStore.params(spark, path)
+    assert(p.buckets === 16, "the route bound re-pins")
+    assert((p.k, p.rowsPerBand, p.shingleN) === ((128, 8, 3)),
+      "sketch parameters never change — signatures are not re-derived")
+    val bandDirs = new java.io.File(path, "bands").listFiles()
+      .count(_.getName.startsWith("bucket="))
+    assert(bandDirs > 4, s"16-bucket layout should spread past the old 4, got $bandDirs")
+    assert(pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8)) === masked,
+      "rebucket must change neither probe results nor pending deletes")
+    // the lifecycle keeps composing under the new layout
+    assert(BandStore.purge(spark, path).nonEmpty)
+    assert(pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8)) === masked)
+    assert(BandStore.append(batch.limit(0), "text", "doc_id", path) === (()))
+  }
+
+  test("a crashed rebucket: reads raise; recover restores without the marker, promotes with it") {
+    val path = newPath()
+    BandStore.write(history, "text", "doc_id", path, buckets = 4)
+    val before = pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8))
+    val live = new java.io.File(path)
+    // window 1: crashed AFTER parking the store, tmp tree incomplete (no
+    // _params commit marker) — reads raise, recover restores the original
+    val oldRoot = new java.io.File(path + ".rebucket_old")
+    val tmpRoot = new java.io.File(path + ".rebucket_tmp")
+    assert(live.renameTo(oldRoot))
+    assert(new java.io.File(tmpRoot, "bands").mkdirs())
+    val e = intercept[IllegalStateException] {
+      BandStore.probe(spark, path, batch, "text", "doc_id", 0.8)
+    }
+    assert(e.getMessage.contains("crashed rebucket"), e.getMessage)
+    BandStore.recover(spark, path)
+    assert(pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8)) === before)
+    // window 2: crashed BETWEEN the two renames with a COMMITTED tmp tree
+    // (its _params/_SUCCESS exists) — recover promotes the new tree
+    assert(live.renameTo(tmpRoot))
+    BandStore.recover(spark, path)
+    assert(live.exists() && !tmpRoot.exists() && !oldRoot.exists())
+    assert(pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8)) === before)
+  }
+
   test("append and probe pin the store's sketch parameters, not the caller's") {
     val path = newPath()
     BandStore.write(history, "text", "doc_id", path, k = 16, rowsPerBand = 4, buckets = 8)
