@@ -707,6 +707,21 @@ object TextQueries {
     // cost is its BPE token count, so pack boundaries land where a
     // training run's sequence budget actually lands (BPE counts run ~3×
     // the whitespace proxy on this corpus — the budget scales with them)
+    // the CCNet-style LM FILTER: score every doc's perplexity under a
+    // small bigram LM trained on a trusted slice, keep the fluent tail.
+    // The model is bounded by construction (top-256 vocab + <unk>), so
+    // scoring is one zero-shuffle scan folding each doc's own bigrams
+    // against the broadcast maps; the nll fold is sequential, so the
+    // unrounded keep-threshold compare is bit-identical to the oracle's
+    // list_reduce replay
+    "ta_lm_perplexity" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val model = graft.operators.LmScore.bigramModel(
+        doc.filter(col("doc_id") % 7 === 0), "text", vocab = 256)
+      graft.operators.LmScore.perplexityScore(doc, "text", "doc_id", model,
+        maxNll = 6.0)
+    }),
+
     "ta_bpe_pack" -> ((s, d) =>
       graft.etl.Packing.withPackId(
         t(s, d, "documents")
@@ -1081,6 +1096,42 @@ object TextQueries {
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tk AS bef
                   FROM sc)
           SELECT doc_id, tk, quality FROM o WHERE bef < 40000""",
+    // full replay of the bigram-LM filter: train counts -> deterministic
+    // top-V vocab -> <unk> folding -> mapped bigram counts -> per-doc
+    // SEQUENTIAL list_reduce of the ln terms (bit-identical to Spark's
+    // aggregate fold, so the unrounded kept-threshold compare agrees)
+    "ta_lm_perplexity" ->
+      """WITH tr AS (SELECT string_split(text, ' ') AS w FROM documents
+                     WHERE doc_id % 7 = 0 AND text IS NOT NULL),
+            uni AS (SELECT tok, count(*) AS c
+                    FROM (SELECT unnest(w) AS tok FROM tr) GROUP BY 1),
+            topv AS (SELECT tok, c FROM uni ORDER BY c DESC, tok ASC LIMIT 256),
+            unk AS (SELECT '<unk>' AS tok, coalesce(sum(c), 0) AS c FROM uni
+                    WHERE tok NOT IN (SELECT tok FROM topv)),
+            m1 AS (SELECT map(list(tok), list(c)) AS m
+                   FROM (SELECT * FROM topv UNION ALL SELECT * FROM unk)),
+            trm AS (SELECT list_transform(w,
+                      t -> CASE WHEN m1.m[t][1] IS NOT NULL THEN t ELSE '<unk>' END) AS mw
+                    FROM tr CROSS JOIN m1),
+            m2 AS (SELECT map(list(bg), list(c)) AS m FROM (
+                     SELECT bg, count(*) AS c FROM (
+                       SELECT unnest(list_transform(range(2, len(mw) + 1),
+                         i -> mw[CAST(i - 1 AS INT)] || ' ' || mw[CAST(i AS INT)])) AS bg
+                       FROM trm WHERE len(mw) >= 2) GROUP BY 1)),
+            sc AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                   WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+            scm AS (SELECT doc_id, list_transform(w,
+                      t -> CASE WHEN m1.m[t][1] IS NOT NULL THEN t ELSE '<unk>' END) AS mw
+                    FROM sc CROSS JOIN m1),
+            ll AS (SELECT doc_id, list_transform(range(2, len(mw) + 1), i ->
+                     ln((coalesce(m2.m[mw[CAST(i - 1 AS INT)] || ' ' || mw[CAST(i AS INT)]][1], 0) + 1)::DOUBLE
+                        / (coalesce(m1.m[mw[CAST(i - 1 AS INT)]][1], 0) + 257)::DOUBLE)) AS lls
+                   FROM scm CROSS JOIN m1 CROSS JOIN m2),
+            agg AS (SELECT doc_id, len(lls) AS n_bigrams,
+                           -list_reduce(lls, (a, b) -> a + b) / len(lls)::DOUBLE AS nll_raw
+                    FROM ll)
+          SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
+                 round(nll_raw, 6) AS nll, nll_raw <= 6.0 AS kept FROM agg""",
     // the ta_pack_budget cumsum replay, costed in replayed BPE tokens
     "ta_bpe_pack" ->
       s"""WITH RECURSIVE $bpeDocTokensCtes,
