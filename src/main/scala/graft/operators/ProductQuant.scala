@@ -203,4 +203,35 @@ object ProductQuant {
     search(codes.filter(col("centroid_id").isin(probes: _*)),
       idCol, codebook, query, m, dims, k)
   }
+
+  /** TWO-STAGE serving — PQ shortlist, exact re-rank: the standard
+    * production recipe for recovering the recall that quantization
+    * costs. Stage 1 runs [[search]] over the codes for a SHORTLIST of
+    * `nCand` ≥ k candidates (reading m bytes/row, floats stay cold);
+    * stage 2 fetches ONLY the shortlist's float vectors and re-ranks
+    * them by exact squared L2, returning the top `k` with exact
+    * distances. The re-rank join broadcasts the ≤`nCand`-row shortlist
+    * over the vector table (a map-side semi-join — the corpus never
+    * enters an exchange); at store scale the fetch is the id-bucketed
+    * pruned-read discipline (`BandStore.docs`/`AnnStore`), so stage 2
+    * reads nCand vectors' bytes, not the corpus. Recall@k is monotone
+    * in `nCand` and reaches exact search's once the true top-k is
+    * inside the shortlist — the dial is priced by the `sim_pq_recall`
+    * measurement; `nCand = k` degenerates to re-scoring ADC's own
+    * answer. */
+  def searchRerank(codes: DataFrame, vectors: DataFrame, idCol: String,
+                   vecCol: String, codebook: DataFrame, query: Seq[Double],
+                   m: Int, dims: Int, k: Int, nCand: Int): DataFrame = {
+    require(nCand >= k, s"nCand=$nCand must be >= k=$k")
+    require(query.length == dims, s"query has ${query.length} dims, expected $dims")
+    val shortlist = search(codes, idCol, codebook, query, m, dims, nCand)
+    val q = array(query.map(lit): _*)
+    vectors.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .join(broadcast(shortlist.select(col(idCol))), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        round(aggregate(zip_with(col("v"), q, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x), 6).as("d2"))
+      .orderBy(col("d2"), col(idCol))
+      .limit(k)
+  }
 }

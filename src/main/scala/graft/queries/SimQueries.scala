@@ -571,6 +571,22 @@ object SimQueries {
       pq.search(codes, "vec_id", cb, qv, m = 4, dims = 64, k = 10)
     }),
 
+    // TWO-STAGE serving — PQ shortlist, exact float re-rank: ADC reads
+    // m bytes/row to shortlist 50 candidates, then ONLY those 50 float
+    // vectors are fetched (broadcast semi-join; id-bucketed pruned read
+    // at store scale) and re-ranked by exact L2 — the production recipe
+    // that buys quantized scan cost without quantized top-k quality
+    "sim_pq_rerank" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val pq = graft.operators.ProductQuant
+      val cb = pq.train(e, "embedding", "vec_id", m = 4, k = 8, dims = 64, iters = 2)
+      val codes = pq.encode(e, "embedding", "vec_id", cb, m = 4, dims = 64)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), _.cast("double"))).head().getSeq[Double](0)
+      pq.searchRerank(codes, e, "vec_id", "embedding", cb, qv,
+        m = 4, dims = 64, k = 10, nCand = 50)
+    }),
+
     // PRICE THE QUANTIZATION: how much of the exact L2 top-k does the
     // ADC code-only ranking keep — the measured recall a deployment
     // trades for reading m bytes/row instead of the float vectors (the
@@ -812,6 +828,27 @@ object SimQueries {
                    GROUP BY b.vec_id)
           SELECT vec_id, adist FROM sc
           QUALIFY row_number() OVER (ORDER BY adist, vec_id) <= 10""",
+    // ADC shortlist of 50 replayed term-for-term, then the exact-L2
+    // re-rank restricted to it
+    "sim_pq_rerank" ->
+      s"""WITH $pqBase,
+            q AS (SELECT v FROM nall WHERE vec_id = 0),
+            dt AS (SELECT c.subspace, c.cid,
+                          round(${fold("list_transform(range(1, len(c.v)+1), i -> (q.v[c.subspace*16 + CAST(i AS INT)] - c.v[CAST(i AS INT)]) * (q.v[c.subspace*16 + CAST(i AS INT)] - c.v[CAST(i AS INT)]))")}, 6) AS pd
+                   FROM pc2 c CROSS JOIN q),
+            sc AS (SELECT b.vec_id,
+                          round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                            list(dt.pd ORDER BY b.subspace)), (a, x) -> a + x), 6) AS adist
+                   FROM bpe b JOIN dt
+                     ON b.subspace = dt.subspace AND b.cid = dt.cid
+                   GROUP BY b.vec_id),
+            shortlist AS (SELECT vec_id FROM sc
+                          QUALIFY row_number() OVER (ORDER BY adist, vec_id) <= 50),
+            rr AS (SELECT a.vec_id,
+                          round(${fold("list_transform(range(1, len(a.v)+1), i -> (a.v[CAST(i AS INT)] - q.v[CAST(i AS INT)]) * (a.v[CAST(i AS INT)] - q.v[CAST(i AS INT)]))")}, 6) AS d2
+                   FROM nall a JOIN shortlist USING (vec_id) CROSS JOIN q)
+          SELECT vec_id, d2 FROM rr
+          QUALIFY row_number() OVER (ORDER BY d2, vec_id) <= 10""",
     // ADC top-k ∩ exact-L2 top-k over the same corpus — both rankings
     // replay term-for-term
     "sim_pq_recall" ->

@@ -91,6 +91,35 @@ class PqSpec extends SparkSpec {
     assert(pruned === full, "full-probe IVF+PQ must equal the unpruned ranking")
   }
 
+  test("two-stage rerank returns EXACT distances and recovers what quantization blurred") {
+    val cb = ProductQuant.train(corpus, "vec", "vec_id", m = 2, k = 2, dims = dims)
+    val codes = ProductQuant.encode(corpus, "vec", "vec_id", cb, m = 2, dims = dims)
+    val q = Seq(0.2, 0.0, 0.1, 0.0) // exactly vec 2
+    // ADC is blind inside a cluster: every cluster-0 member shares codes,
+    // so plain search ties them all and the id tie-break promotes 0
+    val adcTop = ProductQuant.search(codes, "vec_id", cb, q, m = 2, dims = dims, k = 1)
+      .select($"vec_id").as[Long].head()
+    assert(adcTop === 0L, "fixture: quantization must actually blur the answer")
+    val rr = ProductQuant.searchRerank(codes, corpus, "vec_id", "vec", cb, q,
+        m = 2, dims = dims, k = 3, nCand = 6)
+      .as[(Long, Double)].collect()
+    assert(rr.head._1 === 2L, "the exact re-rank finds the true nearest neighbor")
+    // returned distances are exact L2 to the ORIGINAL vectors, not ADC terms
+    val byId = corpus.as[(Long, Seq[Double])].collect().toMap
+    rr.foreach { case (id, d2) =>
+      val exact = byId(id).zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+      val r6 = BigDecimal(exact).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(d2 - r6) < 1e-9, s"id $id: $d2 vs exact $r6")
+    }
+    // a corpus-wide shortlist degenerates to exact search's full ranking
+    val full = rr.map(_._1).toSeq
+    assert(full === Seq(2L, 0L, 4L), "0.2-query: 2 (itself), then 0, then 4")
+    intercept[IllegalArgumentException] {
+      ProductQuant.searchRerank(codes, corpus, "vec_id", "vec", cb, q,
+        m = 2, dims = dims, k = 5, nCand = 3)
+    }
+  }
+
   test("train/encode reject dims not divisible by m; search rejects a short query") {
     intercept[IllegalArgumentException] {
       ProductQuant.train(corpus, "vec", "vec_id", m = 3, k = 2, dims = dims)
