@@ -113,6 +113,23 @@ object BandStore {
     writeSketched(batch, textCol, idCol, path, params(batch.sparkSession, path),
       mode = "append")
 
+  /** STREAMING ingest — pass to
+    * `stream.writeStream.foreachBatch(BandStore.ingest(path, textCol, idCol))`:
+    * each micro-batch sketches under the store's pinned params and
+    * appends, so the daily-crawl shape runs as the stream it really is.
+    * foreachBatch delivery is AT-LEAST-ONCE: a replayed micro-batch
+    * re-appends the SAME band/doc rows — and the store's tables are SETS
+    * by contract: [[probe]] is duplicate-blind (spec-proven) and
+    * [[compact]] canonicalizes duplicate rows away on the maintenance
+    * cadence, so a replay costs bytes until the next compact, never
+    * correctness. The store must exist — [[write]] the initial slice
+    * first; parameters are pinned there, not here. Acceptance policy
+    * (e.g. probe-then-drop-dups) remains the caller's composition
+    * inside their own foreachBatch body. */
+  def ingest(path: String, textCol: String, idCol: String)
+            (batch: DataFrame, batchId: Long): Unit =
+    append(batch, textCol, idCol, path)
+
   private def writeSketched(df: DataFrame, textCol: String, idCol: String,
                             path: String, p: Params, mode: String): Unit = {
     // one sketch pass feeds both tables: cache, write, release
@@ -162,7 +179,10 @@ object BandStore {
     * from different hash families never agree — which is why this
     * returns the table rather than hiding the params: the caller feeds
     * `params(spark, path)` into `StreamDedup.banded` and the store into
-    * the verify, one source of truth for both. */
+    * the verify, one source of truth for both. Rows replayed by an
+    * at-least-once [[ingest]] may appear until the next compact; they
+    * can only duplicate verified-pair emissions, which is already the
+    * streaming path's documented at-least-once delivery contract. */
   def sketchTable(spark: SparkSession, path: String, idCol: String): DataFrame = {
     requireRecovered(spark, path)
     val base = spark.read.parquet(docsDir(path)).select(col(idCol), col("hs"))
@@ -327,9 +347,13 @@ object BandStore {
           mb.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
             lit(0.0).as("jaccard")).limit(0)
         else {
+          // dropDuplicates: the tables are SETS (at-least-once streaming
+          // ingest may replay rows); the dedup runs over candidate-scale
+          // pruned rows, never the corpus
           val hsDocs = spark.read.parquet(docsDir(path))
             .filter(col("bucket").isin(candBuckets: _*))
             .select(col(idCol), col("hs"))
+            .dropDuplicates(idCol)
           Dedup.verifyPairsAcross(plausible, hsDocs,
             mb.select(col(idCol), col("hs")), idCol, threshold)
         }
@@ -387,7 +411,9 @@ object BandStore {
           .join(mb.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
         sigScan.join(broadcast(withBatchSig), Seq("id_a"))
           .filter(agree >= Dedup.minAgree(p.k, threshold))
-          .select(col("id_a"), col("id_b"))
+          // distinct mirrors the dense branch AND absorbs replayed docs/
+          // rows (the set contract) — candidate-scale, never corpus
+          .select(col("id_a"), col("id_b")).distinct()
       }
     }
   }
@@ -509,7 +535,12 @@ object BandStore {
           if (targets.nonEmpty)
             PartitionSwap.swapRewrite(spark, fs, dir, "bucket",
               targets.map(b => s"$Prefix$b"),
-              spark.read.parquet(dir).filter(col("bucket").isin(targets: _*)))
+              // .distinct(): the tables are SETS — an at-least-once
+              // streaming replay ([[ingest]]) re-appends identical rows;
+              // compaction is where their bytes are reclaimed (probe was
+              // never fooled — it is duplicate-blind by construction)
+              spark.read.parquet(dir).filter(col("bucket").isin(targets: _*))
+                .distinct())
           targets.map(table -> _)
       }
     }

@@ -306,6 +306,49 @@ class BandStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8)) === before)
   }
 
+  test("streaming ingest: micro-batched appends ≡ one-shot write; replays cost bytes, never pairs") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = newPath()
+    // initialize with half the history (params pin here), stream the rest
+    BandStore.write(history.filter($"doc_id" % 2 === 0), "text", "doc_id", path,
+      buckets = 8)
+    val rest = history.filter($"doc_id" % 2 =!= 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      BandStore.ingest(path, "text", "doc_id")
+    val q = ms.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch(sink).start()
+    try {
+      rest.grouped(math.max(1, rest.length / 3 + 1))
+        .foreach { chunk => ms.addData(chunk.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8))
+    val oneShot = {
+      val p2 = newPath()
+      BandStore.write(history, "text", "doc_id", p2, buckets = 8)
+      pairs(BandStore.probe(spark, p2, batch, "text", "doc_id", 0.8))
+    }
+    assert(streamed === oneShot)
+    assert(streamed.nonEmpty)
+    // REDELIVERY: foreachBatch replays a micro-batch after a crash — the
+    // same rows append again, and probe must not care
+    sink(rest.take(20).toSeq.toDF("doc_id", "text"), 99L)
+    assert(spark.read.parquet(s"$path/docs").count() >
+      spark.read.parquet(s"$path/docs").distinct().count(),
+      "fixture: the replay must actually land duplicate rows")
+    assert(pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8)) === oneShot,
+      "probe is duplicate-blind — the set contract")
+    // compact canonicalizes the replayed bytes away
+    BandStore.compact(spark, path)
+    Seq("bands", "docs").foreach { tbl =>
+      val df = spark.read.parquet(s"$path/$tbl")
+      assert(df.count() === df.distinct().count(),
+        s"$tbl must hold no duplicate rows after compact")
+    }
+    assert(pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8)) === oneShot)
+  }
+
   test("rebucket is pure layout: probe parity, route bound re-pinned, tombstones travel") {
     val path = newPath()
     BandStore.write(history, "text", "doc_id", path, buckets = 4)
