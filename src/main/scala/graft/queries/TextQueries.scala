@@ -36,7 +36,8 @@ object TextQueries {
     * (the production amortized shape) is recorded separately. */
   val memoized: Set[String] =
     Set("dedup_components", "dedup_keep_representatives",
-      "dedup_provenance_merge", "dedup_minhash_lsh", "stream_dedup_near")
+      "dedup_provenance_merge", "dedup_soft", "dedup_minhash_lsh",
+      "stream_dedup_near")
 
   /** Drop both memoized shared stages and release their checkpoint blocks
     * (each memo value is exactly one `localCheckpoint()`ed frame): the
@@ -317,6 +318,26 @@ object TextQueries {
         .agg(count(lit(1)).as("n_members"),
           countDistinct(col("source")).as("n_sources"),
           concat_ws(",", sort_array(collect_set(col("source")))).as("sources"))
+    }),
+
+    // SOFT dedup: near-dups are DOWNWEIGHTED, not dropped — each doc
+    // gets sampling weight 1/|its dup cluster| (singletons keep 1.0),
+    // so a later weighted-sampling epoch sees each duplicated content
+    // unit with total mass 1 while keeping every variant available.
+    // Fourth consumer of the ONE shared pair-graph labeling; the weight
+    // column feeds Sampling.weighted unchanged
+    "dedup_soft" -> ((s, d) => {
+      val sizes = preparedLabels(s, d)
+        .groupBy("comp").agg(count(lit(1)).as("cs"))
+      val byDoc = preparedLabels(s, d)
+        .join(sizes, Seq("comp"))
+        .select(col("id").as("doc_id"), col("cs"))
+      t(s, d, "documents").select(col("doc_id"))
+        .join(byDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cs"), lit(1L)).cast("int").as("cluster_size"),
+          round(lit(1.0d) / coalesce(col("cs"), lit(1L)).cast("double"), 6)
+            .as("weight"))
     }),
 
     // token-budget packing: docs -> fixed-budget packs per lang (window
@@ -720,6 +741,21 @@ object TextQueries {
         doc.filter(col("doc_id") % 7 === 0), "text", vocab = 256)
       graft.operators.LmScore.perplexityScore(doc, "text", "doc_id", model,
         maxNll = 6.0)
+    }),
+
+    // the fastText-shaped LINEAR quality filter: naive-Bayes log-odds
+    // over HASHED token buckets trained on trusted-vs-crawl labels, one
+    // bounded broadcast weight map, zero-shuffle map-side scoring; the
+    // mean-log-odds fold is sequential, so the unrounded keep-threshold
+    // compare is bit-identical to the oracle's list_reduce replay
+    "ta_quality_classifier" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val model = graft.operators.QualityClassifier.logOddsModel(
+        doc.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("pos", col("source").isin("src0", "src2", "src4", "src6", "src8")),
+        "text", "pos", buckets = 1024)
+      graft.operators.QualityClassifier.score(doc, "text", "doc_id", model,
+        minScore = 0.0)
     }),
 
     "ta_bpe_pack" -> ((s, d) =>
@@ -1132,6 +1168,44 @@ object TextQueries {
                     FROM ll)
           SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
                  round(nll_raw, 6) AS nll, nll_raw <= 6.0 AS kept FROM agg""",
+    // trains the hashed-bucket NB log-odds model in SQL (occurrence
+    // counts per md5-bucket -> add-one log-odds weights in one map +
+    // the never-seen default), then scores every doc by the SAME
+    // sequential mean-log-odds fold the Spark plan runs
+    "ta_quality_classifier" ->
+      """WITH tr AS (SELECT (source IN ('src0','src2','src4','src6','src8')) AS pos,
+                            string_split(text, ' ') AS w
+                     FROM documents WHERE doc_id % 7 <> 0 AND text IS NOT NULL),
+            occ AS (SELECT pos,
+                           CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                             % 2147483647 % 1024 AS bkt
+                    FROM (SELECT pos, unnest(w) AS t FROM tr)),
+            pb AS (SELECT bkt, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+                          sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cn
+                   FROM occ GROUP BY 1),
+            tot AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+                           sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS nn FROM occ),
+            pr AS (SELECT ln((sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1)::DOUBLE
+                             / (sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) + 1)::DOUBLE) AS bias
+                   FROM tr),
+            wm AS (SELECT map(list(bkt),
+                              list(ln((cp + 1)::DOUBLE / (np + 1024)::DOUBLE)
+                                   - ln((cn + 1)::DOUBLE / (nn + 1024)::DOUBLE))) AS m
+                   FROM pb CROSS JOIN tot),
+            w0 AS (SELECT ln(1::DOUBLE / (np + 1024)::DOUBLE)
+                          - ln(1::DOUBLE / (nn + 1024)::DOUBLE) AS d FROM tot),
+            sc AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                   WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 1),
+            ll AS (SELECT doc_id, list_transform(w, t ->
+                     coalesce(wm.m[CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                                   % 2147483647 % 1024][1], w0.d)) AS lws
+                   FROM sc CROSS JOIN wm CROSS JOIN w0),
+            agg AS (SELECT doc_id, len(lws) AS n_tokens,
+                           pr.bias + list_reduce(lws, (a, b) -> a + b)
+                             / len(lws)::DOUBLE AS sraw
+                    FROM ll CROSS JOIN pr)
+          SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+                 round(sraw, 6) AS score, sraw >= 0.0 AS kept FROM agg""",
     // the ta_pack_budget cumsum replay, costed in replayed BPE tokens
     "ta_bpe_pack" ->
       s"""WITH RECURSIVE $bpeDocTokensCtes,
@@ -1231,6 +1305,24 @@ object TextQueries {
                  count(DISTINCT source) AS n_sources,
                  string_agg(DISTINCT source, ',' ORDER BY source) AS sources
           FROM wc GROUP BY rep""",
+    // same reachability labeling; weight = 1/|cluster|, singletons 1.0
+    "dedup_soft" ->
+      s"""WITH RECURSIVE $duckNgramCtes,
+            p AS (SELECT id_a, id_b FROM (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b, $duckJaccardRaw AS j
+                    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+                  WHERE j >= 0.8),
+            e AS (SELECT id_a AS es, id_b AS ed FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            reach AS (SELECT es AS v, ed AS r FROM e
+                      UNION SELECT reach.v, e.ed FROM reach JOIN e ON reach.r = e.es),
+            comp AS (SELECT v AS id, least(v, min(r)) AS comp FROM reach GROUP BY v),
+            cs AS (SELECT comp, count(*) AS n FROM comp GROUP BY 1)
+          SELECT d.doc_id, CAST(coalesce(cs.n, 1) AS INT) AS cluster_size,
+                 round(CAST(1 AS DOUBLE) / coalesce(cs.n, 1), 6) AS weight
+          FROM documents d
+          LEFT JOIN comp c ON c.id = d.doc_id
+          LEFT JOIN cs ON cs.comp = c.comp""",
     "ta_redact_pii" -> {
       val steps = graft.functions.TextFunctions.PiiPatterns
       def red(expr: String, upTo: Int): String =
