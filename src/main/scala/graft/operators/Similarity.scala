@@ -440,4 +440,91 @@ object Similarity {
     else
       out.select(col(idCol), col("b.cid").as("centroid_id"), col("b.sim").as("sim"))
   }
+
+  /** Angular SAFETY PAD (radians) added to every cluster radius and
+    * subtracted from the prune bound: covers the 6-dp cosine rounding
+    * and double arithmetic wobble between the radius pass and the route.
+    * Pruning stays LOSSLESS under the pad (a pruned cluster provably
+    * holds no qualifying member); the only cost is the rare borderline
+    * cluster scanned unnecessarily. */
+  private val RangePadRad = 1e-3
+
+  private def clampedAcos(c: Column): Column =
+    acos(greatest(lit(-1.0d), least(lit(1.0d), c)))
+
+  /** Per-cluster angular radius — max angle(centroid, member) over an
+    * ivfAssign/AnnStore-shaped corpus (idCol, centroid_id, v): ONE
+    * broadcast-join scan folding each member against its own centroid
+    * row, aggregated to K bounded rows. In production this sidecar is
+    * computed once at ingest and stored beside the centroids (same
+    * K-row footprint); recomputing here is the cold build stage. */
+  def clusterRadii(assigned: DataFrame, centroids: DataFrame,
+                   cIdCol: String, vecCol: String): DataFrame = {
+    require(Seq("centroid_id", "v").forall(assigned.columns.contains),
+      s"`assigned` needs (centroid_id, v); got: ${assigned.columns.mkString(", ")}")
+    val cents = broadcast(centroids.select(col(cIdCol).as("r_cid"),
+      asDouble(col(vecCol)).as("c_v")))
+    assigned.join(cents, col("centroid_id") === col("r_cid"))
+      .groupBy(col("centroid_id"))
+      .agg((max(clampedAcos(cosine(col("v"), col("c_v")))) + lit(RangePadRad))
+        .as("radius"))
+  }
+
+  /** Driver-side RANGE route: ids of every cluster that could hold a
+    * member with cosine >= minCosine, by the spherical triangle
+    * inequality — angle(q, x) >= angle(q, c) − radius(c), so a cluster
+    * is pruned only when even its best-possible member falls short.
+    * LOSSLESS by construction (unlike nProbe's recall dial): the result
+    * set is pruning-blind. K bounded rows collect (routing metadata,
+    * the probeRoute discipline); may legitimately be EMPTY when the
+    * threshold outruns every cluster. */
+  def rangeRoute(centroids: DataFrame, cIdCol: String, vecCol: String,
+                 radii: DataFrame, query: Seq[Double],
+                 minCosine: Double): Seq[Any] = {
+    require(query.nonEmpty, "rangeRoute: empty query vector")
+    centroids
+      .select(col(cIdCol).as("q_cid"),
+        clampedAcos(cosine(asDouble(col(vecCol)), typedlit(query))).as("q_ang"))
+      .join(radii, col("q_cid") === col("centroid_id"))
+      .select(col("q_cid"), col("q_ang"), col("radius"))
+      .collect()
+      .filter { r =>
+        val bestPossible = math.cos(math.max(0.0, r.getDouble(1) - r.getDouble(2)))
+        bestPossible >= minCosine - 1e-9
+      }
+      .map(_.get(0)).toIndexedSeq
+  }
+
+  /** EXACT radius search: every corpus member with rounded cosine >=
+    * minCosine — the range twin of [[ivfSearchAssigned]], and like it
+    * never a whole-corpus scan: survivors of [[rangeRoute]] become a
+    * foldable `IN` (static partition pruning on a centroid-partitioned
+    * [[graft.sinks.AnnStore]]), then the exact filter decides
+    * membership. Result is identical to brute force (spec-proven):
+    * pruning is lossless, so correctness never depends on it. */
+  def rangeSearch(assigned: DataFrame, idCol: String,
+                  centroids: DataFrame, cIdCol: String, vecCol: String,
+                  query: DataFrame, minCosine: Double): DataFrame = {
+    val rows = query.select(asDouble(col(vecCol)).as("q_v")).limit(2).collect()
+    require(rows.length == 1,
+      "rangeSearch expects exactly one query row; range-search batches per query id")
+    rangeSearch(assigned, idCol, centroids, cIdCol, vecCol,
+      rows(0).getSeq[Double](0), minCosine)
+  }
+
+  /** [[rangeSearch]] with an already-validated LOCAL query vector. */
+  def rangeSearch(assigned: DataFrame, idCol: String,
+                  centroids: DataFrame, cIdCol: String, vecCol: String,
+                  query: Seq[Double], minCosine: Double): DataFrame = {
+    require(Seq(idCol, "centroid_id", "v").forall(assigned.columns.contains),
+      s"`assigned` needs ($idCol, centroid_id, v) — the ivfAssign(keepVec=true) / AnnStore.read shape; got: ${assigned.columns.mkString(", ")}")
+    require(query.nonEmpty, "rangeSearch: empty query vector")
+    val radii = clusterRadii(assigned, centroids, cIdCol, vecCol)
+    val survivors = rangeRoute(centroids, cIdCol, vecCol, radii, query, minCosine)
+    val clusterFilter =
+      if (survivors.isEmpty) lit(false) else col("centroid_id").isin(survivors: _*)
+    assigned.filter(clusterFilter)
+      .select(col(idCol), round(cosine(col("v"), typedlit(query)), 6).as("cosine"))
+      .filter(col("cosine") >= lit(minCosine))
+  }
 }

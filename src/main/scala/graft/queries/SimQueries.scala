@@ -226,6 +226,22 @@ object SimQueries {
         query = e.filter(col("vec_id") === 0), k = 10, nProbe = 2)
     }),
 
+    // EXACT radius search — the range twin of top-k serving: every
+    // member with cosine >= τ, with clusters pruned by the spherical
+    // triangle inequality (angle(q,x) >= angle(q,c) − radius(c)).
+    // Pruning is LOSSLESS — a pruned cluster provably holds no
+    // qualifying member — so the oracle brute-forces the same set and
+    // the result is pruning-blind; on a centroid-partitioned store the
+    // survivor IN-filter is static partition pruning
+    "sim_range_search" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid")
+      Similarity.rangeSearch(
+        Similarity.ivfAssign(e, "embedding", "vec_id", cents, "cid", keepVec = true),
+        "vec_id", cents, "cid", "embedding",
+        query = e.filter(col("vec_id") === 1), minCosine = 0.25)
+    }),
+
     // ANN over the PREBUILT centroid-partitioned store: assignment was
     // paid once at ingest (memoized write above); the driver-routed probe
     // ids become a STATIC partition filter, so the scan reads only the 2
@@ -941,6 +957,16 @@ object SimQueries {
                    round(${fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * q.v[CAST(i AS INT)])")} / (a.nrm * q.nrm), 6) AS cosine
             FROM n a CROSS JOIN q)
           QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id) <= 10""",
+    // brute-force range scan — cluster pruning is lossless by the
+    // triangle inequality, so the oracle never needs to see it
+    "sim_range_search" ->
+      s"""WITH n AS (${normed(vecs)}),
+            q AS (SELECT v, nrm FROM n WHERE vec_id = 1)
+          SELECT vec_id, cosine FROM (
+            SELECT a.vec_id AS vec_id,
+                   round(${fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * q.v[CAST(i AS INT)])")} / (a.nrm * q.nrm), 6) AS cosine
+            FROM n a CROSS JOIN q)
+          WHERE cosine >= 0.25""",
     "sim_ann_ivf" ->
       s"""WITH n AS (${normed(vecs)}),
             c AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 8),
