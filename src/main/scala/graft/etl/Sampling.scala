@@ -228,4 +228,36 @@ object Sampling {
       .select(grp :+ (col("__pos") + 1).as("sample_rank")
         :+ col("__pk").bitwiseAND(lit(ReservoirMaxId)).as(idCol): _*)
   }
+
+  /** MIXTURE-REWEIGHTING rates — the domain-mixing stage of a training
+    * pipeline (Pile/Dolma-style: the corpus's natural composition is not
+    * the mix you want to train on): per group, the downsampling rate
+    * that moves the token mass toward a UNIFORM target share, capped at
+    * 1 (downsample the overrepresented, never upsample — repetition is a
+    * training decision, not a sampling one). Returns (groupCol, n_docs,
+    * tokens, share = natural token share, ppm, rate = ppm/1e6).
+    *
+    * The rate is carried as integer PPM — `floor(1e6·total / (n_groups·
+    * tokens))` — so it feeds [[weightedBernoulli]] directly and the
+    * whole mix stays exact integer-threshold arithmetic end to end
+    * (never a float RNG, identical on any engine that replays the md5).
+    * Two bounded aggregations (one per-group, one G-row total); at
+    * 100 TB this is a scan + a G-row broadcast, and applying the mix is
+    * weightedBernoulli's zero-shuffle map-side filter. */
+  def domainMixRates(df: DataFrame, groupCol: String, costCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(costCol)).cast("bigint").as("tokens"))
+    val tot = per.agg(sum(col("tokens")).cast("bigint").as("total"),
+      count(lit(1)).as("n_groups"))
+    per.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"), col("tokens"),
+        round(col("tokens").cast("double") / col("total").cast("double"), 6)
+          .as("share"),
+        least(lit(1000000L),
+          floor((lit(1000000L) * col("total")).cast("double") /
+            (col("n_groups") * col("tokens")).cast("double")).cast("long"))
+          .as("ppm"))
+      .withColumn("rate", col("ppm").cast("double") / lit(1000000))
+  }
 }

@@ -378,6 +378,29 @@ object TextQueries {
         .select(col("doc_id"), col("source"), ppm.as("ppm"))
     }),
 
+    // the MIXTURE-REWEIGHTING stage (Pile/Dolma-style): per-source
+    // downsampling rates toward a uniform token target, then the mix
+    // REALIZED by the same deterministic integer-ppm Bernoulli filter
+    // ta_weighted_sample uses — natural share, rate, and the kept
+    // masses all in one report, exact integer arithmetic end to end
+    "ta_domain_mix" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("tk"))
+      val mix = graft.etl.Sampling.domainMixRates(doc, "source", "tk")
+      val kept = graft.etl.Sampling.weightedBernoulli(
+          doc.join(broadcast(mix.select(col("source"), col("ppm"))), Seq("source")),
+          "doc_id", col("ppm"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("tk")).cast("bigint").as("kept_tokens"))
+      mix.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("tokens"), col("share"),
+          col("rate"), col("ppm"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+    }),
+
     // URL canonicalization + collapse — the FIRST dedup a crawl pipeline
     // runs: the same page arrives as http/https, with/without www.,
     // tracking params, fragments, trailing slashes, mixed case. URLs are
@@ -1471,6 +1494,31 @@ object TextQueries {
          FROM documents
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                % 1000000 < least(1000000, 200000 + n_chars * 40)""",
+    // replays rates (integer-ppm floor toward the uniform token target)
+    // and the realized md5-threshold Bernoulli keep in one statement
+    "ta_domain_mix" ->
+      """WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS tk
+                    FROM documents),
+            per AS (SELECT source, count(*) AS n_docs,
+                           CAST(sum(tk) AS BIGINT) AS tokens FROM d GROUP BY 1),
+            tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total,
+                           count(*) AS n_groups FROM per),
+            mix AS (SELECT source, n_docs, tokens,
+                           round(tokens::DOUBLE / total::DOUBLE, 6) AS share,
+                           least(1000000, CAST(floor((1000000 * total)::DOUBLE
+                             / (n_groups * tokens)::DOUBLE) AS BIGINT)) AS ppm
+                    FROM per CROSS JOIN tot),
+            kept AS (SELECT d.source, count(*) AS n_kept,
+                            CAST(sum(d.tk) AS BIGINT) AS kept_tokens
+                     FROM d JOIN mix USING (source)
+                     WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                           % 1000000 < mix.ppm
+                     GROUP BY 1)
+          SELECT m.source, m.n_docs, m.tokens, m.share,
+                 m.ppm::DOUBLE / 1000000 AS rate, m.ppm,
+                 coalesce(k.n_kept, 0) AS n_kept,
+                 coalesce(k.kept_tokens, 0) AS kept_tokens
+          FROM mix m LEFT JOIN kept k USING (source)""",
     "ta_url_canon" ->
       """WITH b AS (SELECT doc_id,
                            'Site' || CAST(doc_id // 4 AS VARCHAR) ||

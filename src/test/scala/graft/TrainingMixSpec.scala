@@ -324,4 +324,28 @@ class TrainingMixSpec extends SparkSpec {
     val viaBatch = minK(batch).as[(String, Seq[Long])].collect().toMap
     assert(viaStream === viaBatch, "stream and batch reservoirs must be identical")
   }
+
+  test("domainMixRates: uniform target, cap at 1, hand-checked ppm arithmetic") {
+    // three sources with token mass 600/300/100 → total 1000, target 333.3
+    val docs = (
+      (0 until 6).map(i => (i.toLong, "big", 100)) ++
+      (0 until 3).map(i => (100L + i, "mid", 100)) ++
+      Seq((200L, "small", 100))).toDF("doc_id", "source", "tk")
+    val out = Sampling.domainMixRates(docs, "source", "tk")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5))).toMap
+    // big: floor(1e6*1000/(3*600)) = floor(555555.55) = 555555
+    assert(out("big") === ((6L, 600L, 0.6, 555555L, 0.555555)))
+    // mid: floor(1e6*1000/(3*300)) = 1111111 → capped at 1e6 (never upsample)
+    assert(out("mid") === ((3L, 300L, 0.3, 1000000L, 1.0)))
+    assert(out("small") === ((1L, 100L, 0.1, 1000000L, 1.0)))
+    // rates feed weightedBernoulli directly: kept mass moves TOWARD the
+    // target — the overrepresented source sheds tokens, capped keep all
+    val withPpm = docs.join(
+      Sampling.domainMixRates(docs, "source", "tk").select("source", "ppm"), Seq("source"))
+    val kept = Sampling.weightedBernoulli(withPpm, "doc_id", col("ppm"))
+    assert(kept.filter(col("source") =!= "big").count() === 4L,
+      "ppm=1e6 sources keep every doc")
+    assert(kept.filter(col("source") === "big").count() <= 6L)
+  }
 }
