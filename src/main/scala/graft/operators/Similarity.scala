@@ -482,12 +482,18 @@ object Similarity {
                  radii: DataFrame, query: Seq[Double],
                  minCosine: Double): Seq[Any] = {
     require(query.nonEmpty, "rangeRoute: empty query vector")
-    centroids
+    val routed = centroids
       .select(col(cIdCol).as("q_cid"),
         clampedAcos(cosine(asDouble(col(vecCol)), typedlit(query))).as("q_ang"))
       .join(radii, col("q_cid") === col("centroid_id"))
       .select(col("q_cid"), col("q_ang"), col("radius"))
       .collect()
+    // pruned-to-EMPTY is a legitimate answer; routing over NO clusters is
+    // a caller bug (empty centroid frame / empty store) — probeRoute's
+    // raise-on-bad-input rule, not a silently-empty result
+    require(routed.nonEmpty,
+      "rangeRoute: no clusters to route — empty centroid frame or empty store")
+    routed
       .filter { r =>
         val bestPossible = math.cos(math.max(0.0, r.getDouble(1) - r.getDouble(2)))
         bestPossible >= minCosine - 1e-9

@@ -71,6 +71,15 @@ class RangeSearchSpec extends SparkSpec {
       "no qualifying member may live in a pruned cluster")
   }
 
+  test("empty centroid frame raises — a silently-empty range result would hide a broken store") {
+    val none = cents.filter(col("cid") < -1)
+    val radii = Similarity.clusterRadii(assigned, cents, "cid", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.rangeRoute(none, "cid", "embedding", radii, qvec, 0.0)
+    }
+    assert(e.getMessage.contains("no clusters to route"))
+  }
+
   test("unreachable threshold: empty result, no error") {
     val out = Similarity.rangeSearch(assigned, "vec_id", cents, "cid", "embedding",
       qvec, minCosine = 0.999999)
