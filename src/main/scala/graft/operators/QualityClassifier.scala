@@ -68,8 +68,14 @@ object QualityClassifier {
       .select(col("wm"), odds(lit(0L), lit(0L)).as("w0"))
       .crossJoin(prior)
       .select(col("wm"), col("w0"),
-        log((col("dp") + lit(1L)).cast("double") /
-          (col("dn") + lit(1L)).cast("double")).as("bias"),
+        // a single-class slice trains a model that scores everything one
+        // way — silently useless; raise instead (fused into the bias every
+        // scorer reads, so no plan can elide the guard)
+        when(col("dp") === 0L || col("dn") === 0L,
+          raise_error(lit("logOddsModel: training slice needs both classes" +
+            " — positive and negative examples")))
+          .otherwise(log((col("dp") + lit(1L)).cast("double") /
+            (col("dn") + lit(1L)).cast("double"))).as("bias"),
         b.as("n_buckets"))
   }
 

@@ -68,6 +68,13 @@ class QualityClassifierSpec extends SparkSpec {
     assert(!out(1).getBoolean(3) && out(1).getDouble(2) < 0, "crawl vocabulary dropped")
   }
 
+  test("single-class training slice raises — a one-sided model is silently useless") {
+    val oneSided = Seq((1L, true, "good"), (2L, true, "fine")).toDF("doc_id", "pos", "text")
+    val model = QualityClassifier.logOddsModel(oneSided, "text", "pos", buckets = 64)
+    val e = intercept[Exception] { model.head() }
+    assert(e.getMessage.contains("both classes"))
+  }
+
   test("dedup_soft: weight law 1/|cluster|, singletons 1.0, consistent with the shared labeling") {
     val out = SparkEntry.queries("dedup_soft")(spark, sf)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
