@@ -245,7 +245,16 @@ object Sampling {
     * 100 TB this is a scan + a G-row broadcast, and applying the mix is
     * weightedBernoulli's zero-shuffle map-side filter. */
   def domainMixRates(df: DataFrame, groupCol: String, costCol: String): DataFrame = {
-    val per = df.groupBy(col(groupCol))
+    // a NULL group would form its own mix row, then silently drop out of
+    // the equi-join that applies the rates — the kept mass would never
+    // reconcile with the report; raise instead (fused into the key, so
+    // pruning can't elide the guard)
+    val per = df
+      .select(when(col(groupCol).isNull,
+          raise_error(lit(s"domainMixRates: null $groupCol — every row needs a group")))
+          .otherwise(col(groupCol)).as(groupCol),
+        col(costCol))
+      .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(costCol)).cast("bigint").as("tokens"))
     val tot = per.agg(sum(col("tokens")).cast("bigint").as("total"),

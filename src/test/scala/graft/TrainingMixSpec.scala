@@ -348,4 +348,13 @@ class TrainingMixSpec extends SparkSpec {
       "ppm=1e6 sources keep every doc")
     assert(kept.filter(col("source") === "big").count() <= 6L)
   }
+
+  test("domainMixRates: null group raises — a null-keyed mix row would never reconcile") {
+    val docs = Seq((1L, "a", 10), (2L, null.asInstanceOf[String], 10))
+      .toDF("doc_id", "source", "tk")
+    val e = intercept[Exception] {
+      Sampling.domainMixRates(docs, "source", "tk").collect()
+    }
+    assert(e.getMessage.contains("null source"))
+  }
 }
