@@ -335,6 +335,63 @@ object Similarity {
       .limit(k)
   }
 
+  /** Metadata-FILTERED ANN search — the "filtered vector search" serving
+    * primitive: top-k among the corpus rows satisfying `predicate`,
+    * restricted to the query's `nProbe` nearest clusters. The predicate
+    * is evaluated over columns STORED WITH the vectors (an
+    * `ivfAssign(metaCols = …)` ingest carries them through the
+    * zero-shuffle fold into the store's partition files), so this is
+    * PRE-filtering: candidates are filtered before ranking, and the
+    * result is the top-k OF the filtered set — never the (recall-broken)
+    * post-filter of an unfiltered top-k, which returns < k rows the
+    * moment any unfiltered winner fails the predicate.
+    *
+    * Plan shape at scale: on an [[graft.sinks.AnnStore]] the probe route
+    * is a foldable `IN` (static partition pruning — only nProbe of K
+    * directories are listed) and `predicate` lands in the SAME scan as a
+    * pushed parquet filter (`PushedFilters` — spec-proven), so row
+    * groups whose metadata statistics exclude the predicate are skipped
+    * before a vector is decoded. Scoring stays a map-side projection;
+    * the only data read is the probed clusters' predicate-surviving row
+    * groups. Contrast [[hybridTopK]], which takes the predicate's
+    * survivors as an EXTERNAL candidate-id frame (keyword scan, ACL
+    * table…) and joins; this path is for predicates the store itself can
+    * answer — no join of any kind appears in the plan.
+    *
+    * Recall caveat (the dial this family always prices): nProbe bounds
+    * the clusters scanned BEFORE the filter, so as the predicate gets
+    * more selective, fewer of the true filtered top-k live in the probed
+    * clusters — production filtered-ANN raises nProbe with filter
+    * selectivity. Measure with [[annRecall]] over the filtered corpus;
+    * probing all K clusters is exact here exactly as in [[ivfSearch]]. */
+  def filteredSearch(assigned: DataFrame, idCol: String,
+                     centroids: DataFrame, cIdCol: String, vecCol: String,
+                     predicate: Column, query: DataFrame, k: Int,
+                     nProbe: Int): DataFrame = {
+    val rows = query.select(asDouble(col(vecCol)).as("q_v")).limit(2).collect()
+    require(rows.length == 1,
+      "filteredSearch expects exactly one query row; for batched queries carry a query id and rank per query")
+    filteredSearch(assigned, idCol, centroids, cIdCol, vecCol, predicate,
+      rows(0).getSeq[Double](0), k, nProbe)
+  }
+
+  /** [[filteredSearch]] with an already-validated LOCAL query vector —
+    * the typed fast path: the only eager work is the K-row probe route. */
+  def filteredSearch(assigned: DataFrame, idCol: String,
+                     centroids: DataFrame, cIdCol: String, vecCol: String,
+                     predicate: Column, query: Seq[Double], k: Int,
+                     nProbe: Int): DataFrame = {
+    require(Seq(idCol, "centroid_id", "v").forall(assigned.columns.contains),
+      s"`assigned` needs ($idCol, centroid_id, v) — the ivfAssign(keepVec=true) / AnnStore.read shape; got: ${assigned.columns.mkString(", ")}")
+    require(query.nonEmpty, "filteredSearch: empty query vector")
+    assigned
+      .filter(col("centroid_id").isin(probeRoute(centroids, cIdCol, vecCol, query, nProbe): _*))
+      .filter(predicate)
+      .select(col(idCol), round(cosine(col("v"), typedlit(query)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Driver-side probe ROUTE: the ids of the `nProbe` centroids nearest
     * the query (rounded cosine desc, id tiebreak — the same total order
     * every ivf consumer uses). Bounded routing metadata (≤ nProbe ids,
@@ -413,8 +470,11 @@ object Similarity {
     * ordering by (sim DESC, centroid_id). */
   def ivfAssign(df: DataFrame, vecCol: String, idCol: String,
                 centroids: DataFrame, cIdCol: String,
-                keepVec: Boolean = false): DataFrame = {
+                keepVec: Boolean = false,
+                metaCols: Seq[String] = Nil): DataFrame = {
     import graft.expressions.VectorExpressions.{dot, l2norm}
+    require(!metaCols.contains(vecCol) && !metaCols.contains(idCol),
+      s"metaCols must not repeat the id/vector columns; got: ${metaCols.mkString(", ")}")
     val packed = broadcast(
       centroids
         .select(struct(col(cIdCol).as("cid"), asDouble(col(vecCol)).as("cv"),
@@ -429,16 +489,20 @@ object Similarity {
         when(s > b.getField("sim"), struct(s.as("sim"), c.getField("cid").as("cid")))
           .otherwise(b)
       })
-    val out = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    // metaCols ride the SAME zero-shuffle fold as the vector: carrying
+    // serving metadata (language, license, source…) into the assignment —
+    // and from there into an AnnStore's partition files, where a filtered
+    // probe pushes predicates on it into the pruned scan — costs no id
+    // re-join at ingest, it is the same map-side projection
+    val out = df.select(col(idCol) +: asDouble(col(vecCol)).as("v") +: metaCols.map(col): _*)
       .withColumn("nrm", l2norm(col("v")))
       .crossJoin(packed)
       .withColumn("b", best)
+    val base = Seq(col(idCol), col("b.cid").as("centroid_id"), col("b.sim").as("sim"))
     // keepVec lets consumers that need the vector (bucketed near-dup,
     // k-means update) avoid re-joining the corpus by id — one less shuffle
-    if (keepVec)
-      out.select(col(idCol), col("b.cid").as("centroid_id"), col("b.sim").as("sim"), col("v"))
-    else
-      out.select(col(idCol), col("b.cid").as("centroid_id"), col("b.sim").as("sim"))
+    val kept = if (keepVec) base :+ col("v") else base
+    out.select(kept ++ metaCols.map(col): _*)
   }
 
   /** Angular SAFETY PAD (radians) added to every cluster radius and

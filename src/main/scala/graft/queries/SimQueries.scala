@@ -16,7 +16,7 @@ object SimQueries {
     * before each timed pass via [[clearMemos]], so the artifact's median
     * measures the full build+search cost; the warm (store-prebuilt) search
     * time is recorded separately as a `warm` entry. */
-  val memoized: Set[String] = Set("sim_ann_pruned", "sim_ivfpq_search")
+  val memoized: Set[String] = Set("sim_ann_pruned", "sim_ann_filtered", "sim_ivfpq_search")
 
   /** One centroid-partitioned [[graft.sinks.AnnStore]] per (application,
     * sf dir), built on first use — same memo discipline as
@@ -43,8 +43,11 @@ object SimQueries {
 
   private def annStore(s: org.apache.spark.sql.SparkSession, d: String): String =
     annStoreCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
+      // label rides the assignment's zero-shuffle fold into the store's
+      // partition files — the serving metadata sim_ann_filtered's pushed
+      // predicate reads without any join
       val assigned = Similarity.ivfAssign(t(s, d, "embeddings"), "embedding", "vec_id",
-        centroids(s, d), "cid", keepVec = true)
+        centroids(s, d), "cid", keepVec = true, metaCols = Seq("label"))
       val dir = java.nio.file.Files.createTempDirectory("graft_ann")
       annHook
       annTmpDirs.add(dir)
@@ -103,6 +106,9 @@ object SimQueries {
 
   private def annReclusterDir(s: org.apache.spark.sql.SparkSession, d: String): String =
     scratchDir(s, d, "recluster")
+
+  private def annMergeDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    scratchDir(s, d, "merge")
 
   /** Drop the memoized ANN store (and delete its files): the next
     * `sim_ann_pruned` call pays the full ingest-time build again. Bench
@@ -252,6 +258,47 @@ object SimQueries {
       Similarity.ivfSearchAssigned(
         graft.sinks.AnnStore.read(s, annStore(s, d)), "vec_id",
         centroids(s, d), "cid", "embedding",
+        query = e.filter(col("vec_id") === 1), k = 10, nProbe = 2)
+    }),
+
+    // metadata-FILTERED ANN over the same prebuilt store: the label
+    // predicate is PRE-filtering (top-k OF the filtered set, never a
+    // recall-broken post-filter of an unfiltered top-k), and physically
+    // it lands in the probed scan as a pushed parquet filter BESIDE the
+    // static partition filter (AnnStoreSpec proves both), so the only
+    // bytes read are the probed clusters' predicate-surviving row groups
+    "sim_ann_filtered" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.filteredSearch(
+        graft.sinks.AnnStore.read(s, annStore(s, d)), "vec_id",
+        centroids(s, d), "cid", "embedding",
+        predicate = col("label") === 3,
+        query = e.filter(col("vec_id") === 1), k = 10, nProbe = 2)
+    }),
+
+    // shard CONSOLIDATION, run cold end to end: two writers each built
+    // their own store against the SAME centroids (deterministic
+    // assignment — any corpus split assigns identically), then MERGE
+    // renames src's immutable cluster files into dst's matching dirs —
+    // O(files) namenode metadata, zero data bytes moved — and search
+    // serves the union. The oracle is the full-corpus IVF search:
+    // build-in-shards-then-merge must equal having ingested everything
+    // into one store up front
+    "sim_ann_merge" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = centroids(s, d)
+      val dst = annMergeDir(s, d) + "/dst"
+      val src = annMergeDir(s, d) + "/src"
+      deleteRecursively(new java.io.File(dst))
+      deleteRecursively(new java.io.File(src))
+      def assign(part: org.apache.spark.sql.DataFrame) =
+        Similarity.ivfAssign(part, "embedding", "vec_id", cents, "cid", keepVec = true)
+      // parity split: both shards are non-empty at every scale factor
+      graft.sinks.AnnStore.write(assign(e.filter(pmod(col("vec_id"), lit(2)) === 0)), dst)
+      graft.sinks.AnnStore.write(assign(e.filter(pmod(col("vec_id"), lit(2)) === 1)), src)
+      graft.sinks.AnnStore.merge(s, src, dst)
+      Similarity.ivfSearchAssigned(
+        graft.sinks.AnnStore.read(s, dst), "vec_id", cents, "cid", "embedding",
         query = e.filter(col("vec_id") === 1), k = 10, nProbe = 2)
     }),
 
@@ -1009,8 +1056,16 @@ object SimQueries {
     // identical SEMANTICS to sim_ann_search (different query row): the
     // partitioned store changes the physical plan, never the answer
     "sim_ann_pruned" -> annSearchSql(qid = 1),
+    // PRE-filter semantics: top-k of the label-filtered corpus within the
+    // probed clusters — the filter narrows the candidate set, never the
+    // probe route (centroids are index metadata, not corpus rows)
+    "sim_ann_filtered" -> annSearchSql(qid = 1,
+      corpusWhere = "n.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 3)"),
     // append-then-search ≡ ingest-everything-then-search
     "sim_ann_upsert" -> annSearchSql(qid = 1),
+    // build-in-shards-then-merge ≡ ingest-everything-then-search: a merge
+    // moves files between directories, never rows between clusters
+    "sim_ann_merge" -> annSearchSql(qid = 1),
     // write+append+compact+search ≡ ingest-everything-then-search:
     // compaction is layout, never semantics
     "sim_ann_compact" -> annSearchSql(qid = 1),

@@ -282,6 +282,112 @@ object AnnStore {
     }
   }
 
+  // ---- merge (shard consolidation) ----
+
+  /** MERGE the store at `srcPath` INTO the one at `dstPath` — shard
+    * consolidation, the lifecycle stage parallel ingest implies: N
+    * writers each built their own store against the SAME centroids
+    * (ivfAssign is deterministic, so any corpus split assigns
+    * identically), and serving wants ONE index. Because both layouts
+    * partition by `centroid_id` and parquet files are immutable, the
+    * merge is pure FILE-SYSTEM METADATA: each src cluster's files rename
+    * into dst's matching directory (created if dst lacked the cluster),
+    * tombstone sidecars union the same way, and the src root drops last.
+    * O(files) namenode ops, zero data bytes read or written — at 100 TB
+    * a merge costs the same as at 100 MB.
+    *
+    * Contract: same centroids (enforced when BOTH stores carry a
+    * `_centroids` sidecar — they must agree exactly; a store without one
+    * keeps its centroids externally and the caller owns the assertion)
+    * and same data schema (enforced — one footer read per store; the
+    * partition column is excluded, its type is discovery-time inference
+    * over values, not storage). Duplicate ids across the two stores
+    * behave exactly as duplicate rows do under [[append]]. Src's own
+    * `_centroids` sidecar, when present, drops with the src root — dst's
+    * index metadata governs the merged store.
+    *
+    * Visibility and crash windows: [[append]]'s contract, not a swap —
+    * dst only GAINS complete immutable files, so a concurrent reader
+    * sees some prefix of the merge and every row it reads is valid; a
+    * crash mid-merge leaves each file at exactly one of the two roots
+    * (rename is atomic), no row lost or duplicated, and re-running the
+    * merge completes it (idempotent — already-moved files are simply no
+    * longer at src). Serialized against other writers by BOTH stores'
+    * writer fences (dst's taken first — callers running merges
+    * concurrently must order paths the same way or one raises).
+    *
+    * @return the cluster ids that received files, sorted */
+  def merge(spark: SparkSession, srcPath: String, dstPath: String): Seq[Long] = {
+    require(new Path(srcPath) != new Path(dstPath),
+      s"AnnStore.merge: src and dst are the same store ($srcPath)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dfs = new Path(dstPath).getFileSystem(conf)
+    val sfs = new Path(srcPath).getFileSystem(conf)
+    PartitionSwap.withWriterLock(dfs, dstPath, "AnnStore") {
+      PartitionSwap.withWriterLock(sfs, srcPath, "AnnStore") {
+        recoverRecluster(dfs, dstPath); recoverSwap(dfs, dstPath)
+        recoverRecluster(sfs, srcPath); recoverSwap(sfs, srcPath)
+        require(sfs.exists(new Path(srcPath)), s"AnnStore.merge: no store at $srcPath")
+        require(dfs.exists(new Path(dstPath)), s"AnnStore.merge: no store at $dstPath")
+        def sig(p: String) = spark.read.parquet(p).schema
+          .filterNot(_.name == "centroid_id").map(f => (f.name, f.dataType))
+        val (ss, ds) = (sig(srcPath), sig(dstPath))
+        if (ss != ds)
+          throw new IllegalArgumentException(
+            s"AnnStore.merge: schema mismatch — src $ss vs dst $ds; a merged " +
+              "store would fail (or silently widen) at read time")
+        val sCents = new Path(srcPath + "/_centroids")
+        val dCents = new Path(dstPath + "/_centroids")
+        if (sfs.exists(sCents) && dfs.exists(dCents)) {
+          def rows(p: String) = spark.read.parquet(p)
+            .collect().map(r => (r.getAs[Any](0), r.getSeq[Double](1))).sortBy(_._1.toString)
+          if (!rows(sCents.toString).sameElements(rows(dCents.toString)))
+            throw new IllegalArgumentException(
+              "AnnStore.merge: the two stores' _centroids sidecars differ — " +
+                "stores assigned against different centroids cannot file-merge; " +
+                "recluster one side (or re-ingest) first")
+        }
+        val srcClusters = clusterDirs(sfs, new Path(srcPath)).sortBy(clusterId)
+        srcClusters.foreach { srcC =>
+          val dstC = new Path(new Path(dstPath), srcC.getName)
+          dfs.mkdirs(dstC)
+          sfs.listStatus(srcC).filter(_.isFile).foreach { st =>
+            val target = new Path(dstC, st.getPath.getName)
+            // committer-written part files carry UUIDs, so a collision means
+            // something is deeply wrong (the same store merged twice?) —
+            // raise rather than overwrite a live file
+            if (dfs.exists(target))
+              throw new IllegalStateException(
+                s"AnnStore.merge: $target already exists — refusing to overwrite")
+            PartitionSwap.mv(sfs, st.getPath, target)
+          }
+        }
+        val srcTomb = new Path(tombstoneDir(srcPath))
+        if (sfs.exists(srcTomb)) {
+          val data = sfs.listStatus(srcTomb).filter { s =>
+            val n = s.getPath.getName
+            s.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+          if (data.nonEmpty) {
+            val dstTomb = new Path(tombstoneDir(dstPath))
+            dfs.mkdirs(dstTomb)
+            data.foreach { st =>
+              val target = new Path(dstTomb, st.getPath.getName)
+              if (dfs.exists(target))
+                throw new IllegalStateException(
+                  s"AnnStore.merge: $target already exists — refusing to overwrite")
+              PartitionSwap.mv(sfs, st.getPath, target)
+            }
+          }
+        }
+        // src drops LAST: a crash anywhere above leaves every file at
+        // exactly one root and a re-run completes the move
+        sfs.delete(new Path(srcPath), true)
+        srcClusters.map(clusterId)
+      }
+    }
+  }
+
   // ---- recluster (the lifecycle's drift remedy) ----
 
   /** The trained-centroid sidecar a [[recluster]] leaves behind: the

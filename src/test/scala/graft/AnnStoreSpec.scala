@@ -517,4 +517,170 @@ class AnnStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // the unknown id's tombstone purged away with the batch: sidecar clear
     assert(AnnStore.tombstones(spark, path).isEmpty)
   }
+
+  // ---- merge (shard consolidation) ----
+
+  private def buildShard(pred: org.apache.spark.sql.Column): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annspec").toFile
+    storeDirs += dir
+    val path = dir.toString + "/store"
+    AnnStore.write(
+      Similarity.ivfAssign(corpus.filter(pred), "embedding", "vec_id", cents, "cid",
+        keepVec = true),
+      path)
+    path
+  }
+
+  test("merge: shard-built stores consolidate by file moves — search = full ingest, dst files untouched, src gone") {
+    val dst = buildShard(pmod($"vec_id", lit(2)) === 0)
+    val src = buildShard(pmod($"vec_id", lit(2)) === 1)
+    def filesIn(path: String, cid: Long): Set[String] = {
+      val f = new java.io.File(path, s"centroid_id=$cid")
+      if (f.exists()) f.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+      else Set.empty
+    }
+    val dstBefore = (0L until 8L).map(c => c -> filesIn(dst, c)).toMap
+    val srcFiles = (0L until 8L).map(c => filesIn(src, c)).reduce(_ ++ _)
+    val moved = AnnStore.merge(spark, src, dst)
+    assert(moved.nonEmpty)
+    assert(!new java.io.File(src).exists(), "src root must drop after the merge")
+    val dstAfter = (0L until 8L).map(c => c -> filesIn(dst, c)).toMap
+    (0L until 8L).foreach { c =>
+      assert(dstBefore(c).subsetOf(dstAfter(c)),
+        s"merge must never rewrite or drop dst partition $c's existing files")
+    }
+    assert(srcFiles.subsetOf(dstAfter.values.reduce(_ ++ _)),
+      "every src file must now live under dst (by its original name)")
+    val query = corpus.filter($"vec_id" === 1)
+    val merged = Similarity.ivfSearchAssigned(AnnStore.read(spark, dst), "vec_id",
+      cents, "cid", "embedding", query, k = 10, nProbe = 2)
+      .as[(Long, Double)].collect().toSeq
+    val full = Similarity.ivfSearch(corpus, "embedding", "vec_id",
+      cents, "cid", query, k = 10, nProbe = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(merged === full,
+      "build-in-shards-then-merge must equal having ingested everything up front")
+  }
+
+  test("merge: src's pending tombstones travel — the merged store still masks them") {
+    val dst = buildShard(pmod($"vec_id", lit(2)) === 0)
+    val src = buildShard(pmod($"vec_id", lit(2)) === 1)
+    val victim = AnnStore.read(spark, src).select("vec_id").as[Long].head()
+    AnnStore.delete(Seq(victim).toDF("vec_id"), "vec_id", src)
+    AnnStore.merge(spark, src, dst)
+    val live = AnnStore.readLive(spark, dst, "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    assert(!live.contains(victim), "src's tombstone must mask in the merged store")
+    assert(live.nonEmpty)
+  }
+
+  test("merge: a crashed merge re-runs to completion (files are never lost or duplicated)") {
+    val dst = buildShard(pmod($"vec_id", lit(2)) === 0)
+    val src = buildShard(pmod($"vec_id", lit(2)) === 1)
+    val total = AnnStore.read(spark, src).count() + AnnStore.read(spark, dst).count()
+    // simulate a crash mid-merge: one src cluster's files already moved
+    val srcCluster = new java.io.File(src).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("centroid_id=")).head
+    val dstCluster = new java.io.File(dst, srcCluster.getName)
+    dstCluster.mkdirs()
+    srcCluster.listFiles().filter(_.isFile).foreach { f =>
+      assert(f.renameTo(new java.io.File(dstCluster, f.getName)))
+    }
+    AnnStore.merge(spark, src, dst)
+    assert(!new java.io.File(src).exists())
+    assert(AnnStore.read(spark, dst).count() === total,
+      "re-run must complete the move without losing or duplicating rows")
+  }
+
+  test("merge: mismatched _centroids sidecars raise; mismatched data schemas raise; self-merge raises") {
+    val dst = buildShard(pmod($"vec_id", lit(2)) === 0)
+    val src = buildShard(pmod($"vec_id", lit(2)) === 1)
+    Seq((0L, Seq(1.0, 2.0))).toDF("centroid_id", "c_v")
+      .write.parquet(dst + "/_centroids")
+    Seq((0L, Seq(9.0, 9.0))).toDF("centroid_id", "c_v")
+      .write.parquet(src + "/_centroids")
+    val e1 = intercept[IllegalArgumentException] { AnnStore.merge(spark, src, dst) }
+    assert(e1.getMessage.contains("_centroids"))
+    val e2 = intercept[IllegalArgumentException] { AnnStore.merge(spark, dst, dst) }
+    assert(e2.getMessage.contains("same store"))
+    // a shard whose data schema drifted (no `sim` column) must not merge
+    val dir = java.nio.file.Files.createTempDirectory("graft_annspec").toFile
+    storeDirs += dir
+    val drifted = dir.toString + "/store"
+    AnnStore.write(
+      Similarity.ivfAssign(corpus.filter(pmod($"vec_id", lit(2)) === 1), "embedding",
+        "vec_id", cents, "cid", keepVec = true).drop("sim"),
+      drifted)
+    val e3 = intercept[IllegalArgumentException] { AnnStore.merge(spark, drifted, dst) }
+    assert(e3.getMessage.contains("schema mismatch"))
+  }
+
+  test("merge: either store's held writer fence blocks it") {
+    val dst = buildShard(pmod($"vec_id", lit(2)) === 0)
+    val src = buildShard(pmod($"vec_id", lit(2)) === 1)
+    new java.io.File(src + ".lock").createNewFile()
+    val e = intercept[IllegalStateException] { AnnStore.merge(spark, src, dst) }
+    assert(e.getMessage.contains("writer fence"))
+    assert(AnnStore.breakLock(spark, src))
+    // dst's fence blocks too, and merge still completes after clearing
+    new java.io.File(dst + ".lock").createNewFile()
+    intercept[IllegalStateException] { AnnStore.merge(spark, src, dst) }
+    assert(AnnStore.breakLock(spark, dst))
+    AnnStore.merge(spark, src, dst)
+    assert(!new java.io.File(src).exists())
+  }
+
+  // ---- filtered search (metadata predicate pushed into the pruned scan) ----
+
+  test("filteredSearch: pre-filter semantics, predicate pushed beside the partition filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annspec").toFile
+    storeDirs += dir
+    val path = dir.toString + "/store"
+    // label rides ivfAssign's zero-shuffle fold into the partition files
+    AnnStore.write(
+      Similarity.ivfAssign(corpus, "embedding", "vec_id", cents, "cid",
+        keepVec = true, metaCols = Seq("label")),
+      path)
+    assert(AnnStore.read(spark, path).columns.contains("label"))
+    val qv = corpus.filter($"vec_id" === 1)
+      .select(transform($"embedding", _.cast("double")))
+      .as[Seq[Double]].head()
+    val filtered = Similarity.filteredSearch(AnnStore.read(spark, path), "vec_id",
+      cents, "cid", "embedding", $"label" === 3, qv, k = 10, nProbe = 2)
+    filtered.collect()
+    // plan: the label predicate must reach the parquet scan as a pushed
+    // filter, ALONGSIDE the static probe partition filter — the only
+    // bytes read are the probed clusters' predicate-surviving row groups
+    val scans = storeScan(filtered, path)
+    assert(scans.nonEmpty, "expected a parquet scan of the store")
+    assert(scans.head.partitionFilters.nonEmpty,
+      "probe route should plan as a partition filter")
+    assert(scans.head.metadata("PushedFilters").contains("label"),
+      s"label predicate should push into the scan: ${scans.head.metadata("PushedFilters")}")
+    // semantics: top-k OF the filtered set within the probed clusters —
+    // replayed via the unfiltered assignment + an explicit filter…
+    val probe = Similarity.probeRoute(cents, "cid", "embedding", qv, nProbe = 2)
+    val expected = Similarity.ivfAssign(corpus, "embedding", "vec_id", cents, "cid",
+        keepVec = true, metaCols = Seq("label"))
+      .filter($"centroid_id".isin(probe: _*) && $"label" === 3)
+      .select($"vec_id", org.apache.spark.sql.functions.round(
+        Similarity.cosine($"v", typedlit(qv)), 6).as("cosine"))
+      .orderBy($"cosine".desc, $"vec_id").limit(10)
+      .as[(Long, Double)].collect().toSeq
+    val got = filtered.as[(Long, Double)].collect().toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // …and every survivor genuinely carries the label (pre-filter, so the
+    // result can be DEEPER than any post-filter of the unfiltered top-k)
+    val labels = AnnStore.read(spark, path)
+      .filter($"vec_id".isin(got.map(_._1): _*))
+      .select("label").distinct().as[Int].collect().toSet
+    assert(labels === Set(3))
+    val postFilter = Similarity.ivfSearchAssigned(AnnStore.read(spark, path), "vec_id",
+        cents, "cid", "embedding", qv, k = 10, nProbe = 2)
+      .join(AnnStore.read(spark, path).filter($"label" === 3).select("vec_id"), "vec_id")
+      .count()
+    assert(postFilter <= got.size,
+      "post-filtering an unfiltered top-k can only lose rows vs pre-filtering")
+  }
 }
