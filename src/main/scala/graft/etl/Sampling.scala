@@ -269,4 +269,45 @@ object Sampling {
           .as("ppm"))
       .withColumn("rate", col("ppm").cast("double") / lit(1000000))
   }
+
+  /** TEMPERATURE-scaled mixture rates at τ = 1/2 — square-root sampling,
+    * the multilingual-training standard between natural (τ=1) and
+    * [[domainMixRates]]' uniform (τ→0) extremes: target share
+    * qᵢ ∝ pᵢ^τ, realized downsample-only like domainMixRates, so the
+    * keep rate normalizes to 1 on the SMALLEST group:
+    * rᵢ = (p_min/pᵢ)^(1−τ) = √(min_tokens/tokensᵢ). Heads flatten toward
+    * the tempered target, tails are never upsampled (repetition is a
+    * training decision, not a sampling one).
+    *
+    * τ is pinned to 1/2 deliberately: √ is IEEE-correctly-rounded, so
+    * the integer ppm — `floor(1e6·√(min_tokens/tokensᵢ))` — is
+    * bit-identical on every engine and feeds [[weightedBernoulli]]'s
+    * exact md5-threshold filter. A general-τ variant needs `pow`, whose
+    * last-ulp behavior is libm-specific — a rate that drifts by one ppm
+    * between engines flips individual keep decisions, which is exactly
+    * what this family's exact-replay contract exists to prevent.
+    * Same output shape and scale shape as [[domainMixRates]]: two
+    * bounded aggregations, a G-row broadcast, then a zero-shuffle
+    * map-side filter. */
+  def sqrtMixRates(df: DataFrame, groupCol: String, costCol: String): DataFrame = {
+    val per = df
+      .select(when(col(groupCol).isNull,
+          raise_error(lit(s"sqrtMixRates: null $groupCol — every row needs a group")))
+          .otherwise(col(groupCol)).as(groupCol),
+        col(costCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(costCol)).cast("bigint").as("tokens"))
+    val tot = per.agg(sum(col("tokens")).cast("bigint").as("total"),
+      min(col("tokens")).as("min_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"), col("tokens"),
+        round(col("tokens").cast("double") / col("total").cast("double"), 6)
+          .as("share"),
+        least(lit(1000000L),
+          floor(lit(1000000L) * sqrt(
+            col("min_tokens").cast("double") / col("tokens").cast("double"))))
+          .as("ppm"))
+      .withColumn("rate", col("ppm").cast("double") / lit(1000000))
+  }
 }

@@ -33,6 +33,36 @@ object Dedup {
       .groupBy("text_hash")
       .agg(min(col(idCol)).as("keep_id"), (count(lit(1)) - 1).as("n_dups"))
 
+  /** Mask the VOLATILE fields of a document — URLs first (their path
+    * segments are full of ids that the digit pass would otherwise turn
+    * into a half-masked mixture), then digit runs — leaving the template
+    * skeleton. RE2-portable patterns only (no lookaround), the
+    * `redactPii` discipline, so an engine replaying the mask in SQL gets
+    * the identical skeleton. */
+  def templateMask(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "https?://\\S+", "<url>"),
+      "[0-9]+", "0")
+
+  /** TEMPLATE dedup — the boilerplate rule between exact dedup and
+    * near-dup: machine-generated pages (order confirmations, product
+    * listings, error pages, per-user views of one page) differ ONLY in
+    * volatile fields — ids, counters, timestamps, session URLs — and
+    * n-gram sketches see those as genuinely different documents while a
+    * crawl may hold millions of instances of one template. Two documents
+    * are template duplicates when they are IDENTICAL after
+    * [[templateMask]]; same output contract as [[exact]] (keep the
+    * smallest id per group, count the rest).
+    *
+    * Scale shape: identical to [[exact]] — the mask is a map-side
+    * projection and only the 16-byte skeleton digest enters the shuffle;
+    * document bodies never cross the wire. A 100 TB crawl's template
+    * dedup costs one scan + one digest-sized exchange. */
+  def templateDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(md5(templateMask(col(textCol))).as("template_hash"), col(idCol))
+      .groupBy("template_hash")
+      .agg(min(col(idCol)).as("keep_id"), (count(lit(1)) - 1).as("n_dups"))
+
   /** INCREMENTAL exact dedup — the daily-crawl shape: which documents of
     * the NEW batch are genuinely new against the accumulated history?
     * Collapses the batch to one representative per digest (min id), then

@@ -119,6 +119,25 @@ object TextQueries {
     "dedup_exact_docs" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), "text", "doc_id")),
 
+    // TEMPLATE dedup: two machine-generated instances of one page —
+    // same skeleton, different ids/counters/session URLs — collapse
+    // after the volatile-field mask. Planted-wire-format corpus: every
+    // doc appears as two instances of its template with different
+    // numbers and URL ids; the mask reduces both to one skeleton, so
+    // each group pairs. Same scale shape as dedup_exact_docs — the mask
+    // is map-side, only 16-byte skeleton digests shuffle
+    "dedup_template" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      def inst(idOff: Long, urlK: Long, refK: Long) = doc.select(
+        (col("doc_id") + lit(idOff)).as("doc_id"),
+        concat(lit("GET https://site.example/item/"),
+          (col("doc_id") * urlK + lit(urlK + 2)).cast("string"),
+          lit(" ref "), (col("doc_id") * refK + lit(refK + 4)).cast("string"),
+          lit(" "), col("text")).as("text"))
+      graft.operators.Dedup.templateDedup(
+        inst(0L, 13L, 17L).unionByName(inst(1048576L, 29L, 31L)), "text", "doc_id")
+    }),
+
     // the daily-crawl shape: which docs of today's batch are genuinely
     // NEW against the accumulated history — digests only cross the wire,
     // the batch never rescans history text
@@ -388,6 +407,31 @@ object TextQueries {
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).as("tk"))
       val mix = graft.etl.Sampling.domainMixRates(doc, "source", "tk")
+      val kept = graft.etl.Sampling.weightedBernoulli(
+          doc.join(broadcast(mix.select(col("source"), col("ppm"))), Seq("source")),
+          "doc_id", col("ppm"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("tk")).cast("bigint").as("kept_tokens"))
+      mix.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("tokens"), col("share"),
+          col("rate"), col("ppm"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+    }),
+
+    // TEMPERATURE mixing at τ=1/2 (square-root sampling, the
+    // multilingual standard): the tempered midpoint between natural
+    // composition and ta_domain_mix's uniform target — keep rate
+    // √(min_tokens/tokens) per source, smallest source at 1.0, heads
+    // flattened but never erased; realized by the same exact integer-ppm
+    // Bernoulli filter (√ is correctly rounded, so the ppm is
+    // bit-identical across engines — general τ would need libm pow)
+    "ta_mix_temperature" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("tk"))
+      val mix = graft.etl.Sampling.sqrtMixRates(doc, "source", "tk")
       val kept = graft.etl.Sampling.weightedBernoulli(
           doc.join(broadcast(mix.select(col("source"), col("ppm"))), Seq("source")),
           "doc_id", col("ppm"))
@@ -1256,6 +1300,26 @@ object TextQueries {
     "dedup_exact_docs" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) - 1 AS n_dups
          FROM documents GROUP BY 1""",
+    // DuckDB regexp_replace is first-match-only without the 'g' flag;
+    // Spark's replaces all — the flag keeps the two masks identical
+    "dedup_template" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  'GET https://site.example/item/' || CAST(doc_id*13+15 AS VARCHAR)
+                    || ' ref ' || CAST(doc_id*17+21 AS VARCHAR) || ' ' || text AS text
+           FROM documents
+           UNION ALL
+           SELECT doc_id + 1048576,
+                  'GET https://site.example/item/' || CAST(doc_id*29+31 AS VARCHAR)
+                    || ' ref ' || CAST(doc_id*31+35 AS VARCHAR) || ' ' || text
+           FROM documents),
+         m AS (SELECT doc_id,
+                      regexp_replace(regexp_replace(text, 'https?://\S+', '<url>', 'g'),
+                                     '[0-9]+', '0', 'g') AS mt
+               FROM c)
+         SELECT md5(mt) AS template_hash, min(doc_id) AS keep_id,
+                count(*) - 1 AS n_dups
+         FROM m GROUP BY 1""",
     "dedup_incremental" ->
       """WITH h AS (SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id % 3 <> 0),
             b AS (SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
@@ -1507,6 +1571,32 @@ object TextQueries {
                            round(tokens::DOUBLE / total::DOUBLE, 6) AS share,
                            least(1000000, CAST(floor((1000000 * total)::DOUBLE
                              / (n_groups * tokens)::DOUBLE) AS BIGINT)) AS ppm
+                    FROM per CROSS JOIN tot),
+            kept AS (SELECT d.source, count(*) AS n_kept,
+                            CAST(sum(d.tk) AS BIGINT) AS kept_tokens
+                     FROM d JOIN mix USING (source)
+                     WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                           % 1000000 < mix.ppm
+                     GROUP BY 1)
+          SELECT m.source, m.n_docs, m.tokens, m.share,
+                 m.ppm::DOUBLE / 1000000 AS rate, m.ppm,
+                 coalesce(k.n_kept, 0) AS n_kept,
+                 coalesce(k.kept_tokens, 0) AS kept_tokens
+          FROM mix m LEFT JOIN kept k USING (source)""",
+    // same replay as ta_domain_mix with the sqrt-tempered ppm: keep
+    // rate √(min_tokens/tokens), floored to integer ppm (sqrt is
+    // correctly rounded — bit-identical across engines)
+    "ta_mix_temperature" ->
+      """WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS tk
+                    FROM documents),
+            per AS (SELECT source, count(*) AS n_docs,
+                           CAST(sum(tk) AS BIGINT) AS tokens FROM d GROUP BY 1),
+            tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total,
+                           CAST(min(tokens) AS BIGINT) AS min_tokens FROM per),
+            mix AS (SELECT source, n_docs, tokens,
+                           round(tokens::DOUBLE / total::DOUBLE, 6) AS share,
+                           least(1000000, CAST(floor(1000000 * sqrt(
+                             min_tokens::DOUBLE / tokens::DOUBLE)) AS BIGINT)) AS ppm
                     FROM per CROSS JOIN tot),
             kept AS (SELECT d.source, count(*) AS n_kept,
                             CAST(sum(d.tk) AS BIGINT) AS kept_tokens

@@ -594,4 +594,26 @@ class TextSimSpec extends SparkSpec {
     assert(one.forall(_._4.startsWith("body ")), "only body lines survive")
     assert(one.forall(_._3 === 2L), "header and footer removed from every doc")
   }
+
+  test("template dedup: instances of one template collapse, different skeletons don't") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      // three instances of one order-confirmation template: ids,
+      // counters and the session URL vary, the skeleton doesn't
+      (1L, "Order 1234 confirmed, see https://shop.example/o/1234?s=9f for item 77"),
+      (2L, "Order 98 confirmed, see https://shop.example/o/98?s=aa for item 5"),
+      (3L, "Order 555 confirmed, see https://shop.example/o/555 for item 123456"),
+      // same volatile fields, DIFFERENT static text — a distinct template
+      (4L, "Order 1234 cancelled, see https://shop.example/o/1234?s=9f for item 77"),
+      // no volatile fields at all: a genuine singleton
+      (5L, "terms of service unchanged")
+    ).toDF("doc_id", "text")
+    val out = Dedup.templateDedup(docs, "text", "doc_id")
+      .select($"keep_id", $"n_dups").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 2L, 4L -> 0L, 5L -> 0L))
+    // the mask leaves non-volatile text byte-identical
+    val masked = docs.select(Dedup.templateMask($"text")).as[String].collect()
+    assert(masked(4) === "terms of service unchanged")
+    assert(masked(0) === "Order 0 confirmed, see <url> for item 0")
+  }
 }

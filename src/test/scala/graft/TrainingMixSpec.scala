@@ -349,6 +349,36 @@ class TrainingMixSpec extends SparkSpec {
     assert(kept.filter(col("source") === "big").count() <= 6L)
   }
 
+  test("sqrtMixRates: τ=1/2 tempering — smallest group at 1.0, heads flattened not erased") {
+    // token mass 1600/400/100: sqrt tempering keeps √(100/1600)=1/4 of
+    // the head and √(100/400)=1/2 of the middle — flatter than natural,
+    // gentler than domainMixRates' uniform push
+    val docs = (
+      (0 until 16).map(i => (i.toLong, "big", 100)) ++
+      (0 until 4).map(i => (100L + i, "mid", 100)) ++
+      Seq((200L, "small", 100))).toDF("doc_id", "source", "tk")
+    val out = Sampling.sqrtMixRates(docs, "source", "tk")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out("big") === ((16L, 1600L, 0.761905, 250000L, 0.25)))
+    assert(out("mid") === ((4L, 400L, 0.190476, 500000L, 0.5)))
+    assert(out("small") === ((1L, 100L, 0.047619, 1000000L, 1.0)))
+    // the tempered target REALIZES EXACTLY (no cap distortion, unlike
+    // domainMixRates' uniform push where capped groups bend the realized
+    // mix): expected kept mass rate·tokens = 400:200:100 ∝ √tokens
+    val keptMass = out.map { case (s, (_, tk, _, _, rate)) => s -> rate * tk }
+    assert(keptMass === Map("big" -> 400.0, "mid" -> 200.0, "small" -> 100.0))
+  }
+
+  test("sqrtMixRates: null group raises, like domainMixRates") {
+    val docs = Seq((1L, "a", 10), (2L, null.asInstanceOf[String], 10))
+      .toDF("doc_id", "source", "tk")
+    val e = intercept[Exception] {
+      Sampling.sqrtMixRates(docs, "source", "tk").collect()
+    }
+    assert(e.getMessage.contains("null source"))
+  }
+
   test("domainMixRates: null group raises — a null-keyed mix row would never reconcile") {
     val docs = Seq((1L, "a", 10), (2L, null.asInstanceOf[String], 10))
       .toDF("doc_id", "source", "tk")
