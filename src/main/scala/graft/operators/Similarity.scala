@@ -154,6 +154,43 @@ object Similarity {
         idCol, centroids, cIdCol, vecCol, query, k, nProbe)
   }
 
+  /** TWO-STAGE serving via DIMENSION TRUNCATION — the Matryoshka-style
+    * recipe (nested-prefix embeddings trained so their first dims carry
+    * most of the signal; arXiv:2205.13147 is the public reference):
+    * stage 1 ranks every row on only the FIRST `dPrefix` dims (prefix
+    * cosine — d/dPrefix less arithmetic per row) for a shortlist of
+    * `nCand` candidates; stage 2 re-ranks ONLY the shortlist by
+    * full-dim exact cosine — [[ProductQuant.searchRerank]]'s shape with
+    * truncation instead of codes as the compressor, and the same
+    * broadcast-semi-join stage 2 (the corpus never enters an exchange).
+    *
+    * Scale shape, honestly: computed in-plan the truncation saves
+    * ARITHMETIC, not I/O — the scan still reads full arrays. The I/O
+    * win at 100 TB comes from the storage discipline: materialize the
+    * prefix as its OWN column (id, v_prefix, v) at ingest, and stage 1
+    * column-prunes to v_prefix (reads dPrefix/d of the vector bytes)
+    * while stage 2 fetches nCand full vectors by id — the
+    * `AnnStore`/`BandStore.docs` bucket-routed-read discipline. Recall@k
+    * is monotone in both dials (dPrefix, nCand) and exact once the true
+    * top-k is inside the shortlist; `nCand = k` degenerates to prefix
+    * ranking alone. */
+  def truncatedRerank(df: DataFrame, vecCol: String, idCol: String,
+                      query: Seq[Double], dPrefix: Int, k: Int,
+                      nCand: Int): DataFrame = {
+    require(nCand >= k, s"nCand=$nCand must be >= k=$k")
+    require(dPrefix >= 1 && dPrefix <= query.length,
+      s"dPrefix=$dPrefix must be in [1, ${query.length}]")
+    val qPre = query.take(dPrefix)
+    val shortlist = df.select(col(idCol),
+        round(cosine(slice(asDouble(col(vecCol)), 1, dPrefix), typedlit(qPre)), 6).as("pc"))
+      .orderBy(col("pc").desc, col(idCol))
+      .limit(nCand)
+    df.join(broadcast(shortlist.select(col(idCol))), Seq(idCol), "left_semi")
+      .select(col(idCol), round(cosine(asDouble(col(vecCol)), typedlit(query)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Lloyd's k-means for IVF centroid training: deterministic init (first
     * k rows by id), then `iters` assign→mean rounds. Each round is one
     * broadcast assignment (map-side) + one shuffle of (cluster, dim)

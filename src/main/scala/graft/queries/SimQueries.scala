@@ -650,6 +650,19 @@ object SimQueries {
         m = 4, dims = 64, k = 10, nCand = 50)
     }),
 
+    // TWO-STAGE serving via DIMENSION TRUNCATION (Matryoshka-style):
+    // prefix-cosine on the first 16 of 64 dims shortlists 50, full-dim
+    // exact cosine re-ranks them — searchRerank's shape with truncation
+    // as the compressor; in production the prefix is its own column and
+    // stage 1 column-prunes to dPrefix/d of the vector bytes
+    "sim_mrl_rerank" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), _.cast("double"))).head().getSeq[Double](0)
+      Similarity.truncatedRerank(e, "embedding", "vec_id", qv,
+        dPrefix = 16, k = 10, nCand = 50)
+    }),
+
     // PRICE THE QUANTIZATION: how much of the exact L2 top-k does the
     // ADC code-only ranking keep — the measured recall a deployment
     // trades for reading m bytes/row instead of the float vectors (the
@@ -1052,6 +1065,26 @@ object SimQueries {
           SELECT cid AS centroid_id, CAST(r.i - 1 AS INT) AS dim,
                  round(c2.v[CAST(r.i AS INT)], 6) AS m
           FROM c2, unnest(range(1, len(c2.v)+1)) AS r(i)""",
+    // prefix-cosine shortlist (first 16 dims, same sequential fold) then
+    // full-dim re-rank — both stages replayed term-for-term
+    "sim_mrl_rerank" ->
+      s"""WITH n AS (${normed(vecs)}),
+            pn AS (SELECT vec_id, list_slice(v, 1, 16) AS pv,
+                          sqrt(${fold("list_transform(list_slice(v, 1, 16), x -> x*x)")}) AS pnrm
+                   FROM n),
+            qp AS (SELECT pv, pnrm FROM pn WHERE vec_id = 0),
+            sl AS (SELECT vec_id FROM (
+                     SELECT a.vec_id,
+                            round(${fold("list_transform(range(1, len(a.pv)+1), i -> a.pv[CAST(i AS INT)] * b.pv[CAST(i AS INT)])")} / (a.pnrm * b.pnrm), 6) AS pc
+                     FROM pn a CROSS JOIN qp b)
+                   QUALIFY row_number() OVER (ORDER BY pc DESC, vec_id) <= 50),
+            q AS (SELECT v, nrm FROM n WHERE vec_id = 0)
+          SELECT vec_id, cosine FROM (
+            SELECT a.vec_id,
+                   round($pairDot / (a.nrm * b.nrm), 6) AS cosine
+            FROM n a JOIN sl USING (vec_id)
+            CROSS JOIN (SELECT v, nrm FROM q) b)
+          QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id) <= 10""",
     "sim_ann_search" -> annSearchSql(qid = 0),
     // identical SEMANTICS to sim_ann_search (different query row): the
     // partitioned store changes the physical plan, never the answer

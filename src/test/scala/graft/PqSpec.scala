@@ -120,6 +120,37 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("truncated rerank: corpus-wide shortlist and full-prefix stage both equal exact top-k") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter($"vec_id" === 0)
+      .select(transform($"embedding", _.cast("double"))).as[Seq[Double]].head()
+    val exact = Similarity.topK(e, "embedding", "vec_id", q, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    // shortlist covering the whole corpus: truncation can't lose anything
+    val n = e.count().toInt
+    val all = Similarity.truncatedRerank(e, "embedding", "vec_id", q,
+      dPrefix = 16, k = 10, nCand = n).as[(Long, Double)].collect().toSeq
+    assert(all === exact, "corpus-wide shortlist must equal exact search")
+    // dPrefix = full dims: stage 1 IS exact ranking, any nCand >= k works
+    val full = Similarity.truncatedRerank(e, "embedding", "vec_id", q,
+      dPrefix = 64, k = 10, nCand = 10).as[(Long, Double)].collect().toSeq
+    assert(full === exact, "full-prefix stage 1 must equal exact search")
+    // the returned scores are FULL-dim cosines even when stage 1 truncated
+    val trunc = Similarity.truncatedRerank(e, "embedding", "vec_id", q,
+      dPrefix = 16, k = 10, nCand = 50).as[(Long, Double)].collect().toSeq
+    val exactById = exact.toMap
+    trunc.filter(r => exactById.contains(r._1)).foreach { case (id, c) =>
+      assert(c === exactById(id), s"id $id must carry its exact full-dim cosine")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.truncatedRerank(e, "embedding", "vec_id", q, dPrefix = 16, k = 10, nCand = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.truncatedRerank(e, "embedding", "vec_id", q, dPrefix = 0, k = 10, nCand = 50)
+    }
+  }
+
   test("train/encode reject dims not divisible by m; search rejects a short query") {
     intercept[IllegalArgumentException] {
       ProductQuant.train(corpus, "vec", "vec_id", m = 3, k = 2, dims = dims)
