@@ -213,6 +213,31 @@ object TextQueries {
         "text", "doc_id", threshold = 0.8)
     }),
 
+    // SHARD CONSOLIDATION for the band index, run cold end to end: two
+    // crawl shards each index their history slice under the same pinned
+    // params, MERGE renames src's bucket files into dst (identical
+    // params ⇒ identical hash family AND bucket routing, so both tables
+    // file-merge — zero data bytes moved), then the batch probes the
+    // consolidated index. The oracle is the same cross-set LSH replay:
+    // shard-then-merge ≡ having indexed everything in one place
+    "dedup_band_merge" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val dst = bandScratchDir(s, d) + "/index_mg_dst"
+      val src = bandScratchDir(s, d) + "/index_mg_src"
+      deleteRecursively(new java.io.File(dst))
+      deleteRecursively(new java.io.File(src))
+      val par = s.sparkContext.defaultParallelism
+      val hist = doc.filter(col("doc_id") % 3 =!= 0).repartition(par)
+      graft.sinks.BandStore.write(hist.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", dst, buckets = 16)
+      graft.sinks.BandStore.write(hist.filter(col("doc_id") % 2 =!= 0),
+        "text", "doc_id", src, buckets = 16)
+      graft.sinks.BandStore.merge(s, src, dst)
+      graft.sinks.BandStore.probe(s, dst,
+        doc.filter(col("doc_id") % 3 === 0).repartition(par),
+        "text", "doc_id", threshold = 0.8)
+    }),
+
     // the band index's TAKEDOWN path, run cold end to end: index the
     // history, tombstone a slice of it (O(ids), no data file touched),
     // physically purge (exactly the affected buckets rewrite in both
@@ -1291,6 +1316,9 @@ object TextQueries {
     // index-then-probe ≡ re-sketch-everything: the store changes where
     // the history's banded signatures LIVE, never what they say
     "dedup_band_store" -> lshAgainstSql,
+    // shard-then-merge ≡ index-everything-in-one-place: a merge moves
+    // files between roots, never signatures between hash families
+    "dedup_band_merge" -> lshAgainstSql,
     // delete ≡ never having indexed the tombstoned docs: the oracle
     // simply excludes them from the history side of the same replay
     "dedup_band_delete" -> lshAgainstSqlWhere(

@@ -347,43 +347,14 @@ object AnnStore {
                 "stores assigned against different centroids cannot file-merge; " +
                 "recluster one side (or re-ingest) first")
         }
-        val srcClusters = clusterDirs(sfs, new Path(srcPath)).sortBy(clusterId)
-        srcClusters.foreach { srcC =>
-          val dstC = new Path(new Path(dstPath), srcC.getName)
-          dfs.mkdirs(dstC)
-          sfs.listStatus(srcC).filter(_.isFile).foreach { st =>
-            val target = new Path(dstC, st.getPath.getName)
-            // committer-written part files carry UUIDs, so a collision means
-            // something is deeply wrong (the same store merged twice?) —
-            // raise rather than overwrite a live file
-            if (dfs.exists(target))
-              throw new IllegalStateException(
-                s"AnnStore.merge: $target already exists — refusing to overwrite")
-            PartitionSwap.mv(sfs, st.getPath, target)
-          }
-        }
-        val srcTomb = new Path(tombstoneDir(srcPath))
-        if (sfs.exists(srcTomb)) {
-          val data = sfs.listStatus(srcTomb).filter { s =>
-            val n = s.getPath.getName
-            s.isFile && !n.startsWith("_") && !n.startsWith(".")
-          }
-          if (data.nonEmpty) {
-            val dstTomb = new Path(tombstoneDir(dstPath))
-            dfs.mkdirs(dstTomb)
-            data.foreach { st =>
-              val target = new Path(dstTomb, st.getPath.getName)
-              if (dfs.exists(target))
-                throw new IllegalStateException(
-                  s"AnnStore.merge: $target already exists — refusing to overwrite")
-              PartitionSwap.mv(sfs, st.getPath, target)
-            }
-          }
-        }
+        val moved = PartitionSwap.mergePartitionDirs(sfs, new Path(srcPath),
+          dfs, new Path(dstPath), Prefix, "AnnStore")
+        PartitionSwap.mergeSidecar(sfs, new Path(tombstoneDir(srcPath)),
+          dfs, new Path(tombstoneDir(dstPath)), "AnnStore")
         // src drops LAST: a crash anywhere above leaves every file at
         // exactly one root and a re-run completes the move
         sfs.delete(new Path(srcPath), true)
-        srcClusters.map(clusterId)
+        moved.map(n => n.stripPrefix(Prefix).toLong).sorted
       }
     }
   }

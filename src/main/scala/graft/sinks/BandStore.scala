@@ -546,6 +546,70 @@ object BandStore {
     }
   }
 
+  /** MERGE the store at `srcPath` INTO the one at `dstPath` — shard
+    * consolidation for the band index: N crawl shards each sketched
+    * their slice under the SAME pinned parameters, probing wants ONE
+    * history. Because identical params mean identical hash families AND
+    * identical bucket routing (`xxhash64 mod B` with the same B), both
+    * tables merge by pure FILE-SYSTEM METADATA — src's `bands/` and
+    * `docs/` bucket files rename into dst's matching dirs, tombstone
+    * sidecars union, src root drops last ([[AnnStore.merge]]'s
+    * discipline through the shared [[PartitionSwap]] machinery):
+    * O(files) namenode ops, zero data bytes, at any corpus scale.
+    *
+    * Param equality is ENFORCED (one bounded `_params` read per side):
+    * signatures from different hash families never agree — a probe of a
+    * mixed store would silently miss every cross-family pair — and a
+    * bucket-count mismatch mis-routes probes; `rebucket`/re-sketch
+    * before merging such stores. Shards that ingested OVERLAPPING doc
+    * sets are safe: the tables are sets under the streaming-ingest
+    * contract (probe is duplicate-blind; the next [[compact]]
+    * canonicalizes), so overlap costs bytes, never pairs. Visibility
+    * and crash windows are [[append]]'s: dst only gains complete
+    * immutable files; a crash mid-merge leaves each file at exactly one
+    * root and a re-run completes it. Serialized by BOTH stores' writer
+    * fences (dst's first).
+    *
+    * @return the (table, bucket) pairs that received files */
+  def merge(spark: SparkSession, srcPath: String,
+            dstPath: String): Seq[(String, Long)] = {
+    require(new Path(srcPath) != new Path(dstPath),
+      s"BandStore.merge: src and dst are the same store ($srcPath)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dfs = new Path(dstPath).getFileSystem(conf)
+    val sfs = new Path(srcPath).getFileSystem(conf)
+    PartitionSwap.withWriterLock(dfs, dstPath, "BandStore") {
+      PartitionSwap.withWriterLock(sfs, srcPath, "BandStore") {
+        recoverRebucket(dfs, dstPath); recoverRebucket(sfs, srcPath)
+        Seq(srcPath, dstPath).foreach { p =>
+          Seq(bandsDir(p), docsDir(p)).foreach { dir =>
+            PartitionSwap.recoverSwap(
+              new Path(dir).getFileSystem(conf), dir, Prefix, Tags)
+          }
+        }
+        val (sp, dp) = (params(spark, srcPath), params(spark, dstPath))
+        if (sp != dp)
+          throw new IllegalArgumentException(
+            s"BandStore.merge: pinned params differ — src $sp vs dst $dp; " +
+              "signatures from different hash families never agree, and a " +
+              "bucket-count mismatch mis-routes probes — rebucket or " +
+              "re-sketch one side first")
+        val moved = Seq("bands" -> (bandsDir(srcPath), bandsDir(dstPath)),
+          "docs" -> (docsDir(srcPath), docsDir(dstPath))).flatMap {
+          case (table, (s0, d0)) =>
+            PartitionSwap.mergePartitionDirs(sfs, new Path(s0),
+                dfs, new Path(d0), Prefix, "BandStore")
+              .map(n => table -> n.stripPrefix(Prefix).toLong)
+        }
+        PartitionSwap.mergeSidecar(sfs, new Path(tombstoneDir(srcPath)),
+          dfs, new Path(tombstoneDir(dstPath)), "BandStore")
+        // src drops LAST — every earlier crash point re-runs to completion
+        sfs.delete(new Path(srcPath), true)
+        moved
+      }
+    }
+  }
+
   /** Heal a crashed compact (the [[AnnStore.recover]] twin; takes the
     * writer fence). */
   def recover(spark: SparkSession, path: String): Unit = {

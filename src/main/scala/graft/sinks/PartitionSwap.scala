@@ -106,6 +106,56 @@ private[sinks] object PartitionSwap {
       fs.listStatus(c).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")) > maxFiles
     }
 
+  // ---- file-level shard merge (shared by the stores' merge ops) ----
+
+  /** Move every file of src's `<prefix><value>` partition dirs into dst's
+    * matching dirs (created as needed) — the file-level step of shard
+    * consolidation: partitioned layouts with immutable files merge by
+    * RENAME, zero data bytes read or written. A name collision raises
+    * rather than overwrites (committer part files carry UUIDs — a
+    * collision means the same store is being merged twice).
+    * Crash-idempotent: rename is atomic, so each file lives at exactly
+    * one root and a re-run moves the remainder. Returns the src
+    * partition dir names. */
+  def mergePartitionDirs(sfs: FileSystem, srcRoot: Path,
+                         dfs: FileSystem, dstRoot: Path,
+                         prefix: String, store: String): Seq[String] = {
+    val dirs = partitionDirs(sfs, srcRoot, prefix).sortBy(_.getName)
+    dirs.foreach { srcC =>
+      val dstC = new Path(dstRoot, srcC.getName)
+      dfs.mkdirs(dstC)
+      sfs.listStatus(srcC).filter(_.isFile).foreach { st =>
+        val target = new Path(dstC, st.getPath.getName)
+        if (dfs.exists(target))
+          throw new IllegalStateException(
+            s"$store.merge: $target already exists — refusing to overwrite")
+        mv(sfs, st.getPath, target)
+      }
+    }
+    dirs.map(_.getName)
+  }
+
+  /** Move a sidecar dir's DATA files (skipping `_`/`.` names) into dst,
+    * creating it as needed — a merge's tombstone-union step. */
+  def mergeSidecar(sfs: FileSystem, srcDir: Path, dfs: FileSystem,
+                   dstDir: Path, store: String): Unit =
+    if (sfs.exists(srcDir)) {
+      val data = sfs.listStatus(srcDir).filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (data.nonEmpty) {
+        dfs.mkdirs(dstDir)
+        data.foreach { st =>
+          val target = new Path(dstDir, st.getPath.getName)
+          if (dfs.exists(target))
+            throw new IllegalStateException(
+              s"$store.merge: $target already exists — refusing to overwrite")
+          mv(sfs, st.getPath, target)
+        }
+      }
+    }
+
   // ---- writer fence ----
 
   private def lockPath(path: String) = new Path(path + ".lock")

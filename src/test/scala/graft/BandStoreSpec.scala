@@ -412,4 +412,42 @@ class BandStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       history, batch, "text", "doc_id", threshold = 0.8, k = 16, rowsPerBand = 4))
     assert(fromStore === selfContained)
   }
+
+  test("merge: shard indexes consolidate by file moves — probe = one-shot index, src gone, tombstones travel") {
+    val dst = newPath()
+    val src = newPath()
+    BandStore.write(history.filter($"doc_id" % 2 === 0), "text", "doc_id", dst)
+    BandStore.write(history.filter($"doc_id" % 2 =!= 0), "text", "doc_id", src)
+    // a pending src-side takedown must still mask after the merge
+    val victim = history.filter($"doc_id" % 2 =!= 0)
+      .select("doc_id").as[Long].head()
+    BandStore.delete(Seq(victim).toDF("doc_id"), "doc_id", src)
+    val moved = BandStore.merge(spark, src, dst)
+    assert(moved.nonEmpty)
+    assert(!new java.io.File(src).exists(), "src root must drop after the merge")
+    val merged = pairs(BandStore.probe(spark, dst, batch, "text", "doc_id", 0.8))
+    val oneShot = {
+      val p2 = newPath()
+      BandStore.write(history.filter($"doc_id" =!= victim), "text", "doc_id", p2)
+      pairs(BandStore.probe(spark, p2, batch, "text", "doc_id", 0.8))
+    }
+    assert(merged === oneShot,
+      "shard-then-merge must equal one-shot indexing minus the tombstoned doc")
+    assert(merged.nonEmpty)
+    assert(!merged.exists(_._1 == victim), "src's tombstone must mask in the merged store")
+  }
+
+  test("merge: mismatched pinned params raise; self-merge raises") {
+    val dst = newPath()
+    val src = newPath()
+    BandStore.write(history.filter($"doc_id" % 2 === 0), "text", "doc_id", dst)
+    // same corpus, different hash family (k) — a silent merge would miss
+    // every cross-shard pair
+    BandStore.write(history.filter($"doc_id" % 2 =!= 0), "text", "doc_id", src,
+      k = 16, rowsPerBand = 4)
+    val e = intercept[IllegalArgumentException] { BandStore.merge(spark, src, dst) }
+    assert(e.getMessage.contains("params differ"))
+    val e2 = intercept[IllegalArgumentException] { BandStore.merge(spark, dst, dst) }
+    assert(e2.getMessage.contains("same store"))
+  }
 }
