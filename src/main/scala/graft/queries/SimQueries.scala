@@ -484,6 +484,20 @@ object SimQueries {
         queries = e.filter(col("vec_id") < 3), "vec_id", k = 10, nProbe = 2)
     }),
 
+    // PRICE THE FILTERED-ANN DIAL — the measurement sim_ann_filtered's
+    // recall caveat points at: with the corpus pre-filtered (label = 3),
+    // probe-2 recall@10 vs exact filtered top-k, per query. nProbe
+    // bounds the clusters scanned BEFORE the filter, so selective
+    // predicates thin the probed candidate mass — this number is how a
+    // deployment decides where to raise nProbe as selectivity rises
+    // (probing all K clusters stays exact, as in sim_ann_recall)
+    "sim_filtered_recall" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.annRecall(e.filter(col("label") === 3), "embedding", "vec_id",
+        e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid"), "cid",
+        queries = e.filter(col("vec_id") < 3), "vec_id", k = 10, nProbe = 2)
+    }),
+
     // QUANTIZED serving path end-to-end: the corpus lives as int8 codes
     // (4x less memory than float32 — what lets a RAM-resident index hold
     // 4x the vectors), queries stay float; scoring runs on dequantized
@@ -1204,6 +1218,49 @@ object SimQueries {
                 SELECT b.q_id, a.vec_id,
                        round($pairDot / (a.nrm * b.nrm), 6) AS cosine
                 FROM n a CROSS JOIN qs b)
+              QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= 10)
+          SELECT q.q_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+                 round(coalesce(h.n_hit, 0) * 1.0 / 10, 6) AS recall
+          FROM (SELECT DISTINCT q_id FROM qs) q
+          LEFT JOIN (SELECT q_id, count(*) AS n_hit
+                     FROM exact JOIN approx USING (q_id, vec_id)
+                     GROUP BY q_id) h USING (q_id)""",
+    // sim_ann_recall's replay with the corpus side filtered to label=3
+    // on BOTH rankings (exact and probed); centroids and queries stay
+    // unfiltered — they are index metadata and callers, not corpus
+    "sim_filtered_recall" ->
+      s"""WITH n AS (${normed(vecs)}),
+            c AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 8),
+            scored AS (
+              SELECT a.vec_id, c.centroid_id,
+                     round(${fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * c.v[CAST(i AS INT)])")} / (a.nrm * c.nrm), 6) AS sim
+              FROM n a CROSS JOIN c),
+            assigned AS (
+              SELECT vec_id, centroid_id FROM scored
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1),
+            fl AS (SELECT vec_id FROM embeddings WHERE label = 3),
+            na AS (SELECT n.vec_id, n.v, n.nrm, a.centroid_id
+                   FROM n JOIN assigned a ON n.vec_id = a.vec_id
+                        JOIN fl ON n.vec_id = fl.vec_id),
+            qs AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id < 3),
+            qa AS (SELECT s.vec_id AS q_id, s.centroid_id FROM scored s
+                   WHERE s.vec_id < 3
+                   QUALIFY row_number() OVER (PARTITION BY s.vec_id
+                                              ORDER BY s.sim DESC, s.centroid_id) <= 2),
+            approx AS (
+              SELECT q_id, vec_id FROM (
+                SELECT b.q_id, a.vec_id,
+                       round($pairDot / (a.nrm * b.nrm), 6) AS cosine
+                FROM na a
+                JOIN qa ON a.centroid_id = qa.centroid_id
+                JOIN qs b ON b.q_id = qa.q_id)
+              QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= 10),
+            exact AS (
+              SELECT q_id, vec_id FROM (
+                SELECT b.q_id, a.vec_id,
+                       round($pairDot / (a.nrm * b.nrm), 6) AS cosine
+                FROM n a JOIN fl ON a.vec_id = fl.vec_id
+                CROSS JOIN qs b)
               QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= 10)
           SELECT q.q_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
                  round(coalesce(h.n_hit, 0) * 1.0 / 10, 6) AS recall

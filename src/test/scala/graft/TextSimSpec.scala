@@ -253,6 +253,31 @@ class TextSimSpec extends SparkSpec {
       s"recall must be monotone in nProbe: r2=$r2 r4=$r4")
   }
 
+  test("filtered-corpus recall: exact at full probes, never above the unfiltered dial's ceiling semantics") {
+    // the sim_ann_filtered caveat, measured: recall over the
+    // label-filtered corpus — still exactly 1.0 when probing every
+    // cluster (the filter narrows both rankings identically), and
+    // monotone in nProbe like the unfiltered dial
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = e.filter($"vec_id" < 8).withColumnRenamed("vec_id", "cid")
+    val qs = e.filter($"vec_id" < 3)
+    val filt = e.filter($"label" === 3)
+    def recalls(nProbe: Int) =
+      Similarity.annRecall(filt, "embedding", "vec_id", cents, "cid", qs, "vec_id",
+        k = 10, nProbe = nProbe)
+        .select($"q_id", $"recall").as[(Long, Double)].collect().toMap
+    val r8 = recalls(8)
+    // full probes are exhaustive over the filtered corpus: n_hit is the
+    // whole exact set, so recall = min(|filtered|, k)/k for EVERY query
+    val expect = math.min(filt.count(), 10L).toDouble / 10.0
+    assert(r8.values.forall(_ === expect),
+      s"full probes must recover the whole filtered exact set: $r8 vs $expect")
+    val r2 = recalls(2)
+    assert(r2.keySet === Set(0L, 1L, 2L), "queries outside the filter still report")
+    assert(r2.forall { case (q, r) => r <= r8(q) },
+      s"filtered recall must stay monotone in nProbe: r2=$r2 r8=$r8")
+  }
+
   test("typed single-vector overloads match the frame path with a join-free plan") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val qv = e.filter($"vec_id" === 0)
