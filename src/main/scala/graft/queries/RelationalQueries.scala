@@ -275,6 +275,37 @@ object RelationalQueries {
           count(lit(1)).as("n_events"))
     }),
 
+    // robust OUTLIER detection (Tukey's IQR fences) per group — the
+    // data-quality gate a validation stage runs before trusting a feed:
+    // rank-selected exact quartiles (the q_percentiles machinery — never
+    // percentile_cont's engine-dependent interpolation), fences compared
+    // in DOUBLED integer cents so the ×1.5 stays exact integer
+    // arithmetic end to end. Two passes: the two-level rank (no
+    // per-group single reducer), then a broadcast of the |types|-row
+    // quartile frame back over the events — at 100 TB the second pass is
+    // a map-side filter, the join never shuffles the fact table
+    "q_outlier_iqr" -> ((s, d) => {
+      val ranked = graft.operators.Rank.withGroupRank(
+        t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_type"), Common.cents(col("value")).as("vc"), col("event_id")),
+        Seq("event_type"), "vc", tiebreakCols = Seq("event_id"))
+      val quart = ranked.groupBy("event_type")
+        .agg(max(when(col("rank") === ceil(col("n") * 0.25), col("vc"))).as("q1c"),
+          max(when(col("rank") === ceil(col("n") * 0.75), col("vc"))).as("q3c"),
+          count(lit(1)).as("n_events"))
+      val isOut =
+        col("vc") * 2 < col("q1c") * 2 - (col("q3c") - col("q1c")) * 3 ||
+          col("vc") * 2 > col("q3c") * 2 + (col("q3c") - col("q1c")) * 3
+      ranked.join(broadcast(quart), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(max(col("n_events")).as("n_events"),
+          Common.money(max(col("q1c"))).as("q1"),
+          Common.money(max(col("q3c"))).as("q3"),
+          sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
+          Common.money(min(when(isOut, col("vc")))).as("min_outlier"),
+          Common.money(max(when(isOut, col("vc")))).as("max_outlier"))
+    }),
+
     // per-row PERCENT_RANK over unbounded groups — the same two-level
     // rank selection serving the full window-function family: global
     // rank = broadcast offset + per-partition local rank, so no event
@@ -640,6 +671,32 @@ object RelationalQueries {
                 CAST(max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN vc END) AS DOUBLE)/100.0 AS p99,
                 count(*) AS n_events
          FROM r GROUP BY 1""",
+    // same rank-selected quartiles; fences in doubled integer cents so
+    // the 1.5x multiplier never leaves exact arithmetic
+    "q_outlier_iqr" ->
+      """WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS vc, event_id
+                    FROM events WHERE value IS NOT NULL),
+           r AS (SELECT event_type, vc,
+                        row_number() OVER (PARTITION BY event_type
+                                           ORDER BY vc, event_id) AS rn,
+                        count(*) OVER (PARTITION BY event_type) AS n
+                 FROM e),
+           q AS (SELECT event_type,
+                        max(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN vc END) AS q1c,
+                        max(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN vc END) AS q3c,
+                        count(*) AS n_events
+                 FROM r GROUP BY 1),
+           j AS (SELECT r.event_type, r.vc, q.q1c, q.q3c, q.n_events,
+                        (r.vc*2 < q.q1c*2 - (q.q3c - q.q1c)*3 OR
+                         r.vc*2 > q.q3c*2 + (q.q3c - q.q1c)*3) AS is_out
+                 FROM r JOIN q USING (event_type))
+         SELECT event_type, max(n_events) AS n_events,
+                CAST(max(q1c) AS DOUBLE)/100.0 AS q1,
+                CAST(max(q3c) AS DOUBLE)/100.0 AS q3,
+                CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                CAST(min(CASE WHEN is_out THEN vc END) AS DOUBLE)/100.0 AS min_outlier,
+                CAST(max(CASE WHEN is_out THEN vc END) AS DOUBLE)/100.0 AS max_outlier
+         FROM j GROUP BY 1""",
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total

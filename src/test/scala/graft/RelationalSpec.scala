@@ -77,4 +77,35 @@ class RelationalSpec extends SparkSpec {
     assert((p50, p90, p99) === (pick(0.5), pick(0.9), pick(0.99)),
       s"group=$g rank selection must match the sorted reference")
   }
+
+  test("q_outlier_iqr matches a hand-computed Tukey-fence reference per group") {
+    val out = q("q_outlier_iqr")
+      .select($"event_type", $"n_events", $"q1", $"q3", $"n_outliers",
+        $"min_outlier", $"max_outlier")
+      .collect()
+    assert(out.nonEmpty)
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .filter($"value".isNotNull)
+      .select($"event_type", round($"value" * 100).cast("long").as("vc"))
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    out.foreach { r =>
+      val vals = events(r.getString(0))
+      assert(r.getLong(1) === vals.length.toLong)
+      def pick(p: Double) = vals(math.ceil(vals.length * p).toInt - 1)
+      val (q1, q3) = (pick(0.25), pick(0.75))
+      assert(r.getDouble(2) === q1 / 100.0 && r.getDouble(3) === q3 / 100.0)
+      // fences in doubled cents — the exact arithmetic the key uses
+      val outliers = vals.filter(v =>
+        v * 2 < q1 * 2 - (q3 - q1) * 3 || v * 2 > q3 * 2 + (q3 - q1) * 3)
+      assert(r.getLong(4) === outliers.length.toLong,
+        s"${r.getString(0)}: outlier count must match the reference fences")
+      if (outliers.nonEmpty) {
+        assert(r.getDouble(5) === outliers.min / 100.0)
+        assert(r.getDouble(6) === outliers.max / 100.0)
+      } else {
+        assert(r.isNullAt(5) && r.isNullAt(6),
+          "no outliers must report NULL extremes, not sentinel values")
+      }
+    }
+  }
 }
