@@ -37,7 +37,7 @@ object TextQueries {
   val memoized: Set[String] =
     Set("dedup_components", "dedup_keep_representatives",
       "dedup_provenance_merge", "dedup_soft", "dedup_minhash_lsh",
-      "stream_dedup_near")
+      "stream_dedup_near", "ta_contrastive_pairs")
 
   /** Drop both memoized shared stages and release their checkpoint blocks
     * (each memo value is exactly one `localCheckpoint()`ed frame): the
@@ -443,6 +443,37 @@ object TextQueries {
           col("rate"), col("ppm"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+    }),
+
+    // CONTRASTIVE training-pair construction — the dataset an embedding
+    // model trains on: POSITIVES are the verified near-dup pairs (the
+    // ONE shared LSH stage — its fifth consumer), NEGATIVES one per doc
+    // by antipodal rotation in a seeded hash permutation: rank every
+    // doc in md5('cp-1'|id) order (epochShuffle's permutation —
+    // uniform, rerun/engine-stable, never rand()) on the two-level rank
+    // plan, pair rank r with rank ((r-1+⌊n/2⌋) mod n)+1, orient
+    // (min,max), and drop any rotation partner that IS a near-dup.
+    // Deterministic end to end, so the whole pair set hash-checks
+    "ta_contrastive_pairs" -> ((s, d) => {
+      val doc = t(s, d, "documents").select(col("doc_id"))
+      val pos = lshPairs(s, d).select(col("id_a"), col("id_b"))
+      val h = graft.etl.Sampling.hashOrder(
+        concat(lit("cp-1"), lit("|"), col("doc_id").cast("string")))
+      val ranked = graft.operators.Rank.withGroupRank(
+          doc.select(lit(0).as("g"), col("doc_id"), h.as("hv")),
+          Seq("g"), "hv", tiebreakCols = Seq("doc_id"))
+        .select(col("doc_id"), col("rank"), col("n"))
+      val partner = ranked.select(
+        ((col("rank") - 1 + floor(col("n") / 2)) % col("n") + 1).as("rank"),
+        col("doc_id").as("p_id"))
+      val neg = ranked.join(partner, Seq("rank"))
+        .filter(col("doc_id") =!= col("p_id"))
+        .select(least(col("doc_id"), col("p_id")).as("id_a"),
+          greatest(col("doc_id"), col("p_id")).as("id_b"))
+        .distinct()
+        .join(pos, Seq("id_a", "id_b"), "left_anti")
+      pos.select(col("id_a"), col("id_b"), lit(1).as("label"))
+        .unionByName(neg.select(col("id_a"), col("id_b"), lit(0).as("label")))
     }),
 
     // TEMPERATURE mixing at τ=1/2 (square-root sampling, the
@@ -1328,6 +1359,27 @@ object TextQueries {
     "dedup_exact_docs" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) - 1 AS n_dups
          FROM documents GROUP BY 1""",
+    // positives = the shared LSH replay; negatives = the seeded-hash
+    // antipodal rotation, min/max-oriented, near-dups anti-joined away
+    "ta_contrastive_pairs" ->
+      s"""WITH pos AS (SELECT id_a, id_b FROM ($lshPairsSql)),
+            r AS (SELECT doc_id,
+                         row_number() OVER (
+                           ORDER BY CAST(concat('0x', substr(md5('cp-1|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                                    doc_id) AS rnk,
+                         count(*) OVER () AS n
+                  FROM documents),
+            pr AS (SELECT a.doc_id AS x, b.doc_id AS y
+                   FROM r a JOIN r b
+                     ON b.rnk = ((a.rnk - 1 + a.n // 2) % a.n) + 1),
+            neg AS (SELECT DISTINCT least(x, y) AS id_a, greatest(x, y) AS id_b
+                    FROM pr WHERE x <> y),
+            negf AS (SELECT n.id_a, n.id_b FROM neg n
+                     LEFT JOIN pos p ON n.id_a = p.id_a AND n.id_b = p.id_b
+                     WHERE p.id_a IS NULL)
+          SELECT id_a, id_b, 1 AS label FROM pos
+          UNION ALL
+          SELECT id_a, id_b, 0 AS label FROM negf""",
     // DuckDB regexp_replace is first-match-only without the 'g' flag;
     // Spark's replaces all — the flag keeps the two masks identical
     "dedup_template" ->

@@ -278,6 +278,31 @@ class TextSimSpec extends SparkSpec {
       s"filtered recall must stay monotone in nProbe: r2=$r2 r8=$r8")
   }
 
+  test("contrastive pairs: verified positives, non-dup rotation negatives, disjoint labels, deterministic") {
+    val out = SparkEntry.queries("ta_contrastive_pairs")(spark, sf)
+      .select($"id_a", $"id_b", $"label").as[(Long, Long, Int)].collect()
+    val pos = out.filter(_._3 == 1).map(p => (p._1, p._2)).toSet
+    val neg = out.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    assert(pos.nonEmpty && neg.nonEmpty)
+    assert(pos.intersect(neg).isEmpty, "a pair is never both positive and negative")
+    // positives ARE the verified near-dup pairs, nothing more or less
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val truePos = graft.operators.Dedup.minhashNearDups(docs, "text", "doc_id",
+        threshold = 0.8, sketchParallelism = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pos === truePos)
+    assert(neg.forall { case (a, b) => a < b }, "negatives are (min,max)-oriented")
+    // every doc pairs with exactly one rotation partner, so the negative
+    // count is bounded by the corpus size (and near n/2 after min/max
+    // dedup and the near-dup anti-join)
+    val n = docs.count()
+    assert(neg.size <= n && neg.size >= n / 2 - pos.size)
+    // deterministic: a rerun reproduces the exact pair set
+    val again = SparkEntry.queries("ta_contrastive_pairs")(spark, sf)
+      .select($"id_a", $"id_b", $"label").as[(Long, Long, Int)].collect()
+    assert(again.toSet === out.toSet)
+  }
+
   test("typed single-vector overloads match the frame path with a join-free plan") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val qv = e.filter($"vec_id" === 0)
