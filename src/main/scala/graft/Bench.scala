@@ -80,7 +80,17 @@ object Bench {
     val heavyComposedS = sys.env.getOrElse("SPARK_GRAFT_HEAVY_COMPOSED_S", "18.0").toDouble
     def heavyCap(name: String): Double =
       if (SparkEntry.composedQueries(name)) heavyComposedS else heavyS
-    val deadlineS = sys.env.getOrElse("SPARK_GRAFT_DEADLINE_S", "480").toDouble
+    // default deadline SCALES with inventory size (round-13 postmortem:
+    // a fixed 480 s was right for ≤96 keys but a 178-key suite under the
+    // cold-median discipline honestly needs ~800 s, so the driver's
+    // no-env-var artifact collapsed ~31 late-suite keys to single
+    // contended passes and read as a fake uniform regression). 5 s/key is
+    // ~3× the measured quiet per-key cost (140 s / 168 keys ≈ 0.83 s),
+    // leaving the same headroom 480 s gave the 96-key suite, and stays
+    // far inside the driver's kill window (round-9 notes: >30 min).
+    val nBench = (if (only.isEmpty) SparkEntry.queries.keySet else only).size
+    val deadlineS = sys.env.get("SPARK_GRAFT_DEADLINE_S").map(_.toDouble)
+      .getOrElse(math.max(480.0, 5.0 * nBench))
     val suiteT0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - suiteT0) / 1e9
     val spark = SparkSession.builder()

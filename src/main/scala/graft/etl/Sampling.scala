@@ -263,9 +263,16 @@ object Sampling {
       .select(col(groupCol), col("n_docs"), col("tokens"),
         round(col("tokens").cast("double") / col("total").cast("double"), 6)
           .as("share"),
+        // cast BEFORE multiplying: 1e6·total in long arithmetic overflows
+        // (silently, to a negative ppm that zeroes the kept mass) once
+        // total passes ~9.2e12 tokens — well inside the 100 TB scale this
+        // mix targets. Both factors go through double first; the oracle
+        // SQL mirrors the same expression tree so the IEEE result (and
+        // the floored ppm) stays bit-identical cross-engine.
         least(lit(1000000L),
-          floor((lit(1000000L) * col("total")).cast("double") /
-            (col("n_groups") * col("tokens")).cast("double")).cast("long"))
+          floor(lit(1000000d) * col("total").cast("double") /
+            (col("n_groups").cast("double") * col("tokens").cast("double")))
+            .cast("long"))
           .as("ppm"))
       .withColumn("rate", col("ppm").cast("double") / lit(1000000))
   }

@@ -54,9 +54,23 @@ object QualityClassifier {
     val totals = occ.agg(
       sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
       sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
-    val prior = toks.agg(
+    // EAGER degenerate-slice guard (round-13 advice): the old raise was
+    // fused into the bias column, but an EMPTY training slice (no rows,
+    // or all-null text) collapses perBucket to zero rows, so the groupBy
+    // below emits ZERO rows and a fused guard never evaluates — score()
+    // would then silently return zero rows. The prior is a 1-row agg
+    // over the (labeled, sampled) slice, so collecting it driver-side is
+    // bounded; the values feed the bias as literals, so the lazy plan
+    // loses the prior crossJoin branch rather than gaining a scan.
+    val priorRow = toks.agg(
       sum(when(col("pos"), 1L).otherwise(0L)).as("dp"),
-      sum(when(!col("pos"), 1L).otherwise(0L)).as("dn"))
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("dn")).head()
+    val (dp, dn) =
+      (if (priorRow.isNullAt(0)) 0L else priorRow.getLong(0),
+        if (priorRow.isNullAt(1)) 0L else priorRow.getLong(1))
+    require(dp > 0L && dn > 0L,
+      s"logOddsModel: training slice needs both classes — positive and " +
+        s"negative examples (got $dp positive, $dn negative non-null-text docs)")
     def odds(cp: Column, cn: Column): Column =
       log((cp + lit(1L)).cast("double") / (col("np") + b).cast("double")) -
         log((cn + lit(1L)).cast("double") / (col("nn") + b).cast("double"))
@@ -65,17 +79,9 @@ object QualityClassifier {
         col("np"), col("nn"))
       .groupBy("np", "nn")
       .agg(map_from_entries(collect_list(col("e"))).as("wm"))
-      .select(col("wm"), odds(lit(0L), lit(0L)).as("w0"))
-      .crossJoin(prior)
-      .select(col("wm"), col("w0"),
-        // a single-class slice trains a model that scores everything one
-        // way — silently useless; raise instead (fused into the bias every
-        // scorer reads, so no plan can elide the guard)
-        when(col("dp") === 0L || col("dn") === 0L,
-          raise_error(lit("logOddsModel: training slice needs both classes" +
-            " — positive and negative examples")))
-          .otherwise(log((col("dp") + lit(1L)).cast("double") /
-            (col("dn") + lit(1L)).cast("double"))).as("bias"),
+      .select(col("wm"), odds(lit(0L), lit(0L)).as("w0"),
+        log((lit(dp) + lit(1L)).cast("double") /
+          (lit(dn) + lit(1L)).cast("double")).as("bias"),
         b.as("n_buckets"))
   }
 

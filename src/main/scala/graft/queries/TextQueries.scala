@@ -1649,8 +1649,8 @@ object TextQueries {
                            count(*) AS n_groups FROM per),
             mix AS (SELECT source, n_docs, tokens,
                            round(tokens::DOUBLE / total::DOUBLE, 6) AS share,
-                           least(1000000, CAST(floor((1000000 * total)::DOUBLE
-                             / (n_groups * tokens)::DOUBLE) AS BIGINT)) AS ppm
+                           least(1000000, CAST(floor(1000000 * total::DOUBLE
+                             / (n_groups::DOUBLE * tokens::DOUBLE)) AS BIGINT)) AS ppm
                     FROM per CROSS JOIN tot),
             kept AS (SELECT d.source, count(*) AS n_kept,
                             CAST(sum(d.tk) AS BIGINT) AS kept_tokens

@@ -22,8 +22,15 @@ object AnnStore {
     * cluster. One directory per centroid; vectors round-trip parquet
     * exactly (binary doubles), so search over the store is value-identical
     * to search over the in-memory assignment. */
-  def write(assigned: DataFrame, path: String): Unit =
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+  def write(assigned: DataFrame, path: String): Unit = {
+    // fenced like append: a full overwrite racing a swap-performing op
+    // interleaves renames unpredictably; loud beats lost
+    val fs = new Path(path).getFileSystem(
+      assigned.sparkSession.sparkContext.hadoopConfiguration)
+    PartitionSwap.withWriterLock(fs, path, "AnnStore") {
+      assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    }
+  }
 
   /** APPEND a new assigned batch into an existing store — the ingest
     * path's steady state: arriving vectors are coarse-assigned against
@@ -36,8 +43,18 @@ object AnnStore {
     * deliberate operation — appending against drifted centroids only
     * degrades recall, never correctness, since search scans whatever
     * partitions the probe names. */
-  def append(assigned: DataFrame, path: String): Unit =
-    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+  def append(assigned: DataFrame, path: String): Unit = {
+    // fenced (round-13 advice, BandStore.append's twin): an append racing
+    // compact/purge could land files in a cluster dir the swap parks and
+    // deletes, and one racing recluster writes into a tree about to be
+    // replaced wholesale — either way the appended rows vanish silently.
+    // Under the fence the race throws on one side instead.
+    val fs = new Path(path).getFileSystem(
+      assigned.sparkSession.sparkContext.hadoopConfiguration)
+    PartitionSwap.withWriterLock(fs, path, "AnnStore") {
+      assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+    }
+  }
 
   /** Read the store back. `centroid_id` returns as a partition column —
     * a foldable filter on it prunes directories at planning time instead
@@ -201,13 +218,19 @@ object AnnStore {
     // (a takedown, a GDPR erasure) would silently not happen — raise
     // instead, the raise-on-bad-input discipline of setJaccardPairs etc.
     val id = col(idCol).cast(storeType)
-    ids.select(org.apache.spark.sql.functions.coalesce(
-        org.apache.spark.sql.functions.when(id.isNull,
-          org.apache.spark.sql.functions.raise_error(
-            org.apache.spark.sql.functions.lit(
-              s"AnnStore.delete: null $idCol in the delete batch"))),
-        id).as(idCol))
-      .write.mode("append").parquet(tombstoneDir(path))
+    // fenced like BandStore.delete: purge/recluster drop the sidecar as a
+    // late step, so a tombstone appended mid-maintenance would be
+    // discarded UNAPPLIED — the takedown silently resurrects. Loud > lost.
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    PartitionSwap.withWriterLock(fs, path, "AnnStore") {
+      ids.select(org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.when(id.isNull,
+            org.apache.spark.sql.functions.raise_error(
+              org.apache.spark.sql.functions.lit(
+                s"AnnStore.delete: null $idCol in the delete batch"))),
+          id).as(idCol))
+        .write.mode("append").parquet(tombstoneDir(path))
+    }
   }
 
   /** Pending tombstone ids, or None when no delete has been recorded
@@ -410,11 +433,23 @@ object AnnStore {
       val oldRoot = new Path(path + ".recluster_old")
       if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
       if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
-      val live = readLive(spark, path, idCol).select(col(idCol), col("v"))
-      val cents = graft.operators.Similarity.kmeansFit(live, "v", idCol, k, iters)
+      // carry EVERY non-derived column through the rewrite (round-13
+      // advice): metadata ingested via `ivfAssign(metaCols = …)` —
+      // language, license, the label column a filtered probe pushes into
+      // the pruned scan — lives in the store's files, and a recluster
+      // that rebuilds from only (id, v) deletes it with the old tree,
+      // permanently. Derived columns (centroid_id, sim) are recomputed
+      // by the reassignment; everything else rides the same zero-shuffle
+      // fold it rode at ingest.
+      val live0 = readLive(spark, path, idCol)
+      val metaCols = live0.columns.toSeq
+        .filterNot(Set(idCol, "v", "centroid_id", "sim"))
+      val live = live0.select((idCol +: "v" +: metaCols).map(col): _*)
+      val cents = graft.operators.Similarity.kmeansFit(
+        live.select(col(idCol), col("v")), "v", idCol, k, iters)
       val assigned = graft.operators.Similarity.ivfAssign(
         live, "v", idCol, cents.withColumnRenamed("c_v", "v"), "centroid_id",
-        keepVec = true)
+        keepVec = true, metaCols = metaCols)
       assigned.repartition(k, col("centroid_id"))
         .write.mode("overwrite").partitionBy("centroid_id").parquet(tmpRoot.toString)
       // the COMMIT MARKER: recovery promotes the scratch tree iff this

@@ -96,11 +96,14 @@ object BandStore {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val spark = history.sparkSession
     import spark.implicits._
-    Seq((k, rowsPerBand, shingleN, buckets, leanSigs))
-      .toDF("k", "rows_per_band", "shingle_n", "buckets", "lean_sigs")
-      .write.mode("overwrite").parquet(paramsDir(path))
-    writeSketched(history, textCol, idCol, path,
-      Params(k, rowsPerBand, shingleN, buckets, leanSigs), mode = "overwrite")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    PartitionSwap.withWriterLock(fs, path, "BandStore") {
+      Seq((k, rowsPerBand, shingleN, buckets, leanSigs))
+        .toDF("k", "rows_per_band", "shingle_n", "buckets", "lean_sigs")
+        .write.mode("overwrite").parquet(paramsDir(path))
+      writeSketched(history, textCol, idCol, path,
+        Params(k, rowsPerBand, shingleN, buckets, leanSigs), mode = "overwrite")
+    }
   }
 
   /** Append a new accepted batch — the steady state: the batch is
@@ -108,10 +111,23 @@ object BandStore {
     * land only in the buckets they hash to; untouched partitions' files
     * are never rewritten. (Acceptance policy — e.g. "append only docs
     * that did not near-dup the history" — is the caller's composition of
-    * [[probe]] + append.) */
-  def append(batch: DataFrame, textCol: String, idCol: String, path: String): Unit =
-    writeSketched(batch, textCol, idCol, path, params(batch.sparkSession, path),
-      mode = "append")
+    * [[probe]] + append.)
+    *
+    * Append holds the store-root WRITER FENCE (round-13 advice): an
+    * append racing compact/purge/rebucket could commit part files into a
+    * bucket dir the swap then parks under `.swap_old` and deletes — the
+    * appended rows would vanish silently. Under the fence the race is
+    * LOUD instead: an append during a maintenance window throws (and
+    * vice versa), so the caller schedules one or the other and never
+    * loses rows. */
+  def append(batch: DataFrame, textCol: String, idCol: String, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    PartitionSwap.withWriterLock(fs, path, "BandStore") {
+      writeSketched(batch, textCol, idCol, path, params(batch.sparkSession, path),
+        mode = "append")
+    }
+  }
 
   /** STREAMING ingest — pass to
     * `stream.writeStream.foreachBatch(BandStore.ingest(path, textCol, idCol))`:
@@ -125,7 +141,15 @@ object BandStore {
     * correctness. The store must exist — [[write]] the initial slice
     * first; parameters are pinned there, not here. Acceptance policy
     * (e.g. probe-then-drop-dups) remains the caller's composition
-    * inside their own foreachBatch body. */
+    * inside their own foreachBatch body.
+    *
+    * Each micro-batch append holds the store-root writer fence (see
+    * [[append]]), so a swap-performing maintenance op (compact/purge/
+    * rebucket) racing a LIVE stream can never silently delete a
+    * just-committed batch: one side throws instead. Operationally that
+    * means maintenance runs between micro-batches or with the stream
+    * stopped — a batch that lands on a held fence fails the streaming
+    * query loudly and replays on restart (at-least-once, as above). */
   def ingest(path: String, textCol: String, idCol: String)
             (batch: DataFrame, batchId: Long): Unit =
     append(batch, textCol, idCol, path)
@@ -217,11 +241,18 @@ object BandStore {
         s"BandStore.delete: store at $path has no id column `$idCol`"))
       .dataType
     val id = col(idCol).cast(storeType)
-    ids.select(coalesce(
-        when(id.isNull, raise_error(
-          lit(s"BandStore.delete: null $idCol in the delete batch"))),
-        id).as(idCol))
-      .write.mode("append").parquet(tombstoneDir(path))
+    // fenced for the same reason as [[append]]: [[purge]] drops the WHOLE
+    // sidecar as its last step, so a tombstone appended mid-purge (after
+    // the rewrite planned, before the drop) would be deleted UNAPPLIED —
+    // a takedown that silently resurrects. Under the fence it throws.
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    PartitionSwap.withWriterLock(fs, path, "BandStore") {
+      ids.select(coalesce(
+          when(id.isNull, raise_error(
+            lit(s"BandStore.delete: null $idCol in the delete batch"))),
+          id).as(idCol))
+        .write.mode("append").parquet(tombstoneDir(path))
+    }
   }
 
   /** Pending tombstone ids, or None when nothing has been deleted since

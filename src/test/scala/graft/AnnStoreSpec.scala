@@ -387,7 +387,14 @@ class AnnStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     Seq(
       () => AnnStore.compact(spark, path),
       () => AnnStore.purge(spark, path, "vec_id"),
-      () => AnnStore.recluster(spark, path, "vec_id", k = 8)
+      () => AnnStore.recluster(spark, path, "vec_id", k = 8),
+      // round-13 advice: append/delete are fenced too — an append racing
+      // a swap would land rows in a dir the swap deletes; a delete racing
+      // purge would be discarded unapplied
+      () => AnnStore.append(
+        Similarity.ivfAssign(corpus.limit(1), "embedding", "vec_id", cents,
+          "cid", keepVec = true), path),
+      () => AnnStore.delete(Seq(7L).toDF("vec_id"), "vec_id", path)
     ).foreach { op =>
       val e = intercept[IllegalStateException](op())
       assert(e.getMessage.contains("writer fence"), e.getMessage)
@@ -441,6 +448,40 @@ class AnnStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       "embedding", "vec_id", direct.withColumnRenamed("c_v", "embedding"),
       "centroid_id", query, k = 10, nProbe = 2).as[(Long, Double)].collect().toSeq
     assert(fromStore === fromScratch)
+  }
+
+  test("recluster preserves ingested metadata columns — filtered probes survive the rewrite") {
+    // round-13 advice: recluster used to rebuild from only (id, v), so
+    // metadata carried in by ivfAssign(metaCols=...) — the very column a
+    // filteredSearch predicate pushes into the pruned scan — was deleted
+    // with the old tree, unrecoverably
+    val dir = java.nio.file.Files.createTempDirectory("graft_annspec").toFile
+    storeDirs += dir
+    val path = dir.toString + "/store"
+    val tagged = corpus.withColumn("lang",
+      when($"vec_id" % 3 === 0, "en").otherwise("de"))
+    AnnStore.write(
+      Similarity.ivfAssign(tagged, "embedding", "vec_id", cents, "cid",
+        keepVec = true, metaCols = Seq("lang")), path)
+    val langBefore = AnnStore.read(spark, path)
+      .select($"vec_id", $"lang").as[(Long, String)].collect().toMap
+    val newCents = AnnStore.recluster(spark, path, "vec_id", k = 8, iters = 2)
+    val store = AnnStore.read(spark, path)
+    assert(store.columns.contains("lang"),
+      "recluster must carry non-derived columns into the new layout")
+    assert(store.select($"vec_id", $"lang").as[(Long, String)].collect().toMap
+      === langBefore, "metadata values must survive the rewrite unchanged")
+    // the filtered serving path still works against the reclustered store
+    val query = corpus.filter($"vec_id" === 1)
+    val got = Similarity.filteredSearch(store, "vec_id",
+      newCents.withColumnRenamed("c_v", "embedding"), "centroid_id", "embedding",
+      $"lang" === "en", query, k = 5, nProbe = 8)
+      .as[(Long, Double)].collect().toSeq
+    val brute = Similarity.topK(
+      tagged.filter($"lang" === "en"), "embedding", "vec_id", query, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === brute,
+      "all-cluster filtered probe over the reclustered store must equal brute force over the filtered corpus")
   }
 
   test("recluster crash windows: the commit marker decides promote vs restore; reads raise in between") {

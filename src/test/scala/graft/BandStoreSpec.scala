@@ -450,4 +450,35 @@ class BandStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val e2 = intercept[IllegalArgumentException] { BandStore.merge(spark, dst, dst) }
     assert(e2.getMessage.contains("same store"))
   }
+
+  test("writer fence: a held fence blocks append/ingest/delete too — lost-row races are loud") {
+    // round-13 advice: an append racing compact/purge/rebucket could
+    // commit part files into a bucket dir the swap parks and deletes, and
+    // a delete racing purge's sidecar drop would be discarded unapplied —
+    // both now throw on the held fence instead of silently losing rows
+    val path = newPath()
+    BandStore.write(history, "text", "doc_id", path)
+    assert(new java.io.File(path + ".lock").createNewFile(),
+      "fixture: simulate a running maintenance op's fence")
+    Seq(
+      () => BandStore.append(batch, "text", "doc_id", path),
+      () => BandStore.ingest(path, "text", "doc_id")(batch, 0L),
+      () => BandStore.delete(Seq(3L).toDF("doc_id"), "doc_id", path),
+      () => { BandStore.compact(spark, path); () },
+      () => { BandStore.purge(spark, path); () },
+      () => BandStore.rebucket(spark, path, 8)
+    ).foreach { op =>
+      val e = intercept[IllegalStateException](op())
+      assert(e.getMessage.contains("writer fence"), e.getMessage)
+    }
+    assert(BandStore.breakLock(spark, path), "breakLock clears a stale fence")
+    BandStore.append(batch, "text", "doc_id", path)
+    assert(!new java.io.File(path + ".lock").exists(),
+      "append must release the fence when it completes")
+    // and the appended rows are served: the fence changed failure mode,
+    // not semantics
+    assert(pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8))
+      .exists(p => p._1 == p._2 || p._3 == 1.0),
+      "post-append probe sees the appended batch as history")
+  }
 }

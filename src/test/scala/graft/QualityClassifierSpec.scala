@@ -70,9 +70,29 @@ class QualityClassifierSpec extends SparkSpec {
 
   test("single-class training slice raises — a one-sided model is silently useless") {
     val oneSided = Seq((1L, true, "good"), (2L, true, "fine")).toDF("doc_id", "pos", "text")
-    val model = QualityClassifier.logOddsModel(oneSided, "text", "pos", buckets = 64)
-    val e = intercept[Exception] { model.head() }
+    // the guard is EAGER (round-13 advice): it fires at model-build time,
+    // not when some downstream action happens to evaluate the bias
+    val e = intercept[Exception] {
+      QualityClassifier.logOddsModel(oneSided, "text", "pos", buckets = 64)
+    }
     assert(e.getMessage.contains("both classes"))
+  }
+
+  test("empty / all-null-text training slice raises instead of an empty model") {
+    // round-13 advice: an all-null-text slice used to collapse perBucket
+    // to zero rows, so the fused single-class guard never evaluated and
+    // score() silently returned zero rows
+    val allNull = Seq((1L, true, null: String), (2L, false, null: String))
+      .toDF("doc_id", "pos", "text")
+    val e1 = intercept[Exception] {
+      QualityClassifier.logOddsModel(allNull, "text", "pos", buckets = 64)
+    }
+    assert(e1.getMessage.contains("both classes"))
+    val empty = Seq.empty[(Long, Boolean, String)].toDF("doc_id", "pos", "text")
+    val e2 = intercept[Exception] {
+      QualityClassifier.logOddsModel(empty, "text", "pos", buckets = 64)
+    }
+    assert(e2.getMessage.contains("both classes"))
   }
 
   test("dedup_soft: weight law 1/|cluster|, singletons 1.0, consistent with the shared labeling") {
