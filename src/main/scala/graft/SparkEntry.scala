@@ -37,7 +37,8 @@ object SparkEntry {
     * median instead of a permanently `capped` single cold pass. */
   def composedQueries: Set[String] =
     Set("pipeline_corpus_prep", "pipeline_embedding_prep", "dedup_band_store",
-      "dedup_band_delete", "dedup_band_rebucket", "dedup_band_merge")
+      "dedup_band_delete", "dedup_band_rebucket", "dedup_band_merge",
+      "pipeline_reference_etl")
 
   /** Drop every application-lifetime memoized stage (checkpoint blocks
     * released, ANN store files deleted, bucketed tables dropped); the

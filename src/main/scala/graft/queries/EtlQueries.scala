@@ -312,7 +312,134 @@ object EtlQueries {
       s.read.option("mergeSchema", "true").parquet(snapshotDir(s, d))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderstatus"), col("o_orderpriority"),
-          col("snap").cast("int").as("snap")))
+          col("snap").cast("int").as("snap"))),
+
+    // THE WHOLE REFERENCE, oracle-checked END-TO-END as one composition
+    // (Listings_ETL.py:29-151 + Review_ETL.py:58-106): CSV extract →
+    // clean (money/truncate/normalize/dropna/fillna/dedup-by-key) →
+    // 5-table split → upsert-load two batches (latest-wins) → document
+    // projection → two-batch review nest-merge ($addToSet set-union).
+    // Every stat is computed from the LOADED stores read back from disk,
+    // so the hash passes iff extract, clean, split, upsert, and merge
+    // all produced exactly the oracle's replay — the pipeline_corpus_prep
+    // discipline applied to the reference's own DAGs. All values BIGINT
+    // (integer cents for money) — exact cross-engine by construction.
+    "pipeline_reference_etl" -> ((s, d) => {
+      import graft.etl.ReferencePipeline
+      val scratch = refPipeDir(s, d)
+      val out = scratch + "/out"
+      val csvBase = scratch + "/csv"
+      Seq(out, csvBase).foreach(p => deleteRecursively(new java.io.File(p)))
+
+      // listings-shaped wide table from customer⋈nation: money strings
+      // (with a real thousands comma for the parse to strip), over-long
+      // zip codes, normalizable state values, null names (dropna bait),
+      // null beds (fillna bait) — every cleaning stage has planted work
+      def moneyStr(v: org.apache.spark.sql.Column) = {
+        val dec = v.cast("decimal(18,2)").cast("string")
+        concat(lit("$"),
+          when(v >= 1000,
+            concat(dec.substr(lit(1), length(dec) - lit(6)), lit(","),
+              dec.substr(length(dec) - lit(5), lit(6))))
+            .otherwise(dec))
+      }
+      val base = t(s, d, "customer")
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+      def widen(df: org.apache.spark.sql.DataFrame,
+                price: org.apache.spark.sql.Column,
+                beds: org.apache.spark.sql.Column) =
+        df.select(
+          col("c_custkey").as("id"),
+          when(col("c_custkey") % 37 === 0, lit(null)).otherwise(col("c_name")).as("name"),
+          moneyStr(price).as("price"),
+          concat(lpad((col("c_custkey") * 7 % 1000).cast("string"), 5, "0"),
+            lit("-"), lpad((col("c_custkey") % 97).cast("string"), 4, "0")).as("zipcode"),
+          col("n_name").as("state"),
+          beds.as("beds"),
+          (col("c_custkey") + 100000).as("host_id"),
+          col("c_mktsegment").as("about"),
+          (col("c_custkey") % 7 + 1).as("listings_count"))
+      val b1 = widen(base, col("c_acctbal"),
+        when(col("c_custkey") % 5 === 0, lit(null)).otherwise(col("c_custkey") % 4 + 1))
+      // identical-payload duplicate keys: the drop_duplicates stage's work
+      val batch1 = b1.unionAll(b1.filter(col("id") % 11 === 0))
+      // day-2 batch: every id%3==0 listing re-delivered with a doubled
+      // price and changed beds — the upsert's latest-wins evidence
+      val batch2 = widen(base.filter(col("c_custkey") % 3 === 0),
+        col("c_acctbal") * 2, col("c_custkey") % 4 + 2)
+
+      // the reference's entry format is CSV — both batches take the hop
+      batch1.write.option("header", "true").mode("overwrite").csv(s"$csvBase/b1")
+      batch2.write.option("header", "true").mode("overwrite").csv(s"$csvBase/b2")
+      val cfg = ReferencePipeline.Config(
+        key = "id",
+        moneyCols = Seq("price"),
+        truncateCols = Map("zipcode" -> 5),
+        valueMaps = Map("state" -> Map(
+          "UNITED STATES" -> "US", "UNITED KINGDOM" -> "UK")),
+        requiredCols = Seq("name"),
+        fillMinusOne = Seq("beds"),
+        tableSchema = Map(
+          "host_info" -> Seq("name", "host_id"),
+          "hotel_location" -> Seq("state", "zipcode"),
+          "hotel_facilities" -> Seq("beds"),
+          "price_info" -> Seq("price"),
+          "host_metrics" -> Seq("listings_count")),
+        docFlat = Seq("id", "name"),
+        docNested = ("host_desc", Seq("host_id", "about")))
+      ReferencePipeline.run(s, graft.sources.Tables.csv(s, s"$csvBase/b1"), cfg, out)
+      ReferencePipeline.run(s, graft.sources.Tables.csv(s, s"$csvBase/b2"), cfg, out)
+
+      // reviews: two overlapping daily batches (o_orderkey%6==0 rows are
+      // re-delivered in batch B — at-least-once), exact dups planted in A,
+      // unparseable listing ids planted everywhere (coerce→null→drop)
+      val rv = t(s, d, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 0,
+          concat(lit("id"), col("o_custkey").cast("string")))
+          .otherwise(col("o_custkey").cast("string")).as("listing_id"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("rdate"),
+        col("o_orderpriority").as("comments"))
+      val rvA = rv.filter(col("o_orderkey") % 2 === 0)
+        .unionAll(rv.filter(col("o_orderkey") % 26 === 0))
+      val rvB = rv.filter(col("o_orderkey") % 2 =!= 0 || col("o_orderkey") % 6 === 0)
+      ReferencePipeline.loadReviews(s, rvA, s"$out/reviews_store",
+        "listing_id", Seq("rdate", "comments"))
+      ReferencePipeline.loadReviews(s, rvB, s"$out/reviews_store",
+        "listing_id", Seq("rdate", "comments"))
+
+      // every stat reads the LOADED store back from disk
+      def rb(name: String) = s.read.parquet(s"$out/$name")
+      def stat(tbl: String, st: String, v: org.apache.spark.sql.Column,
+               src: org.apache.spark.sql.DataFrame) =
+        src.agg(v.cast("bigint").as("value"))
+          .select(lit(tbl).as("tbl"), lit(st).as("stat"), col("value"))
+      val host = rb("host_info"); val loc = rb("hotel_location")
+      val fac = rb("hotel_facilities"); val price = rb("price_info")
+      val met = rb("host_metrics"); val docs = rb("documents_store")
+      val rev = rb("reviews_store")
+      Seq(
+        stat("host_info", "n_rows", count(lit(1)), host),
+        stat("host_info", "n_hosts", countDistinct(col("host_id")), host),
+        stat("hotel_location", "n_rows", count(lit(1)), loc),
+        stat("hotel_location", "n_distinct_zip", countDistinct(col("zipcode")), loc),
+        stat("hotel_location", "n_mapped",
+          sum(when(col("state").isin("US", "UK"), 1L).otherwise(0L)), loc),
+        stat("hotel_facilities", "n_rows", count(lit(1)), fac),
+        stat("hotel_facilities", "sum_beds", sum(col("beds")), fac),
+        stat("hotel_facilities", "n_filled",
+          sum(when(col("beds") === -1, 1L).otherwise(0L)), fac),
+        stat("price_info", "n_rows", count(lit(1)), price),
+        stat("price_info", "sum_cents", sum((col("price") * 100).cast("long")), price),
+        stat("host_metrics", "n_rows", count(lit(1)), met),
+        stat("host_metrics", "sum_listings", sum(col("listings_count")), met),
+        stat("documents_store", "n_rows", count(lit(1)), docs),
+        stat("documents_store", "n_hosts",
+          countDistinct(col("host_desc.host_id")), docs),
+        stat("reviews_store", "n_listings", count(lit(1)), rev),
+        stat("reviews_store", "n_reviews", sum(size(col("reviews"))), rev)
+      ).reduce(_ unionAll _)
+    })
   )
 
   /** Two parquet snapshot generations of `orders` with DIFFERENT schemas
@@ -340,6 +467,23 @@ object EtlQueries {
       t(s, d, "documents").write.mode("overwrite").json(base.toString + "/docs")
       base.toString + "/docs"
     })
+
+  /** Scratch root for `pipeline_reference_etl`'s loaded stores — one temp
+    * dir per (application, sf dir), swept at JVM exit; the key clears its
+    * own subdirs per invocation so every pass runs the full cold
+    * lifecycle. */
+  private def refPipeDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    snapshotCache.computeIfAbsent("refpipe|" + s.sparkContext.applicationId + "|" + d, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft_refpipe")
+      snapshotHook
+      snapshotTmp.add(base.toFile)
+      base.toString
+    })
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
 
   private def snapshotDir(s: org.apache.spark.sql.SparkSession, d: String): String =
     snapshotCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
@@ -374,6 +518,57 @@ object EtlQueries {
          SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE),
                 o_orderstatus, o_orderpriority, 2
          FROM orders WHERE o_orderkey % 2 <> 0""",
+    // the whole reference DAG replayed: clean semantics inline (the money
+    // string built from c_acctbal parses back to round2(c_acctbal), so
+    // the oracle computes cents directly), upsert latest-wins as a CASE
+    // on the batch-2 membership predicate, dedup-by-key by counting base
+    // rows once, review set-union as DISTINCT over the union of batches
+    // (the two overlapping loads merge to exactly the one-shot distinct)
+    "pipeline_reference_etl" ->
+      """WITH wide AS (
+           SELECT c_custkey AS id,
+                  CASE WHEN c_custkey % 37 = 0 THEN NULL ELSE c_name END AS name,
+                  c_acctbal AS bal,
+                  n_name AS state,
+                  c_custkey + 100000 AS host_id,
+                  c_custkey % 7 + 1 AS listings_count
+           FROM customer JOIN nation ON c_nationkey = n_nationkey),
+         fin AS (
+           SELECT id, name,
+                  CASE WHEN state = 'UNITED STATES' THEN 'US'
+                       WHEN state = 'UNITED KINGDOM' THEN 'UK'
+                       ELSE state END AS state,
+                  lpad(CAST((id * 7) % 1000 AS VARCHAR), 5, '0') AS zipcode,
+                  CASE WHEN id % 3 = 0
+                       THEN CAST(CAST(bal * 2 AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE CAST(CAST(bal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       END AS price_cents,
+                  CASE WHEN id % 3 = 0 THEN id % 4 + 2
+                       WHEN id % 5 = 0 THEN -1
+                       ELSE id % 4 + 1 END AS beds,
+                  host_id, listings_count
+           FROM wide WHERE name IS NOT NULL),
+         rv AS (
+           SELECT DISTINCT o_custkey AS lid,
+                  strftime(o_orderdate, '%Y-%m-%d') AS rdate,
+                  o_orderpriority AS comments
+           FROM orders WHERE o_orderkey % 97 <> 0)
+       SELECT 'host_info' AS tbl, 'n_rows' AS stat, CAST(count(*) AS BIGINT) AS value FROM fin
+       UNION ALL SELECT 'host_info', 'n_hosts', CAST(count(DISTINCT host_id) AS BIGINT) FROM fin
+       UNION ALL SELECT 'hotel_location', 'n_rows', CAST(count(*) AS BIGINT) FROM fin
+       UNION ALL SELECT 'hotel_location', 'n_distinct_zip', CAST(count(DISTINCT zipcode) AS BIGINT) FROM fin
+       UNION ALL SELECT 'hotel_location', 'n_mapped', CAST(coalesce(sum(CASE WHEN state IN ('US','UK') THEN 1 ELSE 0 END), 0) AS BIGINT) FROM fin
+       UNION ALL SELECT 'hotel_facilities', 'n_rows', CAST(count(*) AS BIGINT) FROM fin
+       UNION ALL SELECT 'hotel_facilities', 'sum_beds', CAST(sum(beds) AS BIGINT) FROM fin
+       UNION ALL SELECT 'hotel_facilities', 'n_filled', CAST(coalesce(sum(CASE WHEN beds = -1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM fin
+       UNION ALL SELECT 'price_info', 'n_rows', CAST(count(*) AS BIGINT) FROM fin
+       UNION ALL SELECT 'price_info', 'sum_cents', CAST(sum(price_cents) AS BIGINT) FROM fin
+       UNION ALL SELECT 'host_metrics', 'n_rows', CAST(count(*) AS BIGINT) FROM fin
+       UNION ALL SELECT 'host_metrics', 'sum_listings', CAST(sum(listings_count) AS BIGINT) FROM fin
+       UNION ALL SELECT 'documents_store', 'n_rows', CAST(count(*) AS BIGINT) FROM fin
+       UNION ALL SELECT 'documents_store', 'n_hosts', CAST(count(DISTINCT host_id) AS BIGINT) FROM fin
+       UNION ALL SELECT 'reviews_store', 'n_listings', CAST(count(DISTINCT lid) AS BIGINT) FROM rv
+       UNION ALL SELECT 'reviews_store', 'n_reviews', CAST(count(*) AS BIGINT) FROM rv""",
     // per-column stats + KMV distinct replay, one CTE pair per column;
     // generated from the same column list as the Spark side
     "etl_profile" -> {

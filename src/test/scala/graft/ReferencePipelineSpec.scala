@@ -86,4 +86,44 @@ class ReferencePipelineSpec extends SparkSpec {
     assert(got === Map(1L -> 2, 2L -> 1, 3L -> 1),
       "replayed review must not double-count; new reviews accumulate")
   }
+
+  test("pipeline_reference_etl contract: per-table row counts, upsert-wins, review set-union") {
+    val out = SparkEntry.queries("pipeline_reference_etl")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    // ground truth recomputed independently from the parquet inputs
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val nBase = cust.filter($"c_custkey" % 37 =!= 0).count() // dropna survivors
+    // every split table holds exactly one row per surviving listing —
+    // the dedup-by-key collapsed the planted duplicate keys
+    Seq("host_info", "hotel_location", "hotel_facilities", "price_info", "host_metrics",
+      "documents_store").foreach { tbl =>
+      assert(out((tbl, "n_rows")) === nBase, s"$tbl row count")
+    }
+    // upsert latest-wins: id%3==0 listings carry the DOUBLED day-2 price
+    val expCents = cust.filter($"c_custkey" % 37 =!= 0)
+      .select(sum(when($"c_custkey" % 3 === 0,
+        (($"c_acctbal" * 2).cast("decimal(18,2)") * 100).cast("long"))
+        .otherwise(($"c_acctbal".cast("decimal(18,2)") * 100).cast("long"))))
+      .head().getLong(0)
+    assert(out(("price_info", "sum_cents")) === expCents,
+      "price store must reflect the day-2 overrides, not the day-1 values")
+    // and the day-2 beds override (never -1 for id%3==0, fill elsewhere)
+    val expBeds = cust.filter($"c_custkey" % 37 =!= 0)
+      .select(sum(when($"c_custkey" % 3 === 0, $"c_custkey" % 4 + 2)
+        .when($"c_custkey" % 5 === 0, -1L)
+        .otherwise($"c_custkey" % 4 + 1))).head().getLong(0)
+    assert(out(("hotel_facilities", "sum_beds")) === expBeds)
+    // review set-union: two overlapping at-least-once batches merge to
+    // exactly the one-shot distinct — nothing double-counted
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .filter($"o_orderkey" % 97 =!= 0)
+    val expReviews = ord.select($"o_custkey",
+      date_format($"o_orderdate", "yyyy-MM-dd"), $"o_orderpriority")
+      .distinct().count()
+    assert(out(("reviews_store", "n_reviews")) === expReviews,
+      "$addToSet merge must equal one-shot distinct across the overlapping batches")
+    assert(out(("reviews_store", "n_listings")) ===
+      ord.select($"o_custkey").distinct().count())
+  }
 }
