@@ -42,6 +42,18 @@ object Bpe {
     ("l", "ine"), ("e", "y"), ("k", "ey"), ("j", "o"),
     ("jo", "in"), ("g", "e"), ("mer", "ge"), ("er", "y"))
 
+  /** The PRODUCTION-SIZED frozen artifact: 1024 merges trained by the
+    * `wide` recipe (documents.text words ∪ customer `c_name` ∪ part
+    * `p_name` words, top-10000 by frequency, sf0.01) — regenerate with
+    * `graft.tools.TrainBpe <sf0.01> 10000 1024 wide --emit-file`. The
+    * id-bearing name columns give the tiny synthetic corpus the
+    * long-tail vocabulary (digit runs, `#` compounds) a real crawl has:
+    * common words train to single tokens (as a real tokenizer's do)
+    * while unseen id-like words split into genuine subwords. Lives in
+    * the generated [[BpeLargeMerges]]; provenance spec-checked like
+    * [[DefaultMerges]]. */
+  def LargeMerges: Seq[(String, String)] = BpeLargeMerges.merges
+
   /** Total BPE token count of a text column under `merges` — a native
     * codegen'd expression (one static call per row; the table rides the
     * plan as a reference object). Words are single-space split (the

@@ -820,15 +820,27 @@ object TextQueries {
 
     // REAL subword tokenization — the frozen-merge-table greedy BPE the
     // regex "BPE-ish" proxy in ta_tokens stands in for: per-source totals
-    // under Bpe.DefaultMerges (the spec-provenanced static artifact). The
-    // oracle replays the encoder as a recursive CTE applying the same
-    // (lowest-rank, leftmost) rule over DISTINCT words — the count is
-    // part of the operator's definition, not an approximation
+    // under Bpe.LargeMerges (the 1024-merge spec-provenanced production
+    // artifact; round-14 verdict item). On in-domain text the trained
+    // common words collapse to ~1 token each (exactly what a real
+    // tokenizer does), so the key ALSO scores an UNSEEN id-like word per
+    // doc (the c_name shape at doc_id positions the training sample
+    // never saw) — those split into genuine subwords, exercising the
+    // partial-merge path. The oracle replays the encoder as a recursive
+    // CTE applying the same (lowest-rank, leftmost) rule over DISTINCT
+    // words — the count is part of the operator's definition, not an
+    // approximation
     "ta_bpe_tokens" -> ((s, d) =>
       t(s, d, "documents")
-        .select(col("source"), graft.functions.Bpe.bpeTokenCount(col("text")).as("bpe"))
+        .select(col("source"),
+          graft.functions.Bpe.bpeTokenCount(col("text"),
+            graft.functions.Bpe.LargeMerges).as("bpe"),
+          graft.functions.Bpe.bpeTokenCount(
+            concat(lit("Customer#"), lpad(col("doc_id").cast("string"), 9, "0")),
+            graft.functions.Bpe.LargeMerges).as("bpe_id"))
         .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum(col("bpe")).as("sum_bpe"))),
+        .agg(count(lit(1)).as("n_docs"), sum(col("bpe")).as("sum_bpe"),
+          sum(col("bpe_id")).as("sum_bpe_id"))),
 
     // budget selection in the tokens a TRAINING RUN actually consumes:
     // same histogram-thresholded quality selection as ta_budget_select,
@@ -840,7 +852,8 @@ object TextQueries {
       val dup = lit(1.0) - size(array_distinct(w)).cast("double") / nW
       val stop = tokenCount(col("text"), Seq("the", "a")).cast("double") / nW
       val scored = t(s, d, "documents").select(col("doc_id"),
-        graft.functions.Bpe.bpeTokenCount(col("text")).as("tk"),
+        graft.functions.Bpe.bpeTokenCount(col("text"),
+          graft.functions.Bpe.LargeMerges).as("tk"),
         round(lit(0.5) * stop + lit(0.5) * (lit(1.0) - dup), 6).as("quality"))
       graft.etl.Selection.tokenBudgetSelect(scored, "tk", "quality", "doc_id",
         budget = 40000L)
@@ -848,9 +861,10 @@ object TextQueries {
 
     // sequence packing in REAL tokenizer tokens — the same distributed
     // window-cumsum pack assignment as ta_pack_budget, but each doc's
-    // cost is its BPE token count, so pack boundaries land where a
-    // training run's sequence budget actually lands (BPE counts run ~3×
-    // the whitespace proxy on this corpus — the budget scales with them)
+    // cost is its BPE token count under the 1024-merge production
+    // artifact, so pack boundaries land where a training run's sequence
+    // budget actually lands (in-vocab words train to ~1 token each, as a
+    // real tokenizer's common words do)
     // the CCNet-style LM FILTER: score every doc's perplexity under a
     // small bigram LM trained on a trusted slice, keep the fluent tail.
     // The model is bounded by construction (top-256 vocab + <unk>), so
@@ -884,7 +898,8 @@ object TextQueries {
     "ta_bpe_pack" -> ((s, d) =>
       graft.etl.Packing.withPackId(
         t(s, d, "documents")
-          .withColumn("tk", graft.functions.Bpe.bpeTokenCount(col("text"))),
+          .withColumn("tk", graft.functions.Bpe.bpeTokenCount(col("text"),
+            graft.functions.Bpe.LargeMerges)),
         "tk", budget = 6000, partitionCols = Seq("lang"), orderCol = "doc_id")
         .groupBy("lang", "pack_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("tk")).cast("bigint").as("sum_tokens"))),
@@ -1144,10 +1159,14 @@ object TextQueries {
   private[queries] lazy val lshAgainstSql: String =
     lshAgainstSqlWhere("a.doc_id % 3 <> 0")
 
-  /** The frozen merge table as a DuckDB map literal (rank lookup keyed
-    * "left right" — tokens never contain a space). */
+  /** The frozen 1024-merge table as a DuckDB map literal (rank lookup
+    * keyed "left right" — tokens never contain a space; the vocab carries
+    * no quote characters, so plain single-quoted literals are safe —
+    * guarded below rather than assumed). */
   private def bpeMergeMapSql: String = {
-    val ms = graft.functions.Bpe.DefaultMerges
+    val ms = graft.functions.Bpe.LargeMerges
+    require(ms.forall { case (a, b) => !(a + b).exists(c => c == '\'' || c == '\\') },
+      "merge tokens must be quote-free to embed as SQL literals")
     val keys = ms.map { case (a, b) => s"'$a $b'" }.mkString(", ")
     val vals = ms.indices.mkString(", ")
     s"map([$keys], [$vals])"
@@ -1158,17 +1177,20 @@ object TextQueries {
     * `BpeUtil.countTokens`' exact rule — until no pair is in the table
     * (`bi` NULL terminates that word's recursion). Ends with `doctk`
     * (doc_id, bpe). Callers must open with `WITH RECURSIVE`. */
-  private lazy val bpeDocTokensCtes: String =
-    s"""rm AS (SELECT $bpeMergeMapSql AS m),
-       dw AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-              FROM documents),
-       uw AS (SELECT DISTINCT w FROM dw),
-       init AS (SELECT w,
+  /** One recursive-encoder CTE chain over the distinct words of
+    * `wordsSql` (a `(doc_id, w)` relation), names prefixed with `p`,
+    * ending in `<p>tk` (doc_id, bpe). Shares the single `rm` rank map;
+    * callers compose one or more chains after `rm` under one
+    * `WITH RECURSIVE`. */
+  private def bpeTokensCtes(p: String, wordsSql: String): String =
+    s"""${p}dw AS ($wordsSql),
+       ${p}uw AS (SELECT DISTINCT w FROM ${p}dw),
+       ${p}init AS (SELECT w,
                   list_transform(range(1, length(w)+1), i -> substr(w, CAST(i AS INT), 1)) AS toks,
                   0 AS step
-                FROM uw),
-       enc AS (
-         SELECT * FROM init
+                FROM ${p}uw),
+       ${p}enc AS (
+         SELECT * FROM ${p}init
          UNION ALL
          SELECT w,
                 list_concat(list_concat(toks[1:bi-1], [toks[bi] || toks[bi+1]]), toks[bi+2:]) AS toks,
@@ -1178,12 +1200,16 @@ object TextQueries {
            FROM (SELECT w, toks, step,
                         list_transform(range(1, len(toks)),
                           i -> rm.m[toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1]][1]) AS rks
-                 FROM enc CROSS JOIN rm) e
+                 FROM ${p}enc CROSS JOIN rm) e
          ) WHERE bi IS NOT NULL),
-       wt AS (SELECT w, len(toks) AS n FROM enc
+       ${p}wt AS (SELECT w, len(toks) AS n FROM ${p}enc
               QUALIFY row_number() OVER (PARTITION BY w ORDER BY step DESC) = 1),
-       doctk AS (SELECT d.doc_id, CAST(sum(wt.n) AS BIGINT) AS bpe
-                 FROM dw d JOIN wt ON d.w = wt.w GROUP BY 1)"""
+       ${p}tk AS (SELECT d.doc_id, CAST(sum(${p}wt.n) AS BIGINT) AS bpe
+                 FROM ${p}dw d JOIN ${p}wt ON d.w = ${p}wt.w GROUP BY 1)"""
+
+  private lazy val bpeDocTokensCtes: String =
+    s"""rm AS (SELECT $bpeMergeMapSql AS m),
+       ${bpeTokensCtes("doc", "SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents")}"""
 
   /** The entity-decode chain as nested DuckDB `replace()` calls —
     * generated from the SAME [[graft.functions.TextFunctions.HtmlEntities]]
@@ -1238,10 +1264,14 @@ object TextQueries {
           SELECT doc_id, CAST(length(clean) AS BIGINT) AS n_chars, md5(clean) AS clean_md5
           FROM fin""",
     "ta_bpe_tokens" ->
-      s"""WITH RECURSIVE $bpeDocTokensCtes
+      s"""WITH RECURSIVE $bpeDocTokensCtes,
+          ${bpeTokensCtes("id",
+        "SELECT doc_id, 'Customer#' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS w FROM documents")}
           SELECT d.source, count(*) AS n_docs,
-                 CAST(sum(coalesce(t.bpe, 0)) AS BIGINT) AS sum_bpe
+                 CAST(sum(coalesce(t.bpe, 0)) AS BIGINT) AS sum_bpe,
+                 CAST(sum(i.bpe) AS BIGINT) AS sum_bpe_id
           FROM documents d LEFT JOIN doctk t USING (doc_id)
+                           JOIN idtk i USING (doc_id)
           GROUP BY 1""",
     "ta_bpe_budget" ->
       s"""WITH RECURSIVE $bpeDocTokensCtes,

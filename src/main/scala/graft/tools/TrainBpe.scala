@@ -3,35 +3,86 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Regenerate [[graft.functions.Bpe.DefaultMerges]]: train the BPE merge
-  * table from a documents parquet dir and print it as a Scala literal.
-  * The corpus never collects — only the top-N word-frequency sample does
-  * (bounded routing-metadata-sized state, the trainer's whole input).
+/** Regenerate the frozen BPE artifacts ([[graft.functions.Bpe.DefaultMerges]]
+  * and [[graft.functions.BpeLargeMerges]]): train the merge table from the
+  * testdata and print it as a Scala literal (or, with `--emit-file`, write
+  * the whole `BpeLargeMerges.scala` source). The corpus never collects —
+  * only the top-N word-frequency sample does (bounded routing-metadata-sized
+  * state, the trainer's whole input).
+  *
+  * Two vocab recipes:
+  *  - `docs` (the 40-merge DefaultMerges recipe): words of `documents.text`.
+  *  - `wide` (the ≥1k-merge LargeMerges recipe): `documents.text` words ∪
+  *    `c_name` ∪ `p_name` words — the id-bearing name columns give the
+  *    synthetic corpus the long-tail vocabulary (digit runs, # compounds) a
+  *    real crawl has, which is what lets a 1024-merge table train without
+  *    saturating (documents.text alone holds 31 distinct words).
   *
   * Usage: runMain graft.tools.TrainBpe <sfDir> [topN=10000] [merges=40]
+  *          [recipe=docs|wide] [--emit-file]
   */
 object TrainBpe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val topN = args.lift(1).map(_.toInt).getOrElse(10000)
     val numMerges = args.lift(2).map(_.toInt).getOrElse(40)
+    val recipe = args.lift(3).getOrElse("docs")
+    val emitFile = args.contains("--emit-file")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val freqs = spark.read.parquet(s"$dir/documents.parquet")
+    val freqs = wordFreqs(spark, dir, topN, recipe)
+    val merges = graft.functions.Bpe.train(freqs, numMerges)
+    val body = merges.grouped(4).map(_.map { case (a, b) => s"""("$a", "$b")""" }
+      .mkString(", ")).mkString("    ", ",\n    ", "")
+    if (emitFile) {
+      val src =
+        s"""package graft.functions
+           |
+           |/** FROZEN ${merges.size}-merge BPE artifact — trained by
+           |  * `graft.tools.TrainBpe $dir $topN $numMerges $recipe` (recipe: top-$topN
+           |  * word frequencies of documents.text ∪ customer c_name ∪ part p_name
+           |  * words). GENERATED FILE — regenerate with TrainBpe, never hand-edit;
+           |  * BpeSpec re-trains from the same recipe and asserts equality, so the
+           |  * artifact's provenance is spec-checked rather than trusted. */
+           |object BpeLargeMerges {
+           |  val merges: Seq[(String, String)] = Seq(
+           |${body.linesIterator.map("  " + _).mkString("\n")})
+           |}
+           |""".stripMargin
+      val out = java.nio.file.Paths.get(
+        "src/main/scala/graft/functions/BpeLargeMerges.scala")
+      java.nio.file.Files.write(out, src.getBytes("UTF-8"))
+      println(s"wrote ${merges.size} merges to $out")
+    } else {
+      println(s"// ${merges.size} merges from $dir (top $topN words, recipe=$recipe)")
+      println(body)
+    }
+    spark.stop()
+  }
+
+  /** The bounded training sample: top-N (word, frequency) under the given
+    * recipe — the exact frequencies `BpeSpec`'s provenance test recomputes. */
+  def wordFreqs(spark: SparkSession, dir: String, topN: Int,
+                recipe: String): Seq[(String, Long)] = {
+    val doc = spark.read.parquet(s"$dir/documents.parquet")
       .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
+    val words = recipe match {
+      case "docs" => doc
+      case "wide" => doc
+        .unionAll(spark.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_name").as("w")))
+        .unionAll(spark.read.parquet(s"$dir/part.parquet")
+          .select(explode(split(col("p_name"), " ")).as("w")))
+      case other => sys.error(s"unknown recipe: $other (use docs|wide)")
+    }
+    words.filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("f"))
       .orderBy(col("f").desc, col("w"))
       .limit(topN)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val merges = graft.functions.Bpe.train(freqs, numMerges)
-    println(s"// ${merges.size} merges from $dir (top $topN words)")
-    println(merges.grouped(4).map(_.map { case (a, b) => s"""("$a", "$b")""" }
-      .mkString(", ")).mkString("    ", ",\n    ", ""))
-    spark.stop()
   }
 }

@@ -25,6 +25,29 @@ class BpeSpec extends SparkSpec {
       "the shipped artifact must be exactly what the trainer produces")
   }
 
+  test("train reproduces the frozen 1024-merge LargeMerges from the sf0.01 wide recipe") {
+    val freqs = graft.tools.TrainBpe.wordFreqs(
+      spark, "/root/testdata/sf0.01", 10000, "wide")
+    assert(Bpe.train(freqs, Bpe.LargeMerges.size) === Bpe.LargeMerges,
+      "the shipped production artifact must be exactly what the trainer produces")
+    assert(Bpe.LargeMerges.size === 1024)
+  }
+
+  test("LargeMerges: in-vocab words collapse to single tokens; unseen id words split subword") {
+    val table = BpeUtil.buildTable(Bpe.LargeMerges)
+    def n(s: String) = BpeUtil.countTokens(UTF8String.fromString(s), table)
+    // common corpus words trained to saturation — one token each, the
+    // behavior of any real tokenizer on its own training distribution
+    assert(n("scan window order") === 3L,
+      s"trained common words must be single tokens, got ${n("scan window order")}")
+    // the training sample saw custkeys 1..1500 only; an id far outside
+    // splits into a genuine multi-token subword sequence — more than one
+    // token, far fewer than its 18 codepoints
+    val unseen = n("Customer#999999999")
+    assert(unseen > 1L && unseen < 18L,
+      s"unseen id must partially merge (1 < n < 18), got $unseen")
+  }
+
   test("encoder: greedy lowest-rank-leftmost merging, hand-checked") {
     val merges = Seq(("t", "h"), ("h", "e"), ("a", "n"), ("an", "d"), ("e", "r"))
     val table = BpeUtil.buildTable(merges)

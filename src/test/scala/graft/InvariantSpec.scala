@@ -159,13 +159,13 @@ class InvariantSpec extends SparkSpec {
     val out = graft.SparkEntry.queries("ta_bpe_pack")(spark, sf)
     val total = out.agg(sum($"sum_tokens")).as[Long].head()
     val direct = docs
-      .select(graft.functions.Bpe.bpeTokenCount($"text").as("tk"))
+      .select(graft.functions.Bpe.bpeTokenCount($"text", graft.functions.Bpe.LargeMerges).as("tk"))
       .agg(sum($"tk")).as[Long].head()
     assert(total === direct, "every doc lands in exactly one pack")
     // a pack closes when the cumsum crosses the budget, so it may
     // overshoot by less than its final doc — never more
     val maxDoc = docs
-      .select(graft.functions.Bpe.bpeTokenCount($"text").as("tk"))
+      .select(graft.functions.Bpe.bpeTokenCount($"text", graft.functions.Bpe.LargeMerges).as("tk"))
       .agg(max($"tk")).as[Long].head()
     assert(out.filter($"sum_tokens" >= lit(6000L) + lit(maxDoc)).count() === 0)
     assert(out.count() > docs.select($"lang").distinct().count(),
