@@ -296,10 +296,29 @@ object Sampling {
     * Same output shape and scale shape as [[domainMixRates]]: two
     * bounded aggregations, a G-row broadcast, then a zero-shuffle
     * map-side filter. */
-  def sqrtMixRates(df: DataFrame, groupCol: String, costCol: String): DataFrame = {
+  def sqrtMixRates(df: DataFrame, groupCol: String, costCol: String): DataFrame =
+    temperedMixRates(df, groupCol, costCol, 1, 2)
+
+  /** GENERAL-τ temperature mixing, τ = tauNum/tauDen with tauDen a power
+    * of two (round-14 verdict item): the [[sqrtMixRates]] contract at any
+    * dyadic temperature. The exponent e = 1−τ = eNum/2^m decomposes into
+    * binary digits, and x^e becomes a PRODUCT of repeated-√ terms — one
+    * per set bit, x^(1/2^j) = √ applied j times — multiplied in fixed
+    * ascending-j (descending-exponent) order. Every factor is a chain of
+    * IEEE-correctly-rounded `sqrt`s and every combining step one
+    * correctly-rounded multiply, so the floored integer ppm is
+    * bit-identical on any engine replaying the same expression tree —
+    * the cross-engine exact-replay guarantee WITHOUT libm `pow` (whose
+    * last-ulp behavior is implementation-specific; a one-ppm drift flips
+    * individual keep decisions). τ=1/2 (e=1/2) reduces to one √ —
+    * exactly the old sqrtMixRates. Same output shape and scale shape as
+    * [[domainMixRates]]: two bounded aggregations, a G-row broadcast,
+    * then weightedBernoulli's zero-shuffle map-side filter. */
+  def temperedMixRates(df: DataFrame, groupCol: String, costCol: String,
+                       tauNum: Int, tauDen: Int): DataFrame = {
     val per = df
       .select(when(col(groupCol).isNull,
-          raise_error(lit(s"sqrtMixRates: null $groupCol — every row needs a group")))
+          raise_error(lit(s"temperedMixRates: null $groupCol — every row needs a group")))
           .otherwise(col(groupCol)).as(groupCol),
         col(costCol))
       .groupBy(col(groupCol))
@@ -307,14 +326,30 @@ object Sampling {
         sum(col(costCol)).cast("bigint").as("tokens"))
     val tot = per.agg(sum(col("tokens")).cast("bigint").as("total"),
       min(col("tokens")).as("min_tokens"))
+    val x = col("min_tokens").cast("double") / col("tokens").cast("double")
+    val powX = temperedSqrtCounts(tauNum, tauDen)
+      .map(j => (1 to j).foldLeft(x)((c, _) => sqrt(c)))
+      .reduce(_ * _)
     per.crossJoin(broadcast(tot))
       .select(col(groupCol), col("n_docs"), col("tokens"),
         round(col("tokens").cast("double") / col("total").cast("double"), 6)
           .as("share"),
-        least(lit(1000000L),
-          floor(lit(1000000L) * sqrt(
-            col("min_tokens").cast("double") / col("tokens").cast("double"))))
-          .as("ppm"))
+        least(lit(1000000L), floor(lit(1000000L) * powX)).as("ppm"))
       .withColumn("rate", col("ppm").cast("double") / lit(1000000))
+  }
+
+  /** The √-chain lengths realizing x^(1−τ) for τ = tauNum/tauDen: one
+    * entry per set bit of the exponent's numerator, ascending (each `j`
+    * means √ applied j times; factors multiply left-to-right in this
+    * order). ONE source of truth for the Spark expression and the DuckDB
+    * oracle generator — the two can't drift. */
+  def temperedSqrtCounts(tauNum: Int, tauDen: Int): Seq[Int] = {
+    require(tauDen >= 2 && (tauDen & (tauDen - 1)) == 0,
+      s"tauDen must be a power of two, got $tauDen")
+    require(tauNum > 0 && tauNum < tauDen,
+      s"τ must lie strictly inside (0, 1), got $tauNum/$tauDen")
+    val eNum = tauDen - tauNum
+    val m = Integer.numberOfTrailingZeros(tauDen)
+    (0 until m).filter(b => (eNum & (1 << b)) != 0).map(b => m - b).sorted
   }
 }

@@ -501,6 +501,33 @@ object TextQueries {
           coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
     }),
 
+    // GENERAL-τ temperature grid (round-14 verdict item): the same
+    // realized mix at τ = 1/4, 1/2, 3/4 — dyadic temperatures whose
+    // x^(1−τ) decomposes into repeated correctly-rounded √ factors
+    // (Sampling.temperedSqrtCounts, ONE source of truth for Spark and
+    // the oracle generator), so the integer-ppm cross-engine guarantee
+    // holds WITHOUT libm pow. Same md5-threshold filter at every τ, so
+    // the kept sets are nested as τ rises toward natural sampling
+    "ta_mix_temperature_grid" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("tk"))
+      mixTemperatures.map { case (n, dn) =>
+        val mix = graft.etl.Sampling.temperedMixRates(doc, "source", "tk", n, dn)
+        val kept = graft.etl.Sampling.weightedBernoulli(
+            doc.join(broadcast(mix.select(col("source"), col("ppm"))), Seq("source")),
+            "doc_id", col("ppm"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("tk")).cast("bigint").as("kept_tokens"))
+        mix.join(kept, Seq("source"), "left")
+          .select(lit(n).as("tau_num"), lit(dn).as("tau_den"), col("source"),
+            col("n_docs"), col("tokens"), col("share"), col("rate"), col("ppm"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      }.reduce(_ unionAll _)
+    }),
+
     // URL canonicalization + collapse — the FIRST dedup a crawl pipeline
     // runs: the same page arrives as http/https, with/without www.,
     // tracking params, fragments, trailing slashes, mixed case. URLs are
@@ -1163,6 +1190,19 @@ object TextQueries {
     * keyed "left right" — tokens never contain a space; the vocab carries
     * no quote characters, so plain single-quoted literals are safe —
     * guarded below rather than assumed). */
+  /** The dyadic temperature grid `ta_mix_temperature_grid` prices —
+    * shared by the query and its oracle generator. */
+  private val mixTemperatures: Seq[(Int, Int)] = Seq((1, 4), (2, 4), (3, 4))
+
+  /** x^(1−τ) as a DuckDB expression — the SAME √-chain decomposition the
+    * Spark side folds ([[graft.etl.Sampling.temperedSqrtCounts]] is the
+    * single source of truth), factors multiplied left-to-right in
+    * ascending-chain-length order. */
+  private def temperedPowSql(tauNum: Int, tauDen: Int, x: String): String =
+    graft.etl.Sampling.temperedSqrtCounts(tauNum, tauDen)
+      .map(j => (1 to j).foldLeft(x)((c, _) => s"sqrt($c)"))
+      .mkString("(", " * ", ")")
+
   private def bpeMergeMapSql: String = {
     val ms = graft.functions.Bpe.LargeMerges
     require(ms.forall { case (a, b) => !(a + b).exists(c => c == '\'' || c == '\\') },
@@ -1719,6 +1759,39 @@ object TextQueries {
                  coalesce(k.n_kept, 0) AS n_kept,
                  coalesce(k.kept_tokens, 0) AS kept_tokens
           FROM mix m LEFT JOIN kept k USING (source)""",
+    // the τ grid: one (mix, kept) CTE pair per dyadic temperature, the
+    // pow replaced by the generated √-chain product (same decomposition
+    // the Spark fold applies — temperedSqrtCounts is shared)
+    "ta_mix_temperature_grid" -> {
+      val blocks = mixTemperatures.map { case (n, dn) =>
+        val pow = temperedPowSql(n, dn, "min_tokens::DOUBLE / tokens::DOUBLE")
+        s"""mix_${n}_$dn AS (SELECT source, n_docs, tokens,
+                     round(tokens::DOUBLE / total::DOUBLE, 6) AS share,
+                     least(1000000, CAST(floor(1000000 * $pow) AS BIGINT)) AS ppm
+                FROM per CROSS JOIN tot),
+           kept_${n}_$dn AS (SELECT d.source, count(*) AS n_kept,
+                      CAST(sum(d.tk) AS BIGINT) AS kept_tokens
+               FROM d JOIN mix_${n}_$dn m USING (source)
+               WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 1000000 < m.ppm
+               GROUP BY 1)"""
+      }
+      val selects = mixTemperatures.map { case (n, dn) =>
+        s"""SELECT $n AS tau_num, $dn AS tau_den, m.source, m.n_docs, m.tokens,
+                  m.share, m.ppm::DOUBLE / 1000000 AS rate, m.ppm,
+                  coalesce(k.n_kept, 0) AS n_kept,
+                  coalesce(k.kept_tokens, 0) AS kept_tokens
+           FROM mix_${n}_$dn m LEFT JOIN kept_${n}_$dn k USING (source)"""
+      }
+      s"""WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS tk
+                     FROM documents),
+            per AS (SELECT source, count(*) AS n_docs,
+                           CAST(sum(tk) AS BIGINT) AS tokens FROM d GROUP BY 1),
+            tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total,
+                           CAST(min(tokens) AS BIGINT) AS min_tokens FROM per),
+            ${blocks.mkString(",\n            ")}
+          ${selects.mkString("\n          UNION ALL ")}"""
+    },
     "ta_url_canon" ->
       """WITH b AS (SELECT doc_id,
                            'Site' || CAST(doc_id // 4 AS VARCHAR) ||

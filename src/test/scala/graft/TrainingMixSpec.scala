@@ -370,6 +370,56 @@ class TrainingMixSpec extends SparkSpec {
     assert(keptMass === Map("big" -> 400.0, "mid" -> 200.0, "small" -> 100.0))
   }
 
+  test("temperedSqrtCounts: dyadic decomposition, one source of truth") {
+    // τ=1/4 → e=3/4 = 1/2 + 1/4 → √x · √√x; τ=1/2 → e=1/2 → √x;
+    // τ=3/4 → e=1/4 → √√x
+    assert(Sampling.temperedSqrtCounts(1, 4) === Seq(1, 2))
+    assert(Sampling.temperedSqrtCounts(2, 4) === Seq(1))
+    assert(Sampling.temperedSqrtCounts(1, 2) === Seq(1))
+    assert(Sampling.temperedSqrtCounts(3, 4) === Seq(2))
+    assert(Sampling.temperedSqrtCounts(3, 8) === Seq(1, 3)) // e=5/8=1/2+1/8
+    intercept[IllegalArgumentException](Sampling.temperedSqrtCounts(1, 3))
+    intercept[IllegalArgumentException](Sampling.temperedSqrtCounts(0, 4))
+    intercept[IllegalArgumentException](Sampling.temperedSqrtCounts(4, 4))
+  }
+
+  test("temperedMixRates: τ=1/4 and τ=3/4 hand-checked on powers of 16") {
+    // token mass 1600/100: x = 1/16, so x^(3/4) = 1/8 and x^(1/4) = 1/2
+    // exactly (every intermediate an exact power of two)
+    val docs = (
+      (0 until 16).map(i => (i.toLong, "big", 100)) ++
+      Seq((200L, "small", 100))).toDF("doc_id", "source", "tk")
+    def ppm(n: Int, d: Int) = Sampling.temperedMixRates(docs, "source", "tk", n, d)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(ppm(1, 4) === Map("big" -> 125000L, "small" -> 1000000L)) // e=3/4
+    assert(ppm(2, 4) === Map("big" -> 250000L, "small" -> 1000000L)) // e=1/2
+    assert(ppm(3, 4) === Map("big" -> 500000L, "small" -> 1000000L)) // e=1/4
+  }
+
+  test("ta_mix_temperature_grid: ppm monotone in τ, kept sets nested, τ=1/2 row = ta_mix_temperature") {
+    val grid = SparkEntry.queries("ta_mix_temperature_grid")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getString(2)) ->
+        (r.getLong(7), r.getLong(8), r.getLong(9))).toMap // (ppm, n_kept, kept_tokens)
+    val sources = grid.keys.map(_._2).toSet
+    sources.foreach { src =>
+      val Seq(p14, p12, p34) = Seq(1, 2, 3).map(n => grid((n, src))._1)
+      assert(p14 <= p12 && p12 <= p34,
+        s"$src: higher τ must downsample LESS (closer to natural): $p14, $p12, $p34")
+      // the shared md5 threshold makes kept sets nested, so counts are
+      // monotone too — not just rates
+      val Seq(k14, k12, k34) = Seq(1, 2, 3).map(n => grid((n, src))._2)
+      assert(k14 <= k12 && k12 <= k34, s"$src: kept counts must nest with τ")
+    }
+    // the grid's middle temperature IS the τ=1/2 key, row for row
+    val half = SparkEntry.queries("ta_mix_temperature")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    sources.foreach { src =>
+      assert(grid((2, src)) === half(src),
+        s"$src: grid τ=2/4 must equal the pinned τ=1/2 key")
+    }
+  }
+
   test("sqrtMixRates: null group raises, like domainMixRates") {
     val docs = Seq((1L, "a", 10), (2L, null.asInstanceOf[String], 10))
       .toDF("doc_id", "source", "tk")
