@@ -498,6 +498,32 @@ object SimQueries {
         queries = e.filter(col("vec_id") < 3), "vec_id", k = 10, nProbe = 2)
     }),
 
+    // the ADAPTIVE filtered-ANN dial (round-14 verdict item): one cheap
+    // survivor-count aggregate measures each predicate's selectivity and
+    // Similarity.adaptiveNProbe scales the base dial —
+    // min(K, max(base, ceil(base·n/m))) — so the SURVIVING candidate
+    // mass holds the unfiltered target. A mild predicate (half the
+    // corpus) lands a middle dial; a rare one clamps to all K clusters
+    // (exhaustive by construction). Recall@10 on the filtered corpus per
+    // query, the chosen dial in the output — the oracle recomputes the
+    // dial from the same counts, so the hash checks the FORMULA, not a
+    // pinned constant
+    "sim_filtered_adaptive" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Seq(("half", col("label") <= 4), ("rare", col("label") === 3))
+        .map { case (name, p) =>
+          val c = e.agg(count(lit(1)).as("n"),
+            sum(when(p, 1L).otherwise(0L)).as("m")).head()
+          val np = Similarity.adaptiveNProbe(c.getLong(0), c.getLong(1),
+            baseNProbe = 2, kCentroids = 8)
+          Similarity.annRecall(e.filter(p), "embedding", "vec_id",
+              e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid"), "cid",
+              queries = e.filter(col("vec_id") < 3), "vec_id", k = 10, nProbe = np)
+            .select(lit(name).as("pred"), col("q_id"), col("n_hit"),
+              col("recall"), lit(np).as("n_probe"))
+        }.reduce(_ unionAll _)
+    }),
+
     // QUANTIZED serving path end-to-end: the corpus lives as int8 codes
     // (4x less memory than float32 — what lets a RAM-resident index hold
     // 4x the vectors), queries stay float; scoring runs on dequantized
@@ -1268,6 +1294,64 @@ object SimQueries {
           LEFT JOIN (SELECT q_id, count(*) AS n_hit
                      FROM exact JOIN approx USING (q_id, vec_id)
                      GROUP BY q_id) h USING (q_id)""",
+    // the adaptive dial replayed per predicate: selectivity counts →
+    // least(8, greatest(2, ceil(2·n/m))) — the same IEEE multiply/divide
+    // the Spark driver computes — then the probe route ranks ≤ that
+    // value; everything downstream is sim_filtered_recall's replay
+    "sim_filtered_adaptive" -> {
+      def block(name: String, pred: String) =
+        s"""sel_$name AS (SELECT count(*) AS n,
+                     sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS m FROM embeddings),
+            np_$name AS (SELECT CAST(least(8, greatest(2,
+                     CAST(ceil(2.0 * n / m) AS BIGINT))) AS INT) AS np FROM sel_$name),
+            fl_$name AS (SELECT vec_id FROM embeddings WHERE $pred),
+            na_$name AS (SELECT n.vec_id, n.v, n.nrm, a.centroid_id
+                   FROM n JOIN assigned a ON n.vec_id = a.vec_id
+                        JOIN fl_$name fl ON n.vec_id = fl.vec_id),
+            qa_$name AS (SELECT s.vec_id AS q_id, s.centroid_id FROM scored s
+                   WHERE s.vec_id < 3
+                   QUALIFY row_number() OVER (PARTITION BY s.vec_id
+                                              ORDER BY s.sim DESC, s.centroid_id)
+                           <= (SELECT np FROM np_$name)),
+            approx_$name AS (
+              SELECT q_id, vec_id FROM (
+                SELECT b.q_id, a.vec_id,
+                       round($pairDot / (a.nrm * b.nrm), 6) AS cosine
+                FROM na_$name a
+                JOIN qa_$name qa ON a.centroid_id = qa.centroid_id
+                JOIN qs b ON b.q_id = qa.q_id)
+              QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= 10),
+            exact_$name AS (
+              SELECT q_id, vec_id FROM (
+                SELECT b.q_id, a.vec_id,
+                       round($pairDot / (a.nrm * b.nrm), 6) AS cosine
+                FROM n a JOIN fl_$name fl ON a.vec_id = fl.vec_id
+                CROSS JOIN qs b)
+              QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= 10)"""
+      def pick(name: String) =
+        s"""SELECT '$name' AS pred, q.q_id,
+                  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+                  round(coalesce(h.n_hit, 0) * 1.0 / 10, 6) AS recall,
+                  (SELECT np FROM np_$name) AS n_probe
+           FROM (SELECT DISTINCT q_id FROM qs) q
+           LEFT JOIN (SELECT q_id, count(*) AS n_hit
+                      FROM exact_$name JOIN approx_$name USING (q_id, vec_id)
+                      GROUP BY q_id) h USING (q_id)"""
+      s"""WITH n AS (${normed(vecs)}),
+            c AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 8),
+            scored AS (
+              SELECT a.vec_id, c.centroid_id,
+                     round(${fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * c.v[CAST(i AS INT)])")} / (a.nrm * c.nrm), 6) AS sim
+              FROM n a CROSS JOIN c),
+            assigned AS (
+              SELECT vec_id, centroid_id FROM scored
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1),
+            qs AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id < 3),
+            ${block("half", "label <= 4")},
+            ${block("rare", "label = 3")}
+          ${pick("half")}
+          UNION ALL ${pick("rare")}"""
+    },
     // replay codebook -> int8 encode -> dequantize -> rank against the
     // EXACT query vector; identical IEEE expression order throughout
     "sim_quantized_search" ->

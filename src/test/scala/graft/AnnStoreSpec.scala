@@ -724,4 +724,66 @@ class AnnStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(postFilter <= got.size,
       "post-filtering an unfiltered top-k can only lose rows vs pre-filtering")
   }
+
+  test("adaptiveNProbe: monotone in selectivity, clamped to [base, K]") {
+    assert(Similarity.adaptiveNProbe(1000, 1000, 2, 32) === 2,
+      "selectivity 1 keeps the unfiltered dial")
+    assert(Similarity.adaptiveNProbe(1000, 100, 2, 32) === 20,
+      "selectivity 1/10 scales the probed mass by 10")
+    assert(Similarity.adaptiveNProbe(1000, 10, 2, 32) === 32,
+      "a very rare predicate clamps to all K clusters (exhaustive)")
+    assert(Similarity.adaptiveNProbe(1000, 999, 2, 32) === 3, "ceil, never floor")
+    intercept[IllegalArgumentException](Similarity.adaptiveNProbe(1000, 0, 2, 32))
+  }
+
+  test("filteredSearchAdaptive: filtered recall@10 stays >= the unfiltered target as selectivity drops") {
+    // K=32 trained centroids: the base dial (nProbe=2) probes 1/16 of
+    // the corpus, so a selective predicate genuinely starves a
+    // fixed-dial filtered search — the failure mode the measured dial
+    // exists to close
+    val cents32 = Similarity.kmeansFit(corpus, "embedding", "vec_id", k = 32, iters = 2)
+      .withColumnRenamed("c_v", "embedding")
+    val assigned = Similarity.ivfAssign(corpus, "embedding", "vec_id",
+      cents32, "centroid_id", keepVec = true, metaCols = Seq("label"))
+      .localCheckpoint()
+    val queryIds = Seq(11L, 23L, 37L, 41L, 53L)
+    def qv(id: Long) = corpus.filter($"vec_id" === id)
+      .select(transform($"embedding", _.cast("double"))).as[Seq[Double]].head()
+    def recallOf(got: Seq[Long], pred: org.apache.spark.sql.Column, q: Seq[Double]): Double = {
+      val truth = Similarity.topK(corpus.filter(pred), "embedding", "vec_id", q, 10)
+        .select($"vec_id").as[Long].collect().toSet
+      got.count(truth) / 10.0
+    }
+    // the unfiltered target the dial must hold: measured recall@10 of
+    // the base nProbe=2 search over the whole corpus
+    val queries = corpus.filter($"vec_id".isin(queryIds: _*))
+    val unfilteredTarget = Similarity.annRecall(corpus, "embedding", "vec_id",
+        cents32, "centroid_id", queries, "vec_id", k = 10, nProbe = 2)
+      .agg(avg($"recall")).head().getDouble(0)
+    assert(unfilteredTarget > 0.5 && unfilteredTarget < 1.0,
+      s"fixture must make nProbe=2 lossy but usable, got $unfilteredTarget")
+    // two planted selectivities: ~9% (one label) and ~3% (label ∩ id slice)
+    for (pred <- Seq($"label" === 3, $"label" === 3 && $"vec_id" % 3 === 0)) {
+      val recalls = queryIds.map { id =>
+        val got = Similarity.filteredSearchAdaptive(assigned, "vec_id",
+            cents32, "centroid_id", "embedding", pred, qv(id), k = 10,
+            baseNProbe = 2)
+          .select($"vec_id").as[Long].collect().toSeq
+        recallOf(got, pred, qv(id))
+      }
+      val adaptive = recalls.sum / recalls.size
+      assert(adaptive >= unfilteredTarget,
+        s"adaptive filtered recall $adaptive must hold the unfiltered target $unfilteredTarget for $pred")
+      // the fixed base dial over the same filtered corpus can only match
+      // or trail — the gap is what the measured dial closes
+      val fixedRecalls = queryIds.map { id =>
+        val got = Similarity.filteredSearch(assigned, "vec_id", cents32,
+            "centroid_id", "embedding", pred, qv(id), k = 10, nProbe = 2)
+          .select($"vec_id").as[Long].collect().toSeq
+        recallOf(got, pred, qv(id))
+      }
+      assert(fixedRecalls.sum / fixedRecalls.size <= adaptive,
+        "the fixed dial must never beat the adaptive one on its own corpus")
+    }
+  }
 }
