@@ -60,16 +60,36 @@ object AnnStore {
     * a foldable filter on it prunes directories at planning time instead
     * of scanning the corpus.
     *
-    * CRASH GUARD: a writer that died mid-swap leaves cluster dirs parked
-    * in `<path>.swap_old` (or the legacy `.compact_old`) with no live
-    * `centroid_id=N` dir — a plain parquet read of such a store silently
-    * serves a store MISSING whole clusters. Readers are not writers
-    * (recovery here would race the crashed writer's restart), so this
-    * raises instead; [[recover]] — or the next compact/purge, which
-    * recovers on entry — heals the store first. */
+    * GENERATION-CONSISTENT (round-14 verdict item; replaces the old
+    * raise-on-crashed-swap guard): readers resolve the newest COMMITTED
+    * generation, so a read concurrent with compact/purge/recluster — or
+    * after a writer crash — never raises and never serves a partial
+    * store. Per-cluster swaps: clusters parked without a live twin are
+    * their own last committed copy and union in via
+    * [[PartitionSwap.resolvedRead]] (the live side keeps the pruned
+    * scan). Whole-store recluster: between its two renames the previous
+    * generation lives complete at `.recluster_old` and is served as-is
+    * ([[resolveRoot]]); the new tree only becomes readable when the
+    * promote rename lands. Readers stay readers — recovery is unchanged
+    * and still owned by [[recover]] / the next writer op. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    requireRecovered(spark, path)
-    spark.read.parquet(path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    PartitionSwap.resolvedRead(spark, resolveRoot(fs, path), Prefix,
+      "centroid_id", Tags)
+  }
+
+  /** The newest COMMITTED generation's root: the live path when it
+    * exists; during (or after a crash in) a whole-store recluster swap,
+    * the parked previous generation — complete, tombstone sidecar and
+    * all; a committed-but-unpromoted scratch tree only when no previous
+    * generation survives (cannot arise from [[recluster]]'s rename
+    * order, kept for defense). */
+  private def resolveRoot(fs: FileSystem, path: String): String = {
+    if (fs.exists(new Path(path))) path
+    else if (fs.exists(new Path(path + ".recluster_old"))) path + ".recluster_old"
+    else if (fs.exists(new Path(path + ".recluster_tmp/_centroids/_SUCCESS")))
+      path + ".recluster_tmp"
+    else path
   }
 
   /** Heal a store whose writer crashed mid-swap (per-cluster compact/
@@ -92,28 +112,6 @@ object AnnStore {
   def breakLock(spark: SparkSession, path: String): Boolean =
     PartitionSwap.breakLock(
       new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration), path)
-
-  /** Raise if a crashed swap is pending: any cluster dir parked under a
-    * swap scratch root with no live twin — or a whole-store recluster
-    * swap caught between its two renames — means [[read]] would serve a
-    * partial (or no) store. Cheap — a few root existence probes on the
-    * happy path. */
-  private def requireRecovered(spark: SparkSession, path: String): Unit = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("swap", "compact").foreach { tag =>
-      val oldRoot = new Path(path + s".${tag}_old")
-      val parked = clusterDirs(fs, oldRoot)
-        .filter(c => !fs.exists(new Path(new Path(path), c.getName)))
-      if (parked.nonEmpty)
-        throw new IllegalStateException(
-          s"AnnStore: crashed swap pending at $oldRoot (${parked.map(_.getName).mkString(", ")} " +
-            "parked with no live twin) — run AnnStore.recover (or compact/purge) before reading")
-    }
-    if (!fs.exists(new Path(path)) &&
-        (fs.exists(new Path(path + ".recluster_tmp")) || fs.exists(new Path(path + ".recluster_old"))))
-      throw new IllegalStateException(
-        s"AnnStore: crashed recluster pending at $path — run AnnStore.recover before reading")
-  }
 
   /** Persist PQ CODES partitioned by their IVF cluster — the IVF+PQ
     * serving layout: `codes` ([[graft.operators.ProductQuant.encode]]'s
@@ -237,7 +235,12 @@ object AnnStore {
     * since the last [[purge]] (callers skip the mask join entirely —
     * zero plan cost on a tombstone-free store). */
   def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new Path(tombstoneDir(path))
+    // same generation resolution as [[read]]: mid-recluster, the parked
+    // previous generation's sidecar is the one masking ITS rows — reading
+    // data from one generation and tombstones from another could serve a
+    // deleted row
+    val rootFs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(tombstoneDir(resolveRoot(rootFs, path)))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // an empty delete batch can leave a sidecar holding only _SUCCESS —
     // count DATA files, or the read would fail schema inference
@@ -390,8 +393,10 @@ object AnnStore {
     * an underscore name parquet discovery ignores. (Stores built by
     * [[write]] from an external centroid frame don't carry one — their
     * centroids live wherever the caller keeps them.) */
-  def centroids(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path + "/_centroids")
+  def centroids(spark: SparkSession, path: String): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(resolveRoot(fs, path) + "/_centroids")
+  }
 
   /** RE-CLUSTER the store — the committed remedy for centroid drift that
     * [[append]]'s contract points at ("appending against drifted
@@ -409,9 +414,10 @@ object AnnStore {
     * the scratch tree commits its `_centroids` sidecar LAST, so recovery
     * promotes the new store iff that final marker exists, else restores
     * the original — a half-written scratch tree is never promoted, and
-    * between the two renames readers raise loudly ([[read]]'s guard)
-    * rather than serve nothing. Serialized against other writers by the
-    * writer fence.
+    * between the two renames readers resolve the parked previous
+    * generation ([[resolveRoot]]) and keep answering — the new store
+    * becomes visible exactly when the promote rename lands. Serialized
+    * against other writers by the writer fence.
     *
     * Scale shape: one distributed retrain + reassign + rewrite of the
     * live store — O(corpus), the deliberate heavyweight op on the

@@ -63,11 +63,13 @@ import graft.operators.Dedup
   * semantics) → delete (O(ids) tombstone sidecar; probes and the
   * streaming sketch table mask deleted docs immediately) → purge
   * (physically reclaims exactly the affected buckets in both tables on
-  * the compaction cadence). Reads fail loudly on a crashed swap
-  * ([[recover]] heals); swap-performing writers are serialized by the
-  * store-root writer fence ([[PartitionSwap.withWriterLock]]).
-  * write/append ingest sequencing remains the caller's single-writer
-  * responsibility.
+  * the compaction cadence). Reads are GENERATION-CONSISTENT: a probe
+  * concurrent with any swap-performing op — or after a writer crash —
+  * resolves the last committed generation and never raises, never sees
+  * a partial table ([[PartitionSwap.resolvedRead]] / [[resolveRoot]];
+  * [[recover]] still heals crashed state). Writers — including
+  * append/ingest/delete — are serialized by the store-root writer
+  * fence ([[PartitionSwap.withWriterLock]]).
   *
   * Reference scope: the reference engine has no incremental index at all
   * (its dedup is a whole-corpus pandas `drop_duplicates`,
@@ -182,7 +184,7 @@ object BandStore {
   /** The store's pinned sketch parameters. `lean_sigs` reads tolerantly
     * (absent column = dense) so pre-lean stores stay readable. */
   def params(spark: SparkSession, path: String): Params = {
-    val df = spark.read.parquet(paramsDir(path))
+    val df = spark.read.parquet(paramsDir(resolvedRoot(spark, path)))
     val lean =
       if (df.columns.contains("lean_sigs"))
         df.select("lean_sigs").head().getBoolean(0)
@@ -208,9 +210,11 @@ object BandStore {
     * can only duplicate verified-pair emissions, which is already the
     * streaming path's documented at-least-once delivery contract. */
   def sketchTable(spark: SparkSession, path: String, idCol: String): DataFrame = {
-    requireRecovered(spark, path)
-    val base = spark.read.parquet(docsDir(path)).select(col(idCol), col("hs"))
-    tombstones(spark, path) match {
+    // one generation resolution for the whole call: data and tombstones
+    // must come from the SAME committed generation
+    val rpath = resolvedRoot(spark, path)
+    val base = readTable(spark, docsDir(rpath)).select(col(idCol), col("hs"))
+    tombstones(spark, rpath) match {
       case Some(ts) => base.join(broadcast(ts), Seq(idCol), "left_anti")
       case None => base
     }
@@ -259,7 +263,9 @@ object BandStore {
     * the last [[purge]] — callers skip the mask join entirely (zero plan
     * cost on a tombstone-free store). */
   def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new Path(tombstoneDir(path))
+    // generation-resolved like every read: mid-rebucket, the parked
+    // previous generation's sidecar masks ITS rows
+    val p = new Path(tombstoneDir(resolvedRoot(spark, path)))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // an empty delete batch leaves a sidecar holding only _SUCCESS —
     // count DATA files before reading, or schema inference fails
@@ -357,13 +363,15 @@ object BandStore {
     * self-contained operator. */
   def probe(spark: SparkSession, path: String, batch: DataFrame,
             textCol: String, idCol: String, threshold: Double): DataFrame = {
-    requireRecovered(spark, path)
-    val p = params(spark, path)
+    // one generation resolution for the whole probe: params, bands, docs,
+    // and tombstones must all come from the SAME committed generation
+    val rpath = resolvedRoot(spark, path)
+    val p = params(spark, rpath)
     val mb = Dedup.minhashed(batch, textCol, idCol, p.k, p.rowsPerBand, p.shingleN)
       .filter(size(col("hs")) > 0).cache()
     try {
-      val plausibleAll = plausibleCandidates(spark, path, mb, idCol, threshold, p)
-      val plausible = (tombstones(spark, path) match {
+      val plausibleAll = plausibleCandidates(spark, rpath, mb, idCol, threshold, p)
+      val plausible = (tombstones(spark, rpath) match {
         case Some(ts) => plausibleAll.join(
           broadcast(ts.select(col(ts.columns.head).as("id_a"))), Seq("id_a"), "left_anti")
         case None => plausibleAll
@@ -381,7 +389,7 @@ object BandStore {
           // dropDuplicates: the tables are SETS (at-least-once streaming
           // ingest may replay rows); the dedup runs over candidate-scale
           // pruned rows, never the corpus
-          val hsDocs = spark.read.parquet(docsDir(path))
+          val hsDocs = readTable(spark, docsDir(rpath))
             .filter(col("bucket").isin(candBuckets: _*))
             .select(col(idCol), col("hs"))
             .dropDuplicates(idCol)
@@ -417,7 +425,7 @@ object BandStore {
     else {
       val agree = graft.expressions.HashExpressions
         .positionalAgree(col("sig"), col("sig_b"))
-      val collisions = spark.read.parquet(bandsDir(path))
+      val collisions = readTable(spark, bandsDir(path))
         .filter(col("bucket").isin(probeBuckets: _*))
         .join(broadcast(bb), Seq("band", "bucket"))
         .filter(col("n_sh") >= col("nb") * threshold &&
@@ -435,7 +443,7 @@ object BandStore {
         val sigBuckets: Seq[Any] = cands
           .select(pmod(xxhash64(col("id_a")), lit(p.buckets)).as("bucket"))
           .distinct().collect().map(_.get(0)).toIndexedSeq
-        val sigScan = spark.read.parquet(docsDir(path))
+        val sigScan = readTable(spark, docsDir(path))
           .filter(col("bucket").isin(sigBuckets: _*))
           .select(col(idCol).as("id_a"), col("sig"))
         val withBatchSig = cands
@@ -469,8 +477,10 @@ object BandStore {
     * Crash windows (healed by [[recover]] / the next writer op): the
     * scratch tree commits its `_params` sidecar LAST, so recovery
     * promotes the new tree iff that marker exists, else restores the
-    * original; between the two renames readers raise loudly rather than
-    * serve nothing. Serialized by the store-root writer fence.
+    * original; between the two renames readers resolve the parked
+    * previous generation ([[resolveRoot]]) and keep answering — the new
+    * tree becomes visible exactly when the promote rename lands.
+    * Serialized by the store-root writer fence.
     *
     * Scale shape: one distributed rewrite of the index tables —
     * O(index), not O(corpus text): band rows are ~tens of bytes (lean)
@@ -660,17 +670,32 @@ object BandStore {
     PartitionSwap.breakLock(
       new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration), path)
 
-  private def requireRecovered(spark: SparkSession, path: String): Unit = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a rebucket crash between its two renames leaves no live store —
-    // readers raise loudly (recover promotes or restores)
-    if (!fs.exists(new Path(path)) &&
-        (fs.exists(new Path(path + ".rebucket_tmp")) ||
-         fs.exists(new Path(path + ".rebucket_old"))))
-      throw new IllegalStateException(
-        s"BandStore: crashed rebucket pending at $path — run BandStore.recover before reading")
-    Seq(bandsDir(path), docsDir(path)).foreach { dir =>
-      PartitionSwap.requireRecovered(spark, dir, Prefix, "BandStore", Tags)
-    }
+  /** The newest COMMITTED generation's root (round-14 verdict item —
+    * the [[AnnStore]] resolution applied to the whole-tree rebucket
+    * swap): the live path when it exists; between rebucket's two renames
+    * — or after a crash there — the parked previous generation at
+    * `.rebucket_old`, complete with params and tombstones; a
+    * committed-but-unpromoted scratch tree only if no previous
+    * generation survives (cannot arise from [[rebucket]]'s rename order,
+    * kept for defense). Readers stay readers — recovery is unchanged and
+    * still owned by [[recover]] / the next writer op. */
+  private def resolveRoot(fs: org.apache.hadoop.fs.FileSystem,
+                          path: String): String = {
+    if (fs.exists(new Path(path))) path
+    else if (fs.exists(new Path(path + ".rebucket_old"))) path + ".rebucket_old"
+    else if (fs.exists(new Path(path + ".rebucket_tmp/_params/_SUCCESS")))
+      path + ".rebucket_tmp"
+    else path
   }
+
+  private def resolvedRoot(spark: SparkSession, path: String): String =
+    resolveRoot(
+      new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+
+  /** [[PartitionSwap.resolvedRead]] over one of the store's bucketed
+    * tables: the last committed generation of every bucket — a probe
+    * concurrent with compact/purge never raises and never sees a partial
+    * table; the live side keeps the pruned scan. */
+  private def readTable(spark: SparkSession, dir: String): DataFrame =
+    PartitionSwap.resolvedRead(spark, dir, Prefix, "bucket", Tags)
 }

@@ -350,22 +350,34 @@ class AnnStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(!new java.io.File(path + ".swap_old").exists())
   }
 
-  test("read raises on a crashed swap (parked cluster, no live twin); recover heals it") {
+  test("mid-swap reads serve the last committed generation (parked cluster); recover heals") {
     val path = buildStore()
     val rowsBefore = AnnStore.read(spark, path)
       .select($"vec_id", $"centroid_id".cast("long")).as[(Long, Long)].collect().toSet
-    // simulate a writer dying mid-swap: cluster 3 parked in .swap_old,
-    // no replacement promoted — a plain parquet read would silently
-    // serve a store missing that whole cluster
+    // simulate an IN-FLIGHT (or crashed) swap: cluster 3 parked in
+    // .swap_old, no replacement promoted yet — round-14: the reader must
+    // resolve the parked dir as cluster 3's last committed generation
+    // and serve the COMPLETE pre-swap store, never a partial one, never
+    // an error
     val oldRoot = new java.io.File(path + ".swap_old")
     assert(oldRoot.mkdirs())
     val victim = new java.io.File(path, "centroid_id=3")
     assert(victim.exists(), "fixture: cluster 3 must exist")
     assert(victim.renameTo(new java.io.File(oldRoot, "centroid_id=3")))
-    val e = intercept[IllegalStateException] { AnnStore.read(spark, path) }
-    assert(e.getMessage.contains("crashed swap"), e.getMessage)
-    // readLive routes through the same guard
-    intercept[IllegalStateException] { AnnStore.readLive(spark, path, "vec_id") }
+    assert(AnnStore.read(spark, path)
+      .select($"vec_id", $"centroid_id".cast("long")).as[(Long, Long)].collect().toSet
+      === rowsBefore,
+      "a read during the parked window must serve the old generation exactly")
+    // readLive serves the same resolved view (and still masks tombstones)
+    assert(AnnStore.readLive(spark, path, "vec_id")
+      .select($"vec_id").as[Long].collect().toSet === rowsBefore.map(_._1))
+    // ...and search over the resolved view still answers (probe route
+    // touching the parked cluster included)
+    val q = corpus.filter($"vec_id" === 3)
+    val got = Similarity.ivfSearchAssigned(AnnStore.read(spark, path), "vec_id",
+      cents, "cid", "embedding", q, k = 5, nProbe = 8).count()
+    assert(got === 5)
+    // crash recovery unchanged: recover restores the parked cluster
     AnnStore.recover(spark, path)
     assert(AnnStore.read(spark, path)
       .select($"vec_id", $"centroid_id".cast("long")).as[(Long, Long)].collect().toSet
@@ -484,7 +496,7 @@ class AnnStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       "all-cluster filtered probe over the reclustered store must equal brute force over the filtered corpus")
   }
 
-  test("recluster crash windows: the commit marker decides promote vs restore; reads raise in between") {
+  test("recluster crash windows: the marker decides promote vs restore; reads serve the committed generation in between") {
     val dir = java.nio.file.Files.createTempDirectory("graft_annspec").toFile
     storeDirs += dir
     val path = dir.toString + "/store"
@@ -494,27 +506,54 @@ class AnnStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val committed = AnnStore.read(spark, path)
       .select($"vec_id", $"centroid_id".cast("long")).as[(Long, Long)].collect().toSet
     // window: dst renamed away, scratch tree FULLY committed (it carries
-    // the _centroids marker) -> promote. (A reclustered store root IS a
-    // committed scratch tree, so renaming it simulates the window.)
+    // the _centroids marker) -> a reader serves the committed scratch
+    // tree (no previous generation survives in this state); recover
+    // promotes it. (A reclustered store root IS a committed scratch
+    // tree, so renaming it simulates the window.)
     assert(new java.io.File(path).renameTo(new java.io.File(path + ".recluster_tmp")))
-    val e = intercept[IllegalStateException] { AnnStore.read(spark, path) }
-    assert(e.getMessage.contains("crashed recluster"), e.getMessage)
+    assert(AnnStore.read(spark, path)
+      .select($"vec_id", $"centroid_id".cast("long")).as[(Long, Long)].collect().toSet
+      === committed, "round-14: the committed generation is served, never an error")
     AnnStore.recover(spark, path)
     assert(AnnStore.read(spark, path)
       .select($"vec_id", $"centroid_id".cast("long")).as[(Long, Long)].collect().toSet
       === committed, "a committed scratch tree must be promoted")
     assert(!new java.io.File(path + ".recluster_tmp").exists())
     // window: dst parked in .recluster_old, scratch UNCOMMITTED (no
-    // marker) -> restore the original, drop the partial tree
+    // marker) — the live recluster's actual mid-swap state: readers
+    // serve the parked PREVIOUS generation (centroids sidecar included),
+    // recovery restores it and drops the partial tree
     assert(new java.io.File(path).renameTo(new java.io.File(path + ".recluster_old")))
     assert(new java.io.File(path + ".recluster_tmp", "centroid_id=0").mkdirs())
-    intercept[IllegalStateException] { AnnStore.read(spark, path) }
+    assert(AnnStore.read(spark, path)
+      .select($"vec_id", $"centroid_id".cast("long")).as[(Long, Long)].collect().toSet
+      === committed, "mid-recluster reads serve the parked previous generation")
+    assert(AnnStore.centroids(spark, path).count() === 8,
+      "the served generation's centroid sidecar resolves with it")
     AnnStore.recover(spark, path)
     assert(AnnStore.read(spark, path)
       .select($"vec_id", $"centroid_id".cast("long")).as[(Long, Long)].collect().toSet
       === committed, "an uncommitted scratch tree must be abandoned, the original restored")
     assert(!new java.io.File(path + ".recluster_tmp").exists()
       && !new java.io.File(path + ".recluster_old").exists())
+  }
+
+  test("mid-recluster reads keep masking the old generation's tombstones") {
+    // data and tombstones must resolve to the SAME generation: the
+    // parked old tree still holds pre-recluster tombstones, and serving
+    // its data without its sidecar would resurrect a deleted row
+    val path = buildStore()
+    AnnStore.delete(Seq(41L).toDF("vec_id"), "vec_id", path)
+    assert(!AnnStore.readLive(spark, path, "vec_id")
+      .select($"vec_id").as[Long].collect().toSet.contains(41L))
+    // park the whole store as recluster would mid-swap
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".recluster_old")))
+    val live = AnnStore.readLive(spark, path, "vec_id")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(!live.contains(41L),
+      "the old generation's tombstones must mask its data while parked")
+    assert(live.nonEmpty)
+    AnnStore.recover(spark, path)
   }
 
   test("delete canonicalizes tombstone id types: INT and BIGINT batches land as one schema") {

@@ -152,20 +152,24 @@ class BandStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(BandStore.compact(spark, path) === Seq.empty, "idempotent")
   }
 
-  test("probe raises on a crashed compact (parked bucket, no live twin); recover heals") {
+  test("mid-compact probes serve the last committed generation (parked bucket); recover heals") {
     val path = newPath()
     BandStore.write(history, "text", "doc_id", path, buckets = 8)
     val before = pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8))
+    // simulate an in-flight (or crashed) swap: one bands/ bucket parked
+    // with no live twin — round-14: the probe resolves the parked dir as
+    // that bucket's last committed generation and answers EXACTLY as the
+    // healthy store does, never partially, never with an error
     val bandsRoot = new java.io.File(path, "bands")
     val victim = bandsRoot.listFiles().filter(_.getName.startsWith("bucket=")).head
     val oldRoot = new java.io.File(path, "bands.swap_old")
     assert(oldRoot.mkdirs())
     assert(victim.renameTo(new java.io.File(oldRoot, victim.getName)))
-    val e = intercept[IllegalStateException] {
-      BandStore.probe(spark, path, batch, "text", "doc_id", 0.8)
-    }
-    assert(e.getMessage.contains("crashed swap"), e.getMessage)
+    assert(pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8)) === before,
+      "a probe during the parked window must serve the old generation exactly")
+    // crash recovery unchanged
     BandStore.recover(spark, path)
+    assert(!oldRoot.exists(), "recover must clear the scratch root")
     assert(pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8)) === before)
   }
 
@@ -374,21 +378,21 @@ class BandStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(BandStore.append(batch.limit(0), "text", "doc_id", path) === (()))
   }
 
-  test("a crashed rebucket: reads raise; recover restores without the marker, promotes with it") {
+  test("a crashed rebucket: reads serve the parked generation; recover restores without the marker, promotes with it") {
     val path = newPath()
     BandStore.write(history, "text", "doc_id", path, buckets = 4)
     val before = pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8))
     val live = new java.io.File(path)
     // window 1: crashed AFTER parking the store, tmp tree incomplete (no
-    // _params commit marker) — reads raise, recover restores the original
+    // _params commit marker) — round-14: probes resolve the parked
+    // PREVIOUS generation (params, bands, docs, tombstones all from the
+    // same tree) and answer exactly as before; recover restores it
     val oldRoot = new java.io.File(path + ".rebucket_old")
     val tmpRoot = new java.io.File(path + ".rebucket_tmp")
     assert(live.renameTo(oldRoot))
     assert(new java.io.File(tmpRoot, "bands").mkdirs())
-    val e = intercept[IllegalStateException] {
-      BandStore.probe(spark, path, batch, "text", "doc_id", 0.8)
-    }
-    assert(e.getMessage.contains("crashed rebucket"), e.getMessage)
+    assert(pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8)) === before,
+      "mid-rebucket probes serve the parked previous generation")
     BandStore.recover(spark, path)
     assert(pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8)) === before)
     // window 2: crashed BETWEEN the two renames with a COMMITTED tmp tree
