@@ -61,12 +61,31 @@ object Hll {
       .agg(max(col("rank")).as("reg"))
   }
 
+  /** MERGE register sketches — the algebraic property that makes HLL the
+    * 100 TB dashboard primitive: per-batch (or per-partition, or
+    * per-day) register states combine by the same `max` that built them,
+    * so a rolling distinct count NEVER rescans history — each batch
+    * ships ≤ m rows per group and the merge is one bounded aggregation.
+    * Exactly union + max: merge(registers(A), registers(B)) ≡
+    * registers(A ∪ B), which is what `q_hll_merge`'s oracle checks. */
+  def mergeRegisters(sketches: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(sketches.nonEmpty, "mergeRegisters: no sketches to merge")
+    sketches.reduce(_ unionByName _)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("reg")).as("reg"))
+  }
+
   /** Estimate + register fingerprint per group: (groupCols..., n_buckets,
     * reg_fp, est). `reg_fp` is a fold over the (bucket, reg) pairs in
     * bucket order — equal sketches, equal fingerprints, any engine. */
   def distinctEstimate(df: DataFrame, groupCols: Seq[String],
-                       keyCol: String): DataFrame = {
-    val regs = registers(df, groupCols, keyCol)
+                       keyCol: String): DataFrame =
+    estimateFromRegisters(registers(df, groupCols, keyCol), groupCols)
+
+  /** The estimate/fingerprint finalizer over an existing register frame
+    * ([[registers]] output or a [[mergeRegisters]] result). */
+  def estimateFromRegisters(regs: DataFrame,
+                            groupCols: Seq[String]): DataFrame = {
     regs.groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_buckets"),

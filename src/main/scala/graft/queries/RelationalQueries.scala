@@ -163,6 +163,30 @@ object RelationalQueries {
       graft.operators.Hll.distinctEstimate(
         t(s, d, "events"), Seq("event_type"), "user_id")),
 
+    // ALGEBRAIC SKETCH MERGE — the property that makes HLL the rolling-
+    // dashboard primitive at 100 TB: three date-slice-shaped batches
+    // sketch INDEPENDENTLY (each shuffle ≤ m register rows per group,
+    // whatever the batch size), their register states merge by the same
+    // bounded max aggregation, and the merged estimate must equal the
+    // one-shot full-feed sketch exactly (merge(reg(A), reg(B)) ≡
+    // reg(A ∪ B) — max is associative/commutative/idempotent). The
+    // output carries the merged fingerprint + estimate AND the summed
+    // per-batch register mass, so the oracle checks both the identity's
+    // result and that the batches genuinely sketched separately
+    "q_hll_merge" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val batches = (0 until 3).map(i =>
+        graft.operators.Hll.registers(
+          ev.filter(pmod(col("event_id"), lit(3)) === i),
+          Seq("event_type"), "user_id"))
+      val perBatch = batches.reduce(_ unionByName _)
+        .groupBy("event_type").agg(count(lit(1)).as("n_batch_regs"))
+      graft.operators.Hll.estimateFromRegisters(
+          graft.operators.Hll.mergeRegisters(batches, Seq("event_type")),
+          Seq("event_type"))
+        .join(perBatch, Seq("event_type"))
+    }),
+
     // frequency point-queries from CONSTANT state: the Count-Min grid
     // (4×2048 integer cells, mergeable by addition) answers "how often
     // did each watched key occur" without a per-key shuffle whose state
@@ -581,6 +605,39 @@ object RelationalQueries {
          FROM orders GROUP BY 1""",
     "q_hll_distinct" -> Common.hllOracleSql(
       "SELECT event_type, user_id AS k FROM events", "event_type"),
+    // the merge replayed with the same batch structure: per-(batch,
+    // bucket) registers -> per-batch mass -> union-max merge -> the
+    // standard estimate/fingerprint finalizer (hllOracleSql's arithmetic
+    // inlined so the batch column can thread through)
+    "q_hll_merge" ->
+      """WITH src AS (SELECT event_type, user_id AS k, event_id % 3 AS b FROM events),
+           hh AS (SELECT event_type, b,
+                         CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                  FROM src),
+           rr AS (SELECT event_type, b, h >> 50 AS bucket,
+                         CASE WHEN (h & ((1::BIGINT << 50) - 1)) = 0 THEN 51
+                              ELSE 50 - length(bin(h & ((1::BIGINT << 50) - 1))) + 1
+                         END AS rank
+                  FROM hh),
+           regsb AS (SELECT event_type, b, bucket, max(rank) AS reg
+                     FROM rr GROUP BY 1, 2, 3),
+           bb AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_batch_regs
+                  FROM regsb GROUP BY 1),
+           regs AS (SELECT event_type, bucket, max(reg) AS reg
+                    FROM regsb GROUP BY 1, 2),
+           agg AS (SELECT event_type,
+                          count(*) AS n_buckets,
+                          list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(list(bucket * 64 + reg ORDER BY bucket),
+                              x -> CAST(x AS BIGINT))),
+                            (a, b) -> (a*131 + b) % 2147483647) AS reg_fp,
+                          CAST(sum(1::BIGINT << (51 - reg)) AS BIGINT) AS s_obs
+                   FROM regs GROUP BY 1)
+         SELECT a.event_type, a.n_buckets, a.reg_fp,
+                round((0.7213/(1.0 + 1.079/1024.0) * 1024.0 * 1024.0 * 2251799813685248.0)
+                      / CAST(s_obs + (1024 - n_buckets) * (1::BIGINT << 51) AS DOUBLE), 6) AS est,
+                bb.n_batch_regs
+         FROM agg a JOIN bb USING (event_type)""",
     // the unique tiebreak makes rank ≡ row_number, so the native window
     // function replays the two-level plan's arithmetic exactly
     "q_percent_rank" ->

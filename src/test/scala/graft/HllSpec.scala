@@ -42,6 +42,29 @@ class HllSpec extends SparkSpec {
         "the property that lets 100 TB of partial sketches combine")
   }
 
+  test("q_hll_merge: merged three-batch estimate equals the one-shot sketch exactly") {
+    // the query-level form of the identity: mergeRegisters over the
+    // date-slice-shaped batches, finalized, must be row-identical to
+    // distinctEstimate over the full feed (fingerprint included)
+    val merged = graft.SparkEntry.queries("q_hll_merge")(spark, sf)
+      .select($"event_type", $"n_buckets", $"reg_fp", $"est")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val oneShot = Hll.distinctEstimate(events, Seq("event_type"), "user_id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(merged === oneShot,
+      "merge(reg(A), reg(B), reg(C)) must equal reg(A ∪ B ∪ C) — estimate AND fingerprint")
+    // and the batches genuinely sketched separately: per-batch register
+    // mass strictly exceeds the merged register count wherever a bucket
+    // was hit by more than one batch (it is on this feed)
+    val out = graft.SparkEntry.queries("q_hll_merge")(spark, sf)
+      .select($"event_type", $"n_batch_regs", $"n_buckets")
+      .as[(String, Long, Long)].collect()
+    assert(out.forall { case (_, nb, n) => nb >= n },
+      "summed per-batch registers can never undercount the merged set")
+    assert(out.exists { case (_, nb, n) => nb > n },
+      "fixture must actually overlap batches on some bucket")
+  }
+
   test("streaming windowed registers equal the batch sketch (complete-mode parity)") {
     // the register state is a per-(window, bucket) max — a streaming agg
     // maintains it incrementally with ≤ m rows of state per window; the
