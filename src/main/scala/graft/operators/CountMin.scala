@@ -66,6 +66,20 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** MERGE cell grids — the additive twin of
+    * [[graft.operators.Hll.mergeRegisters]]: per-batch (per-partition,
+    * per-day) grids combine by summing matching cells, so a rolling
+    * frequency sketch never rescans history — each batch ships ≤ d·w
+    * rows and the merge is one bounded aggregation. Exactly union + sum:
+    * merge(cells(A), cells(B)) ≡ cells(A ∪ B), the identity
+    * `q_cms_merge`'s oracle checks. */
+  def mergeCells(sketches: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(sketches.nonEmpty, "mergeCells: no sketches to merge")
+    sketches.reduce(_ unionByName _)
+      .groupBy((groupCols.map(col) :+ col("row") :+ col("pos")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** JOIN-SIZE estimate between two cell grids over the same group
     * columns: the classic CM/AGMS inner product min_j Σ_pos a_j·b_j —
     * the pre-flight planner statistic "how many rows will A ⋈ B on

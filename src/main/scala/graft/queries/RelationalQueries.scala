@@ -211,6 +211,35 @@ object RelationalQueries {
         ev.select(key.cast("long").as("hot_key")), "hot_key", k = 9)
     }),
 
+    // the ADDITIVE sketch merge — CountMin's twin of q_hll_merge: three
+    // batch grids built independently (each ≤ d·w cell rows however big
+    // the batch), merged by summing matching cells, and the merged
+    // point estimates must equal the one-shot grid's exactly
+    // (merge(cells(A), cells(B)) ≡ cells(A ∪ B) — counts are additive
+    // over a partition of the rows). Output carries per-batch cell mass
+    // vs merged cell count, so the oracle also checks the batches
+    // genuinely sketched separately
+    "q_cms_merge" -> ((s, d) => {
+      import graft.operators.CountMin
+      val ev = t(s, d, "events")
+      val batchCells = (0 until 3).map(i =>
+        CountMin.cells(ev.filter(pmod(col("event_id"), lit(3)) === i),
+          Seq(), "user_id"))
+      val merged = CountMin.mergeCells(batchCells, Seq())
+      val evidence = batchCells.reduce(_ unionByName _)
+        .agg(count(lit(1)).as("n_batch_cells"))
+        .crossJoin(merged.agg(count(lit(1)).as("n_cells")))
+      val watch = ev.filter(col("user_id") % 29 === 0)
+        .select("user_id").distinct()
+      val exact = ev.join(broadcast(watch), "user_id")
+        .groupBy("user_id").agg(count(lit(1)).as("exact"))
+      CountMin.estimateFor(merged, Seq(), watch, "user_id")
+        .join(exact, "user_id")
+        .select(col("user_id"), col("est"), col("exact"),
+          (col("est") - col("exact")).as("overcount"))
+        .crossJoin(broadcast(evidence))
+    }),
+
     "q_cms_estimate" -> ((s, d) => {
       import graft.operators.CountMin
       val ev = t(s, d, "events")
@@ -655,6 +684,33 @@ object RelationalQueries {
                   WHERE hot_key IS NOT NULL GROUP BY 1),
             t AS (SELECT count(hot_key) AS n FROM s)
          SELECT hot_key, cnt, n FROM c CROSS JOIN t WHERE cnt * 10 > n""",
+    // the merge replayed with the batch structure threaded through: per-
+    // (batch, row, pos) cells -> batch mass -> union-sum merge -> the
+    // same probe arithmetic (cmsOracleSql's expressions inlined so the
+    // batch column can ride along)
+    "q_cms_merge" ->
+      """WITH src AS (SELECT user_id AS k, event_id % 3 AS b FROM events),
+           watch AS (SELECT DISTINCT user_id AS k FROM events WHERE user_id % 29 = 0),
+           sh AS (SELECT b, CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM src),
+           cellsb AS (SELECT b, j, ((h & ((1::BIGINT << 30) - 1)) + j * ((h >> 30) | 1)) % 2048 AS pos,
+                             count(*) AS cnt
+                      FROM sh, range(0, 4) r(j) GROUP BY 1, 2, 3),
+           nb AS (SELECT CAST(count(*) AS BIGINT) AS n_batch_cells FROM cellsb),
+           cells AS (SELECT j, pos, CAST(sum(cnt) AS BIGINT) AS cnt
+                     FROM cellsb GROUP BY 1, 2),
+           nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+           wh AS (SELECT k, CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM watch),
+           probes AS (SELECT k, j, ((h & ((1::BIGINT << 30) - 1)) + j * ((h >> 30) | 1)) % 2048 AS pos
+                      FROM wh, range(0, 4) r(j)),
+           est AS (SELECT k, min(coalesce(cnt, CAST(0 AS BIGINT))) AS est
+                   FROM probes LEFT JOIN cells USING (j, pos)
+                   GROUP BY 1),
+           exact AS (SELECT user_id AS k, count(*) AS exact
+                     FROM events WHERE user_id % 29 = 0 GROUP BY 1)
+         SELECT e.k AS user_id, e.est, x.exact, e.est - x.exact AS overcount,
+                nb.n_batch_cells, nc.n_cells
+         FROM est e JOIN exact x ON e.k = x.k
+         CROSS JOIN nb CROSS JOIN nc""",
     "q_cms_estimate" -> Common.cmsOracleSql(
       "SELECT user_id AS k FROM events",
       "SELECT DISTINCT user_id AS k FROM events WHERE user_id % 29 = 0",

@@ -62,6 +62,23 @@ class CountMinSpec extends SparkSpec {
     assert(merged === whole, "sketch(A union B) must equal cell-sum of the two sketches")
   }
 
+  test("q_cms_merge: merged three-batch estimates equal the one-shot grid exactly") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val out = graft.SparkEntry.queries("q_cms_merge")(spark, sf)
+      .select($"user_id", $"est").as[(Long, Long)].collect().toMap
+    val watch = ev.filter($"user_id" % 29 === 0).select("user_id").distinct()
+    val oneShot = CountMin.estimateFor(
+        CountMin.cells(ev, Seq(), "user_id"), Seq(), watch, "user_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out === oneShot,
+      "merge(cells(A), cells(B), cells(C)) must answer exactly like cells(A ∪ B ∪ C)")
+    // per-batch cell mass strictly exceeds the merged nonzero-cell count
+    // wherever batches share a cell — evidence the batches sketched apart
+    val ev2 = graft.SparkEntry.queries("q_cms_merge")(spark, sf)
+      .select($"n_batch_cells", $"n_cells").as[(Long, Long)].head()
+    assert(ev2._1 > ev2._2, s"fixture must overlap batch cells: $ev2")
+  }
+
   test("join-size estimate is one-sided and exact for collision-free key sets") {
     // 100 distinct keys in 2048 columns: collisions are possible but
     // the inner product must never undercount; with multiplicities
