@@ -280,6 +280,31 @@ object RelationalQueries {
     // single-reducer rank window) answer |A|, |B|, |A∪B|, Jaccard and
     // |A∩B| from 2×256 longs. Exact sides emitted for the accuracy
     // story; every estimate replays exactly in SQL
+    // the MIN-K sketch merge — the third of the mergeable-sketch triple
+    // (HLL merges by max, CMS by addition, KMV by re-taking the k
+    // smallest of the union): three batch sketches, each ≤ K longs
+    // however big its batch, merge into EXACTLY the one-shot sketch —
+    // the equality itself rides the output (and so the hash), beside
+    // the estimates and the per-batch state evidence. sf0.1's 1500
+    // distinct users exercise the (k−1)·2^60/h_(k) estimator path;
+    // smaller scales the exact below-K path
+    "q_kmv_merge" -> ((s, d) => {
+      import graft.operators.Kmv
+      val ev = t(s, d, "events")
+      val parts = (0 until 3).map(i =>
+        Kmv.sketch(ev.filter(pmod(col("event_id"), lit(3)) === i), Seq(), "user_id")
+          .select(col("mins").as(s"m$i")))
+      val merged = Kmv.mergeMins(Kmv.mergeMins(col("m0"), col("m1")), col("m2"))
+      val oneShot = Kmv.sketch(ev, Seq(), "user_id").select(col("mins").as("m_all"))
+      parts.reduce(_ crossJoin _).crossJoin(oneShot).select(
+        Kmv.estimate(merged).as("est_merged"),
+        size(merged).cast("long").as("n_merged"),
+        (size(col("m0")) + size(col("m1")) + size(col("m2")))
+          .cast("long").as("n_batch_mins"),
+        Kmv.estimate(col("m_all")).as("est_oneshot"),
+        (merged === col("m_all")).as("merge_equals_oneshot"))
+    }),
+
     "q_kmv_intersect" -> ((s, d) => {
       import graft.operators.Kmv
       val o = t(s, d, "orders")
@@ -738,6 +763,32 @@ object RelationalQueries {
     // term-for-term KMV replay: min-256 distinct md5 hashes per side,
     // union = min-256 of the merged sets, estimator (k-1)*2^60/h_(k)
     // under the same one-expression numerator product
+    // per-batch min-k lists -> union min-k merge -> the same estimator;
+    // the merged-equals-oneshot boolean is computed IN SQL too, so the
+    // hash verifies the identity, not a constant
+    "q_kmv_merge" ->
+      """WITH hs AS (SELECT event_id % 3 AS b,
+                            CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                     FROM events),
+            k0 AS (SELECT h FROM (SELECT DISTINCT h FROM hs WHERE b = 0) ORDER BY h LIMIT 256),
+            k1 AS (SELECT h FROM (SELECT DISTINCT h FROM hs WHERE b = 1) ORDER BY h LIMIT 256),
+            k2 AS (SELECT h FROM (SELECT DISTINCT h FROM hs WHERE b = 2) ORDER BY h LIMIT 256),
+            km AS (SELECT h FROM (SELECT h FROM k0 UNION SELECT h FROM k1 UNION SELECT h FROM k2)
+                   ORDER BY h LIMIT 256),
+            ka AS (SELECT h FROM (SELECT DISTINCT h FROM hs) ORDER BY h LIMIT 256),
+            sm AS (SELECT count(*) AS n, max(h) AS hk FROM km),
+            sa AS (SELECT count(*) AS n, max(h) AS hk FROM ka),
+            nb AS (SELECT (SELECT count(*) FROM k0) + (SELECT count(*) FROM k1)
+                          + (SELECT count(*) FROM k2) AS n_batch_mins)
+          SELECT CASE WHEN sm.n < 256 THEN CAST(sm.n AS DOUBLE)
+                      ELSE round((255.0 * 1152921504606846976.0) / CAST(sm.hk AS DOUBLE), 6) END AS est_merged,
+                 CAST(sm.n AS BIGINT) AS n_merged,
+                 CAST(nb.n_batch_mins AS BIGINT) AS n_batch_mins,
+                 CASE WHEN sa.n < 256 THEN CAST(sa.n AS DOUBLE)
+                      ELSE round((255.0 * 1152921504606846976.0) / CAST(sa.hk AS DOUBLE), 6) END AS est_oneshot,
+                 (SELECT list(h ORDER BY h) FROM km) = (SELECT list(h ORDER BY h) FROM ka)
+                   AS merge_equals_oneshot
+          FROM sm, sa, nb""",
     "q_kmv_intersect" ->
       """WITH ka AS (SELECT h FROM (SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
                      FROM orders WHERE o_orderstatus = 'O') ORDER BY h LIMIT 256),

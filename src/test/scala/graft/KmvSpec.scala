@@ -44,6 +44,17 @@ class KmvSpec extends SparkSpec {
     assert(merged === whole, "KMV union must equal the sketch of the unioned sources")
   }
 
+  test("q_kmv_merge: three-batch merge answers exactly like the one-shot sketch") {
+    val out = graft.SparkEntry.queries("q_kmv_merge")(spark, sf)
+      .select($"est_merged", $"est_oneshot", $"merge_equals_oneshot",
+        $"n_batch_mins", $"n_merged")
+      .as[(Double, Double, Boolean, Long, Long)].head()
+    assert(out._3, "merged min-k array must BE the one-shot sketch array")
+    assert(out._1 === out._2, "so the estimates are identical by construction")
+    assert(out._4 >= out._5,
+      "summed per-batch sketch sizes can never undercount the merged sketch")
+  }
+
   test("estimate is exact below K and within 4x RSE at 50k distinct keys") {
     val small = spark.range(100).select($"id".as("k"))
     val exactEst = Kmv.sketch(small, Seq(), "k")
