@@ -496,6 +496,27 @@ class AnnStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       "all-cluster filtered probe over the reclustered store must equal brute force over the filtered corpus")
   }
 
+  test("reads survive EVERY cluster being parked at once (live side empty)") {
+    // the extreme of the mid-swap window: a maintenance op that targets
+    // all K clusters crashes after parking the last one — the resolved
+    // read has no live partition dirs at all and must assemble the whole
+    // store from the parked generation
+    val path = buildStore()
+    val rowsBefore = AnnStore.read(spark, path)
+      .select($"vec_id", $"centroid_id".cast("long")).as[(Long, Long)].collect().toSet
+    val oldRoot = new java.io.File(path + ".swap_old")
+    assert(oldRoot.mkdirs())
+    new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).foreach { d =>
+        assert(d.renameTo(new java.io.File(oldRoot, d.getName)))
+      }
+    assert(AnnStore.read(spark, path)
+      .select($"vec_id", $"centroid_id".cast("long")).as[(Long, Long)].collect().toSet
+      === rowsBefore, "an all-parked store must still serve its committed generation")
+    AnnStore.recover(spark, path)
+    assert(AnnStore.read(spark, path).count() === rowsBefore.size)
+  }
+
   test("recluster crash windows: the marker decides promote vs restore; reads serve the committed generation in between") {
     val dir = java.nio.file.Files.createTempDirectory("graft_annspec").toFile
     storeDirs += dir
