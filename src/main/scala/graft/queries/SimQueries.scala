@@ -514,7 +514,11 @@ object SimQueries {
         .map { case (name, p) =>
           val c = e.agg(count(lit(1)).as("n"),
             sum(when(p, 1L).otherwise(0L)).as("m")).head()
-          val np = Similarity.adaptiveNProbe(c.getLong(0), c.getLong(1),
+          // empty-input sum is NULL: fold to 0 so adaptiveNProbe's own
+          // "predicate matches no rows" require fires with its diagnostic
+          // (mirrors Similarity.filteredSearchAdaptive)
+          val m = if (c.isNullAt(1)) 0L else c.getLong(1)
+          val np = Similarity.adaptiveNProbe(c.getLong(0), m,
             baseNProbe = 2, kCentroids = 8)
           Similarity.annRecall(e.filter(p), "embedding", "vec_id",
               e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid"), "cid",

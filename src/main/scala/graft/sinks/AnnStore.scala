@@ -74,8 +74,18 @@ object AnnStore {
     * and still owned by [[recover]] / the next writer op. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    PartitionSwap.resolvedRead(spark, resolveRoot(fs, path), Prefix,
-      "centroid_id", Tags)
+    val root = resolveRoot(fs, path)
+    // Serving the parked `.recluster_old` generation: a per-cluster swap
+    // that crashed BEFORE the recluster started left its scratch beside
+    // the then-live root (`path.swap_old` etc.) — the whole-store rename
+    // doesn't carry sibling scratch along, so probe the original base too
+    // (round-15 ADVICE: the doubly-crashed store keeps its parked
+    // clusters). The `.recluster_tmp` defense path stays single-layer: an
+    // orphaned sibling scratch there has no owning generation to pair
+    // with — run [[recover]] first.
+    val extraBases = if (root == path + ".recluster_old") Seq(path) else Nil
+    PartitionSwap.resolvedRead(spark, root, Prefix, "centroid_id", Tags,
+      extraBases)
   }
 
   /** The newest COMMITTED generation's root: the live path when it
@@ -83,7 +93,9 @@ object AnnStore {
     * the parked previous generation — complete, tombstone sidecar and
     * all; a committed-but-unpromoted scratch tree only when no previous
     * generation survives (cannot arise from [[recluster]]'s rename
-    * order, kept for defense). */
+    * order, kept for defense — and, being ownerless, it is served
+    * WITHOUT sibling-scratch probing; nested-crash states there need
+    * [[recover]]). */
   private def resolveRoot(fs: FileSystem, path: String): String = {
     if (fs.exists(new Path(path))) path
     else if (fs.exists(new Path(path + ".recluster_old"))) path + ".recluster_old"

@@ -52,13 +52,25 @@ private[sinks] object PartitionSwap {
   /** Partition dirs parked under a swap scratch root with NO live twin —
     * during an in-flight (or crashed) swap these hold the last committed
     * copy of their partition; a plain root read would silently serve a
-    * PARTIAL store without them. */
+    * PARTIAL store without them. `liveNames` is the caller's single
+    * snapshot of the live root's partition dir names — twin-existence is
+    * derived from THAT listing, not a fresh per-dir probe, so a promote
+    * landing between listings cannot make a partition look parked here
+    * and live elsewhere. */
   def parkedWithoutTwin(fs: FileSystem, path: String, prefix: String,
-                        tags: Seq[String]): Seq[Path] =
+                        tags: Seq[String], liveNames: Set[String]): Seq[Path] =
     tags.flatMap { tag =>
       partitionDirs(fs, new Path(path + s".${tag}_old"), prefix)
-        .filter(c => !fs.exists(new Path(new Path(path), c.getName)))
+        .filter(c => !liveNames.contains(c.getName))
     }
+
+  /** Convenience overload taking its own live-root snapshot. Callers that
+    * also read the live side should take ONE snapshot and use the primary
+    * overload (see [[resolvedRead]]) to avoid the double-count window. */
+  def parkedWithoutTwin(fs: FileSystem, path: String, prefix: String,
+                        tags: Seq[String]): Seq[Path] =
+    parkedWithoutTwin(fs, path, prefix, tags,
+      partitionDirs(fs, new Path(path), prefix).map(_.getName).toSet)
 
   /** Read the store's LAST COMMITTED GENERATION (round-14 verdict item —
     * generation-consistent reads): on the happy path this is a plain
@@ -67,19 +79,44 @@ private[sinks] object PartitionSwap {
     * swap is in flight — or after a writer crash — every partition parked
     * without a live twin is ITS last committed generation, so those dirs
     * are unioned in with the partition column injected from the dir name.
-    * A reader concurrent with compact/purge/rebucket therefore never
-    * raises and never sees a partial store: it serves exactly the
-    * pre-swap state until the promote rename lands (the swap commits
-    * per-partition, each promote being atomic). Readers stay readers —
-    * nothing here mutates; crash recovery is unchanged and still owned by
-    * `recover`/the next writer op. The parked side of the union is at
-    * most the partitions mid-rewrite (bounded by the maintenance batch,
-    * never corpus-scale), so losing directory pruning on it costs
-    * nothing measurable; the live side keeps the pruned scan. */
+    *
+    * Consistency contract (round-15 ADVICE refinement): the live root is
+    * listed ONCE and that single snapshot drives BOTH the twin-existence
+    * test and the live-side scan (explicit dirs + basePath, same pruning
+    * as discovery), so no partition can be served from its parked copy
+    * AND its just-promoted live copy — double-counting is structurally
+    * closed, not probabilistically rare. What remains is the inherent
+    * list-then-read window of any snapshot reader on a mutable directory
+    * tree: if a swap's cleanup deletes the parked files AFTER resolution
+    * but BEFORE the job's scan reaches them, the scan raises
+    * FileNotFoundException. So the guarantee is: a read that executes
+    * without a swap committing mid-flight serves exactly the last
+    * committed generation of every partition; a read overlapping a commit
+    * may raise (never silently double-count or lose rows) — callers
+    * should retry on FileNotFoundException, or deliberately set
+    * `spark.sql.files.ignoreMissingFiles` (accepting that a vanished
+    * parked dir's rows are then served from nothing until retry).
+    * Readers stay readers — nothing here mutates; crash recovery is
+    * unchanged and still owned by `recover`/the next writer op. The
+    * parked side of the union is at most the partitions mid-rewrite
+    * (bounded by the maintenance batch, never corpus-scale), so losing
+    * directory pruning on it costs nothing measurable. */
   def resolvedRead(spark: SparkSession, path: String, prefix: String,
-                   partCol: String, tags: Seq[String]): DataFrame = {
+                   partCol: String, tags: Seq[String],
+                   extraScratchBases: Seq[String] = Nil): DataFrame = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parked = parkedWithoutTwin(fs, path, prefix, tags)
+    val live = partitionDirs(fs, new Path(path), prefix) // the ONE snapshot
+    val liveNames = live.map(_.getName).toSet
+    // extraScratchBases: scratch roots that are siblings of a DIFFERENT
+    // base than the data root — AnnStore serving a parked `.recluster_old`
+    // generation probes the original path's `.swap_old` too, because a
+    // per-cluster swap always scratches beside the THEN-live root and the
+    // whole-store rename doesn't carry sibling scratch dirs along. Dedup
+    // by dir name (first base wins) so a twin parked under two bases
+    // can't union twice.
+    val parked = (path +: extraScratchBases)
+      .flatMap(b => parkedWithoutTwin(fs, b, prefix, tags, liveNames))
+      .groupBy(_.getName).map(_._2.head).toSeq.sortBy(_.getName)
     if (parked.isEmpty) spark.read.parquet(path)
     else {
       // partition values here are small integers (centroid ids, bucket
@@ -90,9 +127,15 @@ private[sinks] object PartitionSwap {
         spark.read.parquet(d.toString)
           .withColumn(partCol, org.apache.spark.sql.functions.lit(v).cast("int"))
       }
-      val live = partitionDirs(fs, new Path(path), prefix)
       val frames =
-        if (live.nonEmpty) spark.read.parquet(path) +: parkedDfs else parkedDfs
+        if (live.nonEmpty)
+          // the SAME snapshot serves the live side: explicit dirs with
+          // basePath keep the partition column + per-dir pruning, and a
+          // partition promoted after the snapshot cannot sneak in beside
+          // its parked copy
+          spark.read.option("basePath", path)
+            .parquet(live.map(_.toString): _*) +: parkedDfs
+        else parkedDfs
       frames.reduce(_ unionByName _)
     }
   }

@@ -14,9 +14,12 @@ import graft.operators.Dedup
   *  - COVER volume (distinct (doc, position) covered pairs — the only
   *    rows that fan out winLen-fold),
   * plus removed-token mass and wall time. A per-copy Caesar substitution
-  * replicates within-copy span structure EXACTLY while keeping spans
-  * disjoint across copies (word text differs), so removed-token mass must
-  * scale exactly ×factor — asserted, not just reported.
+  * over letters AND digits replicates within-copy span structure EXACTLY
+  * while keeping spans disjoint across copies (any window containing at
+  * least one [a-z0-9] character differs per copy), so removed-token mass
+  * is expected to scale exactly ×factor. The exactness is CORPUS-dependent
+  * (a 12-token run of pure punctuation would be copy-identical), so it is
+  * reported as `mass_exact_xk` + a WARN line rather than a hard abort.
   *
   * Output: one JSON line per dataset + fitted α lines (volume ∝ n^α);
   * paste into scale_curve.jsonl.
@@ -31,14 +34,20 @@ object ScaleCurveSpan {
     val par = spark.sparkContext.defaultParallelism
     val winLen = 12
 
-    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
     def blowUp(docs: DataFrame, factor: Int): DataFrame = {
-      require(factor <= 26, s"blowUp: factor $factor > 26 would reuse Caesar maps")
+      // factor <= 10: the digit rotation must be injective per copy too,
+      // or an all-digit window would be byte-identical between copies k
+      // and k+10 (the letter map alone caps at 26)
+      require(factor <= 10, s"blowUp: factor $factor > 10 would reuse digit maps")
       (0 until factor).map { k =>
-        val shift = k % 26
+        val ls = k % 26
+        val ds = k % 10
         docs.select((col("doc_id") * factor + k).as("doc_id"),
-          translate(col("text"), alphabet,
-            alphabet.drop(shift) + alphabet.take(shift)).as("text"))
+          translate(col("text"), letters + digits,
+            letters.drop(ls) + letters.take(ls) +
+              digits.drop(ds) + digits.take(ds)).as("text"))
       }.reduce(_ unionByName _)
     }
 
@@ -91,10 +100,10 @@ object ScaleCurveSpan {
       val wall = (System.nanoTime() - t0) / 1e9
 
       if (name == "sf0.1") baseMass = mass
-      if (factor > 1) {
-        require(mass == baseMass * factor,
-          s"Caesar blow-up must scale removed-token mass EXACTLY x$factor: " +
-            s"base $baseMass, x$factor got $mass")
+      if (factor > 1 && mass != baseMass * factor) {
+        // corpus-dependent exactness (see object doc): report loudly,
+        // don't abort — the fitted alphas below are still meaningful
+        println(s"""{"warn":"span_dedup mass not exactly x$factor: base $baseMass, got $mass (non-substitutable window text?)"}""")
       }
       println(f"""{"dataset":"$name","op":"span_dedup","n_docs":$n,"windows":$nWindows,"hot_windows":$nHot,"hot_occurrences":$hotOcc,"covered_positions":$nCover,"removed_tokens":$mass,"mass_exact_xk":${factor == 1 || mass == baseMass * factor},"wall_sec":$wall%.2f}""")
       if (name != "sf0.01") { // fit over the sf0.1 blow-up family only

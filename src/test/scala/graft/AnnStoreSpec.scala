@@ -577,6 +577,34 @@ class AnnStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     AnnStore.recover(spark, path)
   }
 
+  test("doubly-crashed store: parked per-cluster swap under a parked recluster_old still serves every cluster") {
+    // round-15 ADVICE: a per-cluster swap crashes first (cluster parked
+    // beside the then-live root), THEN a whole-store recluster parks the
+    // generation itself. The sibling scratch dir does NOT travel with the
+    // rename, so the resolved read must probe the ORIGINAL base's
+    // scratch while serving `.recluster_old` — or those clusters are
+    // silently absent.
+    val path = buildStore()
+    val rowsBefore = AnnStore.read(spark, path)
+      .select($"vec_id", $"centroid_id".cast("long")).as[(Long, Long)].collect().toSet
+    val oldRoot = new java.io.File(path + ".swap_old")
+    assert(oldRoot.mkdirs())
+    assert(new java.io.File(path, "centroid_id=3")
+      .renameTo(new java.io.File(oldRoot, "centroid_id=3")))
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".recluster_old")))
+    assert(AnnStore.read(spark, path)
+      .select($"vec_id", $"centroid_id".cast("long")).as[(Long, Long)].collect().toSet
+      === rowsBefore,
+      "the original base's sibling scratch must resolve with the parked generation")
+    // recover heals both layers: restore the generation, then the cluster
+    AnnStore.recover(spark, path)
+    assert(AnnStore.read(spark, path)
+      .select($"vec_id", $"centroid_id".cast("long")).as[(Long, Long)].collect().toSet
+      === rowsBefore)
+    assert(!new java.io.File(path + ".swap_old").exists()
+      && !new java.io.File(path + ".recluster_old").exists())
+  }
+
   test("delete canonicalizes tombstone id types: INT and BIGINT batches land as one schema") {
     val path = buildStore()
     // first batch arrives typed INT, second BIGINT — without the cast the
