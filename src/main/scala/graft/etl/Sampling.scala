@@ -338,6 +338,81 @@ object Sampling {
       .withColumn("rate", col("ppm").cast("double") / lit(1000000))
   }
 
+  /** A WHOLE τ-GRID from ONE corpus scan (round-15 verdict item — the
+    * fusion of N [[temperedMixRates]]+[[weightedBernoulli]] legs): the
+    * per-group (n_docs, tokens) aggregate and the (total, min) frame are
+    * computed once, every τ's ppm derives as one more column of the same
+    * G-row frame, and the realized kept mass for ALL temperatures comes
+    * from a single doc-side pass — the row hash is computed once and
+    * compared against each τ's ppm as conditional sums in one
+    * aggregation. Per-row keep decisions are bit-identical to running
+    * weightedBernoulli under each τ separately (same md5 threshold, same
+    * floored ppm), so the kept sets stay nested as τ rises; the plan
+    * drops from ~10 exchanges per temperature to ~4 TOTAL (per-group
+    * agg, totals agg, kept agg, plus G-row broadcasts) — the pattern any
+    * τ sweep over a 100 TB corpus needs, where corpus scans are the cost
+    * and G-row frames are free. Output: one row per (τ, group) with the
+    * exact [[temperedMixRates]] columns plus tau_num/tau_den. */
+  def temperedMixGrid(df: DataFrame, groupCol: String, costCol: String,
+                      keyCol: String, taus: Seq[(Int, Int)]): DataFrame = {
+    require(taus.nonEmpty && taus.distinct == taus,
+      s"temperedMixGrid: taus must be non-empty and distinct, got $taus")
+    val per = df
+      .select(when(col(groupCol).isNull,
+          raise_error(lit(s"temperedMixGrid: null $groupCol — every row needs a group")))
+          .otherwise(col(groupCol)).as(groupCol),
+        col(costCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(costCol)).cast("bigint").as("tokens"))
+    val tot = per.agg(sum(col("tokens")).cast("bigint").as("total"),
+      min(col("tokens")).as("min_tokens"))
+    val x = col("min_tokens").cast("double") / col("tokens").cast("double")
+    def ppmCol(tauNum: Int, tauDen: Int) = {
+      val powX = temperedSqrtCounts(tauNum, tauDen)
+        .map(j => (1 to j).foldLeft(x)((c, _) => sqrt(c)))
+        .reduce(_ * _)
+      least(lit(1000000L), floor(lit(1000000L) * powX))
+    }
+    def p(tauNum: Int, tauDen: Int) = s"ppm_${tauNum}_$tauDen"
+    val wide = per.crossJoin(broadcast(tot))
+      .select(Seq(col(groupCol), col("n_docs"), col("tokens"),
+        round(col("tokens").cast("double") / col("total").cast("double"), 6)
+          .as("share")) ++
+        taus.map { case (n, dn) => ppmCol(n, dn).as(p(n, dn)) }: _*)
+    // one doc-side pass: hash once, compare against every τ's ppm
+    val h = hashBucket(col(keyCol), 1000000)
+    val keptAggs = taus.flatMap { case (n, dn) =>
+      Seq(sum(when(h < col(p(n, dn)), 1L).otherwise(0L)).as(s"n_kept_${n}_$dn"),
+        sum(when(h < col(p(n, dn)), col(costCol)).otherwise(0L))
+          .cast("bigint").as(s"kept_tokens_${n}_$dn"))
+    }
+    val kept = df
+      .join(broadcast(wide.select(col(groupCol) +: taus.map(t => col(p(t._1, t._2))): _*)),
+        Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(keptAggs.head, keptAggs.tail: _*)
+    val joined = wide.join(kept, Seq(groupCol), "left")
+    // ONE plan tree, per-τ rows via explode — a union of per-τ
+    // projections would let column pruning specialize each leg's copy of
+    // the shared subtree (different agg columns per leg → no exchange
+    // reuse) and the whole fusion would silently evaporate at execution;
+    // exploding G·|taus| structs keeps every aggregate in the plan once
+    joined
+      .select(col(groupCol), col("n_docs"), col("tokens"), col("share"),
+        explode(array(taus.map { case (n, dn) =>
+          struct(lit(n).as("tau_num"), lit(dn).as("tau_den"),
+            col(p(n, dn)).as("ppm"),
+            coalesce(col(s"n_kept_${n}_$dn"), lit(0L)).as("n_kept"),
+            coalesce(col(s"kept_tokens_${n}_$dn"), lit(0L)).as("kept_tokens"))
+        }: _*)).as("t"))
+      .select(col("t.tau_num"), col("t.tau_den"), col(groupCol),
+        col("n_docs"), col("tokens"), col("share"),
+        (col("t.ppm").cast("double") / lit(1000000)).as("rate"),
+        col("t.ppm").as("ppm"), col("t.n_kept").as("n_kept"),
+        col("t.kept_tokens").as("kept_tokens"))
+  }
+
   /** The √-chain lengths realizing x^(1−τ) for τ = tauNum/tauDen: one
     * entry per set bit of the exponent's numerator, ascending (each `j`
     * means √ applied j times; factors multiply left-to-right in this

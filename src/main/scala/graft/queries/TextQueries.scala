@@ -507,26 +507,18 @@ object TextQueries {
     // (Sampling.temperedSqrtCounts, ONE source of truth for Spark and
     // the oracle generator), so the integer-ppm cross-engine guarantee
     // holds WITHOUT libm pow. Same md5-threshold filter at every τ, so
-    // the kept sets are nested as τ rises toward natural sampling
-    "ta_mix_temperature_grid" -> ((s, d) => {
-      val doc = t(s, d, "documents")
-        .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).as("tk"))
-      mixTemperatures.map { case (n, dn) =>
-        val mix = graft.etl.Sampling.temperedMixRates(doc, "source", "tk", n, dn)
-        val kept = graft.etl.Sampling.weightedBernoulli(
-            doc.join(broadcast(mix.select(col("source"), col("ppm"))), Seq("source")),
-            "doc_id", col("ppm"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_kept"),
-            sum(col("tk")).cast("bigint").as("kept_tokens"))
-        mix.join(kept, Seq("source"), "left")
-          .select(lit(n).as("tau_num"), lit(dn).as("tau_den"), col("source"),
-            col("n_docs"), col("tokens"), col("share"), col("rate"), col("ppm"),
-            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-            coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
-      }.reduce(_ unionAll _)
-    }),
+    // the kept sets are nested as τ rises toward natural sampling.
+    // FUSED (round-15 verdict item): Sampling.temperedMixGrid computes
+    // the per-source aggregate ONCE and every τ's ppm + kept mass from
+    // that single G-row frame and one doc-side pass — per-row keep
+    // decisions bit-identical to the per-τ legs, ~4 exchanges total
+    // instead of ~10 per temperature
+    "ta_mix_temperature_grid" -> ((s, d) =>
+      graft.etl.Sampling.temperedMixGrid(
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).as("tk")),
+        "source", "tk", "doc_id", mixTemperatures)),
 
     // URL canonicalization + collapse — the FIRST dedup a crawl pipeline
     // runs: the same page arrives as http/https, with/without www.,

@@ -420,6 +420,52 @@ class TrainingMixSpec extends SparkSpec {
     }
   }
 
+  test("temperedMixGrid (fused) equals the per-τ rates+bernoulli legs row-for-row") {
+    // round-15: the grid key now runs the one-scan fusion; this pins it
+    // to the naive composition it replaced — same ppm arithmetic, same
+    // md5 keep decisions, same output rows, across ALL temperatures
+    val doc = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"source", size(split($"text", " ")).as("tk"))
+    val taus = Seq((1, 4), (2, 4), (3, 4))
+    val fused = Sampling.temperedMixGrid(doc, "source", "tk", "doc_id", taus)
+    val naive = taus.map { case (n, dn) =>
+      val mix = Sampling.temperedMixRates(doc, "source", "tk", n, dn)
+      val kept = Sampling.weightedBernoulli(
+          doc.join(broadcast(mix.select($"source", $"ppm")), Seq("source")),
+          "doc_id", $"ppm")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum($"tk").cast("bigint").as("kept_tokens"))
+      mix.join(kept, Seq("source"), "left")
+        .select(lit(n).as("tau_num"), lit(dn).as("tau_den"), $"source",
+          $"n_docs", $"tokens", $"share", $"rate", $"ppm",
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          coalesce($"kept_tokens", lit(0L)).as("kept_tokens"))
+    }.reduce(_ unionAll _)
+    assert(rows(fused) === rows(naive))
+    // and the fusion is structurally real AT EXECUTION: count the
+    // distinct shuffle stages the adaptive plan actually ran (rendered
+    // tree paths duplicate shared subtrees; stage IDs don't lie). The
+    // fused grid's doc-side kept aggregation happens once — strictly
+    // fewer distinct shuffles than the three-leg composition, whose
+    // per-τ kept aggregates cannot reuse each other's exchanges.
+    def shuffles(df: DataFrame): Int =
+      "ShuffleQueryStage (\\d+)".r
+        .findAllMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1)).toSeq.distinct.size
+    assert(shuffles(naive) > 0, "probe: adaptive plan must expose shuffle stages\n" +
+      naive.queryExecution.executedPlan.toString.take(400))
+    assert(shuffles(fused) < shuffles(naive),
+      s"fused grid must run fewer shuffles: ${shuffles(fused)} vs ${shuffles(naive)}")
+    assert(Sampling.temperedMixGrid(doc, "source", "tk", "doc_id", Seq((2, 4)))
+      .count() > 0)
+    intercept[IllegalArgumentException] {
+      Sampling.temperedMixGrid(doc, "source", "tk", "doc_id", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperedMixGrid(doc, "source", "tk", "doc_id", Seq((1, 4), (1, 4)))
+    }
+  }
+
   test("sqrtMixRates: null group raises, like domainMixRates") {
     val docs = Seq((1L, "a", 10), (2L, null.asInstanceOf[String], 10))
       .toDF("doc_id", "source", "tk")
