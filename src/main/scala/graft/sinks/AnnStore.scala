@@ -43,15 +43,18 @@ object AnnStore {
     * deliberate operation — appending against drifted centroids only
     * degrades recall, never correctness, since search scans whatever
     * partitions the probe names. */
-  def append(assigned: DataFrame, path: String): Unit = {
+  def append(assigned: DataFrame, path: String,
+             fenceWaitMs: Long = PartitionSwap.DefaultBatchFenceWaitMs): Unit = {
     // fenced (round-13 advice, BandStore.append's twin): an append racing
     // compact/purge could land files in a cluster dir the swap parks and
     // deletes, and one racing recluster writes into a tree about to be
     // replaced wholesale — either way the appended rows vanish silently.
-    // Under the fence the race throws on one side instead.
+    // Round 15: the batch QUEUES (bounded) behind a maintenance-held
+    // fence instead of failing — append-vs-compact serializes; only a
+    // fence still held past fenceWaitMs raises.
     val fs = new Path(path).getFileSystem(
       assigned.sparkSession.sparkContext.hadoopConfiguration)
-    PartitionSwap.withWriterLock(fs, path, "AnnStore") {
+    PartitionSwap.withWriterLock(fs, path, "AnnStore", fenceWaitMs) {
       assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
     }
   }
@@ -216,7 +219,8 @@ object AnnStore {
     * or silently widen — breaking [[readLive]]/[[purge]]. One footer
     * read prices the lookup; a batch whose id can't carry the store's
     * type is a caller bug and raises here, not mid-purge. */
-  def delete(ids: DataFrame, idCol: String, path: String): Unit = {
+  def delete(ids: DataFrame, idCol: String, path: String,
+             fenceWaitMs: Long = PartitionSwap.DefaultBatchFenceWaitMs): Unit = {
     val spark = ids.sparkSession
     val storeType = spark.read.parquet(path).schema
       .find(_.name == idCol)
@@ -232,7 +236,7 @@ object AnnStore {
     // late step, so a tombstone appended mid-maintenance would be
     // discarded UNAPPLIED — the takedown silently resurrects. Loud > lost.
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    PartitionSwap.withWriterLock(fs, path, "AnnStore") {
+    PartitionSwap.withWriterLock(fs, path, "AnnStore", fenceWaitMs) {
       ids.select(org.apache.spark.sql.functions.coalesce(
           org.apache.spark.sql.functions.when(id.isNull,
             org.apache.spark.sql.functions.raise_error(

@@ -118,14 +118,19 @@ object BandStore {
     * Append holds the store-root WRITER FENCE (round-13 advice): an
     * append racing compact/purge/rebucket could commit part files into a
     * bucket dir the swap then parks under `.swap_old` and deletes — the
-    * appended rows would vanish silently. Under the fence the race is
-    * LOUD instead: an append during a maintenance window throws (and
-    * vice versa), so the caller schedules one or the other and never
-    * loses rows. */
-  def append(batch: DataFrame, textCol: String, idCol: String, path: String): Unit = {
+    * appended rows would vanish silently. Round 15: the batch QUEUES
+    * (bounded by `fenceWaitMs`) behind a maintenance-held fence instead
+    * of failing — append-vs-compact serializes, spec-proven to lose
+    * nothing and double nothing; only a fence still held past the
+    * deadline (a crashed holder, or maintenance overrunning the bound)
+    * raises. Maintenance ops stay exclusive and fail-fast. */
+  def append(batch: DataFrame, textCol: String, idCol: String, path: String,
+             fenceWaitMs: Long = PartitionSwap.DefaultBatchFenceWaitMs): Unit = {
     val fs = new Path(path).getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
-    PartitionSwap.withWriterLock(fs, path, "BandStore") {
+    PartitionSwap.withWriterLock(fs, path, "BandStore", fenceWaitMs) {
+      // params read INSIDE the fence: a rebucket committing while we
+      // queued must not leave us sketching under the superseded layout
       writeSketched(batch, textCol, idCol, path, params(batch.sparkSession, path),
         mode = "append")
     }
@@ -148,13 +153,16 @@ object BandStore {
     * Each micro-batch append holds the store-root writer fence (see
     * [[append]]), so a swap-performing maintenance op (compact/purge/
     * rebucket) racing a LIVE stream can never silently delete a
-    * just-committed batch: one side throws instead. Operationally that
-    * means maintenance runs between micro-batches or with the stream
-    * stopped — a batch that lands on a held fence fails the streaming
-    * query loudly and replays on restart (at-least-once, as above). */
-  def ingest(path: String, textCol: String, idCol: String)
+    * just-committed batch. Round 15: the micro-batch QUEUES (bounded)
+    * behind a maintenance-held fence — maintenance runs against a live
+    * stream and the stream simply stalls one batch interval instead of
+    * failing; only a fence held past the bound fails the streaming
+    * query, which then replays the batch on restart (at-least-once, as
+    * above). */
+  def ingest(path: String, textCol: String, idCol: String,
+             fenceWaitMs: Long = PartitionSwap.DefaultBatchFenceWaitMs)
             (batch: DataFrame, batchId: Long): Unit =
-    append(batch, textCol, idCol, path)
+    append(batch, textCol, idCol, path, fenceWaitMs)
 
   private def writeSketched(df: DataFrame, textCol: String, idCol: String,
                             path: String, p: Params, mode: String): Unit = {
@@ -237,7 +245,8 @@ object BandStore {
     * store's id type (mixed-type sidecar batches would fail or silently
     * widen on read), and a null id raises — a takedown that silently
     * matches nothing is worse than a failure. */
-  def delete(ids: DataFrame, idCol: String, path: String): Unit = {
+  def delete(ids: DataFrame, idCol: String, path: String,
+             fenceWaitMs: Long = PartitionSwap.DefaultBatchFenceWaitMs): Unit = {
     val spark = ids.sparkSession
     val storeType = spark.read.parquet(docsDir(path)).schema
       .find(_.name == idCol)
@@ -250,7 +259,7 @@ object BandStore {
     // the rewrite planned, before the drop) would be deleted UNAPPLIED —
     // a takedown that silently resurrects. Under the fence it throws.
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    PartitionSwap.withWriterLock(fs, path, "BandStore") {
+    PartitionSwap.withWriterLock(fs, path, "BandStore", fenceWaitMs) {
       ids.select(coalesce(
           when(id.isNull, raise_error(
             lit(s"BandStore.delete: null $idCol in the delete batch"))),

@@ -230,32 +230,56 @@ private[sinks] object PartitionSwap {
 
   private def lockPath(path: String) = new Path(path + ".lock")
 
+  /** How long a batch-class writer (append / streaming ingest / tombstone
+    * delete) waits for a maintenance-held fence before giving up —
+    * bounded queueing, round-15 verdict item: a production ingest with a
+    * maintenance daemon wants append-vs-compact to SERIALIZE, not fail
+    * the batch. Maintenance ops themselves stay fail-fast (waitMs = 0):
+    * two maintenance runs racing is a scheduling bug worth surfacing. */
+  val DefaultBatchFenceWaitMs: Long = 60000L
+
   /** Run `body` holding the store's WRITER FENCE — the enforcement of the
     * "not safe against concurrent writers" caveat every swap-performing
     * op used to merely document: the fence file is created atomically
     * (create-if-absent — atomic on local FS / HDFS; object stores need a
     * conditional-put or table format), so a second writer RAISES instead
     * of interleaving its renames with ours and corrupting the store. The
-    * token records pid@host so the raise names the holder. A crashed
-    * holder leaves a stale fence by design — breaking it is a human
-    * decision ([[breakLock]]), not something a new writer may assume. */
-  def withWriterLock[T](fs: FileSystem, path: String, store: String)(body: => T): T = {
+    * token records pid@host so the raise names the holder.
+    *
+    * `waitMs` > 0 turns the raise into a BOUNDED QUEUE: the caller polls
+    * (every `pollMs`) until the fence frees or the deadline passes, then
+    * raises the same diagnostic plus how long it waited. Appends/ingest
+    * pass [[DefaultBatchFenceWaitMs]] so they serialize behind a
+    * maintenance window instead of failing the batch; maintenance ops
+    * keep the default 0 — exclusive, fail-fast. A crashed holder still
+    * leaves a stale fence by design — a queued writer waits out its
+    * deadline and raises; breaking the fence is a human decision
+    * ([[breakLock]]), never something a waiting writer may assume. */
+  def withWriterLock[T](fs: FileSystem, path: String, store: String,
+                        waitMs: Long = 0L, pollMs: Long = 100L)(body: => T): T = {
     val lp = lockPath(path)
     val token =
       s"${ProcessHandle.current().pid()}@${java.net.InetAddress.getLocalHost.getHostName}"
-    val acquired =
+    def tryAcquire(): Boolean =
       try {
         val o = fs.create(lp, false)
         o.write(token.getBytes("UTF-8")); o.close(); true
       } catch { case _: java.io.IOException => false }
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    var acquired = tryAcquire()
+    while (!acquired && System.nanoTime() < deadline) {
+      Thread.sleep(pollMs)
+      acquired = tryAcquire()
+    }
     if (!acquired) {
       val holder =
         try {
           val in = fs.open(lp)
           try new String(in.readAllBytes(), "UTF-8") finally in.close()
         } catch { case _: java.io.IOException => "<unreadable>" }
+      val waited = if (waitMs > 0) s" (waited ${waitMs} ms)" else ""
       throw new IllegalStateException(
-        s"$store: writer fence $lp is held by [$holder] — another " +
+        s"$store: writer fence $lp is held by [$holder]$waited — another " +
           "compact/purge/recluster is running, or its owner crashed; after " +
           s"confirming the owner is dead, clear it with $store.breakLock")
     }
