@@ -19,13 +19,26 @@ import org.apache.spark.sql.functions._
   * larger — isolating exactly the claim under test: encode cost depends
   * on merges APPLIED, not merges SHIPPED.
   *
+  * Each rep is a fresh query, so a rep pays the table's PLAN-SERIALIZATION
+  * ship cost once plus the per-word encode cost — at a tiny corpus the
+  * 1.2 MB 51200-entry table's ship cost dominates and a naive words/s
+  * number reads as a throughput collapse that isn't there. The sweep
+  * therefore times TWO corpus sizes per table and splits the per-rep cost
+  * into its slope (marginal per-word encode cost — the number that must
+  * stay FLAT in table size) and its intercept (per-query fixed cost —
+  * grows with table bytes, amortized to noise over any real corpus: at
+  * 100 TB the table ships once per task and encode dominates). Both are
+  * reported; the flatness assert is on the slope.
+  *
   * Usage: runMain graft.tools.ScaleCurveBpe [sfDir] [reps=20]
-  * Prints one JSON line per table size (paste-ready for scale_curve.jsonl).
+  * Prints one JSON line per table size (appended to scale_curve.jsonl).
   */
 object ScaleCurveBpe {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val reps = args.lift(1).map(_.toInt).getOrElse(20)
+    // sf0.1 by default: the slope split needs encode time to dominate the
+    // per-query submit cost, and at sf0.01's 500 docs it doesn't
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(5)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -37,9 +50,17 @@ object ScaleCurveBpe {
     // trainer run)
     val full = graft.functions.Bpe.LargeMerges
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("text")).cache()
+      .select(col("text")).repartition(8).cache()
     val nDocs = docs.count()
     val words = docs.select(sum(size(split(col("text"), " ")))).head().getLong(0)
+    // the slope corpus: 16× the base by union — same word mix, so the
+    // per-rep cost difference vs the base is PURE per-word encode time,
+    // and 16× keeps that difference an order of magnitude above run
+    // noise (at 4× it drowned)
+    val big = (0 until 16).map(_ => docs).reduce(_ unionByName _)
+      .repartition(8).cache()
+    val nBig = big.count()
+    val wordsBig = words * 16
     def tableOf(m: Int): Seq[(String, String)] =
       if (m <= full.size) full.take(m)
       else full ++ (0 until m - full.size).map { i =>
@@ -49,6 +70,8 @@ object ScaleCurveBpe {
         (s"zq$t", s"qz$t")
       }
     val totals = scala.collection.mutable.Map[Int, Long]()
+    val rates = scala.collection.mutable.Map[Int, Double]()
+    val sb = new StringBuilder
     for (m <- Seq(40, 256, 1024, 51200)) {
       val merges = tableOf(m)
       val bytes = serializedSize(graft.expressions.BpeUtil.buildTable(merges))
@@ -59,25 +82,44 @@ object ScaleCurveBpe {
         require(totals(m) == totals(full.size),
           s"synthetic tail must never apply: $m-table total ${totals(m)} " +
             s"!= ${full.size}-table total ${totals(full.size)}")
-      // warm once, then median of 3 timed sweeps of `reps` encodes
-      def sweep(): Double = {
+      // warm once per corpus, then median of 3 timed sweeps of `reps`
+      // encodes on BOTH corpus sizes — slope/intercept split below
+      def sweep(corpus: org.apache.spark.sql.DataFrame): Double = {
         val t0 = System.nanoTime()
         var r = 0
         var acc = 0L
         while (r < reps) {
-          acc ^= docs.select(sum(graft.functions.Bpe.bpeTokenCount(col("text"), merges)))
+          acc ^= corpus.select(sum(graft.functions.Bpe.bpeTokenCount(col("text"), merges)))
             .head().getLong(0)
           r += 1
         }
         require(acc != -1, "keep the fold alive")
         (System.nanoTime() - t0) / 1e9
       }
-      sweep()
-      val secs = Seq.fill(3)(sweep()).sorted.apply(1)
-      val rowsPerSec = nDocs.toDouble * reps / secs
-      val wordsPerSec = words.toDouble * reps / secs
-      println(f"""{"op":"bpe_encode","merges":$m,"table_bytes":$bytes,"docs":$nDocs,"rows_per_sec":${rowsPerSec.round},"words_per_sec":${wordsPerSec.round},"sweep_sec":$secs%.3f}""")
+      sweep(docs); sweep(big)
+      val secSmall = Seq.fill(3)(sweep(docs)).sorted.apply(1)
+      val secBig = Seq.fill(3)(sweep(big)).sorted.apply(1)
+      // per-rep cost = fixed (plan-serialize + submit, ∝ table bytes)
+      //              + words × marginal; two sizes solve for both
+      val marginalSecPerWord =
+        (secBig - secSmall) / reps / (wordsBig - words).toDouble
+      val fixedSecPerQuery =
+        math.max(0.0, secSmall / reps - words * marginalSecPerWord)
+      val wordsPerSec = 1.0 / marginalSecPerWord
+      val line = f"""{"op":"bpe_encode","merges":$m,"table_bytes":$bytes,"docs":$nDocs,"docs_big":$nBig,"marginal_words_per_sec":${wordsPerSec.round},"fixed_ms_per_query":${fixedSecPerQuery * 1e3}%.1f,"sweep_small_sec":$secSmall%.3f,"sweep_big_sec":$secBig%.3f}"""
+      println(line); sb.append(line).append('\n')
+      rates(m) = wordsPerSec
     }
+    // the claim under test: marginal encode throughput FLAT in shipped
+    // table size — the 50×-bigger table may cost at most mild cache
+    // pressure, never a proportional slowdown
+    require(rates(51200) >= 0.6 * rates(1024),
+      s"marginal encode rate collapsed with table size: ${rates(51200).round} " +
+        s"words/s at 51200 merges vs ${rates(1024).round} at 1024")
+    java.nio.file.Files.write(java.nio.file.Paths.get("scale_curve.jsonl"),
+      sb.toString.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
   }
 

@@ -27,6 +27,14 @@ object GraftShim {
     * than the caller claimed (e.g. a view joining the intended checkpoint
     * with a second one some other consumer still reads), this throws
     * instead of silently releasing a stranger's blocks. */
+  /** Drain the SparkContext listener bus — `listenerBus` is
+    * `private[spark]`, so measurement tools that sum task metrics via a
+    * `SparkListener` (e.g. `ScaleCurveZ`'s executed-bytes audit) reach it
+    * through this shim to make "query finished" imply "its task-end
+    * events were delivered" before reading their accumulators. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   def unpersistCheckpoint(df: Dataset[_], expectedLeaves: Int = 1): Unit = {
     val leaves = df.queryExecution.analyzed.collect {
       case lr: execution.LogicalRDD => lr.rdd
