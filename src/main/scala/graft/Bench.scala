@@ -177,9 +177,25 @@ object Bench {
     // [4.2, 2.0, 5.7] have max/min 2.86 but a median 2.1x above the
     // cleanest observation — the min is the least-contended pass).
     // Sub-0.2s keys skip the flag (tiny absolute jitter trips any ratio).
-    def isUnstable(med: Double, ts: Seq[Double]): Boolean =
-      ts.size >= 2 && med > 0.2 &&
+    //
+    // WARM-UP SHAPE EXEMPTION (round-15 flap pinning): the composed
+    // pipeline keys pay a structurally slow FIRST pass — analysis +
+    // Janino codegen of a many-stage plan, deterministic and 2–4x on a
+    // quiet host (pipeline_corpus_prep runs [3.1, 0.89, 0.82] quiet,
+    // [5.2, 2.8, 2.7] loaded — the QUIETER the host, the bigger the
+    // ratio, which is why the flag wandered across these keys between
+    // rounds). When pass 1 is the maximum AND the remaining passes agree
+    // within 1.5x, that is compile cost amortized by pass 2, not the
+    // host moving: the median (a steady pass) is already honest, so no
+    // flag and no healing re-pass. A genuine contention spike fails the
+    // shape test — it lands on a random pass, or leaves the steady
+    // passes spread — and still flags.
+    def isUnstable(med: Double, ts: Seq[Double]): Boolean = {
+      val warmupShape = ts.size >= 3 && ts.head == ts.max &&
+        ts.tail.max / ts.tail.min <= 1.5
+      !warmupShape && ts.size >= 2 && med > 0.2 &&
         (ts.max / ts.min > 3.0 || (med > 0.5 && med / ts.min > 1.5))
+    }
 
     // the one summary line the driver parses; built from whatever has
     // completed, so the shutdown hook can emit it mid-suite
