@@ -18,6 +18,24 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object AnnStore {
 
+  /** Align the assignment with the store's cluster layout before a
+    * `partitionBy("centroid_id")` write: without it every upstream task
+    * holding rows of cluster c commits its own file into c — files =
+    * task-count × cluster-count (round-15 `ScaleCurveStore`: ~500 files
+    * for a 16-cluster store from a 32-task assign, corpus-size-
+    * independent; a 100 TB ingest's tens of thousands of tasks would be
+    * a namenode incident). One hash exchange of the (id, vector) rows
+    * buys one file per cluster per writing task-slot — the assign itself
+    * stays the zero-shuffle broadcast fold; the WRITE pays one bounded
+    * exchange, once, at ingest. Parallelism is min(clusters, cores)
+    * per write: at production scale K ~ √N clusters dwarfs any
+    * executor count, and a skewed giant cluster is recluster's problem,
+    * not the writer's. */
+  private def clusterAligned(assigned: DataFrame): DataFrame = {
+    val par = assigned.sparkSession.sparkContext.defaultParallelism
+    assigned.repartition(par, org.apache.spark.sql.functions.col("centroid_id"))
+  }
+
   /** Persist an `ivfAssign(..., keepVec = true)` result partitioned by
     * cluster. One directory per centroid; vectors round-trip parquet
     * exactly (binary doubles), so search over the store is value-identical
@@ -28,7 +46,8 @@ object AnnStore {
     val fs = new Path(path).getFileSystem(
       assigned.sparkSession.sparkContext.hadoopConfiguration)
     PartitionSwap.withWriterLock(fs, path, "AnnStore") {
-      assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+      clusterAligned(assigned).write.mode("overwrite")
+        .partitionBy("centroid_id").parquet(path)
     }
   }
 
@@ -55,7 +74,8 @@ object AnnStore {
     val fs = new Path(path).getFileSystem(
       assigned.sparkSession.sparkContext.hadoopConfiguration)
     PartitionSwap.withWriterLock(fs, path, "AnnStore", fenceWaitMs) {
-      assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+      clusterAligned(assigned).write.mode("append")
+        .partitionBy("centroid_id").parquet(path)
     }
   }
 
@@ -139,8 +159,11 @@ object AnnStore {
     * corpus row. The float vectors can stay in cold storage entirely. */
   def writePq(assigned: DataFrame, codes: DataFrame, idCol: String,
               path: String): Unit =
-    assigned.select(col(idCol), col("centroid_id"))
-      .join(codes, Seq(idCol))
+    // cluster-aligned like write/append: the join leaves the frame
+    // partitioned on idCol, which would commit shuffle-partitions ×
+    // clusters files
+    clusterAligned(assigned.select(col(idCol), col("centroid_id"))
+        .join(codes, Seq(idCol)))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
   /** COMPACTION — the missing third of the store lifecycle (write →

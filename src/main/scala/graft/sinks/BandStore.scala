@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.hadoop.fs.Path
 
@@ -164,6 +164,32 @@ object BandStore {
             (batch: DataFrame, batchId: Long): Unit =
     append(batch, textCol, idCol, path, fenceWaitMs)
 
+  /** Align the frame's partitioning with the store's bucket layout before
+    * a `partitionBy("bucket")` write, so files-per-write is bounded by
+    * WRITE PARALLELISM, not upstream-task-count × buckets: without this,
+    * every upstream task holding rows of bucket b commits its own file
+    * into b — a 32-task local write left ~4k files per lifecycle
+    * (round-15 `ScaleCurveStore` measurement: task-count × bucket-count,
+    * corpus-size-independent), and a 100 TB ingest's tens of thousands of
+    * tasks would turn the store into a namenode incident. One hash
+    * exchange of the (digest-sized) sketch rows buys files =
+    * buckets × tasksPerBucket per write, where tasksPerBucket =
+    * ⌈parallelism / buckets⌉ keeps every core writing (a salt splits a
+    * bucket across that many writers; 1 on any host with cores ≤ buckets,
+    * so locally each bucket gets exactly one file and compact is a
+    * near-no-op). Compaction cadence stays the steady-state knob —
+    * appends still add tasksPerBucket files per batch — but the write no
+    * longer manufactures the fragmentation compact exists to absorb. */
+  private def bucketAligned(df: DataFrame, saltCol: Column, buckets: Int): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val tasksPerBucket = math.max(1, (par + buckets - 1) / buckets)
+    if (tasksPerBucket == 1) df.repartition(buckets, col("bucket"))
+    else df
+      .withColumn("__wsalt", pmod(xxhash64(saltCol), lit(tasksPerBucket)))
+      .repartition(buckets * tasksPerBucket, col("bucket"), col("__wsalt"))
+      .drop("__wsalt")
+  }
+
   private def writeSketched(df: DataFrame, textCol: String, idCol: String,
                             path: String, p: Params, mode: String): Unit = {
     // one sketch pass feeds both tables: cache, write, release
@@ -175,16 +201,20 @@ object BandStore {
           size(col("hs")).as("n_sh"))
         else Seq(explode(col("bands")).as("band"), col(idCol),
           size(col("hs")).as("n_sh"), col("sig"))
-      m.select(bandCols: _*)
-        .withColumn("bucket", pmod(xxhash64(col("band")), lit(p.buckets)))
+      bucketAligned(
+        m.select(bandCols: _*)
+          .withColumn("bucket", pmod(xxhash64(col("band")), lit(p.buckets))),
+        col(idCol), p.buckets)
         .write.mode(mode).partitionBy("bucket").parquet(bandsDir(path))
       // lean: the signature lives ONCE on the per-doc table — a parquet
       // column sibling to hs, so each fetch prunes the other's bytes
       val docCols =
         if (p.leanSigs) Seq(col(idCol), col("hs"), col("sig"))
         else Seq(col(idCol), col("hs"))
-      m.select(docCols: _*)
-        .withColumn("bucket", pmod(xxhash64(col(idCol)), lit(p.buckets)))
+      bucketAligned(
+        m.select(docCols: _*)
+          .withColumn("bucket", pmod(xxhash64(col(idCol)), lit(p.buckets))),
+        col(idCol), p.buckets)
         .write.mode(mode).partitionBy("bucket").parquet(docsDir(path))
     } finally { m.unpersist(); () }
   }

@@ -45,6 +45,24 @@ class AnnStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         if f.metadata.get("Location").exists(_.contains("graft_annspec")) => f
     }
 
+  test("writes are cluster-aligned: at most one file per cluster per write") {
+    // round 15: the pre-write repartition on centroid_id bounds files to
+    // one per cluster per write (was tasks × clusters — ScaleCurveStore
+    // measured ~500 files for a 16-cluster store from a 32-task assign)
+    val path = buildStore()
+    def perCluster(): Seq[Int] =
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("centroid_id="))
+        .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    assert(perCluster().nonEmpty && perCluster().max <= 1,
+      s"one write must leave at most one file per cluster; got ${perCluster().max}")
+    AnnStore.append(
+      Similarity.ivfAssign(corpus.limit(50).repartition(8), "embedding",
+        "vec_id", cents, "cid", keepVec = true), path)
+    assert(perCluster().max <= 2,
+      s"write + append must leave at most two files per cluster; got ${perCluster().max}")
+  }
+
   test("store search matches raw-corpus ivfSearch exactly") {
     val path = buildStore()
     val query = corpus.filter($"vec_id" === 1)

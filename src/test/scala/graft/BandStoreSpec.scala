@@ -49,6 +49,34 @@ class BandStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(fromStore.nonEmpty, "fixture must exercise real cross-set near-dups")
   }
 
+  test("writes are bucket-aligned: files per bucket bounded by write slots, not upstream tasks") {
+    // round 15: without the pre-write bucket alignment every upstream
+    // task holding rows of bucket b commits its own file into b (files =
+    // tasks × buckets — the fragmentation ScaleCurveStore measured at
+    // ~4k files); aligned, a write commits at most ⌈par/buckets⌉ files
+    // per bucket no matter how the input was partitioned
+    val path = newPath()
+    val buckets = 16
+    val slots = (spark.sparkContext.defaultParallelism + buckets - 1) / buckets
+    BandStore.write(history.repartition(24), "text", "doc_id", path,
+      buckets = buckets)
+    def perBucket(sub: String): Seq[Int] =
+      Option(new java.io.File(path, sub).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    Seq("bands", "docs").foreach { sub =>
+      val counts = perBucket(sub)
+      assert(counts.nonEmpty && counts.max <= slots,
+        s"$sub: ${counts.max} files in one bucket after a single write " +
+          s"(bound $slots) — the 24-task input leaked into the layout")
+    }
+    // and an append adds at most another slot's worth per bucket
+    BandStore.append(batch, "text", "doc_id", path)
+    Seq("bands", "docs").foreach { sub =>
+      assert(perBucket(sub).max <= 2 * slots, s"$sub: append broke the bound")
+    }
+  }
+
   test("append: indexing history in two batches equals one-shot write") {
     val path = newPath()
     BandStore.write(history.filter($"doc_id" % 2 === 0), "text", "doc_id", path)
