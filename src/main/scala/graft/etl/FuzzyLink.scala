@@ -1,0 +1,61 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance RECORD LINKAGE — the fuzzy-key matching a cleaning
+  * stage needs when "the same entity, typo'd" must link without an exact
+  * key: customer/supplier name reconciliation, near-identical product
+  * titles, OCR'd identifiers. The reference's ETL dedups on exact keys
+  * only (`Listings_ETL.py:47-49`); this is the operator its users reach
+  * for next, and the token-set family (`Dedup.ngramJaccard` etc.)
+  * deliberately does NOT cover it: Jaccard over shingles is blind to the
+  * single-character substitutions edit distance is FOR.
+  *
+  * All-pairs `levenshtein` is O(n²) string comparisons — dead at any
+  * scale. The public SymSpell observation makes the candidate set sound
+  * and tiny: if ed(a, b) ≤ 1 then deleting one character (or none) from
+  * each yields a COMMON string, so blocking on the DELETION NEIGHBORHOOD
+  * — the string itself plus its |s| single-deletion variants — finds
+  * every qualifying pair exactly (substitution at i: both sides delete i;
+  * insertion: the longer side deletes the inserted char and meets the
+  * shorter side's identity variant). Candidates are Σ|bucket|² over
+  * variant buckets — proportional to how many names actually collide,
+  * never n²; the one shuffle is the variant-keyed exchange, ~|s|+1 rows
+  * per distinct name. The exact `levenshtein` verify then prunes the
+  * false candidates the blocking admits (two names sharing a variant can
+  * be at distance 2: delete a different position from each side).
+  *
+  * Generalizing to ed ≤ d uses the ≤d-deletion neighborhood (size
+  * C(|s|, d)-ish per name) — same join, bigger blocks; this implements
+  * the d = 1 case every name-typo pipeline starts with and raises on
+  * anything else rather than silently under-recalling.
+  */
+object FuzzyLink {
+
+  /** Distinct name pairs (name_a < name_b) within edit distance
+    * `maxDist`, found via deletion-neighborhood blocking + exact verify.
+    * Output: (name_a, name_b, dist). */
+  def editNeighbors(df: DataFrame, nameCol: String, maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1,
+      s"editNeighbors implements the 1-deletion neighborhood (sound for " +
+        s"maxDist = 1); got $maxDist — extend to the ${maxDist}-deletion " +
+        "neighborhood before raising the bound, don't silently under-recall")
+    val names = df.select(col(nameCol).cast("string").as("n"))
+      .filter(col("n").isNotNull).distinct()
+    // i = 1..|n| deletes position i; i = |n|+1 is the identity variant
+    // (prefix is the whole string, suffix empty) — required so an
+    // insertion pair meets the shorter side
+    val variants = names.select(col("n"), explode(
+      transform(sequence(lit(1), length(col("n")) + 1),
+        i => concat(col("n").substr(lit(1), i - 1),
+          col("n").substr(i + 1, length(col("n")))))).as("variant"))
+    variants.select(col("n").as("name_a"), col("variant"))
+      .join(variants.select(col("n").as("name_b"), col("variant").as("variant_b")),
+        col("variant") === col("variant_b"))
+      .filter(col("name_a") < col("name_b"))
+      .select("name_a", "name_b").distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+  }
+}

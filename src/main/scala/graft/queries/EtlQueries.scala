@@ -28,6 +28,13 @@ object EtlQueries {
     "etl_dedup_exact" -> ((s, d) =>
       Clean.dedupExact(t(s, d, "orders"), Seq("o_orderstatus", "o_orderpriority"))),
 
+    // edit-distance record linkage: supplier-name pairs within ed <= 1,
+    // candidates via SymSpell deletion-neighborhood blocking (never
+    // all-pairs; the one shuffle is variant-keyed), exact levenshtein
+    // verify — the fuzzy-key step after the reference's exact dedup
+    "etl_fuzzy_link" -> ((s, d) =>
+      graft.etl.FuzzyLink.editNeighbors(t(s, d, "supplier"), "s_name")),
+
     // '$'-strip money parse round-trip (Listings_ETL.py:53-55)
     "etl_clean_money" -> ((s, d) => {
       val p = t(s, d, "part")
@@ -635,6 +642,17 @@ object EtlQueries {
          QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_quantity) = 1""",
     "etl_dedup_exact" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    // the same deletion-neighborhood construction: i = 1..len deletes
+    // position i, i = len+1 is the identity variant (insertion pairs
+    // meet the shorter side there); exact levenshtein verifies
+    "etl_fuzzy_link" ->
+      """WITH names AS (SELECT DISTINCT s_name AS n FROM supplier),
+            v AS (SELECT n, substr(n, 1, CAST(i AS INT) - 1) || substr(n, CAST(i AS INT) + 1) AS var
+                  FROM names, unnest(range(1, length(n) + 2)) AS t(i)),
+            cand AS (SELECT DISTINCT a.n AS name_a, b.n AS name_b
+                     FROM v a JOIN v b ON a.var = b.var AND a.n < b.n)
+         SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+         FROM cand WHERE levenshtein(name_a, name_b) <= 1""",
     "etl_clean_money" ->
       """SELECT p_brand, count(*) AS n,
                 CAST(sum(CAST(regexp_replace('$' || CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR), '[$,]', '', 'g') AS DECIMAL(18,2))) AS DOUBLE) AS total
