@@ -133,6 +133,44 @@ class BandStoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       === pairs(BandStore.probe(spark, p2, probeBatch, "text", "doc_id", 0.8)))
   }
 
+  test("append queued behind a LIVE rebucket sketches under the NEW layout") {
+    // the params-reread-inside-the-fence claim, exercised against the one
+    // maintenance op that CHANGES the layout: an append that resolved the
+    // store's bucket count before queueing would land its rows bucketed
+    // under the superseded function — silently unreachable by the
+    // post-rebucket probe route. The append must observe the layout that
+    // is live when its fence turn comes.
+    val path = newPath()
+    BandStore.write(history, "text", "doc_id", path, buckets = 32)
+    @volatile var rebucketErr: Throwable = null
+    val th = new Thread(() =>
+      try BandStore.rebucket(spark, path, 8)
+      catch { case t: Throwable => rebucketErr = t })
+    th.start()
+    val deadline = System.currentTimeMillis + 10000
+    while (!new java.io.File(path + ".lock").exists() &&
+      System.currentTimeMillis < deadline) Thread.sleep(5)
+    BandStore.append(batch, "text", "doc_id", path, fenceWaitMs = 60000L)
+    th.join(60000)
+    assert(!th.isAlive && rebucketErr == null, s"rebucket must finish: $rebucketErr")
+    assert(BandStore.params(spark, path).buckets === 8)
+    // every appended row must be addressable under the new layout: the
+    // batch probed against itself through the store finds its own docs
+    val self = pairs(BandStore.probe(spark, path, batch, "text", "doc_id", 0.8))
+    val p2 = newPath()
+    BandStore.write(history, "text", "doc_id", p2, buckets = 8)
+    BandStore.append(batch, "text", "doc_id", p2)
+    assert(self === pairs(BandStore.probe(spark, p2, batch, "text", "doc_id", 0.8)),
+      "append landed under a superseded bucket layout")
+    // and no bucket id outside [0, 8) survives anywhere in the tree
+    Seq("bands", "docs").foreach { sub =>
+      val stray = Option(new java.io.File(path, sub).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(_.getName.stripPrefix("bucket=").toInt).filter(b => b < 0 || b >= 8)
+      assert(stray.isEmpty, s"$sub: stray buckets ${stray.mkString(",")}")
+    }
+  }
+
   test("probe's candidate scan prunes to the batch's colliding buckets; batch side broadcasts") {
     val path = newPath()
     BandStore.write(history, "text", "doc_id", path, buckets = 16)
