@@ -33,14 +33,12 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyLink {
 
-  /** Distinct name pairs (name_a < name_b) within edit distance
-    * `maxDist`, found via deletion-neighborhood blocking + exact verify.
-    * Output: (name_a, name_b, dist). */
-  def editNeighbors(df: DataFrame, nameCol: String, maxDist: Int = 1): DataFrame = {
-    require(maxDist == 1,
-      s"editNeighbors implements the 1-deletion neighborhood (sound for " +
-        s"maxDist = 1); got $maxDist — extend to the ${maxDist}-deletion " +
-        "neighborhood before raising the bound, don't silently under-recall")
+  /** The blocking stage alone: distinct candidate pairs (name_a <
+    * name_b) sharing at least one deletion-neighborhood variant — a
+    * superset of the ed ≤ 1 pairs (two names can share a variant at
+    * distance 2). Exposed so the scale curve prices candidate volume,
+    * the quantity that must stay ~linear for the plan to survive 100 TB. */
+  private[graft] def candidatePairs(df: DataFrame, nameCol: String): DataFrame = {
     val names = df.select(col(nameCol).cast("string").as("n"))
       .filter(col("n").isNotNull).distinct()
     // i = 1..|n| deletes position i; i = |n|+1 is the identity variant
@@ -55,6 +53,17 @@ object FuzzyLink {
         col("variant") === col("variant_b"))
       .filter(col("name_a") < col("name_b"))
       .select("name_a", "name_b").distinct()
+  }
+
+  /** Distinct name pairs (name_a < name_b) within edit distance
+    * `maxDist`, found via deletion-neighborhood blocking + exact verify.
+    * Output: (name_a, name_b, dist). */
+  def editNeighbors(df: DataFrame, nameCol: String, maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1,
+      s"editNeighbors implements the 1-deletion neighborhood (sound for " +
+        s"maxDist = 1); got $maxDist — extend to the ${maxDist}-deletion " +
+        "neighborhood before raising the bound, don't silently under-recall")
+    candidatePairs(df, nameCol)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDist)
   }
