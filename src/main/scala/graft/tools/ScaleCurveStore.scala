@@ -31,6 +31,12 @@ import graft.operators.Similarity
   * the per-bucket file bound, and the probe/search stays ROUTE-BOUNDED —
   * its wall may not grow remotely like the 10× corpus (bound ≤3×; the
   * measured growth is ~1×, see scale_curve.jsonl).
+  *
+  * The first committed run of this tool (pre-alignment rows in
+  * scale_curve.jsonl) measured writes committing task-count ×
+  * bucket-count files (~4k) — the finding that motivated the round-15
+  * bucket-aligned writers; under them the write-time counts it records
+  * EQUAL the compacted steady state.
   */
 object ScaleCurveStore {
 
