@@ -26,28 +26,41 @@ import org.apache.spark.sql.functions._
   * false candidates the blocking admits (two names sharing a variant can
   * be at distance 2: delete a different position from each side).
   *
-  * Generalizing to ed ≤ d uses the ≤d-deletion neighborhood (size
-  * C(|s|, d)-ish per name) — same join, bigger blocks; this implements
-  * the d = 1 case every name-typo pipeline starts with and raises on
-  * anything else rather than silently under-recalling.
+  * Generalizing to ed ≤ d uses the ≤d-deletion neighborhood — same
+  * join, bigger blocks (≈ C(|s|, d) variants per name, and blocks
+  * admit everything within 2d deletions, so the verify prunes harder).
+  * Implemented for d ∈ {1, 2} — the typo distances name pipelines
+  * actually run — and raises on anything else rather than silently
+  * under-recalling.
   */
 object FuzzyLink {
 
+  /** The ≤`maxDist`-deletion neighborhood of `n` as a distinct array:
+    * i = 1..|n| deletes position i; i = |n|+1 is the identity variant
+    * (prefix is the whole string, suffix empty) — required so an
+    * insertion pair meets the shorter side. d = 2 applies the same
+    * level to every level-1 variant (identity included, so 0-, 1- and
+    * 2-deletion strings all appear). */
+  private def variantArray(n: org.apache.spark.sql.Column, maxDist: Int) = {
+    def dels(s: org.apache.spark.sql.Column) =
+      transform(sequence(lit(1), length(s) + 1),
+        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
+    if (maxDist == 1) dels(n)
+    else array_distinct(flatten(transform(dels(n), v => dels(v))))
+  }
+
   /** The blocking stage alone: distinct candidate pairs (name_a <
     * name_b) sharing at least one deletion-neighborhood variant — a
-    * superset of the ed ≤ 1 pairs (two names can share a variant at
-    * distance 2). Exposed so the scale curve prices candidate volume,
-    * the quantity that must stay ~linear for the plan to survive 100 TB. */
-  private[graft] def candidatePairs(df: DataFrame, nameCol: String): DataFrame = {
+    * superset of the ed ≤ maxDist pairs (two names can share a variant
+    * at anything up to distance 2·maxDist). Exposed so the scale curve
+    * prices candidate volume, the quantity that must stay ~linear for
+    * the plan to survive 100 TB. */
+  private[graft] def candidatePairs(df: DataFrame, nameCol: String,
+                                    maxDist: Int = 1): DataFrame = {
     val names = df.select(col(nameCol).cast("string").as("n"))
       .filter(col("n").isNotNull).distinct()
-    // i = 1..|n| deletes position i; i = |n|+1 is the identity variant
-    // (prefix is the whole string, suffix empty) — required so an
-    // insertion pair meets the shorter side
-    val variants = names.select(col("n"), explode(
-      transform(sequence(lit(1), length(col("n")) + 1),
-        i => concat(col("n").substr(lit(1), i - 1),
-          col("n").substr(i + 1, length(col("n")))))).as("variant"))
+    val variants = names.select(col("n"),
+      explode(variantArray(col("n"), maxDist)).as("variant"))
     variants.select(col("n").as("name_a"), col("variant"))
       .join(variants.select(col("n").as("name_b"), col("variant").as("variant_b")),
         col("variant") === col("variant_b"))
@@ -59,11 +72,11 @@ object FuzzyLink {
     * `maxDist`, found via deletion-neighborhood blocking + exact verify.
     * Output: (name_a, name_b, dist). */
   def editNeighbors(df: DataFrame, nameCol: String, maxDist: Int = 1): DataFrame = {
-    require(maxDist == 1,
-      s"editNeighbors implements the 1-deletion neighborhood (sound for " +
-        s"maxDist = 1); got $maxDist — extend to the ${maxDist}-deletion " +
+    require(maxDist == 1 || maxDist == 2,
+      s"editNeighbors implements the 1- and 2-deletion neighborhoods " +
+        s"(sound for maxDist ≤ 2); got $maxDist — extend the " +
         "neighborhood before raising the bound, don't silently under-recall")
-    candidatePairs(df, nameCol)
+    candidatePairs(df, nameCol, maxDist)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDist)
   }

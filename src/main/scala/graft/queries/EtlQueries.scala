@@ -35,6 +35,12 @@ object EtlQueries {
     "etl_fuzzy_link" -> ((s, d) =>
       graft.etl.FuzzyLink.editNeighbors(t(s, d, "supplier"), "s_name")),
 
+    // the distance-2 form on part names ("red bolt" ~ "red bit"): the
+    // 2-deletion neighborhood blocks, exact levenshtein verifies — the
+    // typo radius real product-title reconciliation runs at
+    "etl_fuzzy_link2" -> ((s, d) =>
+      graft.etl.FuzzyLink.editNeighbors(t(s, d, "part"), "p_name", maxDist = 2)),
+
     // '$'-strip money parse round-trip (Listings_ETL.py:53-55)
     "etl_clean_money" -> ((s, d) => {
       val p = t(s, d, "part")
@@ -653,6 +659,19 @@ object EtlQueries {
                      FROM v a JOIN v b ON a.var = b.var AND a.n < b.n)
          SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
          FROM cand WHERE levenshtein(name_a, name_b) <= 1""",
+    // two deletion levels: v1 = 0- and 1-deletion strings (identity
+    // included), v2 deletes once more from each — 0/1/2-deletion
+    // neighborhood, deduped before the join
+    "etl_fuzzy_link2" ->
+      """WITH names AS (SELECT DISTINCT p_name AS n FROM part),
+            v1 AS (SELECT n, substr(n, 1, CAST(i AS INT) - 1) || substr(n, CAST(i AS INT) + 1) AS v
+                   FROM names, unnest(range(1, length(n) + 2)) AS t(i)),
+            v2 AS (SELECT DISTINCT n, substr(v, 1, CAST(j AS INT) - 1) || substr(v, CAST(j AS INT) + 1) AS var
+                   FROM v1, unnest(range(1, length(v) + 2)) AS u(j)),
+            cand AS (SELECT DISTINCT a.n AS name_a, b.n AS name_b
+                     FROM v2 a JOIN v2 b ON a.var = b.var AND a.n < b.n)
+         SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+         FROM cand WHERE levenshtein(name_a, name_b) <= 2""",
     "etl_clean_money" ->
       """SELECT p_brand, count(*) AS n,
                 CAST(sum(CAST(regexp_replace('$' || CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR), '[$,]', '', 'g') AS DECIMAL(18,2))) AS DOUBLE) AS total

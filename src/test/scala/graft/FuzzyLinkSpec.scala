@@ -66,9 +66,29 @@ class FuzzyLinkSpec extends SparkSpec {
     assert(got === base)
   }
 
-  test("maxDist > 1 raises rather than silently under-recalling") {
+  test("maxDist = 2 equals brute-force all-pairs at ed <= 2") {
+    // the fixture's distance-2 shapes (battle/bottles, kitten/bitter-ish
+    // chains, double indels like cat/cart vs at) must now LINK, and
+    // distance-3 must not; every ed<=2 relation shape is covered:
+    // two substitutions, two deletions, deletion+substitution,
+    // insertion+substitution, and the length-difference-2 pair (cat/at
+    // is 1; "at"/"cart" is 2 — both lengths present)
+    val got = FuzzyLink.editNeighbors(names, "name", maxDist = 2)
+      .as[(String, String, Int)].collect().toSet
+    val distinct = names.as[String].collect().distinct
+    val want = (for {
+      a <- distinct; b <- distinct if a < b
+      d = levRef(a, b) if d <= 2
+    } yield (a, b, d)).toSet
+    assert(got === want)
+    assert(want.exists(_._3 == 2), "fixture must produce distance-2 pairs")
+    assert(want.exists { case (a, b, d) => d == 2 && (a.length - b.length).abs == 2 },
+      "fixture must cover the double-indel (length ± 2) shape")
+  }
+
+  test("maxDist > 2 raises rather than silently under-recalling") {
     val e = intercept[IllegalArgumentException](
-      FuzzyLink.editNeighbors(names, "name", maxDist = 2))
+      FuzzyLink.editNeighbors(names, "name", maxDist = 3))
     assert(e.getMessage.contains("deletion neighborhood"))
   }
 
