@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Edit-distance RECORD LINKAGE — the fuzzy-key matching a cleaning
@@ -13,25 +13,38 @@ import org.apache.spark.sql.functions._
   * single-character substitutions edit distance is FOR.
   *
   * All-pairs `levenshtein` is O(n²) string comparisons — dead at any
-  * scale. The public SymSpell observation makes the candidate set sound
-  * and tiny: if ed(a, b) ≤ 1 then deleting one character (or none) from
-  * each yields a COMMON string, so blocking on the DELETION NEIGHBORHOOD
-  * — the string itself plus its |s| single-deletion variants — finds
-  * every qualifying pair exactly (substitution at i: both sides delete i;
-  * insertion: the longer side deletes the inserted char and meets the
-  * shorter side's identity variant). Candidates are Σ|bucket|² over
-  * variant buckets — proportional to how many names actually collide,
-  * never n²; the one shuffle is the variant-keyed exchange, ~|s|+1 rows
-  * per distinct name. The exact `levenshtein` verify then prunes the
-  * false candidates the blocking admits (two names sharing a variant can
-  * be at distance 2: delete a different position from each side).
+  * scale. Two sound blocking schemes bound the candidate set instead,
+  * with complementary cost profiles; both verify candidates with the
+  * exact `levenshtein` so their OUTPUT is identical:
   *
-  * Generalizing to ed ≤ d uses the ≤d-deletion neighborhood — same
-  * join, bigger blocks (≈ C(|s|, d) variants per name, and blocks
-  * admit everything within 2d deletions, so the verify prunes harder).
-  * Implemented for d ∈ {1, 2} — the typo distances name pipelines
-  * actually run — and raises on anything else rather than silently
-  * under-recalling.
+  *  - DELETION NEIGHBORHOOD ([[editNeighbors]], the public SymSpell
+  *    observation): if ed(a, b) ≤ 1 then deleting one character (or
+  *    none) from each yields a COMMON string, so blocking on the string
+  *    plus its |s| single-deletion variants finds every qualifying pair.
+  *    Generalizes to ed ≤ d via the ≤d-deletion neighborhood —
+  *    ≈ C(|s|, d) variants per name, QUADRATIC in |s| at d = 2. Best for
+  *    short keys (names, codes, identifiers ≲ 50 chars).
+  *  - SEGMENT PIGEONHOLE ([[editNeighborsSeg]], the public PassJoin
+  *    construction, Li et al. ICDE'11): split each name into d+1
+  *    even segments; d edits can touch at most d of them, so some
+  *    segment of `a` survives VERBATIM as a substring of `b`, shifted by
+  *    at most ±d positions. Blocking on (partner length, segment index,
+  *    substring) emits O(d²) keys per name — LINEAR in |s|, the scheme
+  *    for product titles and sentence-length keys where the d = 2
+  *    neighborhood's ~|s|²/2 variants per name would dominate
+  *    (ScaleCurveFuzzy's length sweep prices the crossover).
+  *
+  * Neither scheme ever ships name text through the quadratic part of the
+  * exchange: names are interned once as 16-byte content keys (two
+  * independent xxhash64 seeds — the repo's digest-identity discipline,
+  * same as `Dedup`'s 16-byte text digests) and block keys as 8-byte
+  * hashes, so the variant/segment exchange rows are fixed-width
+  * regardless of name length; hash collisions on BLOCK keys only add
+  * candidates the exact verify prunes (lossless), and a full 128-bit
+  * name-key collision is the same ~2⁻¹²⁸ non-event every digest-keyed
+  * operator in this engine already accepts. The candidate set is
+  * Σ|block|² over block keys — proportional to how many names actually
+  * collide, never n².
   */
 object FuzzyLink {
 
@@ -41,43 +54,228 @@ object FuzzyLink {
     * insertion pair meets the shorter side. d = 2 applies the same
     * level to every level-1 variant (identity included, so 0-, 1- and
     * 2-deletion strings all appear). */
-  private def variantArray(n: org.apache.spark.sql.Column, maxDist: Int) = {
-    def dels(s: org.apache.spark.sql.Column) =
+  private def variantArray(n: Column, maxDist: Int) = {
+    def dels(s: Column) =
       transform(sequence(lit(1), length(s) + 1),
         i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
     if (maxDist == 1) dels(n)
     else array_distinct(flatten(transform(dels(n), v => dels(v))))
   }
 
-  /** The blocking stage alone: distinct candidate pairs (name_a <
-    * name_b) sharing at least one deletion-neighborhood variant — a
-    * superset of the ed ≤ maxDist pairs (two names can share a variant
-    * at anything up to distance 2·maxDist). Exposed so the scale curve
-    * prices candidate volume, the quantity that must stay ~linear for
-    * the plan to survive 100 TB. */
+  /** Distinct non-null names with their 16-byte content key `nk`
+    * (struct of two independently-seeded xxhash64 values — orderable, so
+    * pair canonicalization needs no second pass over names). */
+  private def keyedNames(df: DataFrame, nameCol: String): DataFrame =
+    df.select(col(nameCol).cast("string").as("n"))
+      .filter(col("n").isNotNull).distinct()
+      .select(col("n"),
+        struct(xxhash64(col("n")).as("k1"),
+          xxhash64(lit(7), col("n")).as("k2")).as("nk"))
+
+  /** Join two block frames (`nk`, `bk`) on the block key and emit the
+    * DISTINCT canonical (key-ordered) unordered candidate key pairs.
+    * The one potentially-quadratic exchange in either scheme happens
+    * here, over fixed-width 24-byte rows. */
+  private def candidatesFromBlocks(idx: DataFrame, probe: DataFrame): DataFrame =
+    idx.select(col("nk").as("ka"), col("bk"))
+      .join(probe.select(col("nk").as("kb"), col("bk")), "bk")
+      .filter(col("ka") =!= col("kb"))
+      .select(least(col("ka"), col("kb")).as("ka"),
+        greatest(col("ka"), col("kb")).as("kb"))
+      .distinct()
+
+  /** Resolve candidate key pairs back to name pairs (two keyed joins
+    * against the distinct-names frame — names rejoin the plan only
+    * AFTER the candidate set is down to near-output size) and apply the
+    * exact `levenshtein` verify. Output: (name_a < name_b, dist). */
+  private def verifiedPairs(keyed: DataFrame, cands: DataFrame,
+                            maxDist: Int): DataFrame =
+    cands
+      .join(keyed.select(col("nk").as("ka"), col("n").as("na")), Seq("ka"))
+      .join(keyed.select(col("nk").as("kb"), col("n").as("nb")), Seq("kb"))
+      .select(least(col("na"), col("nb")).as("name_a"),
+        greatest(col("na"), col("nb")).as("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+
+  /** The deletion-neighborhood blocking stage alone: distinct candidate
+    * pairs (name_a < name_b) sharing at least one deletion-neighborhood
+    * variant — a superset of the ed ≤ maxDist pairs (two names can share
+    * a variant at anything up to distance 2·maxDist). Exposed so the
+    * scale curve prices candidate volume, the quantity that must stay
+    * ~linear for the plan to survive 100 TB. */
   private[graft] def candidatePairs(df: DataFrame, nameCol: String,
                                     maxDist: Int = 1): DataFrame = {
-    val names = df.select(col(nameCol).cast("string").as("n"))
-      .filter(col("n").isNotNull).distinct()
-    val variants = names.select(col("n"),
-      explode(variantArray(col("n"), maxDist)).as("variant"))
-    variants.select(col("n").as("name_a"), col("variant"))
-      .join(variants.select(col("n").as("name_b"), col("variant").as("variant_b")),
-        col("variant") === col("variant_b"))
-      .filter(col("name_a") < col("name_b"))
-      .select("name_a", "name_b").distinct()
+    val keyed = keyedNames(df, nameCol)
+    val blocks = keyed
+      .select(col("nk"), explode(variantArray(col("n"), maxDist)).as("v"))
+      .select(col("nk"), xxhash64(col("v")).as("bk"))
+    candidatesFromBlocks(blocks, blocks)
+      .join(keyed.select(col("nk").as("ka"), col("n").as("na")), Seq("ka"))
+      .join(keyed.select(col("nk").as("kb"), col("n").as("nb")), Seq("kb"))
+      .select(least(col("na"), col("nb")).as("name_a"),
+        greatest(col("na"), col("nb")).as("name_b"))
   }
 
   /** Distinct name pairs (name_a < name_b) within edit distance
     * `maxDist`, found via deletion-neighborhood blocking + exact verify.
-    * Output: (name_a, name_b, dist). */
+    * Output: (name_a, name_b, dist). Quadratic in name LENGTH at d = 2
+    * (~|s|²/2 variants per name) — for long keys use
+    * [[editNeighborsSeg]], which emits the identical output. */
   def editNeighbors(df: DataFrame, nameCol: String, maxDist: Int = 1): DataFrame = {
     require(maxDist == 1 || maxDist == 2,
       s"editNeighbors implements the 1- and 2-deletion neighborhoods " +
         s"(sound for maxDist ≤ 2); got $maxDist — extend the " +
         "neighborhood before raising the bound, don't silently under-recall")
-    candidatePairs(df, nameCol, maxDist)
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxDist)
+    val keyed = keyedNames(df, nameCol)
+    val blocks = keyed
+      .select(col("nk"), explode(variantArray(col("n"), maxDist)).as("v"))
+      .select(col("nk"), xxhash64(col("v")).as("bk"))
+    verifiedPairs(keyed, candidatesFromBlocks(blocks, blocks), maxDist)
+  }
+
+  // ---- segment pigeonhole (PassJoin-style) — linear in name length ----
+
+  /** Even split of a length-`l` string into d+1 segments: q = ⌊l/(d+1)⌋,
+    * r = l mod (d+1); segment i has length q+1 for i < r else q, and
+    * 0-based start i·q + min(i, r). Deterministic from the length alone,
+    * so the probe side can reconstruct a PARTNER's segmentation from a
+    * candidate length without seeing the partner. */
+  private def segLen(l: Column, i: Int, d: Int): Column =
+    floor(l.cast("double") / (d + 1)).cast("int") +
+      when(lit(i) < pmod(l, lit(d + 1)), 1).otherwise(0)
+  private def segStart(l: Column, i: Int, d: Int): Column =
+    lit(i) * floor(l.cast("double") / (d + 1)).cast("int") +
+      least(lit(i), pmod(l, lit(d + 1)))
+
+  /** The segment blocking stage alone (candidates before verify), for
+    * the scale curve. Index side: each name's own d+1 segments, keyed
+    * (own length, segment index, segment). Probe side: for every
+    * partner length ℓ within ±d of mine and every segment index, the
+    * substrings at starts within ±d of that segmentation's start — the
+    * pigeonhole guarantee is that a true pair's surviving segment meets
+    * one of them. O((d+1)(2d+1)²) probe keys per name, each an 8-byte
+    * hash: LINEAR in name length. */
+  private[graft] def segmentCandidatePairs(df: DataFrame, nameCol: String,
+                                           maxDist: Int): DataFrame = {
+    val d = maxDist
+    val keyed = keyedNames(df, nameCol)
+    val ln = length(col("n"))
+    // index: (|n|, i, seg_i) under my own segmentation
+    val idxKeys = array((0 to d).map { i =>
+      xxhash64(ln, lit(i),
+        col("n").substr(segStart(ln, i, d) + 1, segLen(ln, i, d)))
+    }: _*)
+    val idx = keyed.select(col("nk"), explode(idxKeys).as("bk"))
+    // probe: partner length ℓ = |n|+δ, δ ∈ [−d, d]; starts shifted ±d,
+    // clipped to my own bounds. Statically unrolled (δ, i) pairs; the
+    // shift window is a filtered sequence — empty arrays explode to
+    // nothing, so invalid lengths/starts vanish without a special case.
+    val probeKeys = flatten(array((for { dl <- -d to d; i <- 0 to d } yield {
+      val lTgt = ln + lit(dl)
+      val len = segLen(lTgt, i, d)
+      val p0 = segStart(lTgt, i, d)
+      when(lTgt >= 1,
+        transform(
+          filter(sequence(p0 - d, p0 + d),
+            p => p >= 0 && p <= ln - len),
+          p => xxhash64(lTgt, lit(i), col("n").substr(p + 1, len))))
+        .otherwise(array().cast("array<bigint>"))
+    }): _*))
+    val probe = keyed.select(col("nk"), explode(probeKeys).as("bk"))
+    candidatesFromBlocks(idx, probe)
+      .join(keyed.select(col("nk").as("ka"), col("n").as("na")), Seq("ka"))
+      .join(keyed.select(col("nk").as("kb"), col("n").as("nb")), Seq("kb"))
+      .select(least(col("na"), col("nb")).as("name_a"),
+        greatest(col("na"), col("nb")).as("name_b"))
+  }
+
+  /** Distinct name pairs (name_a < name_b) within edit distance
+    * `maxDist` via segment-pigeonhole blocking + exact verify —
+    * OUTPUT-IDENTICAL to [[editNeighbors]] (spec-proven), with blocking
+    * cost linear in name length instead of quadratic: the long-key path
+    * (product titles, addresses, sentence-length join keys). */
+  def editNeighborsSeg(df: DataFrame, nameCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 4,
+      s"editNeighborsSeg: maxDist must be in [1, 4], got $maxDist — probe " +
+        "fan-out grows O(d³) per name; raise the bound deliberately, with a " +
+        "curve, not by default")
+    val d = maxDist
+    val keyed = keyedNames(df, nameCol)
+    val ln = length(col("n"))
+    val idxKeys = array((0 to d).map { i =>
+      xxhash64(ln, lit(i),
+        col("n").substr(segStart(ln, i, d) + 1, segLen(ln, i, d)))
+    }: _*)
+    val idx = keyed.select(col("nk"), explode(idxKeys).as("bk"))
+    val probeKeys = flatten(array((for { dl <- -d to d; i <- 0 to d } yield {
+      val lTgt = ln + lit(dl)
+      val len = segLen(lTgt, i, d)
+      val p0 = segStart(lTgt, i, d)
+      when(lTgt >= 1,
+        transform(
+          filter(sequence(p0 - d, p0 + d),
+            p => p >= 0 && p <= ln - len),
+          p => xxhash64(lTgt, lit(i), col("n").substr(p + 1, len))))
+        .otherwise(array().cast("array<bigint>"))
+    }): _*))
+    val probe = keyed.select(col("nk"), explode(probeKeys).as("bk"))
+    verifiedPairs(keyed, candidatesFromBlocks(idx, probe), maxDist)
+  }
+
+  // ---- id-level fuzzy record dedup (linkage → components → survivorship) ----
+
+  /** FUZZY RECORD DEDUP — the operation the reference's
+    * `drop_duplicates(subset='id')` (Listings_ETL.py:47-49) approximates
+    * when keys are typo'd, completed to the id level: name pairs within
+    * `maxDist` ([[editNeighbors]]) become edges over name nodes,
+    * transitive closure ([[graft.operators.Components]]) turns chained
+    * typos into one entity cluster, and survivorship keeps exactly ONE
+    * record per cluster — the minimum-`idCol` member, the same
+    * deterministic-winner rule as `Clean.dedupByKey` — annotated with
+    * the cluster's record count as `n_members`.
+    *
+    * Contract: `idCol` is a unique, non-null, long-castable record key
+    * (the reference's `id`). Records whose `nameCol` is NULL carry no
+    * linkage evidence and survive as their own singleton clusters.
+    * Records sharing the EXACT same name always cluster (distance 0 —
+    * they share a name node); fuzzy edges extend those groups.
+    *
+    * Scale shape: the only non-keyed work is the priced blocking inside
+    * [[editNeighbors]]; everything after is keyed joins and aggregates
+    * over (distinct names → min-id node, pairs → components, records →
+    * cluster counts). The pair graph is near-dup-sized, not
+    * corpus-sized, so Components' measured-small fast path usually
+    * applies; `smallGraphLimit = 0` forces the distributed fixpoint. */
+  def fuzzyDedup(df: DataFrame, idCol: String, nameCol: String,
+                 maxDist: Int = 1, maxIter: Int = 64,
+                 smallGraphLimit: Long = 2000000L): DataFrame = {
+    val named = df
+      .select(col(idCol).cast("long").as("__fid"),
+        col(nameCol).cast("string").as("__fn"))
+      .filter(col("__fn").isNotNull)
+    // name node id = min record id bearing that name; comp values are
+    // then mins of mins, so each cluster's label IS its surviving
+    // record's id — survivorship is one keyed semi-join, no ranking pass
+    val nameRep = named.groupBy("__fn").agg(min(col("__fid")).as("__nid"))
+    val edges = editNeighbors(df, nameCol, maxDist)
+      .join(nameRep.select(col("__fn").as("name_a"), col("__nid").as("__nida")),
+        Seq("name_a"))
+      .join(nameRep.select(col("__fn").as("name_b"), col("__nid").as("__nidb")),
+        Seq("name_b"))
+      .select("__nida", "__nidb")
+    val labels = graft.operators.Components.connectedComponents(
+      edges, "__nida", "__nidb", maxIter, smallGraphLimit)
+    val nameComp = nameRep
+      .join(labels, nameRep("__nid") === labels("id"), "left")
+      .select(col("__fn"), coalesce(col("comp"), col("__nid")).as("__comp"))
+    val clusters = named.join(nameComp, Seq("__fn"))
+      .groupBy(col("__comp")).agg(count(lit(1)).as("n_members"))
+    val survivors = df
+      .join(clusters, col(idCol).cast("long") === col("__comp"))
+      .drop("__comp")
+    val nullSingletons = df.filter(col(nameCol).isNull)
+      .withColumn("n_members", lit(1L))
+    survivors.unionByName(nullSingletons)
   }
 }

@@ -41,6 +41,24 @@ object EtlQueries {
     "etl_fuzzy_link2" -> ((s, d) =>
       graft.etl.FuzzyLink.editNeighbors(t(s, d, "part"), "p_name", maxDist = 2)),
 
+    // the SAME d=2 pairs via segment-pigeonhole (PassJoin) blocking —
+    // the long-name path, linear in name length where the deletion
+    // neighborhood is quadratic; the oracle is INDEPENDENT brute-force
+    // all-pairs levenshtein, so blocking completeness (no missed pair)
+    // is checked against a method that shares nothing with it
+    "etl_fuzzy_link_seg" -> ((s, d) =>
+      graft.etl.FuzzyLink.editNeighborsSeg(t(s, d, "part"), "p_name", maxDist = 2)),
+
+    // ID-LEVEL FUZZY RECORD DEDUP — what drop_duplicates(subset='id')
+    // (Listings_ETL.py:47-49) approximates when keys are typo'd: name
+    // pairs (deletion-neighborhood blocking + exact verify) → connected
+    // components over name nodes → ONE surviving record (min id) per
+    // entity cluster with its member count. The oracle replays blocking
+    // + a recursive-CTE transitive closure + survivorship in SQL
+    "etl_fuzzy_dedup" -> ((s, d) =>
+      graft.etl.FuzzyLink.fuzzyDedup(
+        t(s, d, "part").select("p_partkey", "p_name"), "p_partkey", "p_name")),
+
     // '$'-strip money parse round-trip (Listings_ETL.py:53-55)
     "etl_clean_money" -> ((s, d) => {
       val p = t(s, d, "part")
@@ -672,6 +690,41 @@ object EtlQueries {
                      FROM v2 a JOIN v2 b ON a.var = b.var AND a.n < b.n)
          SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
          FROM cand WHERE levenshtein(name_a, name_b) <= 2""",
+    // independent method: brute-force all-pairs levenshtein over the
+    // (small) distinct-name set — shares NOTHING with the segment
+    // blocking it checks, so a blocking completeness bug (a missed
+    // pair) cannot cancel out
+    "etl_fuzzy_link_seg" ->
+      """WITH names AS (SELECT DISTINCT p_name AS n FROM part)
+         SELECT a.n AS name_a, b.n AS name_b, levenshtein(a.n, b.n) AS dist
+         FROM names a JOIN names b ON a.n < b.n
+         WHERE levenshtein(a.n, b.n) <= 2""",
+    // blocking replayed string-equality style, then the transitive
+    // closure as a recursive CTE (walk = every (node, reachable-node)
+    // pair, label = min reachable), then survivorship: the record whose
+    // id IS the cluster label (min of per-name min ids = min record id
+    // in the cluster) survives, annotated with the cluster's record count
+    "etl_fuzzy_dedup" ->
+      """WITH RECURSIVE recs AS (SELECT p_partkey AS id, p_name AS name FROM part),
+            names AS (SELECT name AS n, min(id) AS nid FROM recs GROUP BY 1),
+            v AS (SELECT n, substr(n, 1, CAST(i AS INT) - 1) || substr(n, CAST(i AS INT) + 1) AS var
+                  FROM names, unnest(range(1, length(n) + 2)) AS t(i)),
+            cand AS (SELECT DISTINCT a.n AS na, b.n AS nb
+                     FROM v a JOIN v b ON a.var = b.var AND a.n < b.n),
+            pairs AS (SELECT na, nb FROM cand WHERE levenshtein(na, nb) <= 1),
+            edges AS (SELECT x.nid AS a, y.nid AS b
+                      FROM pairs JOIN names x ON na = x.n JOIN names y ON nb = y.n),
+            sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+            walk(id, comp) AS (
+              SELECT nid, nid FROM names
+              UNION
+              SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.id),
+            lbl AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+            namecomp AS (SELECT names.n, lbl.comp FROM names JOIN lbl ON names.nid = lbl.id),
+            labeled AS (SELECT r.id, nc.comp FROM recs r JOIN namecomp nc ON r.name = nc.n),
+            clusters AS (SELECT comp, count(*) AS n_members FROM labeled GROUP BY comp)
+         SELECT r.id AS p_partkey, r.name AS p_name, c.n_members
+         FROM clusters c JOIN recs r ON r.id = c.comp""",
     "etl_clean_money" ->
       """SELECT p_brand, count(*) AS n,
                 CAST(sum(CAST(regexp_replace('$' || CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR), '[$,]', '', 'g') AS DECIMAL(18,2))) AS DOUBLE) AS total

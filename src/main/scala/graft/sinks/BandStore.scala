@@ -185,7 +185,13 @@ object BandStore {
     val tasksPerBucket = math.max(1, (par + buckets - 1) / buckets)
     if (tasksPerBucket == 1) df.repartition(buckets, col("bucket"))
     else df
-      .withColumn("__wsalt", pmod(xxhash64(saltCol), lit(tasksPerBucket)))
+      // seed literal decorrelates the salt from the bucket hash: the docs
+      // table's bucket is pmod(xxhash64(id), buckets), so an unseeded
+      // pmod(xxhash64(id), t) is fully determined by the bucket whenever
+      // t divides buckets (both powers of two in practice) — no bucket
+      // would ever split across writers and the write collapses to
+      // `buckets` active tasks (round-16 ADVICE item)
+      .withColumn("__wsalt", pmod(xxhash64(saltCol, lit(1)), lit(tasksPerBucket)))
       .repartition(buckets * tasksPerBucket, col("bucket"), col("__wsalt"))
       .drop("__wsalt")
   }

@@ -100,7 +100,15 @@ object ScaleCurveBpe {
       val secSmall = Seq.fill(3)(sweep(docs)).sorted.apply(1)
       val secBig = Seq.fill(3)(sweep(big)).sorted.apply(1)
       // per-rep cost = fixed (plan-serialize + submit, ∝ table bytes)
-      //              + words × marginal; two sizes solve for both
+      //              + words × marginal; two sizes solve for both. The
+      //      division needs secBig > secSmall — timing noise inverting the
+      //      order would make wordsPerSec Infinity/negative and turn the
+      //      flatness require below vacuous (round-16 ADVICE item): the
+      //      16× corpus exists precisely to keep the gap above noise, so
+      //      an inversion is a degenerate measurement worth failing on
+      require(secBig > secSmall,
+        f"degenerate measurement at $m merges: big-corpus sweep $secBig%.3fs " +
+          f"<= small-corpus sweep $secSmall%.3fs — rerun on a quieter host")
       val marginalSecPerWord =
         (secBig - secSmall) / reps / (wordsBig - words).toDouble
       val fixedSecPerQuery =

@@ -13,6 +13,14 @@ object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Drain the SparkContext listener bus — `listenerBus` is
+    * `private[spark]`, so measurement tools that sum task metrics via a
+    * `SparkListener` (e.g. `ScaleCurveZ`'s executed-bytes audit) reach it
+    * through this shim to make "query finished" imply "its task-end
+    * events were delivered" before reading their accumulators. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Release the block-store blocks behind a `localCheckpoint()`ed frame.
     * `Dataset.unpersist` only touches the CacheManager, which never sees
     * checkpoint RDDs — without this, an iterative fixpoint accumulates one
@@ -27,14 +35,6 @@ object GraftShim {
     * than the caller claimed (e.g. a view joining the intended checkpoint
     * with a second one some other consumer still reads), this throws
     * instead of silently releasing a stranger's blocks. */
-  /** Drain the SparkContext listener bus — `listenerBus` is
-    * `private[spark]`, so measurement tools that sum task metrics via a
-    * `SparkListener` (e.g. `ScaleCurveZ`'s executed-bytes audit) reach it
-    * through this shim to make "query finished" imply "its task-end
-    * events were delivered" before reading their accumulators. */
-  def drainListenerBus(spark: SparkSession): Unit =
-    spark.sparkContext.listenerBus.waitUntilEmpty()
-
   def unpersistCheckpoint(df: Dataset[_], expectedLeaves: Int = 1): Unit = {
     val leaves = df.queryExecution.analyzed.collect {
       case lr: execution.LogicalRDD => lr.rdd

@@ -97,4 +97,162 @@ class FuzzyLinkSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian"), plan)
   }
+
+  // ---- segment-pigeonhole blocking (the long-name path) ----
+
+  test("segment blocking equals brute force at d = 1, 2 and 3") {
+    val distinct = names.as[String].collect().distinct
+    for (d <- 1 to 3) {
+      val got = FuzzyLink.editNeighborsSeg(names, "name", maxDist = d)
+        .as[(String, String, Int)].collect().toSet
+      val want = (for {
+        a <- distinct; b <- distinct if a < b
+        dd = levRef(a, b) if dd <= d
+      } yield (a, b, dd)).toSet
+      assert(got === want, s"d=$d")
+      assert(want.exists(_._3 == d), s"fixture must produce distance-$d pairs")
+    }
+  }
+
+  test("segment blocking matches the deletion neighborhood on long names") {
+    // titles at the length where the d=2 deletion neighborhood is ~|s|²/2
+    // variants per name: planted single/double typos INSIDE a ~120-char
+    // body, plus edits at the very first and very last character (the
+    // boundary segments), plus a distance-3 decoy that must NOT link
+    val body = ("the quick brown fox jumps over the lazy dog while " +
+      "carefully counting all of its fourteen thousand parquet files ")
+    assert(body.length > 100)
+    val long = Seq(
+      body + "alpha",
+      body + "alphb",                        // sub in the tail segment
+      body + "alp",                          // 2 deletions at the end
+      "X" + body.drop(1) + "alpha",          // sub at position 0
+      body.patch(40, "Q", 1) + "alpha",      // sub mid-body
+      body.patch(40, "", 2) + "alpha",       // 2 deletions mid-body
+      body.patch(3, "ZZZ", 3) + "alpha"      // distance-3 decoy
+    ).toDF("name")
+    val distinct = long.as[String].collect().distinct
+    val want = (for {
+      a <- distinct; b <- distinct if a < b
+      dd = levRef(a, b) if dd <= 2
+    } yield (a, b, dd)).toSet
+    val seg = FuzzyLink.editNeighborsSeg(long, "name", maxDist = 2)
+      .as[(String, String, Int)].collect().toSet
+    val neigh = FuzzyLink.editNeighbors(long, "name", maxDist = 2)
+      .as[(String, String, Int)].collect().toSet
+    assert(seg === want, "segment path diverged from brute force")
+    assert(neigh === want, "neighborhood path diverged from brute force")
+    assert(want.nonEmpty && want.exists(_._3 == 2))
+  }
+
+  test("segment blocking handles names shorter than d+1 segments") {
+    // zero-length segments (|s| <= d) must stay correct: "a"/"b" at d=2,
+    // empty-adjacent shapes, plus the tiny-to-short boundary
+    val tiny = Seq("a", "b", "ab", "abc", "abcde", "x", "xy").toDF("name")
+    val distinct = tiny.as[String].collect().distinct
+    val want = (for {
+      a <- distinct; b <- distinct if a < b
+      dd = levRef(a, b) if dd <= 2
+    } yield (a, b, dd)).toSet
+    val got = FuzzyLink.editNeighborsSeg(tiny, "name", maxDist = 2)
+      .as[(String, String, Int)].collect().toSet
+    assert(got === want)
+  }
+
+  test("segment blocking: random cross-check against brute force") {
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet = "abc"
+    val rand = Seq.fill(120)(
+      (0 until (1 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(3))).mkString)
+      .toDF("name")
+    val distinct = rand.as[String].collect().distinct
+    for (d <- 1 to 2) {
+      val want = (for {
+        a <- distinct; b <- distinct if a < b
+        dd = levRef(a, b) if dd <= d
+      } yield (a, b, dd)).toSet
+      val seg = FuzzyLink.editNeighborsSeg(rand, "name", d)
+        .as[(String, String, Int)].collect().toSet
+      val neigh = FuzzyLink.editNeighbors(rand, "name", d)
+        .as[(String, String, Int)].collect().toSet
+      assert(seg === want, s"seg d=$d")
+      assert(neigh === want, s"neighborhood d=$d")
+    }
+  }
+
+  test("segment blocking rejects out-of-range maxDist; plan has no cartesian") {
+    intercept[IllegalArgumentException](
+      FuzzyLink.editNeighborsSeg(names, "name", maxDist = 0))
+    intercept[IllegalArgumentException](
+      FuzzyLink.editNeighborsSeg(names, "name", maxDist = 5))
+    val plan = FuzzyLink.editNeighborsSeg(names, "name", maxDist = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), plan)
+  }
+
+  // ---- id-level fuzzy record dedup ----
+
+  /** Brute-force reference: union-find over all record pairs whose names
+    * are within `d` (equal names included), min-id root per cluster. */
+  private def bruteClusters(recs: Seq[(Long, String)], d: Int): Map[Long, (Long, Long)] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    recs.foreach { case (id, _) => parent(id) = id }
+    for {
+      (ia, na) <- recs; (ib, nb) <- recs
+      if ia < ib && na != null && nb != null && levRef(na, nb) <= d
+    } {
+      val (ra, rb) = (find(ia), find(ib))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    recs.groupBy { case (id, _) => find(id) }
+      .map { case (root, members) => (root, (root, members.size.toLong)) }
+  }
+
+  private val fuzzyRecs: Seq[(Long, String)] = Seq(
+    (10L, "kitten"), (11L, "bitten"), (12L, "kittn"),   // one typo cluster
+    (20L, "bottle"), (21L, "battle"),                   // another
+    (30L, "dog"), (31L, "dog"), (32L, "dog"),           // exact-name group
+    (40L, "xyzzy"),                                     // singleton
+    (50L, null), (51L, null)                            // null names
+  )
+
+  test("fuzzyDedup keeps exactly the brute-force min-id survivor per cluster") {
+    val df = fuzzyRecs.toDF("id", "name")
+    val got = FuzzyLink.fuzzyDedup(df, "id", "name")
+      .as[(Long, String, Long)].collect()
+      .map { case (id, _, n) => (id, n) }.toMap
+    val want = bruteClusters(fuzzyRecs, 1)
+      .map { case (root, (_, size)) =>
+        val isNull = fuzzyRecs.find(_._1 == root).get._2 == null
+        (root, if (isNull) 1L else size)
+      }
+    assert(got === want)
+    // the planted structure: kitten-cluster survivor 10 with 3 members,
+    // bottle 20 with 2, dog 30 with 3, xyzzy singleton, two null singletons
+    assert(got(10L) == 3L && got(20L) == 2L && got(30L) == 3L && got(40L) == 1L)
+    assert(got(50L) == 1L && got(51L) == 1L, "null names survive as singletons")
+    assert(got.size == 6)
+  }
+
+  test("fuzzyDedup carries the surviving record's full row") {
+    val df = fuzzyRecs.toDF("id", "name")
+      .withColumn("payload", concat(lit("p"), col("id")))
+    val got = FuzzyLink.fuzzyDedup(df, "id", "name")
+      .select("id", "payload").as[(Long, String)].collect().toMap
+    got.foreach { case (id, p) => assert(p == s"p$id") }
+    assert(got.keySet === Set(10L, 20L, 30L, 40L, 50L, 51L))
+  }
+
+  test("fuzzyDedup agrees between the driver fast path and the distributed fixpoint") {
+    val df = fuzzyRecs.toDF("id", "name")
+    val fast = FuzzyLink.fuzzyDedup(df, "id", "name")
+      .select("id", "n_members").as[(Long, Long)].collect().toSet
+    val dist = FuzzyLink.fuzzyDedup(df, "id", "name", smallGraphLimit = 0L)
+      .select("id", "n_members").as[(Long, Long)].collect().toSet
+    assert(fast === dist)
+  }
 }
