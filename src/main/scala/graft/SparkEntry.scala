@@ -38,7 +38,7 @@ object SparkEntry {
   def composedQueries: Set[String] =
     Set("pipeline_corpus_prep", "pipeline_embedding_prep", "dedup_band_store",
       "dedup_band_delete", "dedup_band_rebucket", "dedup_band_merge",
-      "pipeline_reference_etl")
+      "pipeline_reference_etl", "etl_zorder_optimize")
 
   /** Drop every application-lifetime memoized stage (checkpoint blocks
     * released, ANN store files deleted, bucketed tables dropped); the

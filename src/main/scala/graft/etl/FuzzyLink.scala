@@ -148,30 +148,27 @@ object FuzzyLink {
     lit(i) * floor(l.cast("double") / (d + 1)).cast("int") +
       least(lit(i), pmod(l, lit(d + 1)))
 
-  /** The segment blocking stage alone (candidates before verify), for
-    * the scale curve. Index side: each name's own d+1 segments, keyed
-    * (own length, segment index, segment). Probe side: for every
-    * partner length ℓ within ±d of mine and every segment index, the
-    * substrings at starts within ±d of that segmentation's start — the
-    * pigeonhole guarantee is that a true pair's surviving segment meets
-    * one of them. O((d+1)(2d+1)²) probe keys per name, each an 8-byte
-    * hash: LINEAR in name length. */
-  private[graft] def segmentCandidatePairs(df: DataFrame, nameCol: String,
-                                           maxDist: Int): DataFrame = {
-    val d = maxDist
-    val keyed = keyedNames(df, nameCol)
+  /** Index keys over `col("n")`: (|n|, i, seg_i) for each of my own d+1
+    * segments under my own length's segmentation. */
+  private def idxKeyArray(d: Int): Column = {
     val ln = length(col("n"))
-    // index: (|n|, i, seg_i) under my own segmentation
-    val idxKeys = array((0 to d).map { i =>
+    array((0 to d).map { i =>
       xxhash64(ln, lit(i),
         col("n").substr(segStart(ln, i, d) + 1, segLen(ln, i, d)))
     }: _*)
-    val idx = keyed.select(col("nk"), explode(idxKeys).as("bk"))
-    // probe: partner length ℓ = |n|+δ, δ ∈ [−d, d]; starts shifted ±d,
-    // clipped to my own bounds. Statically unrolled (δ, i) pairs; the
-    // shift window is a filtered sequence — empty arrays explode to
-    // nothing, so invalid lengths/starts vanish without a special case.
-    val probeKeys = flatten(array((for { dl <- -d to d; i <- 0 to d } yield {
+  }
+
+  /** Probe keys over `col("n")`: for every partner length ℓ = |n|+δ,
+    * δ ∈ [−d, d], and every segment index, the substrings at starts
+    * within ±d of that segmentation's start — the pigeonhole guarantee
+    * is that a true pair's surviving segment meets one of them.
+    * Statically unrolled (δ, i) pairs; the shift window is a filtered
+    * sequence, so invalid lengths/starts vanish without a special case.
+    * O((d+1)²(2d+1)) keys per name, each an 8-byte hash: LINEAR in name
+    * length. */
+  private def probeKeyArray(d: Int): Column = {
+    val ln = length(col("n"))
+    flatten(array((for { dl <- -d to d; i <- 0 to d } yield {
       val lTgt = ln + lit(dl)
       val len = segLen(lTgt, i, d)
       val p0 = segStart(lTgt, i, d)
@@ -182,7 +179,15 @@ object FuzzyLink {
           p => xxhash64(lTgt, lit(i), col("n").substr(p + 1, len))))
         .otherwise(array().cast("array<bigint>"))
     }): _*))
-    val probe = keyed.select(col("nk"), explode(probeKeys).as("bk"))
+  }
+
+  /** The segment blocking stage alone (candidates before verify), for
+    * the scale curve. */
+  private[graft] def segmentCandidatePairs(df: DataFrame, nameCol: String,
+                                           maxDist: Int): DataFrame = {
+    val keyed = keyedNames(df, nameCol)
+    val idx = keyed.select(col("nk"), explode(idxKeyArray(maxDist)).as("bk"))
+    val probe = keyed.select(col("nk"), explode(probeKeyArray(maxDist)).as("bk"))
     candidatesFromBlocks(idx, probe)
       .join(keyed.select(col("nk").as("ka"), col("n").as("na")), Seq("ka"))
       .join(keyed.select(col("nk").as("kb"), col("n").as("nb")), Seq("kb"))
@@ -200,27 +205,25 @@ object FuzzyLink {
       s"editNeighborsSeg: maxDist must be in [1, 4], got $maxDist — probe " +
         "fan-out grows O(d³) per name; raise the bound deliberately, with a " +
         "curve, not by default")
-    val d = maxDist
     val keyed = keyedNames(df, nameCol)
-    val ln = length(col("n"))
-    val idxKeys = array((0 to d).map { i =>
-      xxhash64(ln, lit(i),
-        col("n").substr(segStart(ln, i, d) + 1, segLen(ln, i, d)))
-    }: _*)
-    val idx = keyed.select(col("nk"), explode(idxKeys).as("bk"))
-    val probeKeys = flatten(array((for { dl <- -d to d; i <- 0 to d } yield {
-      val lTgt = ln + lit(dl)
-      val len = segLen(lTgt, i, d)
-      val p0 = segStart(lTgt, i, d)
-      when(lTgt >= 1,
-        transform(
-          filter(sequence(p0 - d, p0 + d),
-            p => p >= 0 && p <= ln - len),
-          p => xxhash64(lTgt, lit(i), col("n").substr(p + 1, len))))
-        .otherwise(array().cast("array<bigint>"))
-    }): _*))
-    val probe = keyed.select(col("nk"), explode(probeKeys).as("bk"))
+    val idx = keyed.select(col("nk"), explode(idxKeyArray(maxDist)).as("bk"))
+    val probe = keyed.select(col("nk"), explode(probeKeyArray(maxDist)).as("bk"))
     verifiedPairs(keyed, candidatesFromBlocks(idx, probe), maxDist)
+  }
+
+  /** Exchange-row counts for the scale curve: how many block rows each
+    * scheme actually ships through its one potentially-quadratic
+    * exchange — the deterministic quantity behind the wall numbers.
+    * Neighborhood = deletion variants; segment = index + probe keys. */
+  private[graft] def blockRowCount(df: DataFrame, nameCol: String,
+                                   maxDist: Int, segment: Boolean): Long = {
+    val keyed = keyedNames(df, nameCol)
+    val cnt =
+      if (segment)
+        keyed.select(sum(size(idxKeyArray(maxDist)) +
+          size(probeKeyArray(maxDist))))
+      else keyed.select(sum(size(variantArray(col("n"), maxDist))))
+    cnt.head().getLong(0)
   }
 
   // ---- id-level fuzzy record dedup (linkage → components → survivorship) ----

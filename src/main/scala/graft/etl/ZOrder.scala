@@ -68,4 +68,23 @@ object ZOrder {
       .drop("__xmn", "__xmx", "__ymn", "__ymx")
       .repartitionByRange(numFiles, col("z"))
   }
+
+  /** [[layout]] under PINNED bounds — the incremental-maintenance form
+    * ([[graft.sinks.ZOrderTable.optimize]]): every generation of a
+    * maintained table must grid against the SAME bounds or their
+    * z-rectangles mean different things. Values outside the pinned range
+    * (drift since the original write) CLAMP to the edge cells — only
+    * clustering quality degrades at the edges; pruning correctness never
+    * does, because file skipping reads the files' ACTUAL min/max stats,
+    * not the grid. */
+  def layoutPinned(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                   numFiles: Int, xmn: Long, xmx: Long,
+                   ymn: Long, ymx: Long): DataFrame = {
+    def clamped(c: Column, mn: Long, mx: Long) =
+      least(greatest(c, lit(mn)), lit(mx))
+    df.withColumn("z", interleave(
+        cell(clamped(col(xCol), xmn, xmx), lit(xmn), lit(xmx), bits),
+        cell(clamped(col(yCol), ymn, ymx), lit(ymn), lit(ymx), bits), bits))
+      .repartitionByRange(numFiles, col("z"))
+  }
 }

@@ -284,6 +284,37 @@ object EtlQueries {
           min(col("yn")).as("y_min"), max(col("yn")).as("y_max"))
     }),
 
+    // Z-ORDER MAINTENANCE lifecycle, oracle-checked end-to-end
+    // (sinks/ZOrderTable): pre-1996 orders written as generation 0
+    // (bounds pinned there), 1996 and 1997+ batches appended RAW to the
+    // tail, optimize re-clusters the tail as generation 1 through the
+    // park-promote swap (1997+ dd values drift past the pinned bounds —
+    // the clamp path runs for real), then the whole table reads back.
+    // The oracle computes the union directly: the hash passes iff
+    // write, both appends, the swap, and the resolved read are lossless
+    // row-for-row. Physical claims (decay/restoration, files, crash
+    // windows) live in ZOrderTableSpec + ScaleCurveZ
+    "etl_zorder_optimize" -> ((s, d) => {
+      import graft.sinks.ZOrderTable
+      val path = refPipeDir(s, d) + "/ztab"
+      deleteRecursively(new java.io.File(path))
+      val o = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey").as("ck"),
+        datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+          .cast("bigint").as("dd"), col("o_orderdate"))
+      def slice(p: org.apache.spark.sql.Column) =
+        o.filter(p).drop("o_orderdate")
+      val cut1 = lit("1996-01-01").cast("timestamp")
+      val cut2 = lit("1997-01-01").cast("timestamp")
+      ZOrderTable.write(slice(col("o_orderdate") < cut1), path,
+        "ck", "dd", bits = 8, numFiles = 32)
+      ZOrderTable.append(
+        slice(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2), path)
+      ZOrderTable.append(slice(col("o_orderdate") >= cut2), path)
+      ZOrderTable.optimize(s, path)
+      ZOrderTable.read(s, path).select("o_orderkey", "ck", "dd")
+    }),
+
     // single-pass data profiling: per column n/nulls/distinct-est/min/max
     // — one multi-aggregate scan for the basics, one KMV-sketch pass for
     // distincts (EXACT below 256 — the enum columns a profiler most
@@ -658,6 +689,13 @@ object EtlQueries {
                 min(yn) AS y_min, max(yn) AS y_max
          FROM zz GROUP BY 1"""
     },
+    // the logical union the lifecycle must preserve — row-for-row, so
+    // the hash passes iff no write/append/swap/read step lost or
+    // doubled anything
+    "etl_zorder_optimize" ->
+      """SELECT o_orderkey, o_custkey AS ck,
+                date_diff('day', DATE '1992-01-01', o_orderdate) AS dd
+         FROM orders""",
     "etl_select_rename" ->
       "SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment FROM customer",
     "etl_dedup_key" ->

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.etl.FuzzyLink
 
@@ -74,6 +74,80 @@ object ScaleCurveFuzzy {
         val alpha = math.log(c1 / c0) / math.log(n1.toDouble / n0)
         val line = f"""{"op":"$op","alpha_candidates":$alpha%.3f,"mass_exact_xk":true,"fit_range":[$n0,$n1]}"""
         println(line); sb.append(line).append('\n')
+    }
+    // ---- LENGTH sweep (round-16 verdict item): the d=2 deletion
+    // neighborhood is ~|s|²/2 variants per name — price that against the
+    // segment pigeonhole, which ships O(d²) fixed-width keys per name.
+    //
+    // Fixture note (a padded fixture was tried and REJECTED by its own
+    // measurements): rpad-ing every name with a common repeated suffix
+    // preserves pairwise distances but (a) collapses the deletion
+    // neighborhood via array_distinct — deleting any char of an 'xxx…'
+    // run yields ONE string — hiding the quadratic cliff from the row
+    // count while the wall still pays the L² generation cost, and (b)
+    // hands the segment scheme a degenerate universal block (every
+    // name's pad-only segment is identical), so its wall measured the
+    // all-pairs verify, not the blocking. So the corpus is PLANTED
+    // instead: 128 base names of deterministic md5-chain content at the
+    // target length (pairwise distance enormous — zero cross-base
+    // pairs), each with one distance-1 typo copy (sub at position 3)
+    // and one distance-2 copy (subs at 9 and 15; 3 edits from the first
+    // copy). True pair counts are therefore KNOWN EXACTLY at every
+    // length — d=1: 128, d=2: 256 — and a blocking recall bug fails
+    // loudly rather than drowning in a derived expectation.
+    val lens = Seq(18, 50, 100, 200)
+    val nBase = 128
+    var rows = Map[(Int, Int, String), Long]()   // (L, d, scheme) -> block rows
+    var pairs = Map[(Int, Int, String), Long]()  // -> verified pairs
+    lens.foreach { l =>
+      val blocks = (l + 31) / 32
+      def longName(seed: Column): Column =
+        concat((0 until blocks).map(i =>
+          md5(concat(seed, lit("#"), lit(i)))): _*).substr(1, l)
+      def subAt(s: Column, pos: Int, c: String): Column =
+        concat(s.substr(1, pos - 1), lit(c), s.substr(pos + 1, l))
+      val seeds = spark.range(nBase).select(col("id").cast("string").as("seed"))
+      val corpus = seeds.select(longName(col("seed")).as("name"))
+        .unionByName(seeds.select(subAt(longName(col("seed")), 3, "Z").as("name")))
+        .unionByName(seeds.select(
+          subAt(subAt(longName(col("seed")), 9, "Z"), 15, "Z").as("name")))
+        .localCheckpoint()
+      Seq(1, 2).foreach { d =>
+        Seq("neigh", "seg").foreach { scheme =>
+          val seg = scheme == "seg"
+          val nBlocks = FuzzyLink.blockRowCount(corpus, "name", d, seg)
+          val (nPairs, wallSec) = timed(
+            (if (seg) FuzzyLink.editNeighborsSeg(corpus, "name", d)
+            else FuzzyLink.editNeighbors(corpus, "name", d)).count())
+          rows += (l, d, scheme) -> nBlocks; pairs += (l, d, scheme) -> nPairs
+          val line = f"""{"op":"fuzzy_len","scheme":"$scheme","max_dist":$d,"name_len":$l,"n_names":${3 * nBase},"block_rows":$nBlocks,"pairs":$nPairs,"wall_sec":$wallSec%.2f}"""
+          println(line); sb.append(line).append('\n')
+        }
+      }
+      org.apache.spark.sql.GraftShim.unpersistCheckpoint(corpus)
+    }
+    Seq(1, 2).foreach { d =>
+      // planted recall at every length, both schemes: base~v1 at d=1;
+      // + base~v2 at d=2 (v1~v2 is distance 3 — never)
+      val want = if (d == 1) nBase.toLong else 2L * nBase
+      lens.foreach { l =>
+        require(pairs((l, d, "neigh")) == want && pairs((l, d, "seg")) == want,
+          s"d=$d L=$l: pairs ${pairs((l, d, "neigh"))}/${pairs((l, d, "seg"))}" +
+            s" != planted $want — a blocking recall hole")
+      }
+      // segment block rows are length-FLAT (boundary clipping only makes
+      // short names cheaper): L=200 within 10% of L=50
+      require(rows((200, d, "seg")) <= (rows((50, d, "seg")) * 11) / 10,
+        s"d=$d: segment block rows grew with length — " +
+          s"${rows((200, d, "seg"))} at 200 vs ${rows((50, d, "seg"))} at 50")
+      // the neighborhood cliff, documented not hidden: d=2 variant rows
+      // must show the ~(L200/L50)² = 16× quadratic growth (≥ 8× allows
+      // hex-alphabet adjacent-run dedup slack), d=1 the ~4× linear growth
+      val growth = rows((200, d, "neigh")).toDouble / rows((50, d, "neigh"))
+      if (d == 2) require(growth >= 8.0,
+        s"d=2 neighborhood growth $growth — the quadratic cliff vanished?")
+      else require(growth >= 3.0 && growth <= 6.0,
+        s"d=1 neighborhood growth $growth outside the ~4x linear band")
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_curve.jsonl"),
       sb.toString.getBytes("UTF-8"),

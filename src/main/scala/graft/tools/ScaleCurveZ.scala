@@ -183,6 +183,67 @@ object ScaleCurveZ {
       }
       GraftShim.unpersistCheckpoint(df)
     }
+    // ---- maintained-table decay/restore (round-16 verdict item): the
+    // payoff above is write-once; a LIVE table accumulates raw appends
+    // that silently decay it. Lifecycle priced with the same footer
+    // math: ZOrderTable.write(base) → 8 raw appends (hash-sliced copies
+    // of the same point cloud — each batch spans the whole grid, the
+    // worst realistic arrival order) → measure (decayed) → optimize
+    // (tail re-clusters as generation 1) → measure (restored). The
+    // touched-byte FRACTION must rise ≥1.5× under the unclustered tail
+    // and return to ≤1.25× of the freshly-written fraction after
+    // optimize — decay is real, and one tail-sized optimize undoes it.
+    locally {
+      import graft.sinks.ZOrderTable
+      val tab = s"$root/ztable"
+      def tableRgs(): Seq[Rg] =
+        Option(new java.io.File(tab).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory &&
+            (f.getName.startsWith("gen=") || f.getName == "tail"))
+          .toSeq.flatMap(d => footers(d.getAbsolutePath, conf))
+      def frac(box: Box): (Double, Int, Int, Long) = {
+        val rgs = tableRgs()
+        val t = rgs.filter(box.touches)
+        (t.map(_.bytes).sum.toDouble / rgs.map(_.bytes).sum,
+          t.map(_.file).distinct.size, rgs.map(_.file).distinct.size,
+          t.map(_.bytes).sum)
+      }
+      val df = base.repartition(par).localCheckpoint()
+      ZOrderTable.write(df, tab, "ck", "dd", bits = 8, numFiles = numFiles)
+      val slice = pmod(xxhash64(col("ck"), col("dd"), col("pay")), lit(8))
+      (0 until 8).foreach(i => ZOrderTable.append(df.filter(slice === i), tab))
+      val states = scala.collection.mutable.Map[(String, String), (Double, Int, Int, Long)]()
+      def snapshot(state: String): Unit = boxes.foreach { box =>
+        val f = frac(box)
+        states((state, box.name)) = f
+        // executed corroboration + result stability across states
+        val (rows, s, bytes) = measured(
+          ZOrderTable.read(spark, tab).filter(box.pred).select(col("pay")))
+        val line =
+          f"""{"op":"zorder_lifecycle","state":"$state","box":"${box.name}","touched_frac":${f._1}%.4f,"files_touched":${f._2},"files_total":${f._3},"touched_bytes":${f._4},"exec_bytes":$bytes,"result_rows":$rows,"result_sum":$s}"""
+        println(line); sb.append(line).append('\n')
+      }
+      snapshot("decayed")
+      ZOrderTable.optimize(spark, tab)
+      snapshot("restored")
+      // the fresh-write fraction baseline: same layout geometry as the
+      // ×1 zorder dirs already measured — recompute from gen=0 alone
+      boxes.foreach { box =>
+        val gen0 = footers(s"$tab/gen=0", conf)
+        val init = gen0.filter(box.touches).map(_.bytes).sum.toDouble /
+          gen0.map(_.bytes).sum
+        val dec = states(("decayed", box.name))._1
+        val res = states(("restored", box.name))._1
+        val line =
+          f"""{"op":"zorder_lifecycle","box":"${box.name}","init_frac":$init%.4f,"decayed_frac":$dec%.4f,"restored_frac":$res%.4f}"""
+        println(line); sb.append(line).append('\n')
+        require(dec >= 1.5 * init,
+          f"${box.name}: raw appends did not decay the layout ($dec%.3f vs init $init%.3f) — is the tail being clustered?")
+        require(res <= 1.25 * init,
+          f"${box.name}: optimize did not restore the layout ($res%.3f vs init $init%.3f)")
+      }
+      GraftShim.unpersistCheckpoint(df)
+    }
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_curve.jsonl"),
       sb.toString.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE,
