@@ -244,15 +244,21 @@ object FuzzyLink {
     * Records sharing the EXACT same name always cluster (distance 0 —
     * they share a name node); fuzzy edges extend those groups.
     *
+    * `segmentBlocking = true` swaps the pair stage to
+    * [[editNeighborsSeg]] — same pairs (spec-proven), blocking linear in
+    * name length: pick it when the key is a title/address-length string
+    * (the §5 length sweep: 92× at d = 2, 200 chars).
+    *
     * Scale shape: the only non-keyed work is the priced blocking inside
-    * [[editNeighbors]]; everything after is keyed joins and aggregates
+    * the pair stage; everything after is keyed joins and aggregates
     * over (distinct names → min-id node, pairs → components, records →
     * cluster counts). The pair graph is near-dup-sized, not
     * corpus-sized, so Components' measured-small fast path usually
     * applies; `smallGraphLimit = 0` forces the distributed fixpoint. */
   def fuzzyDedup(df: DataFrame, idCol: String, nameCol: String,
                  maxDist: Int = 1, maxIter: Int = 64,
-                 smallGraphLimit: Long = 2000000L): DataFrame = {
+                 smallGraphLimit: Long = 2000000L,
+                 segmentBlocking: Boolean = false): DataFrame = {
     val named = df
       .select(col(idCol).cast("long").as("__fid"),
         col(nameCol).cast("string").as("__fn"))
@@ -261,7 +267,10 @@ object FuzzyLink {
     // then mins of mins, so each cluster's label IS its surviving
     // record's id — survivorship is one keyed semi-join, no ranking pass
     val nameRep = named.groupBy("__fn").agg(min(col("__fid")).as("__nid"))
-    val edges = editNeighbors(df, nameCol, maxDist)
+    val pairStage =
+      if (segmentBlocking) editNeighborsSeg(df, nameCol, maxDist)
+      else editNeighbors(df, nameCol, maxDist)
+    val edges = pairStage
       .join(nameRep.select(col("__fn").as("name_a"), col("__nid").as("__nida")),
         Seq("name_a"))
       .join(nameRep.select(col("__fn").as("name_b"), col("__nid").as("__nidb")),

@@ -255,4 +255,13 @@ class FuzzyLinkSpec extends SparkSpec {
       .select("id", "n_members").as[(Long, Long)].collect().toSet
     assert(fast === dist)
   }
+
+  test("fuzzyDedup under segment blocking emits identical clusters") {
+    val df = fuzzyRecs.toDF("id", "name")
+    val neigh = FuzzyLink.fuzzyDedup(df, "id", "name")
+      .select("id", "n_members").as[(Long, Long)].collect().toSet
+    val seg = FuzzyLink.fuzzyDedup(df, "id", "name", segmentBlocking = true)
+      .select("id", "n_members").as[(Long, Long)].collect().toSet
+    assert(seg === neigh)
+  }
 }
