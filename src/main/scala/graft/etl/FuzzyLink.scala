@@ -107,9 +107,7 @@ object FuzzyLink {
   private[graft] def candidatePairs(df: DataFrame, nameCol: String,
                                     maxDist: Int = 1): DataFrame = {
     val keyed = keyedNames(df, nameCol)
-    val blocks = keyed
-      .select(col("nk"), explode(variantArray(col("n"), maxDist)).as("v"))
-      .select(col("nk"), xxhash64(col("v")).as("bk"))
+    val blocks = variantBlocks(keyed, maxDist)
     candidatesFromBlocks(blocks, blocks)
       .join(keyed.select(col("nk").as("ka"), col("n").as("na")), Seq("ka"))
       .join(keyed.select(col("nk").as("kb"), col("n").as("nb")), Seq("kb"))
@@ -128,10 +126,9 @@ object FuzzyLink {
         s"(sound for maxDist ≤ 2); got $maxDist — extend the " +
         "neighborhood before raising the bound, don't silently under-recall")
     val keyed = keyedNames(df, nameCol)
-    val blocks = keyed
-      .select(col("nk"), explode(variantArray(col("n"), maxDist)).as("v"))
-      .select(col("nk"), xxhash64(col("v")).as("bk"))
-    verifiedPairs(keyed, candidatesFromBlocks(blocks, blocks), maxDist)
+    verifiedPairs(keyed,
+      candidatesFromBlocks(variantBlocks(keyed, maxDist),
+        variantBlocks(keyed, maxDist)), maxDist)
   }
 
   // ---- segment pigeonhole (PassJoin-style) — linear in name length ----
@@ -224,6 +221,59 @@ object FuzzyLink {
           size(probeKeyArray(maxDist))))
       else keyed.select(sum(size(variantArray(col("n"), maxDist))))
     cnt.head().getLong(0)
+  }
+
+  // ---- cross-table fuzzy JOIN (messy feed ⋈ reference table) ----
+
+  /** Deletion-neighborhood block keys for a [[keyedNames]] frame. */
+  private def variantBlocks(keyed: DataFrame, maxDist: Int): DataFrame =
+    keyed.select(col("nk"), explode(variantArray(col("n"), maxDist)).as("v"))
+      .select(col("nk"), xxhash64(col("v")).as("bk"))
+
+  /** FUZZY JOIN across two tables — the two-sided form of record
+    * linkage: link a messy feed's names against a reference table's
+    * names within edit distance `maxDist` (the reconciliation step a
+    * pipeline runs when the reference's exact-key merge,
+    * Listings_ETL.py:143-151, meets a feed with typo'd keys). Unlike
+    * [[editNeighbors]], pairs are ORDERED (left name, right name),
+    * exact matches (distance 0) are included — a reconciliation wants
+    * them — and each side keeps its own role, so the output joins
+    * straight back to either table by name.
+    *
+    * Blocking per `segmentBlocking`: deletion neighborhoods from BOTH
+    * sides meeting on variant hashes (SymSpell, short keys), or
+    * segment-pigeonhole with the LEFT side indexing its d+1 segments
+    * and the RIGHT side probing shifted substrings (PassJoin, linear in
+    * name length — one direction suffices: if ed(a, b) ≤ d, some
+    * segment of `a` survives verbatim in `b` at a ±d-shifted start).
+    * Exact `levenshtein` verifies candidates either way, so both
+    * schemes emit identical output (spec-proven ≡ brute-force cross
+    * product). Output: (name_a, name_b, dist), distinct. */
+  def editJoin(left: DataFrame, leftCol: String,
+               right: DataFrame, rightCol: String,
+               maxDist: Int = 1, segmentBlocking: Boolean = false): DataFrame = {
+    if (segmentBlocking)
+      require(maxDist >= 1 && maxDist <= 4,
+        s"editJoin(segment): maxDist must be in [1, 4], got $maxDist")
+    else
+      require(maxDist == 1 || maxDist == 2,
+        s"editJoin(neighborhood): maxDist must be 1 or 2, got $maxDist — " +
+          "use segmentBlocking for wider radii")
+    val ka = keyedNames(left, leftCol)
+    val kb = keyedNames(right, rightCol)
+    val (blkA, blkB) =
+      if (segmentBlocking)
+        (ka.select(col("nk"), explode(idxKeyArray(maxDist)).as("bk")),
+          kb.select(col("nk"), explode(probeKeyArray(maxDist)).as("bk")))
+      else (variantBlocks(ka, maxDist), variantBlocks(kb, maxDist))
+    blkA.select(col("nk").as("ka"), col("bk"))
+      .join(blkB.select(col("nk").as("kb"), col("bk")), "bk")
+      .select("ka", "kb").distinct()
+      .join(ka.select(col("nk").as("ka"), col("n").as("name_a")), Seq("ka"))
+      .join(kb.select(col("nk").as("kb"), col("n").as("name_b")), Seq("kb"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select("name_a", "name_b", "dist")
   }
 
   // ---- id-level fuzzy record dedup (linkage → components → survivorship) ----

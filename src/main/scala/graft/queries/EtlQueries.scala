@@ -49,6 +49,22 @@ object EtlQueries {
     "etl_fuzzy_link_seg" -> ((s, d) =>
       graft.etl.FuzzyLink.editNeighborsSeg(t(s, d, "part"), "p_name", maxDist = 2)),
 
+    // CROSS-TABLE FUZZY JOIN — reconciling a messy feed against a
+    // reference table (the step before the reference's exact-key merge,
+    // Listings_ETL.py:143-151, when the feed's keys are typo'd): part
+    // names vs a feed where every even-keyed name carries a planted
+    // substitution at position 4. Ordered pairs, exact matches
+    // included; oracle = INDEPENDENT brute-force cross levenshtein
+    "etl_fuzzy_join" -> ((s, d) => {
+      val ref = t(s, d, "part").select(col("p_name"))
+      val feed = t(s, d, "part").select(
+        when(col("p_partkey") % 2 === 0,
+          concat(substring(col("p_name"), 1, 3), lit("z"),
+            substring(col("p_name"), 5, 1000)))
+          .otherwise(col("p_name")).as("feed_name"))
+      graft.etl.FuzzyLink.editJoin(ref, "p_name", feed, "feed_name")
+    }),
+
     // ID-LEVEL FUZZY RECORD DEDUP — what drop_duplicates(subset='id')
     // (Listings_ETL.py:47-49) approximates when keys are typo'd: name
     // pairs (deletion-neighborhood blocking + exact verify) → connected
@@ -737,6 +753,15 @@ object EtlQueries {
          SELECT a.n AS name_a, b.n AS name_b, levenshtein(a.n, b.n) AS dist
          FROM names a JOIN names b ON a.n < b.n
          WHERE levenshtein(a.n, b.n) <= 2""",
+    // independent method again: brute-force cross-product levenshtein
+    // over the two (small) distinct-name sets
+    "etl_fuzzy_join" ->
+      """WITH a AS (SELECT DISTINCT p_name AS na FROM part),
+            b AS (SELECT DISTINCT CASE WHEN p_partkey % 2 = 0
+                       THEN substr(p_name, 1, 3) || 'z' || substr(p_name, 5)
+                       ELSE p_name END AS nb FROM part)
+         SELECT na AS name_a, nb AS name_b, levenshtein(na, nb) AS dist
+         FROM a, b WHERE levenshtein(na, nb) <= 1""",
     // blocking replayed string-equality style, then the transitive
     // closure as a recursive CTE (walk = every (node, reachable-node)
     // pair, label = min reachable), then survivorship: the record whose

@@ -190,6 +190,45 @@ class FuzzyLinkSpec extends SparkSpec {
     assert(!plan.contains("Cartesian"), plan)
   }
 
+  // ---- cross-table fuzzy join ----
+
+  test("editJoin equals brute-force cross levenshtein, both schemes, d = 1 and 2") {
+    val left = Seq("kitten", "bottle", "dog", "xyzzy", "cart").toDF("ln")
+    val right = Seq("bitten", "kitten", "bottles", "dgo", "cat", "zzz")
+      .toDF("rn")
+    val ls = left.as[String].collect().distinct
+    val rs = right.as[String].collect().distinct
+    for (d <- 1 to 2; seg <- Seq(false, true)) {
+      val got = FuzzyLink.editJoin(left, "ln", right, "rn", d, seg)
+        .as[(String, String, Int)].collect().toSet
+      val want = (for {
+        a <- ls; b <- rs
+        dd = levRef(a, b) if dd <= d
+      } yield (a, b, dd)).toSet
+      assert(got === want, s"d=$d seg=$seg")
+      // ordered roles: left names stay on the left
+      got.foreach { case (a, b, _) =>
+        assert(ls.contains(a) && rs.contains(b))
+      }
+    }
+    // exact matches ARE links (kitten-kitten at distance 0)
+    val d1 = FuzzyLink.editJoin(left, "ln", right, "rn", 1)
+      .as[(String, String, Int)].collect().toSet
+    assert(d1.contains(("kitten", "kitten", 0)))
+    assert(d1.contains(("kitten", "bitten", 1)))
+  }
+
+  test("editJoin plans without a cartesian; bounds enforced per scheme") {
+    val left = Seq("abc").toDF("ln"); val right = Seq("abd").toDF("rn")
+    val plan = FuzzyLink.editJoin(left, "ln", right, "rn", 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), plan)
+    intercept[IllegalArgumentException](
+      FuzzyLink.editJoin(left, "ln", right, "rn", 3))
+    intercept[IllegalArgumentException](
+      FuzzyLink.editJoin(left, "ln", right, "rn", 5, segmentBlocking = true))
+  }
+
   // ---- id-level fuzzy record dedup ----
 
   /** Brute-force reference: union-find over all record pairs whose names
