@@ -309,13 +309,31 @@ object FuzzyLink {
                  maxDist: Int = 1, maxIter: Int = 64,
                  smallGraphLimit: Long = 2000000L,
                  segmentBlocking: Boolean = false): DataFrame = {
+    val labeled = clusterLabels(df, idCol, nameCol, maxDist, maxIter,
+      smallGraphLimit, segmentBlocking)
+    val clusters = labeled.groupBy(col("__comp"))
+      .agg(count(lit(1)).as("n_members"))
+    // each cluster's label IS its surviving record's id (mins of mins),
+    // and a null-name record is its own label — one keyed join, no
+    // ranking pass, no special null branch
+    df.join(clusters, col(idCol).cast("long") === col("__comp"))
+      .drop("__comp")
+  }
+
+  /** Every record with its fuzzy entity-cluster label `__comp` = the
+    * minimum record id reachable through ed ≤ maxDist name links
+    * (equal names share a node; null-name records label as themselves).
+    * The shared first stage of [[fuzzyDedup]] and [[goldenRecord]]. */
+  private[graft] def clusterLabels(df: DataFrame, idCol: String,
+                                   nameCol: String, maxDist: Int,
+                                   maxIter: Int, smallGraphLimit: Long,
+                                   segmentBlocking: Boolean): DataFrame = {
     val named = df
       .select(col(idCol).cast("long").as("__fid"),
         col(nameCol).cast("string").as("__fn"))
       .filter(col("__fn").isNotNull)
     // name node id = min record id bearing that name; comp values are
-    // then mins of mins, so each cluster's label IS its surviving
-    // record's id — survivorship is one keyed semi-join, no ranking pass
+    // then mins of mins = the min record id in the entity cluster
     val nameRep = named.groupBy("__fn").agg(min(col("__fid")).as("__nid"))
     val pairStage =
       if (segmentBlocking) editNeighborsSeg(df, nameCol, maxDist)
@@ -331,13 +349,44 @@ object FuzzyLink {
     val nameComp = nameRep
       .join(labels, nameRep("__nid") === labels("id"), "left")
       .select(col("__fn"), coalesce(col("comp"), col("__nid")).as("__comp"))
-    val clusters = named.join(nameComp, Seq("__fn"))
-      .groupBy(col("__comp")).agg(count(lit(1)).as("n_members"))
-    val survivors = df
-      .join(clusters, col(idCol).cast("long") === col("__comp"))
-      .drop("__comp")
-    val nullSingletons = df.filter(col(nameCol).isNull)
-      .withColumn("n_members", lit(1L))
-    survivors.unionByName(nullSingletons)
+    val rec = named.join(nameComp, Seq("__fn")).select("__fid", "__comp")
+    df.join(rec, col(idCol).cast("long") === col("__fid"), "left")
+      .withColumn("__comp", coalesce(col("__comp"), col(idCol).cast("long")))
+      .drop("__fid")
+  }
+
+  /** GOLDEN-RECORD construction — the survivorship step after fuzzy
+    * clustering that an MDM pipeline actually ships: instead of keeping
+    * one member row ([[fuzzyDedup]]), SYNTHESIZE one record per entity
+    * cluster whose every attribute is the cluster's per-field MAJORITY
+    * vote over non-null values, ties broken by the smaller value —
+    * deterministic, engine-replayable. Output: (entity_id = the
+    * cluster's min record id, n_members, one column per `attrs` entry,
+    * original types preserved; an all-null field stays null).
+    *
+    * Scale shape: one [[clusterLabels]] pass, then per attribute one
+    * keyed (cluster, value) count + one per-cluster rank — aggregates
+    * over value-distinct rows, never all-pairs; attribute results
+    * rejoin on the cluster key. */
+  def goldenRecord(df: DataFrame, idCol: String, nameCol: String,
+                   attrs: Seq[String], maxDist: Int = 1, maxIter: Int = 64,
+                   smallGraphLimit: Long = 2000000L,
+                   segmentBlocking: Boolean = false): DataFrame = {
+    require(attrs.nonEmpty, "goldenRecord: attrs must be non-empty")
+    val labeled = clusterLabels(df, idCol, nameCol, maxDist, maxIter,
+      smallGraphLimit, segmentBlocking)
+    val base = labeled.groupBy(col("__comp"))
+      .agg(count(lit(1)).as("n_members"))
+    val w = org.apache.spark.sql.expressions.Window
+    attrs.foldLeft(base) { (acc, a) =>
+      val counts = labeled.filter(col(a).isNotNull)
+        .groupBy(col("__comp"), col(a)).agg(count(lit(1)).as("__c"))
+      val best = counts.withColumn("__rn",
+          row_number().over(w.partitionBy(col("__comp"))
+            .orderBy(col("__c").desc, col(a).asc)))
+        .filter(col("__rn") === 1)
+        .select(col("__comp"), col(a))
+      acc.join(best, Seq("__comp"), "left")
+    }.withColumnRenamed("__comp", "entity_id")
   }
 }

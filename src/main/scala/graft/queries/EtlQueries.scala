@@ -49,6 +49,17 @@ object EtlQueries {
     "etl_fuzzy_link_seg" -> ((s, d) =>
       graft.etl.FuzzyLink.editNeighborsSeg(t(s, d, "part"), "p_name", maxDist = 2)),
 
+    // GOLDEN-RECORD construction — MDM survivorship after fuzzy
+    // clustering: one SYNTHESIZED record per entity cluster, each
+    // attribute the cluster's per-field majority vote over non-null
+    // values (ties to the smaller value — deterministic cross-engine).
+    // The oracle replays the recursive-CTE closure + per-attr
+    // count/rank votes
+    "etl_fuzzy_golden" -> ((s, d) =>
+      graft.etl.FuzzyLink.goldenRecord(
+        t(s, d, "part").select("p_partkey", "p_name", "p_brand", "p_size"),
+        "p_partkey", "p_name", Seq("p_brand", "p_size"))),
+
     // CROSS-TABLE FUZZY JOIN — reconciling a messy feed against a
     // reference table (the step before the reference's exact-key merge,
     // Listings_ETL.py:143-151, when the feed's keys are typo'd): part
@@ -753,6 +764,44 @@ object EtlQueries {
          SELECT a.n AS name_a, b.n AS name_b, levenshtein(a.n, b.n) AS dist
          FROM names a JOIN names b ON a.n < b.n
          WHERE levenshtein(a.n, b.n) <= 2""",
+    // the same closure as etl_fuzzy_dedup, then per-attribute majority
+    // votes: (cluster, value) counts ranked count-desc then value-asc
+    "etl_fuzzy_golden" ->
+      """WITH RECURSIVE recs AS (SELECT p_partkey AS id, p_name AS name,
+                                        p_brand, p_size FROM part),
+            names AS (SELECT name AS n, min(id) AS nid FROM recs GROUP BY 1),
+            v AS (SELECT n, substr(n, 1, CAST(i AS INT) - 1) || substr(n, CAST(i AS INT) + 1) AS var
+                  FROM names, unnest(range(1, length(n) + 2)) AS t(i)),
+            cand AS (SELECT DISTINCT a.n AS na, b.n AS nb
+                     FROM v a JOIN v b ON a.var = b.var AND a.n < b.n),
+            pairs AS (SELECT na, nb FROM cand WHERE levenshtein(na, nb) <= 1),
+            edges AS (SELECT x.nid AS a, y.nid AS b
+                      FROM pairs JOIN names x ON na = x.n JOIN names y ON nb = y.n),
+            sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+            walk(id, comp) AS (
+              SELECT nid, nid FROM names
+              UNION
+              SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.id),
+            lbl AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+            namecomp AS (SELECT names.n, lbl.comp FROM names JOIN lbl ON names.nid = lbl.id),
+            labeled AS (SELECT r.id, r.p_brand, r.p_size, nc.comp
+                        FROM recs r JOIN namecomp nc ON r.name = nc.n),
+            base AS (SELECT comp, count(*) AS n_members FROM labeled GROUP BY comp),
+            cb AS (SELECT comp, p_brand, count(*) AS c FROM labeled
+                   WHERE p_brand IS NOT NULL GROUP BY 1, 2),
+            bb AS (SELECT comp, p_brand FROM (
+                     SELECT comp, p_brand,
+                            row_number() OVER (PARTITION BY comp ORDER BY c DESC, p_brand ASC) AS rn
+                     FROM cb) WHERE rn = 1),
+            cs AS (SELECT comp, p_size, count(*) AS c FROM labeled
+                   WHERE p_size IS NOT NULL GROUP BY 1, 2),
+            bs AS (SELECT comp, p_size FROM (
+                     SELECT comp, p_size,
+                            row_number() OVER (PARTITION BY comp ORDER BY c DESC, p_size ASC) AS rn
+                     FROM cs) WHERE rn = 1)
+         SELECT base.comp AS entity_id, base.n_members, bb.p_brand, bs.p_size
+         FROM base LEFT JOIN bb ON base.comp = bb.comp
+                   LEFT JOIN bs ON base.comp = bs.comp""",
     // independent method again: brute-force cross-product levenshtein
     // over the two (small) distinct-name sets
     "etl_fuzzy_join" ->

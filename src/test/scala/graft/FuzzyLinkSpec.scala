@@ -295,6 +295,34 @@ class FuzzyLinkSpec extends SparkSpec {
     assert(fast === dist)
   }
 
+  test("goldenRecord: per-field majority with deterministic ties; nulls ignored") {
+    // kitten-cluster (ids 10,11,12): brand B wins 2-1; size ties 5 vs 7
+    // one vote each -> smaller (5) wins; dog group (30,31,32): brand all
+    // null -> null survives; xyzzy singleton keeps its own values; null
+    // names (50,51) are their own entities
+    val df = Seq(
+      (10L, "kitten", "B", Option(7)),
+      (11L, "bitten", "B", Option(5)),
+      (12L, "kittn", "A", Option.empty[Int]),
+      (30L, "dog", null, Option(3)),
+      (31L, "dog", null, Option(3)),
+      (32L, "dog", null, Option(9)),
+      (40L, "xyzzy", "Z", Option(1)),
+      (50L, null, "Q", Option(2)),
+      (51L, null, null, Option.empty[Int])
+    ).toDF("id", "name", "brand", "size")
+    val got = FuzzyLink.goldenRecord(df, "id", "name", Seq("brand", "size"))
+      .as[(Long, Long, String, Option[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L) === ((3L, "B", Some(5))),
+      "majority brand B; size tie 5-vs-7 breaks to the smaller")
+    assert(got(30L) === ((3L, null, Some(3))), "all-null field stays null")
+    assert(got(40L) === ((1L, "Z", Some(1))))
+    assert(got(50L) === ((1L, "Q", Some(2))))
+    assert(got(51L) === ((1L, null, None)))
+    assert(got.size === 5)
+  }
+
   test("fuzzyDedup under segment blocking emits identical clusters") {
     val df = fuzzyRecs.toDF("id", "name")
     val neigh = FuzzyLink.fuzzyDedup(df, "id", "name")
