@@ -141,10 +141,17 @@ object ZOrderTable {
     * never silently lose or double rows. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val fs = fsOf(spark, path)
-    val live = gens(fs, path).map(k => genDir(path, k)) ++
+    val liveGens = gens(fs, path).toSet
+    val live = liveGens.toSeq.sorted.map(k => genDir(path, k)) ++
       (if (nonEmptyDir(fs, tailDir(path))) Seq(tailDir(path)) else Nil)
+    // a park whose superseding generation never promoted is the last
+    // committed copy of its rows (optimize parks the tail; compact also
+    // parks whole generations) — serve it, but never beside a live twin
     val parked = parkedTails(fs, path).collect {
-      case (k, p) if !fs.exists(new Path(genDir(path, k))) => p.toString
+      case (k, p) if !liveGens.contains(k) => p.toString
+    } ++ parkedGens(fs, path).collect {
+      case (g, k, p) if !liveGens.contains(k) && !liveGens.contains(g) =>
+        p.toString
     }
     val dirs = live ++ parked
     require(dirs.nonEmpty, s"ZOrderTable at $path holds no data")
@@ -196,6 +203,67 @@ object ZOrderTable {
     }
   }
 
+  /** COLLAPSE the generation ladder: rewrite every committed generation
+    * plus the tail as ONE fresh z-ordered generation. [[optimize]] keeps
+    * per-call cost tail-sized, but each call adds a generation and a
+    * query touches ~fraction × files PER GENERATION — after enough
+    * optimizes the ladder itself is the decay. This is the store-compact
+    * analog: table-sized work, run on the maintenance cadence (e.g.
+    * every N optimizes), restoring files_total to the pinned grain.
+    *
+    * Crash safety extends the same park-promote discipline: the new
+    * generation k is written to scratch from a snapshot of the live
+    * dirs, every consumed dir is parked SUFFIXED `.g<k>` (so recovery
+    * knows which promote supersedes it), the tmp generation promotes,
+    * parks drop. [[recoverLocked]] heals all windows: gen k live → drop
+    * parks; committed tmp → finish promote; else restore every park —
+    * exactly one committed copy of each row in every window. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    PartitionSwap.withWriterLock(fs, path, "ZOrderTable") {
+      recoverLocked(fs, path)
+      val genIds = gens(fs, path)
+      val hasTail = nonEmptyDir(fs, tailDir(path))
+      if (genIds.size > 1 || hasTail) {
+        val p = params(spark, path)
+        val dirs = genIds.map(k => genDir(path, k)) ++
+          (if (hasTail) Seq(tailDir(path)) else Nil)
+        val all = dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+        val n = all.count()
+        val numFiles = math.max(1L, (n + p.rowsPerFile - 1) / p.rowsPerFile).toInt
+        val k = genIds.max + 1
+        ZOrder.layoutPinned(all, p.xCol, p.yCol, p.bits, numFiles,
+            p.xmn, p.xmx, p.ymn, p.ymx)
+          .drop("z")
+          .write.mode("overwrite").parquet(s"${tmpRoot(path)}/gen=$k")
+        fs.mkdirs(new Path(oldRoot(path)))
+        genIds.foreach { g =>
+          PartitionSwap.mv(fs, new Path(genDir(path, g)),
+            new Path(oldRoot(path) + s"/gen=$g.g$k"))
+        }
+        if (hasTail)
+          PartitionSwap.mv(fs, new Path(tailDir(path)),
+            new Path(oldRoot(path) + s"/tail_g$k"))
+        PartitionSwap.mv(fs, new Path(s"${tmpRoot(path)}/gen=$k"),
+          new Path(genDir(path, k)))
+        fs.delete(new Path(oldRoot(path)), true)
+        fs.delete(new Path(tmpRoot(path)), true)
+      }
+    }
+  }
+
+  /** Parked GENERATIONS under `.zopt_old` (compact's parks), as
+    * (original gen number, superseding gen number, path). */
+  private def parkedGens(fs: org.apache.hadoop.fs.FileSystem,
+                         path: String): Seq[(Int, Int, Path)] =
+    PartitionSwap.partitionDirs(fs, new Path(oldRoot(path)), "gen=")
+      .flatMap { d =>
+        d.getName.stripPrefix("gen=").split("\\.g") match {
+          case Array(g, k) => Some((g.toInt, k.toInt, d))
+          case _ => None
+        }
+      }
+
   /** Heal a crashed optimize. For each parked tail `tail_g<k>`:
     * generation k live → the promote committed, drop the park;
     * else a COMMITTED tmp generation (its `_SUCCESS` marker exists) →
@@ -213,22 +281,37 @@ object ZOrderTable {
 
   private def recoverLocked(fs: org.apache.hadoop.fs.FileSystem,
                             path: String): Unit = {
-    parkedTails(fs, path).foreach { case (k, park) =>
+    // every park is tagged with the generation whose promote supersedes
+    // it; group by that tag so one committed tmp promotes ONCE and then
+    // releases all of its parks (a compact parks many dirs under one tag)
+    val parks: Seq[(Int, (String, Int, Path))] =
+      parkedTails(fs, path).map { case (k, p) => (k, ("tail", 0, p)) } ++
+        parkedGens(fs, path).map { case (g, k, p) => (k, ("gen", g, p)) }
+    parks.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (k, ps) =>
       val gen = new Path(genDir(path, k))
       val tmp = new Path(s"${tmpRoot(path)}/gen=$k")
-      if (fs.exists(gen)) fs.delete(park, true)
-      else if (fs.exists(new Path(tmp, "_SUCCESS"))) {
-        PartitionSwap.mv(fs, tmp, gen)
-        fs.delete(park, true)
-      } else {
-        // restore the only copy; merge file-level in case appends landed
-        val tl = new Path(tailDir(path))
-        fs.mkdirs(tl)
-        fs.listStatus(park).filter(_.isFile).foreach { st =>
-          val dst = new Path(tl, st.getPath.getName)
-          if (!fs.exists(dst)) PartitionSwap.mv(fs, st.getPath, dst)
+      val committed = fs.exists(gen) || (
+        if (fs.exists(new Path(tmp, "_SUCCESS"))) {
+          PartitionSwap.mv(fs, tmp, gen); true
+        } else false)
+      ps.map(_._2).foreach { case (kind, g, park) =>
+        if (committed) fs.delete(park, true)
+        else if (kind == "gen") {
+          // the park IS generation g's committed copy — restore it
+          val dst = new Path(genDir(path, g))
+          if (!fs.exists(dst)) PartitionSwap.mv(fs, park, dst)
+          else fs.delete(park, true)
+        } else {
+          // restore the only tail copy; merge file-level in case
+          // appends landed since
+          val tl = new Path(tailDir(path))
+          fs.mkdirs(tl)
+          fs.listStatus(park).filter(_.isFile).foreach { st =>
+            val dst = new Path(tl, st.getPath.getName)
+            if (!fs.exists(dst)) PartitionSwap.mv(fs, st.getPath, dst)
+          }
+          fs.delete(park, true)
         }
-        fs.delete(park, true)
       }
     }
     if (fs.exists(new Path(oldRoot(path)))) fs.delete(new Path(oldRoot(path)), true)

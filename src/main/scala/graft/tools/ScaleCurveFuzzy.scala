@@ -75,6 +75,42 @@ object ScaleCurveFuzzy {
         val line = f"""{"op":"$op","alpha_candidates":$alpha%.3f,"mass_exact_xk":true,"fit_range":[$n0,$n1]}"""
         println(line); sb.append(line).append('\n')
     }
+    // ---- cross-table fuzzy JOIN under the same blow-up discipline:
+    // both sides tag-prefixed per copy (tag distance 2d+1 > 2d keeps
+    // cross-copy candidate mass structurally zero), right side = left
+    // names with one planted substitution at position 10, so every
+    // right name links to exactly its own left original (dist 1) and
+    // the link count must be EXACTLY n_names ×k
+    locally {
+      val d = 1
+      val tagLen = 2 * d + 1
+      val base = spark.read.parquet("/root/testdata/sf0.1/supplier.parquet")
+        .select(col("s_name").as("name")).distinct()
+      val feedBase = base.select(concat(substring(col("name"), 1, 9),
+        lit("z"), substring(col("name"), 11, 100)).as("name"))
+      def blow(df: DataFrame, f: Int): DataFrame =
+        (0 until f).map { k =>
+          val tag = ('a' + k).toChar.toString * tagLen
+          df.select(concat(lit(tag), col("name")).as("name"))
+        }.reduce(_ unionByName _)
+      var links = Map[Int, Long]()
+      Seq(1, 4, 10).foreach { f =>
+        val l = blow(base, f).localCheckpoint()
+        val r = blow(feedBase, f).localCheckpoint()
+        val (n, wallSec) = timed(
+          FuzzyLink.editJoin(l, "name", r, "name", d).count())
+        links += f -> n
+        val line = f"""{"dataset":"sf0.1x$f","op":"fuzzy_join","max_dist":$d,"n_left":${1000 * f},"links":$n,"wall_sec":$wallSec%.2f}"""
+        println(line); sb.append(line).append('\n')
+        org.apache.spark.sql.GraftShim.unpersistCheckpoint(l)
+        org.apache.spark.sql.GraftShim.unpersistCheckpoint(r)
+      }
+      Seq(4, 10).foreach { f =>
+        require(links(f) == links(1) * f,
+          s"fuzzy_join links not exactly x$f: ${links(f)} vs ${links(1)} * $f")
+      }
+    }
+
     // ---- LENGTH sweep (round-16 verdict item): the d=2 deletion
     // neighborhood is ~|s|²/2 variants per name — price that against the
     // segment pigeonhole, which ships O(d²) fixed-width keys per name.

@@ -210,6 +210,13 @@ object ScaleCurveZ {
       }
       val df = base.repartition(par).localCheckpoint()
       ZOrderTable.write(df, tab, "ck", "dd", bits = 8, numFiles = numFiles)
+      // fresh-write baseline fractions, taken NOW: gen=0 is the whole
+      // table here, and compact will collapse it away later
+      val initFrac = boxes.map { box =>
+        val gen0 = footers(s"$tab/gen=0", conf)
+        box.name -> gen0.filter(box.touches).map(_.bytes).sum.toDouble /
+          gen0.map(_.bytes).sum
+      }.toMap
       val slice = pmod(xxhash64(col("ck"), col("dd"), col("pay")), lit(8))
       (0 until 8).foreach(i => ZOrderTable.append(df.filter(slice === i), tab))
       val states = scala.collection.mutable.Map[(String, String), (Double, Int, Int, Long)]()
@@ -226,21 +233,34 @@ object ScaleCurveZ {
       snapshot("decayed")
       ZOrderTable.optimize(spark, tab)
       snapshot("restored")
+      // a second decay round, then COLLAPSE: optimize keeps per-call
+      // cost tail-sized but each call adds a generation — compact is
+      // the ladder's own maintenance, rewriting gens+tail as ONE
+      // generation at the pinned grain
+      (0 until 8).foreach(i => ZOrderTable.append(df.filter(slice === i), tab))
+      ZOrderTable.optimize(spark, tab)
+      ZOrderTable.compact(spark, tab)
+      snapshot("collapsed")
+      val genDirs = Option(new java.io.File(tab).listFiles()).getOrElse(Array.empty)
+        .count(f => f.isDirectory && f.getName.startsWith("gen="))
+      require(genDirs == 1,
+        s"compact left $genDirs generations — the ladder did not collapse")
       // the fresh-write fraction baseline: same layout geometry as the
       // ×1 zorder dirs already measured — recompute from gen=0 alone
       boxes.foreach { box =>
-        val gen0 = footers(s"$tab/gen=0", conf)
-        val init = gen0.filter(box.touches).map(_.bytes).sum.toDouble /
-          gen0.map(_.bytes).sum
+        val init = initFrac(box.name)
         val dec = states(("decayed", box.name))._1
         val res = states(("restored", box.name))._1
+        val clp = states(("collapsed", box.name))._1
         val line =
-          f"""{"op":"zorder_lifecycle","box":"${box.name}","init_frac":$init%.4f,"decayed_frac":$dec%.4f,"restored_frac":$res%.4f}"""
+          f"""{"op":"zorder_lifecycle","box":"${box.name}","init_frac":$init%.4f,"decayed_frac":$dec%.4f,"restored_frac":$res%.4f,"collapsed_frac":$clp%.4f}"""
         println(line); sb.append(line).append('\n')
         require(dec >= 1.5 * init,
           f"${box.name}: raw appends did not decay the layout ($dec%.3f vs init $init%.3f) — is the tail being clustered?")
         require(res <= 1.25 * init,
           f"${box.name}: optimize did not restore the layout ($res%.3f vs init $init%.3f)")
+        require(clp <= 1.25 * init,
+          f"${box.name}: compact did not restore the layout ($clp%.3f vs init $init%.3f)")
       }
       GraftShim.unpersistCheckpoint(df)
     }

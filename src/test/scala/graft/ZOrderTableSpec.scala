@@ -141,6 +141,76 @@ class ZOrderTableSpec extends SparkSpec {
     assert(ids(path) === ((0L until 100L) ++ (1000L until 1050L)).toSet)
   }
 
+  test("compact collapses the generation ladder to one generation, losslessly") {
+    val path = freshDir()
+    val fs = fsOf(path)
+    ZOrderTable.write(mk(400), path, "x", "y", bits = 6, numFiles = 4)
+    // three optimize cycles → gens 1..3; plus a live tail
+    (1 to 3).foreach { i =>
+      ZOrderTable.append(mk(100, i * 1000), path)
+      ZOrderTable.optimize(spark, path)
+    }
+    ZOrderTable.append(mk(50, 9000), path)
+    val want = ids(path)
+    assert((0 to 3).forall(g => fs.exists(new Path(s"$path/gen=$g"))))
+    ZOrderTable.compact(spark, path)
+    assert(ids(path) === want, "compact must be read-invisible")
+    val liveGens = (0 to 10).filter(g => fs.exists(new Path(s"$path/gen=$g")))
+    assert(liveGens === Seq(4), s"one collapsed generation expected, got $liveGens")
+    // at the pinned 100-rows/file grain, 750 rows → 8 files
+    val files = fs.listStatus(new Path(s"$path/gen=4"))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(files === 8, s"expected 8 files at the pinned grain, got $files")
+    // single-generation table: compact again is a no-op
+    ZOrderTable.compact(spark, path)
+    assert(ids(path) === want)
+    assert(!fs.exists(new Path(s"$path/gen=5")))
+  }
+
+  test("compact crash: all dirs parked, committed tmp — recovery finishes the promote") {
+    val path = freshDir()
+    val fs = fsOf(path)
+    ZOrderTable.write(mk(100), path, "x", "y", bits = 6, numFiles = 2)
+    ZOrderTable.append(mk(50, 1000), path)
+    ZOrderTable.optimize(spark, path) // gens 0,1
+    ZOrderTable.append(mk(25, 2000), path)
+    val want = ids(path)
+    // stage the window between park and promote: tmp gen=2 committed,
+    // gens 0,1 and the tail all parked under the .g2 tag
+    ZOrderTable.read(spark, path).write.parquet(s"$path.zopt_tmp/gen=2")
+    fs.mkdirs(new Path(s"$path.zopt_old"))
+    assert(fs.rename(new Path(s"$path/gen=0"), new Path(s"$path.zopt_old/gen=0.g2")))
+    assert(fs.rename(new Path(s"$path/gen=1"), new Path(s"$path.zopt_old/gen=1.g2")))
+    assert(fs.rename(new Path(s"$path/tail"), new Path(s"$path.zopt_old/tail_g2")))
+    // reader mid-crash: nothing live, every park is the committed copy
+    assert(ids(path) === want, "read must serve the parked dirs mid-swap")
+    ZOrderTable.recover(spark, path)
+    assert(fs.exists(new Path(s"$path/gen=2")), "committed tmp must promote")
+    assert(!fs.exists(new Path(s"$path.zopt_old")))
+    assert(ids(path) === want)
+  }
+
+  test("compact crash: parked with a TORN tmp — every dir restores") {
+    val path = freshDir()
+    val fs = fsOf(path)
+    ZOrderTable.write(mk(100), path, "x", "y", bits = 6, numFiles = 2)
+    ZOrderTable.append(mk(50, 1000), path)
+    ZOrderTable.optimize(spark, path)
+    ZOrderTable.append(mk(25, 2000), path)
+    val want = ids(path)
+    ZOrderTable.read(spark, path).write.parquet(s"$path.zopt_tmp/gen=2")
+    fs.delete(new Path(s"$path.zopt_tmp/gen=2/_SUCCESS"), false)
+    fs.mkdirs(new Path(s"$path.zopt_old"))
+    assert(fs.rename(new Path(s"$path/gen=0"), new Path(s"$path.zopt_old/gen=0.g2")))
+    assert(fs.rename(new Path(s"$path/gen=1"), new Path(s"$path.zopt_old/gen=1.g2")))
+    assert(fs.rename(new Path(s"$path/tail"), new Path(s"$path.zopt_old/tail_g2")))
+    ZOrderTable.recover(spark, path)
+    assert(!fs.exists(new Path(s"$path/gen=2")), "torn tmp must NOT promote")
+    assert(fs.exists(new Path(s"$path/gen=0")) && fs.exists(new Path(s"$path/gen=1")),
+      "parked generations must restore")
+    assert(ids(path) === want)
+  }
+
   test("a second writer raises against the fence; append waits it out") {
     val path = freshDir()
     val fs = fsOf(path)
