@@ -313,14 +313,16 @@ object EtlQueries {
 
     // Z-ORDER MAINTENANCE lifecycle, oracle-checked end-to-end
     // (sinks/ZOrderTable): pre-1996 orders written as generation 0
-    // (bounds pinned there), 1996 and 1997+ batches appended RAW to the
-    // tail, optimize re-clusters the tail as generation 1 through the
-    // park-promote swap (1997+ dd values drift past the pinned bounds —
-    // the clamp path runs for real), then the whole table reads back.
-    // The oracle computes the union directly: the hash passes iff
-    // write, both appends, the swap, and the resolved read are lossless
-    // row-for-row. Physical claims (decay/restoration, files, crash
-    // windows) live in ZOrderTableSpec + ScaleCurveZ
+    // (bounds pinned there), 1996-97 and 1998-99 batches appended RAW to the
+    // tail, optimize re-clusters that tail as generation 1 through the
+    // park-promote swap, a 1997+ batch appends (dd values drift past
+    // the pinned bounds — the clamp path runs for real), then compact
+    // collapses gens 0, 1 and the live tail into one fresh generation,
+    // and the whole table reads back. The oracle computes the union
+    // directly: the hash passes iff write, every append, BOTH swap ops,
+    // and the resolved read are lossless row-for-row. Physical claims
+    // (decay/restoration/collapse, files, crash windows) live in
+    // ZOrderTableSpec + ScaleCurveZ
     "etl_zorder_optimize" -> ((s, d) => {
       import graft.sinks.ZOrderTable
       val path = refPipeDir(s, d) + "/ztab"
@@ -332,13 +334,17 @@ object EtlQueries {
       def slice(p: org.apache.spark.sql.Column) =
         o.filter(p).drop("o_orderdate")
       val cut1 = lit("1996-01-01").cast("timestamp")
-      val cut2 = lit("1997-01-01").cast("timestamp")
+      val cut2 = lit("1998-01-01").cast("timestamp")
+      val cut3 = lit("2000-01-01").cast("timestamp")
       ZOrderTable.write(slice(col("o_orderdate") < cut1), path,
         "ck", "dd", bits = 8, numFiles = 32)
       ZOrderTable.append(
         slice(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2), path)
-      ZOrderTable.append(slice(col("o_orderdate") >= cut2), path)
+      ZOrderTable.append(
+        slice(col("o_orderdate") >= cut2 && col("o_orderdate") < cut3), path)
       ZOrderTable.optimize(s, path)
+      ZOrderTable.append(slice(col("o_orderdate") >= cut3), path)
+      ZOrderTable.compact(s, path)
       ZOrderTable.read(s, path).select("o_orderkey", "ck", "dd")
     }),
 
