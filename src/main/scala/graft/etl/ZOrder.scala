@@ -39,35 +39,55 @@ object ZOrder {
         (mx - mn).cast("double")).cast("bigint"))
   }
 
-  /** Morton interleave of two `bits`-bit cell indices: x takes even bit
-    * positions, y odd. Statically unrolled — `bits` pairs of
-    * shift/mask/multiply terms, all codegen'd; max result bit 2·bits−1
-    * ≤ 31. */
-  def interleave(x: Column, y: Column, bits: Int): Column = {
+  /** Morton interleave of N `bits`-bit cell indices — the general form
+    * `OPTIMIZE ZORDER BY (c1, …, cN)` needs: bit i of dimension j lands
+    * at position i·N + j, so every contiguous z-range is an axis-aligned
+    * BOX of the N-dim grid and per-file min/max stats stay tight on ALL
+    * dimensions at once. Statically unrolled (N·bits shift/mask/multiply
+    * terms, all codegen'd); N·bits ≤ 62 keeps the result in a long.
+    * More dimensions split the same bit budget — pruning per dimension
+    * weakens as N grows (the classic z-order tradeoff), so 2–4 columns
+    * is the practical range, exactly as in the lakehouse engines. */
+  def interleaveN(xs: Seq[Column], bits: Int): Column = {
+    require(xs.nonEmpty, "interleaveN: at least one dimension")
     require(bits > 0 && bits <= 16, s"bits=$bits outside (0, 16]")
-    (0 until bits).map { i =>
-      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
-        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    require(xs.size * bits <= 62,
+      s"${xs.size} dims x $bits bits = ${xs.size * bits} z-bits > 62")
+    val n = xs.size
+    xs.zipWithIndex.map { case (x, j) =>
+      (0 until bits).map { i =>
+        shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (i * n + j))
+      }.reduce(_ + _)
     }.reduce(_ + _)
   }
 
-  /** The write-side layout: z-value appended and the frame
-    * range-partitioned on it, so each output file covers one contiguous
-    * z-range = one tight rectangle of the (x, y) grid. `numFiles`
+  /** Morton interleave of two `bits`-bit cell indices: x takes even bit
+    * positions, y odd — [[interleaveN]] at N = 2 (identical terms). */
+  def interleave(x: Column, y: Column, bits: Int): Column =
+    interleaveN(Seq(x, y), bits)
+
+  /** The write-side layout over N columns: z-value appended and the
+    * frame range-partitioned on it, so each output file covers one
+    * contiguous z-range = one tight BOX of the N-dim grid. `numFiles`
     * mirrors the target file count (at 100 TB: total size / target
-    * file size). Column min/max bounds are a ~4-value broadcast. */
-  def layout(df: DataFrame, xCol: String, yCol: String, bits: Int,
-             numFiles: Int): DataFrame = {
-    val bounds = df.agg(
-      min(col(xCol)).as("__xmn"), max(col(xCol)).as("__xmx"),
-      min(col(yCol)).as("__ymn"), max(col(yCol)).as("__ymx"))
+    * file size). Column min/max bounds are a ~2N-value broadcast. */
+  def layoutN(df: DataFrame, cols: Seq[String], bits: Int,
+              numFiles: Int): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
     df.crossJoin(broadcast(bounds))
-      .withColumn("z", interleave(
-        cell(col(xCol), col("__xmn"), col("__xmx"), bits),
-        cell(col(yCol), col("__ymn"), col("__ymx"), bits), bits))
-      .drop("__xmn", "__xmx", "__ymn", "__ymx")
+      .withColumn("z", interleaveN(
+        cols.map(c => cell(col(c), col(s"__mn_$c"), col(s"__mx_$c"), bits)),
+        bits))
+      .drop(cols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c")): _*)
       .repartitionByRange(numFiles, col("z"))
   }
+
+  /** Two-column [[layoutN]] — the common case. */
+  def layout(df: DataFrame, xCol: String, yCol: String, bits: Int,
+             numFiles: Int): DataFrame =
+    layoutN(df, Seq(xCol, yCol), bits, numFiles)
 
   /** [[layout]] under PINNED bounds — the incremental-maintenance form
     * ([[graft.sinks.ZOrderTable.optimize]]): every generation of a

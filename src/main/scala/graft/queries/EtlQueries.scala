@@ -311,6 +311,38 @@ object EtlQueries {
           min(col("yn")).as("y_min"), max(col("yn")).as("y_max"))
     }),
 
+    // THREE-dimensional z-order audit — the general OPTIMIZE ZORDER BY
+    // (c1, c2, c3) form: orders gridded 32x32x32 on (custkey, orderdate,
+    // price cents), interleaveN packs bit i of dim j at position 3i+j,
+    // buckets by the top 6 z-bits; each bucket's min/max span on ALL
+    // THREE dimensions is hash-checked cross-engine (the same
+    // construction as etl_zorder_layout, one dimension wider)
+    "etl_zorder3" -> ((s, d) => {
+      import graft.etl.ZOrder
+      val bits = 5
+      val o = t(s, d, "orders").select(
+        col("o_custkey").as("ck"),
+        datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+          .cast("bigint").as("dd"),
+        cents(col("o_totalprice")).as("pc"))
+      val bounds = o.agg(
+        min(col("ck")).as("ckmn"), max(col("ck")).as("ckmx"),
+        min(col("dd")).as("ddmn"), max(col("dd")).as("ddmx"),
+        min(col("pc")).as("pcmn"), max(col("pc")).as("pcmx"))
+      o.crossJoin(broadcast(bounds))
+        .select(
+          ZOrder.cell(col("ck"), col("ckmn"), col("ckmx"), bits).as("xn"),
+          ZOrder.cell(col("dd"), col("ddmn"), col("ddmx"), bits).as("yn"),
+          ZOrder.cell(col("pc"), col("pcmn"), col("pcmx"), bits).as("wn"))
+        .withColumn("z", ZOrder.interleaveN(
+          Seq(col("xn"), col("yn"), col("wn")), bits))
+        .groupBy(shiftright(col("z"), 3 * bits - 6).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("xn")).as("x_min"), max(col("xn")).as("x_max"),
+          min(col("yn")).as("y_min"), max(col("yn")).as("y_max"),
+          min(col("wn")).as("w_min"), max(col("wn")).as("w_max"))
+    }),
+
     // Z-ORDER MAINTENANCE lifecycle, oracle-checked end-to-end
     // (sinks/ZOrderTable): pre-1996 orders written as generation 0
     // (bounds pinned there), 1996-97 and 1998-99 batches appended RAW to the
@@ -696,6 +728,36 @@ object EtlQueries {
         s"SELECT col_name, n_rows, n_null, n_distinct_est, min_s, max_s FROM s$i, e$i")
         .mkString("\n         UNION ALL ")
       s"WITH $ctes\n         $selects"
+    },
+    // the 3-D Morton sum replayed: bit i of dim j at position 3i+j;
+    // same explicit-floor cells, price cents exact in both engines
+    "etl_zorder3" -> {
+      val bits = 5
+      val terms = (for {
+        i <- 0 until bits
+        (c, j) <- Seq(("xn", 0), ("yn", 1), ("wn", 2))
+      } yield s"(($c >> $i) & 1) * ${1L << (3 * i + j)}").mkString(" + ")
+      def cellSql(v: String, mn: String, mx: String) =
+        s"""CASE WHEN $mx = $mn THEN 0
+                 ELSE CAST(floor(CAST($v - $mn AS DOUBLE) * ${(1L << bits) - 1}.0 / CAST($mx - $mn AS DOUBLE)) AS BIGINT) END"""
+      s"""WITH src AS (SELECT o_custkey AS ck,
+                              date_diff('day', DATE '1992-01-01', o_orderdate) AS dd,
+                              CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+                       FROM orders),
+            bounds AS (SELECT min(ck) AS ckmn, max(ck) AS ckmx,
+                              min(dd) AS ddmn, max(dd) AS ddmx,
+                              min(pc) AS pcmn, max(pc) AS pcmx FROM src),
+            cells AS (SELECT
+                ${cellSql("ck", "ckmn", "ckmx")} AS xn,
+                ${cellSql("dd", "ddmn", "ddmx")} AS yn,
+                ${cellSql("pc", "pcmn", "pcmx")} AS wn
+              FROM src, bounds),
+            zz AS (SELECT xn, yn, wn, $terms AS z FROM cells)
+         SELECT z >> ${3 * bits - 6} AS zbucket, count(*) AS n,
+                min(xn) AS x_min, max(xn) AS x_max,
+                min(yn) AS y_min, max(yn) AS y_max,
+                min(wn) AS w_min, max(wn) AS w_max
+         FROM zz GROUP BY 1"""
     },
     // Morton interleave replayed as the same statically-unrolled
     // shift/mask/multiply sum; grid cells via explicit floor (bare

@@ -21,6 +21,30 @@ class ZOrderSpec extends SparkSpec {
     assert(got.map(_._3).distinct.length === 256, "Morton code must be a bijection")
   }
 
+  test("interleaveN: 3-D Morton is a bijection with the right bit placement") {
+    def ref3(x: Long, y: Long, w: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((x >> i) & 1L) << (3 * i)) | (((y >> i) & 1L) << (3 * i + 1)) |
+          (((w >> i) & 1L) << (3 * i + 2))).sum
+    val pts = for (x <- 0L until 8L; y <- 0L until 8L; w <- 0L until 8L)
+      yield (x, y, w)
+    val got = pts.toDF("x", "y", "w")
+      .select($"x", $"y", $"w",
+        ZOrder.interleaveN(Seq($"x", $"y", $"w"), 3).as("z"))
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (x, y, w, z) =>
+      assert(z === ref3(x, y, w, 3), s"($x,$y,$w)")
+    }
+    assert(got.map(_._4).distinct.length === 512, "3-D Morton must be a bijection")
+    // N = 2 emits exactly the classic 2-D code (interleave delegates)
+    val two = Seq((5L, 9L)).toDF("x", "y")
+      .select(ZOrder.interleaveN(Seq($"x", $"y"), 4)).as[Long].head()
+    assert(two === mortonRef(5L, 9L, 4))
+    // the long-overflow guard: 5 dims x 13 bits = 65 z-bits must raise
+    intercept[IllegalArgumentException](
+      ZOrder.interleaveN(Seq($"x", $"x", $"x", $"x", $"x"), 13))
+  }
+
   test("cell maps min to 0, max to 2^bits-1, and a constant dimension to 0") {
     val df = Seq(10L, 55L, 100L).toDF("v")
       .crossJoin(Seq((10L, 100L)).toDF("mn", "mx"))
