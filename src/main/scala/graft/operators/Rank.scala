@@ -103,4 +103,39 @@ object Rank {
       .withColumn(rankCol, col("__poff") + col("__lrn"))
       .select(df.columns.toIndexedSeq.map(col) :+ col(rankCol) :+ col(nCol): _*)
   }
+
+  /** GLOBAL dense-id assignment — the surrogate-key generator: every row
+    * gets its 1-based position in the total `orderCols` order, as a
+    * BIGINT column named `idCol`.
+    *
+    * The naive form — `row_number() OVER (ORDER BY …)` with no partition
+    * spec — plans an `Exchange SinglePartition`: the ENTIRE table funnels
+    * through one task that sorts it, the starkest possible scale-killer
+    * (at 100 TB that task simply never finishes). `monotonically_
+    * increasing_id` avoids the funnel but emits sparse partition-stamped
+    * values — useless where downstream expects dense 1..n keys (dimension
+    * surrogate keys, sample indices, epoch positions).
+    *
+    * This is [[withGroupRank]]'s two-level construction with ONE implicit
+    * group: range-exchange on the order columns (every partition bounded
+    * at ~n/partitions rows), a tiny per-partition count table whose prefix
+    * sums broadcast back as offsets, and a per-PHYSICAL-partition local
+    * rank — dense global ids with no single-task sort anywhere in the
+    * plan (spec-asserted: no SinglePartition exchange).
+    *
+    * Determinism contract: the combined `orderCols` must be UNIQUE per
+    * row for the row→id mapping to be reproducible (same rule as any
+    * `row_number` use in this repo); with ties the ids are a valid but
+    * arbitrary permutation within each tie run. */
+  def withGlobalIds(df: DataFrame, orderCols: Seq[String],
+                    idCol: String = "sid",
+                    materializeInput: Boolean = false): DataFrame = {
+    require(orderCols.nonEmpty, "withGlobalIds: at least one order column")
+    require(!df.columns.contains("__gall") && !df.columns.contains("__nall"),
+      "withGlobalIds: input must not carry __gall/__nall columns")
+    withGroupRank(df.withColumn("__gall", lit(0)), Seq("__gall"),
+        orderCols.head, orderCols.tail, rankCol = idCol, nCol = "__nall",
+        materializeInput = materializeInput)
+      .drop("__gall", "__nall")
+  }
 }

@@ -588,6 +588,84 @@ object Similarity {
     out.select(kept ++ metaCols.map(col): _*)
   }
 
+  /** Multi-probe IVF assignment: each corpus row exploded to its `nProbe`
+    * nearest centroids (rounded cosine, lowest-cid ties — [[ivfAssign]]'s
+    * exact ordering), as (id, probe_rank, centroid_id[, v]) rows.
+    *
+    * Zero-shuffle like [[ivfAssign]]: the K centroids broadcast as ONE
+    * packed row, each row scores them in a map-side `transform`, an
+    * explicit-comparator `array_sort` orders (sim DESC, cid ASC), and
+    * `slice` keeps nProbe — the corpus never enters an Exchange and the
+    * output is n·nProbe rows, NOT the n·K a crossJoin+window probe plan
+    * ships ([[ivfSearchBatch]] pays that only because its query side is
+    * dimension-sized; here the "queries" are the corpus itself). */
+  def ivfProbes(df: DataFrame, vecCol: String, idCol: String,
+                centroids: DataFrame, cIdCol: String, nProbe: Int,
+                keepVec: Boolean = false): DataFrame = {
+    import graft.expressions.VectorExpressions.{dot, l2norm}
+    require(nProbe >= 1, s"ivfProbes: nProbe must be >= 1, got $nProbe")
+    val packed = broadcast(
+      centroids
+        .select(struct(col(cIdCol).as("cid"), asDouble(col(vecCol)).as("cv"),
+          l2norm(asDouble(col(vecCol))).as("cn")).as("c"))
+        .agg(array_sort(collect_list(col("c"))).as("cs")))
+    val scored = transform(col("cs"), c => struct(
+      round(dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn")), 6).as("sim"),
+      c.getField("cid").as("cid")))
+    // explicit comparator: (sim DESC, cid ASC) — the default struct sort
+    // would order sim ASCENDING; rounded sims make the ordering
+    // cross-engine-stable, exactly as in ivfAssign's fold
+    val ordered = array_sort(scored, (l, r) =>
+      when(l.getField("sim") > r.getField("sim"), -1)
+        .when(l.getField("sim") < r.getField("sim"), 1)
+        .when(l.getField("cid") < r.getField("cid"), -1)
+        .when(l.getField("cid") > r.getField("cid"), 1)
+        .otherwise(0))
+    val out = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .crossJoin(packed)
+      .select(col(idCol), col("v"),
+        posexplode(slice(ordered, 1, nProbe)).as(Seq("__p", "pr")))
+      .select(col(idCol), (col("__p") + 1).as("probe_rank"),
+        col("pr.cid").as("centroid_id"), col("v"))
+    if (keepVec) out else out.drop("v")
+  }
+
+  /** kNN GRAPH — every corpus vector's k nearest neighbors by cosine,
+    * with candidate generation BLOCKED by IVF clusters: the index side is
+    * each vector under its HOME cluster ([[ivfAssign]]), the query side
+    * probes its `nProbe` nearest clusters ([[ivfProbes]]), and candidates
+    * are the equi-join of the two on cluster id — Σ per-point probed
+    * cluster mass ≈ n·nProbe/K of the n² all-pairs grid, never a
+    * cartesian. The graph is the primitive under SemDeDup-style semantic
+    * dedup, graph clustering, and ANN-graph (HNSW/NSG) construction.
+    *
+    * Each (point, neighbor) candidate appears AT MOST ONCE — a neighbor
+    * has exactly one home cluster — so no dedup stage is needed. Output:
+    * (idCol, nbr_id, cosine, rank ≤ k), self-pairs excluded. Recall vs
+    * exact brute force is the nProbe dial ([[annRecall]]'s economics);
+    * probing all K clusters is exhaustive by construction (spec-proven
+    * equal to brute-force kNN). At 100 TB the index side is the
+    * centroid-partitioned [[graft.sinks.AnnStore]] and the join
+    * co-locates on the store's layout. */
+  def knnGraph(df: DataFrame, vecCol: String, idCol: String,
+               centroids: DataFrame, cIdCol: String,
+               k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"knnGraph: k must be >= 1, got $k")
+    val index = ivfAssign(df, vecCol, idCol, centroids, cIdCol, keepVec = true)
+      .select(col(idCol).as("nbr_id"), col("centroid_id"), col("v").as("n_v"))
+    val probes = ivfProbes(df, vecCol, idCol, centroids, cIdCol, nProbe,
+      keepVec = true)
+    probes.join(index, Seq("centroid_id"))
+      .filter(col(idCol) =!= col("nbr_id"))
+      .select(col(idCol),
+        col("nbr_id"), round(cosine(col("v"), col("n_v")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("cosine").desc, col("nbr_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Angular SAFETY PAD (radians) added to every cluster radius and
     * subtracted from the prune bound: covers the 6-dp cosine rounding
     * and double arithmetic wobble between the radius pass and the route.

@@ -380,6 +380,20 @@ object EtlQueries {
       ZOrderTable.read(s, path).select("o_orderkey", "ck", "dd")
     }),
 
+    // GLOBAL dense surrogate-key assignment: every order gets its 1-based
+    // position in (o_orderdate, o_orderkey) order — the dimension-key /
+    // sample-index generator. The naive `row_number() OVER (ORDER BY …)`
+    // plans an Exchange SinglePartition (one task sorts the whole table
+    // — at 100 TB it never finishes); this is Rank's two-level
+    // construction with one implicit group: range exchange + tiny
+    // offset broadcast + per-physical-partition local rank. RankSpec
+    // asserts the plan carries NO SinglePartition exchange
+    "etl_dense_ids" -> ((s, d) =>
+      graft.operators.Rank.withGlobalIds(
+          t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          orderCols = Seq("o_orderdate", "o_orderkey"))
+        .select(col("sid"), col("o_orderkey"))),
+
     // single-pass data profiling: per column n/nulls/distinct-est/min/max
     // — one multi-aggregate scan for the basics, one KMV-sketch pass for
     // distincts (EXACT below 256 — the enum columns a profiler most
@@ -629,6 +643,13 @@ object EtlQueries {
     })
 
   val oracle: Map[String, String] = Map(
+    // the two-level construction must equal the naive global row_number
+    // exactly — (o_orderdate, o_orderkey) is unique, so the mapping is
+    // fully deterministic
+    "etl_dense_ids" ->
+      """SELECT row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS sid,
+                o_orderkey
+         FROM orders""",
     // the original table: the hash passes iff the JSONL round-trip
     // reproduced every value, text bytes included
     "etl_jsonl_roundtrip" ->

@@ -211,6 +211,19 @@ object SimQueries {
         e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid"), "cid")
     }),
 
+    // kNN GRAPH: every vector's 5 nearest neighbors, candidates blocked
+    // by IVF clusters (home-cluster index ⋈ 2-probe query side — both
+    // sides assigned by zero-shuffle broadcast folds; candidate mass
+    // ≈ n·nProbe/K of the n² grid, never a cartesian). The primitive
+    // under SemDeDup, graph clustering, and ANN-graph construction;
+    // KnnGraphSpec proves probing all K clusters ≡ brute-force kNN
+    "sim_knn_graph" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.knnGraph(e, "embedding", "vec_id",
+        e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid"), "cid",
+        k = 5, nProbe = 2)
+    }),
+
     // int8 scalar quantization: deterministic per-dim codebook, per-row
     // encode, output checksummed per vector
     "sim_quantize" -> ((s, d) => {
@@ -1080,6 +1093,33 @@ object SimQueries {
               FROM n a CROSS JOIN c)
           SELECT vec_id, centroid_id, sim FROM scored
           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1""",
+    // the same blocking replayed: home assignment (rn=1), 2-probe query
+    // side (rn<=2), equi-join on cluster, exact cosine, per-point top-5
+    "sim_knn_graph" ->
+      s"""WITH n AS (${normed(vecs)}),
+            c AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 8),
+            scored AS (
+              SELECT a.vec_id, c.centroid_id,
+                     round(${fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * c.v[CAST(i AS INT)])")} / (a.nrm * c.nrm), 6) AS sim
+              FROM n a CROSS JOIN c),
+            assigned AS (
+              SELECT vec_id, centroid_id FROM scored
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1),
+            probes AS (
+              SELECT vec_id, centroid_id FROM scored
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) <= 2),
+            cand AS (
+              SELECT p.vec_id, ix.vec_id AS nbr_id,
+                     round($pairDot / (a.nrm * b.nrm), 6) AS cosine
+              FROM probes p
+              JOIN assigned ix ON ix.centroid_id = p.centroid_id
+                               AND ix.vec_id <> p.vec_id
+              JOIN n a ON a.vec_id = p.vec_id
+              JOIN n b ON b.vec_id = ix.vec_id)
+          SELECT vec_id, nbr_id, cosine,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rank
+          FROM cand
+          QUALIFY rank <= 5""",
     "sim_quantize" ->
       s"""WITH x AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
                      FROM embeddings),

@@ -142,6 +142,35 @@ object StreamQueries {
           round((col("cents").cast("double") - col("mean")) / col("std"), 6).as("z"))
     }),
 
+    // STREAMING MERGE INTO — CDC apply as incremental maintenance: the
+    // change feed arrives in seq-ordered micro-batches and each batch
+    // merges into the current state with the SAME Cdc.applyLog the
+    // batch path uses. Latest-wins is closed under seq-ordered batch
+    // slicing (a later batch's entries always outrank an earlier
+    // batch's), so N incremental merges ≡ one full-log apply — which is
+    // exactly what the oracle computes. Deletes drop even seeded base
+    // keys; a later insert resurrects them. The live foreachBatch form
+    // + crash-redelivery idempotence is spec-driven in StreamSpec
+    "stream_cdc_apply" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = t(s, d, "events")
+      val log = ev.select(col("user_id"), col("event_id"),
+        when(col("event_type") === "error", "D")
+          .when(col("event_type") === "signup", "I")
+          .otherwise("U").as("op"),
+        cents(col("value")).as("value_cents"))
+      val base = ev.select(col("user_id")).distinct()
+        .filter(col("user_id") % 4 === 0)
+        .withColumn("value_cents", lit(0L))
+      val batches = Seq(
+        log.filter(col("event_id") < 3000),
+        log.filter(col("event_id") >= 3000 && col("event_id") < 6000),
+        log.filter(col("event_id") >= 6000))
+      batches.foldLeft(base)((cur, b) =>
+        graft.etl.Cdc.applyLog(cur, b, keys = Seq("user_id"),
+          seqCol = "event_id", opCol = "op", attrs = Seq("value_cents")))
+    }),
+
     // click→purchase correlation: the batch form of the stream-stream
     // watermarked join (identical column logic on both paths)
     "stream_stream_join" -> ((s, d) => {
@@ -253,6 +282,24 @@ object StreamQueries {
                      ON e.user_id = v.user_id AND e.t >= v.valid_from)
          SELECT tier, event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
          FROM enr GROUP BY 1, 2""",
+    // one-shot latest-per-key apply over the FULL log — what the three
+    // seq-ordered incremental merges must equal exactly
+    "stream_cdc_apply" ->
+      """WITH log AS (SELECT user_id, event_id,
+                             CASE WHEN event_type = 'error' THEN 'D'
+                                  WHEN event_type = 'signup' THEN 'I'
+                                  ELSE 'U' END AS op,
+                             CAST(round(value*100) AS BIGINT) AS vc
+                      FROM events),
+           last AS (SELECT user_id, op, vc FROM log
+                    QUALIFY row_number() OVER (PARTITION BY user_id
+                                               ORDER BY event_id DESC) = 1),
+           base AS (SELECT DISTINCT user_id, CAST(0 AS BIGINT) AS vc
+                    FROM events WHERE user_id % 4 = 0)
+         SELECT coalesce(b.user_id, l.user_id) AS user_id,
+                CASE WHEN l.user_id IS NOT NULL THEN l.vc ELSE b.vc END AS value_cents
+         FROM base b FULL OUTER JOIN last l ON b.user_id = l.user_id
+         WHERE l.op IS NULL OR l.op <> 'D'""",
     "stream_stream_join" ->
       """SELECT c.user_id, count(*) AS n_pairs
          FROM (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click') c

@@ -339,6 +339,29 @@ object TextQueries {
         piiCount(synth).as("n_pii"))
     }),
 
+    // k-ANONYMOUS RELEASE — ta_redact_pii's structured twin: PII regexes
+    // scrub direct identifiers, but QUASI-identifier combinations
+    // (nation × market segment here) re-identify through linkage; a
+    // training-data release keeps a QI combo verbatim only when at
+    // least k = 4 records share it, else generalizes it to '*' (the
+    // suppressed rows collapse into one residual class, flagged).
+    // Plan: QI-class sizes are ONE map-side-partial aggregate bounded
+    // by QI cardinality (never corpus rows), broadcast back — the
+    // corpus itself is a single scan with no Exchange at any scale.
+    // TextSimSpec asserts the hard guarantee: every released
+    // non-residual class has >= k members
+    "ta_k_anonymize" -> ((s, d) => {
+      val k = 4
+      val cust = t(s, d, "customer").select(col("c_custkey"),
+        col("c_nationkey").cast("string").as("nat"), col("c_mktsegment").as("seg"))
+      val classes = cust.groupBy("nat", "seg").agg(count(lit(1)).as("n_qi"))
+      cust.join(broadcast(classes), Seq("nat", "seg"))
+        .select(col("c_custkey"),
+          when(col("n_qi") >= k, col("nat")).otherwise(lit("*")).as("nat_q"),
+          when(col("n_qi") >= k, col("seg")).otherwise(lit("*")).as("seg_q"),
+          (col("n_qi") < k).as("suppressed"))
+    }),
+
     // the complete corpus-dedup pipeline: near-dup pairs -> clusters ->
     // one representative kept per cluster (plus all unpaired docs);
     // consumes the SAME shared labeling dedup_components produced
@@ -784,6 +807,46 @@ object TextQueries {
             (col("n_docs").cast("double") / col("df").cast("double")), 6).as("score"))
         .withColumn("rank", row_number().over(wTop))
         .filter(col("rank") <= 3)
+    }),
+
+    // BM25 top-10 retrieval for a 3-term query — the lexical ranking
+    // half of hybrid search (sim_hybrid_search ranks the vector half).
+    // Okapi BM25 with k1=1.2, b=0.75, idf kept as the RAW odds ratio
+    // (N−df+0.5)/(df+0.5) — ln() is monotone, so ranking is unchanged
+    // and the score stays transcendental-free (the ta_rarity_score /
+    // ta_tfidf_terms exactness rule). Plan: term filter BEFORE the
+    // tf aggregate (only query-term postings ever shuffle — at 100 TB
+    // the posting mass is terms-selectivity-bounded, never corpus-
+    // bounded), df from those same rows, corpus stats one tiny
+    // aggregate broadcast back. Per-doc term contributions fold in
+    // sorted term order (sequential `aggregate` ≡ DuckDB list_reduce,
+    // bit-identical — the repo's double-sum rule); top-10 is
+    // TakeOrderedAndProject, never a global sort
+    "ta_bm25" -> ((s, d) => {
+      val qTerms = Seq("dup", "vector", "scan")
+      val docs = t(s, d, "documents")
+      val words = split(col("text"), " ")
+      val tf = docs
+        .select(col("doc_id"), size(words).as("dl"), explode(words).as("term"))
+        .filter(col("term").isin(qTerms: _*))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(words)).as("sum_dl"))
+      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+      val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+      val contrib = idf * (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+      tf.join(broadcast(dfr), "term").crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("term"), contrib.as("contrib"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          aggregate(array_sort(collect_list(struct(col("term"), col("contrib")))),
+            lit(0.0d), (a, x) => a + x.getField("contrib")).as("raw"))
+        .select(col("doc_id"), col("n_terms"), round(col("raw"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
     }),
 
     "ta_normalize" -> ((s, d) =>
@@ -1572,6 +1635,18 @@ object TextQueries {
                  CAST($counts AS INT) AS n_pii
           FROM b"""
     },
+    // the class sizes replayed as a window count; same >= k gate
+    "ta_k_anonymize" ->
+      """WITH c AS (SELECT c_custkey,
+                           CAST(c_nationkey AS VARCHAR) AS nat,
+                           c_mktsegment AS seg,
+                           count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n_qi
+                    FROM customer)
+         SELECT c_custkey,
+                CASE WHEN n_qi >= 4 THEN nat ELSE '*' END AS nat_q,
+                CASE WHEN n_qi >= 4 THEN seg ELSE '*' END AS seg_q,
+                n_qi < 4 AS suppressed
+         FROM c""",
     "dedup_keep_representatives" ->
       s"""WITH RECURSIVE $duckNgramCtes,
             p AS (SELECT id_a, id_b FROM (
@@ -1944,6 +2019,34 @@ object TextQueries {
                               (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score
                  FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN nd))
          WHERE rank <= 3""",
+    // the same BM25 replayed: filtered postings, raw-odds idf, the exact
+    // double expression shape, per-doc fold in sorted term order
+    "ta_bm25" ->
+      """WITH toks AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                              unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+           tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks
+                  WHERE term IN ('dup', 'vector', 'scan')
+                  GROUP BY 1, 2, 3),
+           dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           st AS (SELECT count(*) AS n_docs,
+                         sum(len(string_split(text, ' '))) AS sum_dl
+                  FROM documents),
+           contribs AS (
+             SELECT tf.doc_id, tf.term,
+                    (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+                      (CAST(df AS DOUBLE) + 0.5) *
+                      (CAST(tf AS DOUBLE) * 2.2) /
+                      (CAST(tf AS DOUBLE) +
+                       1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+                         (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS contrib
+             FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN st)
+         SELECT doc_id, n_terms, score FROM (
+           SELECT doc_id, count(*) AS n_terms,
+                  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                          list(contrib ORDER BY term)), (a, b) -> a + b), 6) AS score
+           FROM contribs GROUP BY doc_id)
+         QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10""",
     "ta_normalize" ->
       """SELECT doc_id,
                 md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,

@@ -126,6 +126,40 @@ class RankSpec extends SparkSpec {
     assert(out === naive)
   }
 
+  test("withGlobalIds equals the naive global row_number (unique order)") {
+    val df = randomRows(5000, 4, 50).toDF("id", "grp", "v")
+      .repartition(13) // arbitrary physical layout — ids must not care
+    val got = graft.operators.Rank.withGlobalIds(df, Seq("v", "id"), "sid")
+      .select("id", "grp", "v", "sid")
+    val naive = df
+      .withColumn("sid", row_number().over(Window.orderBy($"v", $"id")).cast("long"))
+      .select("id", "grp", "v", "sid")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("withGlobalIds: ids are dense 1..n and the reserved-column guard holds") {
+    val df = randomRows(1000, 3, 20).toDF("id", "grp", "v")
+    val ids = graft.operators.Rank.withGlobalIds(df, Seq("v", "id"), "sid")
+      .select($"sid".as[Long]).collect().sorted
+    assert(ids.toSeq == (1L to 1000L))
+    val bad = Seq((1L, "g", 1L)).toDF("__gall", "grp", "v")
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Rank.withGlobalIds(bad, Seq("v"))
+    }
+  }
+
+  test("etl_dense_ids plan: no SinglePartition exchange anywhere") {
+    withAqeOff {
+      val plan = q("etl_dense_ids").queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"),
+        "dense-id plan funnels the table through one task")
+      // the naive form DOES plan one — the thing the operator avoids
+      val naive = spark.read.parquet(s"$sf/orders.parquet")
+        .withColumn("sid", row_number().over(Window.orderBy($"o_orderdate", $"o_orderkey")))
+      assert(naive.queryExecution.executedPlan.toString.contains("SinglePartition"))
+    }
+  }
+
   test("ana_median_by_group equals Spark's exact percentile aggregate") {
     val out = q("ana_median_by_group").as[(String, Long, Double)]
       .collect().sortBy(_._1).toSeq

@@ -193,4 +193,45 @@ class StreamSpec extends SparkSpec {
       spark.read.parquet(s"$sf/events.parquet").count())
     assert(out.filter($"end_us" < $"start_us").isEmpty)
   }
+
+  test("streaming CDC apply: foreachBatch merges ≡ the batch key; a replayed batch is a no-op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.etl.Cdc
+    // the key's exact log, delivered as seq-ordered micro-batches
+    val log = eventsBatch.select($"user_id", $"event_id",
+        when($"event_type" === "error", "D")
+          .when($"event_type" === "signup", "I")
+          .otherwise("U").as("op"),
+        round($"value" * 100).cast("long").as("value_cents"))
+      .as[(Long, Long, String, Long)].collect().sortBy(_._2)
+    var state = eventsBatch.select($"user_id").distinct()
+      .filter($"user_id" % 4 === 0).withColumn("value_cents", lit(0L))
+      .localCheckpoint()
+    var lastBatch: org.apache.spark.sql.DataFrame = null
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, _) => {
+      val pinned = b.localCheckpoint() // micro-batch frames die with the trigger
+      lastBatch = pinned
+      state = Cdc.applyLog(state, pinned, keys = Seq("user_id"),
+        seqCol = "event_id", opCol = "op", attrs = Seq("value_cents"))
+        .localCheckpoint()
+    }
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Long)]
+    val qy = ms.toDF.toDF("user_id", "event_id", "op", "value_cents")
+      .writeStream.foreachBatch(sink).start()
+    try {
+      log.grouped(math.max(1, log.length / 3 + 1))
+        .foreach { chunk => ms.addData(chunk.toSeq); qy.processAllAvailable() }
+    } finally qy.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().sorted.toSeq
+    val want = rows(q("stream_cdc_apply"))
+    assert(rows(state) === want, "incremental foreachBatch merges must equal the batch key")
+    assert(want.nonEmpty)
+    // REDELIVERY: foreachBatch replays the last micro-batch after a
+    // crash — latest-wins makes the merge idempotent, state unchanged
+    val replayed = Cdc.applyLog(state, lastBatch, keys = Seq("user_id"),
+      seqCol = "event_id", opCol = "op", attrs = Seq("value_cents"))
+    assert(rows(replayed) === want, "a replayed batch must not move the state")
+  }
 }

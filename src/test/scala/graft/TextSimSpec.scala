@@ -419,6 +419,52 @@ class TextSimSpec extends SparkSpec {
     assert(top === dupDocs)
   }
 
+  test("BM25 top-10 equals an independent Scala replay, bit for bit") {
+    val qTerms = Seq("dup", "vector", "scan")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // -1 limit mirrors Spark's split(): trailing empty tokens survive
+    val toks = docs.map { case (id, t) => (id, t.split(" ", -1)) }
+    val nDocs = docs.length.toDouble
+    val avgdl = toks.map(_._2.length.toLong).sum.toDouble / nDocs
+    val dfm = qTerms.map(t => t -> toks.count(_._2.contains(t)).toDouble).toMap
+    val expected = toks.flatMap { case (id, ws) =>
+      val dl = ws.length.toDouble
+      // sorted term order = the query's array_sort fold order
+      val contribs = qTerms.sorted.flatMap { term =>
+        val tf = ws.count(_ == term).toDouble
+        if (tf == 0) None
+        else Some((nDocs - dfm(term) + 0.5) / (dfm(term) + 0.5) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+      }
+      if (contribs.isEmpty) None
+      else Some((id, contribs.size.toLong,
+        BigDecimal(contribs.foldLeft(0.0)(_ + _))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.sortBy { case (id, _, sc) => (-sc, id) }.take(10).toSeq
+    val got = q("ta_bm25").as[(Long, Long, Double)].collect().toSeq
+    assert(expected.nonEmpty)
+    assert(got === expected)
+  }
+
+  test("k-anonymous release: every non-residual class >= k, flags honest, nothing lost") {
+    val out = q("ta_k_anonymize").cache()
+    val total = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(out.count() === total, "a release must account for every record")
+    // the hard guarantee: no released (non-residual) class under k=4
+    val classes = out.filter($"nat_q" =!= "*")
+      .groupBy("nat_q", "seg_q").agg(count(lit(1)).as("n"))
+    assert(classes.filter($"n" < 4).isEmpty,
+      "released QI class under k — the release is re-identifiable")
+    // flags agree with the generalization: suppressed iff both QIs are '*'
+    assert(out.filter($"suppressed" =!=
+      ($"nat_q" === "*" && $"seg_q" === "*")).isEmpty)
+    // both branches fire at this scale (classes of 4..6 exist among 150
+    // customers × 125 combos) — a one-sided fixture would prove nothing
+    assert(out.filter($"suppressed").count() > 0)
+    assert(out.filter(!$"suppressed").count() > 0)
+  }
+
   test("semantic dedup keeps the most atypical member of a near-dup group") {
     // hand-assigned cluster: ids 1/2 are near-identical (cos ~0.99995);
     // id 1 sits closer to its centroid (sim 0.99 vs 0.9), so SemDeDup's
