@@ -666,6 +666,55 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** One NN-DESCENT refinement round over a kNN graph — the standard
+    * recall-repair step after blocked construction (Dong et al.'s
+    * NN-Descent insight, public since WWW'11: a neighbor's neighbor is
+    * likely a neighbor): candidates = the graph's edges, their REVERSALS,
+    * and all two-hop pairs; rescore exactly; keep top-k per point.
+    *
+    * Monotone by construction — every current neighbor stays a candidate,
+    * so per-point recall never decreases, and refining an already-exact
+    * graph is a fixed point (both spec-proven). Candidate volume is
+    * n·k(k+2) rows before the distinct — k²-bounded per point, linear in
+    * corpus size, never a cartesian; the rescore is two hash joins
+    * against the vector table (id-keyed, co-partitionable with a stored
+    * corpus at scale).
+    *
+    * `graph` must be (idCol, nbr_id, …) shaped — [[knnGraph]]'s output.
+    * Repeated rounds converge like the public algorithm; each is one call. */
+  def knnRefine(graph: DataFrame, df: DataFrame, vecCol: String,
+                idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"knnRefine: k must be >= 1, got $k")
+    require(graph.columns.contains(idCol) && graph.columns.contains("nbr_id"),
+      s"knnRefine: graph needs ($idCol, nbr_id); got: ${graph.columns.mkString(", ")}")
+    // pin the edge set ONCE: it is consumed three times (direct, reversed,
+    // and both sides of the two-hop self-join) and Spark re-evaluates the
+    // whole upstream graph plan per consumption otherwise (measured 3×
+    // the graph build per refine). The checkpoint is two longs × n·k —
+    // routing-metadata-sized, the same materialization rationale as
+    // Components' label frame; it lives until the app releases blocks
+    val edges = graph.select(col(idCol).as("src"), col("nbr_id").as("cand"))
+      .localCheckpoint()
+    val twoHop = edges.as("e1")
+      .join(edges.as("e2"), col("e1.cand") === col("e2.src"))
+      .select(col("e1.src").as("src"), col("e2.cand").as("cand"))
+    val cands = edges
+      .unionByName(edges.select(col("cand").as("src"), col("src").as("cand")))
+      .unionByName(twoHop)
+      .filter(col("src") =!= col("cand"))
+      .distinct()
+    val v = df.select(col(idCol).as("__vid"), asDouble(col(vecCol)).as("__vv"))
+    cands
+      .join(v, col("src") === col("__vid")).withColumnRenamed("__vv", "sv").drop("__vid")
+      .join(v, col("cand") === col("__vid")).withColumnRenamed("__vv", "cv").drop("__vid")
+      .select(col("src").as(idCol), col("cand").as("nbr_id"),
+        round(cosine(col("sv"), col("cv")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("cosine").desc, col("nbr_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Angular SAFETY PAD (radians) added to every cluster radius and
     * subtracted from the prune bound: covers the 6-dp cosine rounding
     * and double arithmetic wobble between the radius pass and the route.

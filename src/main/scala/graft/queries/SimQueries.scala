@@ -224,6 +224,85 @@ object SimQueries {
         k = 5, nProbe = 2)
     }),
 
+    // PRICE THE GRAPH'S nProbe DIAL corpus-wide — sim_ann_recall's
+    // corpus-to-corpus twin: per sampled point (1/16 of the corpus,
+    // deterministic), hits of the 2-probe blocked graph's top-5 vs the
+    // exact self-excluded top-5. Truth is brute force by definition,
+    // but bounded: the SAMPLE rides one broadcast, scoring is map-side
+    // — sample-size × corpus work, never corpus². Explicit-zero rows
+    // for sampled points the blocked graph misses entirely
+    "sim_knn_recall" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, d, "embeddings")
+      val g = Similarity.knnGraph(e, "embedding", "vec_id",
+          e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid"), "cid",
+          k = 5, nProbe = 2)
+        .filter(col("vec_id") % 16 === 0)
+        .select(col("vec_id").as("q_id"), col("nbr_id"))
+      val sample = broadcast(e.filter(col("vec_id") % 16 === 0)
+        .select(col("vec_id").as("q_id"),
+          transform(col("embedding"), _.cast("double")).as("q_v")))
+      val exact = e
+        .select(col("vec_id").as("nbr_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .crossJoin(sample)
+        .filter(col("nbr_id") =!= col("q_id"))
+        .select(col("q_id"), col("nbr_id"),
+          round(Similarity.cosine(col("v"), col("q_v")), 6).as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id"))))
+        .filter(col("rank") <= 5)
+      val hits = exact.select(col("q_id"), col("nbr_id"))
+        .join(g, Seq("q_id", "nbr_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      sample.select(col("q_id")).join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / 5, 6).as("recall"))
+    }),
+
+    // MUTUAL-kNN CLUSTERING — corpus structure discovery over the graph:
+    // keep only reciprocated edges (a lists b AND b lists a — the
+    // public mutual-kNN rule that strips hub-induced false links), then
+    // transitive closure via the shared Components machinery; output =
+    // per-cluster sizes (label = min member id; unlinked points are
+    // singletons). The composition SemDeDup-style pipelines run when
+    // the pair set comes from a graph instead of a threshold
+    "sim_knn_components" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val g = Similarity.knnGraph(e, "embedding", "vec_id",
+        e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid"), "cid",
+        k = 5, nProbe = 2)
+      // mutuality as ONE keyed aggregate over the normalized pair key —
+      // a self-join would re-evaluate the whole graph for its second
+      // side (Spark doesn't dedup common subplans) and shuffle
+      // graph-against-graph instead of one map-side-combined hash agg
+      val mutual = g
+        .select(least(col("vec_id"), col("nbr_id")).as("a"),
+          greatest(col("vec_id"), col("nbr_id")).as("b"),
+          (col("vec_id") < col("nbr_id")).as("fwd"))
+        .groupBy("a", "b").agg(countDistinct(col("fwd")).as("nd"))
+        .filter(col("nd") === 2).select("a", "b")
+      val labels = graft.operators.Components.connectedComponents(mutual, "a", "b")
+      e.select(col("vec_id"))
+        .join(labels, col("vec_id") === col("id"), "left")
+        .select(coalesce(col("comp"), col("vec_id")).as("cluster"))
+        .groupBy("cluster").agg(count(lit(1)).as("n_members"))
+    }),
+
+    // one NN-DESCENT round over that graph: candidates = edges ∪
+    // reversals ∪ two-hop pairs, exact rescore, top-5 kept — the
+    // standard recall-repair step after blocked construction (recall
+    // is monotone: every current neighbor stays a candidate; an exact
+    // graph is a fixed point — both spec-proven in KnnGraphSpec).
+    // Candidate mass is k²-bounded per point, linear in corpus size
+    "sim_knn_refine" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val base = Similarity.knnGraph(e, "embedding", "vec_id",
+        e.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "cid"), "cid",
+        k = 5, nProbe = 2)
+      Similarity.knnRefine(base, e, "embedding", "vec_id", k = 5)
+    }),
+
     // int8 scalar quantization: deterministic per-dim codebook, per-row
     // encode, output checksummed per vector
     "sim_quantize" -> ((s, d) => {
@@ -761,6 +840,10 @@ object SimQueries {
   private val pairDot =
     fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)])")
 
+  /** [[pairDot]] over (b = corpus row, q = query row) aliases. */
+  private val pairDot2 =
+    fold("list_transform(range(1, len(b.v)+1), i -> b.v[CAST(i AS INT)] * q.v[CAST(i AS INT)])")
+
   /** One unrolled Lloyd's iteration as chained CTEs: assign every vector
     * to its nearest `prev` centroid (rounded cosine, lowest-cid tiebreak —
     * ivfAssign's fold order), then 6-dp-rounded per-dim means become
@@ -805,6 +888,31 @@ object SimQueries {
 
   /** ANN probe-2 top-10 oracle, parameterized by the query row id —
     * shared by the raw-corpus and prebuilt-store forms. */
+  /** Shared base-graph CTEs for the kNN-graph family: home assignment
+    * (rn=1), 2-probe query side (rn<=2), equi-join on cluster, exact
+    * cosine — ends at the `cand` CTE so consumers rank or expand it. */
+  private val knnGraphCtes: String =
+    s"""WITH n AS (${normed(vecs)}),
+            c AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 8),
+            scored AS (
+              SELECT a.vec_id, c.centroid_id,
+                     round(${fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * c.v[CAST(i AS INT)])")} / (a.nrm * c.nrm), 6) AS sim
+              FROM n a CROSS JOIN c),
+            assigned AS (
+              SELECT vec_id, centroid_id FROM scored
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1),
+            probes AS (
+              SELECT vec_id, centroid_id FROM scored
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) <= 2),
+            cand AS (
+              SELECT p.vec_id, ix.vec_id AS nbr_id,
+                     round($pairDot / (a.nrm * b.nrm), 6) AS cosine
+              FROM probes p
+              JOIN assigned ix ON ix.centroid_id = p.centroid_id
+                               AND ix.vec_id <> p.vec_id
+              JOIN n a ON a.vec_id = p.vec_id
+              JOIN n b ON b.vec_id = ix.vec_id)"""
+
   private def annSearchSql(qid: Int, corpusWhere: String = "TRUE"): String =
     s"""WITH n AS (${normed(vecs)}),
           c AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 8),
@@ -1096,29 +1204,76 @@ object SimQueries {
     // the same blocking replayed: home assignment (rn=1), 2-probe query
     // side (rn<=2), equi-join on cluster, exact cosine, per-point top-5
     "sim_knn_graph" ->
-      s"""WITH n AS (${normed(vecs)}),
-            c AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 8),
-            scored AS (
-              SELECT a.vec_id, c.centroid_id,
-                     round(${fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * c.v[CAST(i AS INT)])")} / (a.nrm * c.nrm), 6) AS sim
-              FROM n a CROSS JOIN c),
-            assigned AS (
-              SELECT vec_id, centroid_id FROM scored
-              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1),
-            probes AS (
-              SELECT vec_id, centroid_id FROM scored
-              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) <= 2),
-            cand AS (
-              SELECT p.vec_id, ix.vec_id AS nbr_id,
-                     round($pairDot / (a.nrm * b.nrm), 6) AS cosine
-              FROM probes p
-              JOIN assigned ix ON ix.centroid_id = p.centroid_id
-                               AND ix.vec_id <> p.vec_id
-              JOIN n a ON a.vec_id = p.vec_id
-              JOIN n b ON b.vec_id = ix.vec_id)
+      s"""$knnGraphCtes
           SELECT vec_id, nbr_id, cosine,
                  row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rank
           FROM cand
+          QUALIFY rank <= 5""",
+    // blocked-graph hits vs brute-force self-excluded top-5 for the
+    // sampled points; explicit-zero rows kept via the left join
+    "sim_knn_recall" ->
+      s"""$knnGraphCtes,
+            g AS (SELECT vec_id AS q_id, nbr_id FROM (
+                    SELECT vec_id, nbr_id,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rank
+                    FROM cand) WHERE rank <= 5 AND vec_id % 16 = 0),
+            q AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id % 16 = 0),
+            ex AS (SELECT q_id, nbr_id FROM (
+                     SELECT q.q_id, b.vec_id AS nbr_id,
+                            row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY round($pairDot2 / (b.nrm * q.nrm), 6) DESC, b.vec_id) AS rank
+                     FROM q JOIN n b ON b.vec_id <> q.q_id) WHERE rank <= 5),
+            hits AS (SELECT ex.q_id, count(g.nbr_id) AS n_hit
+                     FROM ex LEFT JOIN g ON g.q_id = ex.q_id AND g.nbr_id = ex.nbr_id
+                     GROUP BY ex.q_id)
+          SELECT q.q_id, coalesce(h.n_hit, 0) AS n_hit,
+                 round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5, 6) AS recall
+          FROM q LEFT JOIN hits h ON h.q_id = q.q_id""",
+    // mutual edges + recursive closure + sizes; isolated points label
+    // as themselves through the node seed
+    "sim_knn_components" ->
+      s"""${knnGraphCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+            g AS (SELECT vec_id, nbr_id FROM (
+                    SELECT vec_id, nbr_id,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rank
+                    FROM cand) WHERE rank <= 5),
+            mu AS (SELECT x.vec_id AS a, x.nbr_id AS b
+                   FROM g x JOIN g y ON x.vec_id = y.nbr_id AND x.nbr_id = y.vec_id
+                   WHERE x.vec_id < x.nbr_id),
+            sym AS (SELECT a, b FROM mu UNION SELECT b, a FROM mu),
+            nodes AS (SELECT vec_id AS id FROM embeddings),
+            walk(id, comp) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.id),
+            lbl AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+          SELECT comp AS cluster, count(*) AS n_members FROM lbl GROUP BY comp""",
+    // the NN-descent round replayed: the SAME base-graph CTEs, then
+    // edges ∪ reversals ∪ two-hop (UNION dedups; two-hop can return to
+    // self — filtered, exactly as the operator does), exact rescore,
+    // per-point top-5
+    "sim_knn_refine" ->
+      s"""$knnGraphCtes,
+            base AS (
+              SELECT vec_id, nbr_id FROM (
+                SELECT vec_id, nbr_id,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rank
+                FROM cand) WHERE rank <= 5),
+            edges AS (SELECT vec_id AS src, nbr_id AS dst FROM base),
+            cset AS (
+              SELECT src, dst FROM edges
+              UNION SELECT dst, src FROM edges
+              UNION SELECT e1.src, e2.dst FROM edges e1 JOIN edges e2 ON e1.dst = e2.src),
+            cfil AS (SELECT src, dst FROM cset WHERE src <> dst),
+            rescored AS (
+              SELECT f.src AS vec_id, f.dst AS nbr_id,
+                     round($pairDot / (a.nrm * b.nrm), 6) AS cosine
+              FROM cfil f
+              JOIN n a ON a.vec_id = f.src
+              JOIN n b ON b.vec_id = f.dst)
+          SELECT vec_id, nbr_id, cosine,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rank
+          FROM rescored
           QUALIFY rank <= 5""",
     "sim_quantize" ->
       s"""WITH x AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v

@@ -110,6 +110,75 @@ class KnnGraphSpec extends SparkSpec {
     assert(recall >= 0.3, f"2-probe recall $recall%.3f under the chance-beating floor")
   }
 
+  test("knnRefine never loses recall and fixes an exact graph") {
+    def recall(g: org.apache.spark.sql.DataFrame): Double = {
+      val hit = brute.select(col("vec_id"), col("nbr_id"))
+        .join(g.select(col("vec_id"), col("nbr_id")), Seq("vec_id", "nbr_id"), "left_semi")
+        .count()
+      hit.toDouble / brute.count()
+    }
+    val base = Similarity.knnGraph(emb, "embedding", "vec_id", cents, "cid",
+      k = K, nProbe = 2).localCheckpoint()
+    val refined = Similarity.knnRefine(base, emb, "embedding", "vec_id", K)
+      .localCheckpoint()
+    val (r0, r1) = (recall(base), recall(refined))
+    assert(r1 >= r0, f"refine dropped recall: $r0%.3f -> $r1%.3f")
+    assert(r1 > r0 + 0.1,
+      f"one NN-descent round should repair real recall on the 2-probe graph ($r0%.3f -> $r1%.3f)")
+    // an exact graph is a fixed point: refining brute-force kNN returns it
+    val fixed = Similarity.knnRefine(brute, emb, "embedding", "vec_id", K)
+    assert(fixed.exceptAll(brute).isEmpty && brute.exceptAll(fixed).isEmpty)
+    // structural invariants survive the expansion
+    assert(refined.filter(col("vec_id") === col("nbr_id")).isEmpty)
+    val per = refined.groupBy("vec_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("nbr_id")).as("nd"))
+    assert(per.filter(col("n") > K || col("n") =!= col("nd")).isEmpty)
+  }
+
+  test("mutual-kNN clustering recovers planted clusters exactly") {
+    // the 4-orthogonal-direction corpus again: within a cluster every
+    // point's neighbors are cluster-mates (reciprocated), across
+    // clusters cosine ≈ 0 — mutual filtering must yield exactly the 4
+    // planted components, 25 members each, labeled by min member id
+    val dirs = Seq(
+      Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0), Seq(0.0, 0.0, 0.0, 1.0))
+    val members = for {
+      (dir, c) <- dirs.zipWithIndex
+      j <- 0 until 25
+    } yield (c.toLong * 100 + j,
+      dir.zipWithIndex.map { case (x, i) => x + (((c * 31 + j * 7 + i) % 11) - 5) * 0.01 })
+    val corpus = members.toDF("vec_id", "embedding")
+    val planted = dirs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("cid", "embedding")
+    def labeledAt(k: Int): Seq[(Long, Long)] = { // (vec_id, cluster)
+      val g = Similarity.knnGraph(corpus, "embedding", "vec_id", planted, "cid",
+        k = k, nProbe = 1)
+      val fwd = g.select(col("vec_id").as("a"), col("nbr_id").as("b"))
+      val mutual = fwd
+        .join(fwd.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "left_semi")
+        .filter(col("a") < col("b"))
+      val labels = graft.operators.Components.connectedComponents(mutual, "a", "b")
+      corpus.select(col("vec_id"))
+        .join(labels, col("vec_id") === col("id"), "left")
+        .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("cluster"))
+        .as[(Long, Long)].collect().toSeq
+    }
+    // k = cluster size − 1: every member's top-24 IS its 24 cluster-mates
+    // (within ≈ 1 vs cross ≈ 0), all edges reciprocate → exact recovery
+    val exact24 = labeledAt(24).groupBy(_._2).view.mapValues(_.size).toMap
+    assert(exact24 === Map(0L -> 25, 100L -> 25, 200L -> 25, 300L -> 25))
+    // at small k mutual-kNN legitimately FRAGMENTS a cluster (peripheral
+    // points list hubs, hubs don't list back — the rule's hub-stripping
+    // point), but no component may ever SPAN two planted clusters
+    val frag = labeledAt(5)
+    assert(frag.size === 100)
+    frag.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.map(_._1 / 100).distinct.size === 1,
+        s"component $label spans planted clusters: ${members.map(_._1).sorted}")
+    }
+  }
+
   test("knnGraph rejects k < 1 and ivfProbes rejects nProbe < 1") {
     assertThrows[IllegalArgumentException] {
       Similarity.knnGraph(emb, "embedding", "vec_id", cents, "cid", k = 0, nProbe = 1)
