@@ -399,6 +399,20 @@ object EtlQueries {
     // distincts (EXACT below 256 — the enum columns a profiler most
     // needs right; ~6% RSE above). String forms follow the repo's
     // cross-engine rules (cents for money, formatted dates)
+    // UNPIVOT (melt): wide attribute columns to (key, attr, value) long
+    // form — the inverse of q_pivot and the reshape every profiler,
+    // quality gate, and EAV store load starts from. Native
+    // `Dataset.unpivot` (Catalyst Expand: each row emits its attr rows
+    // map-side — zero shuffle, no per-attr rescans; a UNION ALL of N
+    // selects would scan the table N times). Values share one type by
+    // contract: cents/size cast to bigint before the melt
+    "etl_unpivot" -> ((s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"), col("p_size").cast("bigint").as("size"),
+          cents(col("p_retailprice")).as("price_cents"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size"), col("price_cents")), "attr", "value")),
+
     "etl_profile" -> ((s, d) => {
       import graft.etl.Profile.ColumnSpec
       val o = t(s, d, "orders")
@@ -643,6 +657,12 @@ object EtlQueries {
     })
 
   val oracle: Map[String, String] = Map(
+    // the melt replayed as the N-scan UNION ALL the operator avoids
+    "etl_unpivot" ->
+      """SELECT p_partkey, 'size' AS attr, CAST(p_size AS BIGINT) AS value FROM part
+         UNION ALL
+         SELECT p_partkey, 'price_cents',
+                CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) FROM part""",
     // the two-level construction must equal the naive global row_number
     // exactly — (o_orderdate, o_orderkey) is unique, so the mapping is
     // fully deterministic

@@ -111,6 +111,33 @@ object RelationalQueries {
           money(sum(col("pc")).over(w)).as("trailing_90d"))
     }),
 
+    // NTILE(4) quartile assignment per priority class — WITHOUT the
+    // per-group single-reducer sort `ntile() OVER (PARTITION BY pr)`
+    // plans (the q_percentiles scale-killer): global per-group rank
+    // comes from Rank's two-level construction, then NTILE's exact
+    // tile rule is pure integer arithmetic on (rank, n) — the first
+    // n%4 tiles take ceil(n/4) rows, the rest floor(n/4). ceil is
+    // floor((a+b−1)/b): exact for these magnitudes and identical to
+    // DuckDB's native ntile, which the oracle uses
+    "q_ntile" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderpriority").as("pr"),
+        cents(col("o_totalprice")).as("vc"), col("o_orderkey"))
+      val ranked = graft.operators.Rank.withGroupRank(o, Seq("pr"), "vc",
+        tiebreakCols = Seq("o_orderkey"))
+      def ceilDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        floor((a + b - lit(1)) / b).cast("bigint")
+      val q = floor(col("n") / 4).cast("bigint")
+      val m = col("n") % 4
+      val cut = m * (q + lit(1))
+      val tile = when(col("rank") <= cut, ceilDiv(col("rank"), q + lit(1)))
+        .otherwise(m + ceilDiv(col("rank") - cut, greatest(q, lit(1))))
+      ranked.withColumn("quartile", tile)
+        .groupBy("pr", "quartile")
+        .agg(count(lit(1)).as("n_orders"),
+          money(min(col("vc"))).as("min_price"),
+          money(max(col("vc"))).as("max_price"))
+    }),
+
     // top-k per group without global sort
     "q_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("price_c").desc, col("o_orderkey"))
@@ -963,6 +990,18 @@ object RelationalQueries {
                                    ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS rnk
          FROM orders
          QUALIFY rnk <= 3""",
+    // native ntile(4) — must equal the two-level rank + integer tile rule
+    "q_ntile" ->
+      """WITH r AS (SELECT o_orderpriority AS pr,
+                           CAST(round(o_totalprice*100) AS BIGINT) AS vc,
+                           ntile(4) OVER (PARTITION BY o_orderpriority
+                                          ORDER BY CAST(round(o_totalprice*100) AS BIGINT),
+                                                   o_orderkey) AS quartile
+                    FROM orders)
+         SELECT pr, CAST(quartile AS BIGINT) AS quartile, count(*) AS n_orders,
+                CAST(min(vc) AS DOUBLE)/100.0 AS min_price,
+                CAST(max(vc) AS DOUBLE)/100.0 AS max_price
+         FROM r GROUP BY 1, 2""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,

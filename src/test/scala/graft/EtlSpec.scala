@@ -110,4 +110,26 @@ class EtlSpec extends SparkSpec {
     val total = spark.read.parquet(s"$sf/orders.parquet").count()
     assert(n1 + n2 === total)
   }
+
+  test("etl_unpivot: every key emits one row per attr, values round-trip, plan is Expand not Union") {
+    import org.apache.spark.sql.functions._
+    val out = q("etl_unpivot").cache()
+    val nParts = spark.read.parquet(s"$sf/part.parquet").count()
+    assert(out.count() === nParts * 2, "one row per (key, attr)")
+    val perKey = out.groupBy("p_partkey")
+      .agg(countDistinct(col("attr")).as("na"), count(lit(1)).as("n"))
+    assert(perKey.filter(col("na") =!= 2 || col("n") =!= 2).isEmpty)
+    // values survive the melt: re-pivot the size attr and compare
+    val sizes = out.filter(col("attr") === "size")
+      .select(col("p_partkey"), col("value"))
+    val orig = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey"), col("p_size").cast("bigint").as("value"))
+    assert(sizes.exceptAll(orig).isEmpty && orig.exceptAll(sizes).isEmpty)
+    // ONE scan: the native unpivot plans an Expand; a UNION of N selects
+    // would scan the parquet N times
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), "native unpivot should plan an Expand")
+    assert(!plan.contains("Union"), "melt must not degrade to a multi-scan union")
+    out.unpersist()
+  }
 }

@@ -160,6 +160,28 @@ class RankSpec extends SparkSpec {
     }
   }
 
+  test("q_ntile equals the naive ntile window, and its plan avoids the per-group sort") {
+    withAqeOff {
+      val out = q("q_ntile")
+      val naive = spark.read.parquet(s"$sf/orders.parquet")
+        .select($"o_orderpriority".as("pr"),
+          round($"o_totalprice" * 100).cast("bigint").as("vc"), $"o_orderkey")
+        .withColumn("quartile", ntile(4).over(
+          Window.partitionBy("pr").orderBy($"vc", $"o_orderkey")).cast("bigint"))
+        .groupBy("pr", "quartile")
+        .agg(count(lit(1)).as("n_orders"),
+          (min($"vc").cast("double") / 100.0).as("min_price"),
+          (max($"vc").cast("double") / 100.0).as("max_price"))
+      assert(out.exceptAll(naive).isEmpty && naive.exceptAll(out).isEmpty)
+      val specs = corpusWindowSpecs(out, "vc")
+      assert(specs.nonEmpty, "expected a corpus-side window (the local rank)")
+      specs.foreach { s =>
+        assert(s.exists(_.contains("__pid")),
+          s"corpus window partitioned by ${s.mkString(",")} — a per-group single-reducer sort")
+      }
+    }
+  }
+
   test("ana_median_by_group equals Spark's exact percentile aggregate") {
     val out = q("ana_median_by_group").as[(String, Long, Double)]
       .collect().sortBy(_._1).toSeq
