@@ -183,6 +183,56 @@ object AnalysisQueries {
       active.join(cohort, "user_id")
         .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("offset"))
         .agg(count_distinct(col("user_id")).as("n_users"))
+    }),
+
+    // MARKET-BASKET LIFT over (order, brand) baskets: how much more often
+    // two brands are bought together than independence predicts. The
+    // per-basket pair expansion is bounded by (distinct brands per
+    // order)² — basket size, a data constant — and every count combines
+    // map-side; the dimension join broadcasts; the grand total rides a
+    // 1-row broadcast cross join, never a driver collect. lift =
+    // N·n_ab/(n_a·n_b) is ONE double division over exact integers
+    "ana_basket_lift" -> ((s, d) => {
+      val br = t(s, d, "lineitem").select(col("l_orderkey").as("ok"), col("l_partkey"))
+        .join(broadcast(t(s, d, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("ok"), col("p_brand").as("brand")).distinct()
+      val marg = br.groupBy("brand").agg(count(lit(1)).as("n"))
+      val x = br.select(col("ok"), col("brand").as("brand_a"))
+      val y = br.select(col("ok"), col("brand").as("brand_b"))
+      val co = x.join(y, Seq("ok")).filter(col("brand_a") < col("brand_b"))
+        .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
+      val tot = br.agg(count_distinct(col("ok")).as("nt"))
+      co.join(broadcast(marg.select(col("brand").as("brand_a"), col("n").as("n_a"))), "brand_a")
+        .join(broadcast(marg.select(col("brand").as("brand_b"), col("n").as("n_b"))), "brand_b")
+        .crossJoin(broadcast(tot))
+        .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"), col("n_b"),
+          round((col("nt") * col("n_ab")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+    }),
+
+    // gap-based SESSIONIZATION (batch form of stream_sessionize): a
+    // session breaks after 30 idle minutes. Both windows (the lag
+    // change-detect and the running session index) share ONE
+    // (user, ts)-sort — a single shuffle on the entity key, per-reducer
+    // work bounded by events-per-user, the same argument Scd2.history
+    // documents; session stats then combine map-side
+    "ana_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapNs = 1800L * 1000000000L
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), cents(col("value")).as("vc"))
+        .withColumn("new_s",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            col("ts") - lag(col("ts"), 1).over(w) > lit(gapNs), 1L).otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          expr("min(ts) div 1000").as("start_us"),
+          expr("(max(ts) - min(ts)) div 1000000000").as("dur_s"),
+          money(sum(col("vc"))).as("total_value"))
     })
   )
 
@@ -272,6 +322,37 @@ object AnalysisQueries {
          SELECT c.cohort_week, a.week - c.cohort_week AS offset,
                 count(DISTINCT a.user_id) AS n_users
          FROM a JOIN c USING (user_id)
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    "ana_basket_lift" ->
+      """WITH br AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+                     FROM lineitem JOIN part ON l_partkey = p_partkey),
+           marg AS (SELECT brand, count(*) AS n FROM br GROUP BY 1),
+           co AS (SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+                  FROM br a JOIN br b ON a.ok = b.ok AND a.brand < b.brand
+                  GROUP BY 1, 2),
+           tot AS (SELECT count(DISTINCT ok) AS nt FROM br)
+         SELECT brand_a, brand_b, n_ab, ma.n AS n_a, mb.n AS n_b,
+                round(CAST(nt * n_ab AS DOUBLE) / CAST(ma.n * mb.n AS DOUBLE), 6) AS lift
+         FROM co
+         CROSS JOIN tot
+         JOIN marg ma ON ma.brand = co.brand_a
+         JOIN marg mb ON mb.brand = co.brand_b""",
+    "ana_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+                           CAST(round(value*100) AS BIGINT) AS vc
+                    FROM events),
+           m AS (SELECT *, CASE WHEN lag(tsn) OVER w IS NULL
+                                  OR tsn - lag(tsn) OVER w > 1800000000000
+                                THEN 1 ELSE 0 END AS new_s
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+           s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                            ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+                 FROM m)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                count(*) AS n_events,
+                min(tsn) // 1000 AS start_us,
+                (max(tsn) - min(tsn)) // 1000000000 AS dur_s,
+                CAST(sum(vc) AS DOUBLE)/100.0 AS total_value
+         FROM s GROUP BY 1, 2"""
   )
 }

@@ -605,8 +605,99 @@ object RelationalQueries {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),
           (sum(col("qc")).cast("double") / 100.0).as("sum_qty"))
+    }),
+
+    // TRIANGLE COUNTING on the co-purchase graph (parts co-occurring in
+    // an order) — the degree-oriented algorithm (operators/Graph): the
+    // wedge exchange is bounded by Σ outdeg² = O(m^1.5) under the
+    // low-(deg,id)→high orientation, never the naive Σ deg² a hub item
+    // would explode. Every stage is a keyed equi-join; the oracle
+    // replays the id-ordered enumeration (same triangle set — each
+    // triangle is counted exactly once under either orientation)
+    "q_triangle_count" -> ((s, d) => {
+      graft.operators.Graph.triangleCounts(copurchaseEdges(s, d, minSupport = 1))
+        .withColumnRenamed("n", "part")
+    }),
+
+    // NEIGHBORHOOD JACCARD between items of the SUPPORT-THRESHOLDED
+    // co-purchase graph: wedges grouped by the shared neighbor (cost
+    // Σ deg² of the thresholded graph — the threshold is the documented
+    // scale knob that keeps hubs out), never an all-pairs compare; the
+    // division is one double op over exact integer counts
+    "q_node_jaccard" -> ((s, d) =>
+      graft.operators.Graph.nodeJaccard(copurchaseEdges(s, d, minSupport = 2))),
+
+    // per-group MODE with a deterministic tiebreak — two hash aggregates
+    // with map-side partial combine ((cust, priority) counts are bounded
+    // by cust × 5, then one max_by per customer); the mode never
+    // materializes a per-group sorted list or a raw-row window
+    "q_mode" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("o_custkey")
+        .agg(
+          max_by(col("o_orderpriority"),
+            struct(col("n"), col("o_orderpriority"))).as("mode_priority"),
+          max(col("n")).as("n_mode"))),
+
+    // fixed-width HISTOGRAM: bin id is pure integer arithmetic on cents
+    // (floor division — identical in every engine), one hash aggregate;
+    // at 100 TB this is the map-side-combine shape a numeric profile runs
+    "q_histogram" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(cents(col("o_totalprice")).as("pc"))
+        .withColumn("bin", expr("pc div 5000000"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_orders"),
+          money(min(col("pc"))).as("min_price"),
+          money(max(col("pc"))).as("max_price"))
+        .withColumn("bin_lo", money(col("bin") * lit(5000000L)))),
+
+    // per-group Pearson CORRELATION from EXACT integer moments: one pass
+    // accumulates n, Σx, Σy, Σx², Σy², Σxy as decimal(38,0) (Σy² on
+    // cents overflows BIGINT past ~10⁵ rows/group — the 128-bit sums are
+    // the 100 TB-safe form, matching DuckDB's HUGEINT); the closed form
+    // then runs in doubles cast from identical exact integers, so both
+    // engines see bit-identical inputs to the same sqrt/divide sequence.
+    // Never Spark's `corr` aggregate: its streaming-covariance doubles
+    // are partition-order-dependent — a nondeterministic hash
+    "q_corr" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val m = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          cents(col("l_quantity")).as("x"), cents(col("l_extendedprice")).as("y"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("nl"),
+          sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+          sum(dec(col("x") * col("x"))).as("sxx"),
+          sum(dec(col("y") * col("y"))).as("syy"),
+          sum(dec(col("x") * col("y"))).as("sxy"))
+        .withColumn("n", dec(col("nl")))
+      m.select(col("flag"), col("nl").as("n_rows"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          .as("corr"))
     })
   )
+
+  /** Distinct co-purchase edges `(u, v)`, `u < v`: part pairs appearing
+    * together in at least `minSupport` orders. The per-order pair
+    * expansion is bounded by (items per order)² — basket size, a data
+    * constant — and the support count combines map-side; no stage is
+    * quadratic in parts or orders. */
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession, d: String,
+                              minSupport: Long): org.apache.spark.sql.DataFrame = {
+    val items = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val a = items.select(col("ok"), col("pk").as("u"))
+    val b = items.select(col("ok"), col("pk").as("v"))
+    val pairs = a.join(b, Seq("ok")).filter(col("u") < col("v"))
+    if (minSupport <= 1L) pairs.select("u", "v").distinct()
+    else pairs.groupBy("u", "v").agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= minSupport).select("u", "v")
+  }
 
   /** Bucketed `orders`/`lineitem` managed tables (8 buckets on the join
     * key), written once per (application, sf dir) — the ingest-time cost
@@ -1054,6 +1145,69 @@ object RelationalQueries {
       """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
                 count(*) AS n_orders,
                 CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
-         FROM orders GROUP BY 1"""
+         FROM orders GROUP BY 1""",
+    // id-ordered triangle enumeration — the same triangle set the
+    // degree-oriented Spark plan finds, each triangle exactly once
+    "q_triangle_count" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+                 FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+           tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                   FROM e e1
+                   JOIN e e2 ON e1.v = e2.u
+                   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+           nodes AS (SELECT a AS n FROM tri
+                     UNION ALL SELECT b FROM tri
+                     UNION ALL SELECT c FROM tri)
+         SELECT n AS part, count(*) AS n_tri FROM nodes GROUP BY 1""",
+    "q_node_jaccard" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e AS (SELECT a.pk AS u, b.pk AS v
+                 FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                 GROUP BY 1, 2 HAVING count(*) >= 2),
+           adj AS (SELECT u AS n, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+           deg AS (SELECT n, count(*) AS deg FROM adj GROUP BY 1),
+           com AS (SELECT x.n AS a, y.n AS b, count(*) AS n_common
+                   FROM adj x JOIN adj y ON x.nb = y.nb AND x.n < y.n
+                   GROUP BY 1, 2)
+         SELECT a, b, n_common, da.deg AS deg_a, db.deg AS deg_b,
+                round(CAST(n_common AS DOUBLE)
+                      / CAST(da.deg + db.deg - n_common AS DOUBLE), 6) AS jaccard
+         FROM com JOIN deg da ON da.n = com.a JOIN deg db ON db.n = com.b""",
+    // native window replay of the two-hash-agg mode: highest count wins,
+    // ties break to the larger priority string (max_by's struct order)
+    "q_mode" ->
+      """WITH c AS (SELECT o_custkey, o_orderpriority, count(*) AS n
+                    FROM orders GROUP BY 1, 2),
+           r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY n DESC, o_orderpriority DESC) AS rn FROM c)
+         SELECT o_custkey, o_orderpriority AS mode_priority, n AS n_mode
+         FROM r WHERE rn = 1""",
+    "q_histogram" ->
+      """WITH b AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS pc FROM orders)
+         SELECT pc // 5000000 AS bin, count(*) AS n_orders,
+                CAST(min(pc) AS DOUBLE)/100.0 AS min_price,
+                CAST(max(pc) AS DOUBLE)/100.0 AS max_price,
+                CAST((pc // 5000000) * 5000000 AS DOUBLE)/100.0 AS bin_lo
+         FROM b GROUP BY 1""",
+    // HUGEINT moments = the Spark side's decimal(38,0) sums: both engines
+    // cast the SAME exact integers to double before the one sqrt/divide
+    "q_corr" ->
+      """WITH b AS (SELECT l_returnflag AS flag,
+                           CAST(round(l_quantity*100) AS BIGINT) AS x,
+                           CAST(round(l_extendedprice*100) AS BIGINT) AS y
+                    FROM lineitem),
+           a AS (SELECT flag,
+                        CAST(count(*) AS HUGEINT) AS n,
+                        CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+                        CAST(sum(x*x) AS HUGEINT) AS sxx,
+                        CAST(sum(y*y) AS HUGEINT) AS syy,
+                        CAST(sum(x*y) AS HUGEINT) AS sxy
+                 FROM b GROUP BY 1)
+         SELECT flag, CAST(n AS BIGINT) AS n_rows,
+                round(CAST(n*sxy - sx*sy AS DOUBLE)
+                      / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                         * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr
+         FROM a"""
   )
 }

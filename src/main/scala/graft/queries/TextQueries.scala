@@ -1137,7 +1137,19 @@ object TextQueries {
       val sigs = fh.groupBy("doc_id").agg(array_sort(collect_set(col("fhash"))).as("sig"))
       val reps = sigs.groupBy("sig").agg(min(col("doc_id")).as("doc_id"))
       graft.operators.Dedup.setJaccardPairs(reps, "sig", "doc_id", threshold = 0.5)
-    })
+    }),
+
+    // per-doc CHARACTER ENTROPY (bits) — the compressibility proxy of the
+    // quality family: boilerplate/repetitive docs score low, natural text
+    // high. Char counting is explode + two hash aggregates (map-side
+    // partial combine absorbs the per-char fan-out — the scan shuffles
+    // (doc, char) counts, never raw characters); the Σ c·ln c fold runs
+    // over the CHAR-SORTED count list on both engines, so every double
+    // add happens in the same order and the unrounded sum is
+    // bit-identical to the oracle's list_reduce replay (the established
+    // ta_lm_perplexity determinism discipline)
+    "ta_entropy" -> ((s, d) =>
+      graft.functions.TextStats.charEntropy(t(s, d, "documents"), "doc_id", "text"))
   )
 
   // ---- generated oracle fragments ----
@@ -2305,6 +2317,23 @@ object TextQueries {
                   CAST(len(list_intersect(a.sig, c.sig)) AS DOUBLE) /
                   CAST(len(a.sig) + len(c.sig) - len(list_intersect(a.sig, c.sig)) AS DOUBLE) AS j
            FROM reps a JOIN reps c ON a.doc_id < c.doc_id)
-         WHERE j >= 0.5"""
+         WHERE j >= 0.5""",
+    // the Σ c·ln(c) fold replays over the same char-sorted list, so the
+    // double adds happen in the Spark aggregate()'s exact order
+    "ta_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+           cnt AS (SELECT doc_id, c AS ch, count(*) AS n
+                   FROM ch WHERE length(c) > 0 GROUP BY 1, 2),
+           agg AS (SELECT doc_id,
+                          CAST(sum(n) AS BIGINT) AS n_chars,
+                          count(*) AS n_distinct,
+                          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                            list(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) ORDER BY ch)),
+                            (a, b) -> a + b) AS slc
+                   FROM cnt GROUP BY 1)
+         SELECT doc_id, n_chars, n_distinct,
+                round((ln(CAST(n_chars AS DOUBLE)) - slc / CAST(n_chars AS DOUBLE))
+                      / ln(2.0), 6) AS entropy_bits
+         FROM agg"""
   )
 }

@@ -1,0 +1,133 @@
+package graft
+
+import graft.functions.TextStats
+import org.apache.spark.sql.functions._
+
+/** The round-16 statistics family: character entropy on hand-derivable
+  * fixtures, mode/correlation/histogram against brute-force replays, the
+  * batch sessionizer against an independently computed session split,
+  * and basket lift against its definition.
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("charEntropy matches hand-computed values") {
+    val df = Seq(
+      (1L, "aaaa"),      // one symbol -> 0 bits
+      (2L, "abab"),      // uniform over 2 -> 1 bit
+      (3L, "abcd"),      // uniform over 4 -> 2 bits
+      (4L, "aab"),       // {2,1}/3 -> 0.918296
+      (5L, ""),          // empty -> row vanishes
+      (6L, null: String) // null -> row vanishes
+    ).toDF("doc_id", "text")
+    val got = TextStats.charEntropy(df, "doc_id", "text")
+      .select("doc_id", "n_chars", "n_distinct", "entropy_bits")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(got(1L) === ((4L, 1L, 0.0)))
+    assert(got(2L) === ((4L, 2L, 1.0)))
+    assert(got(3L) === ((4L, 4L, 2.0)))
+    assert(got(4L) === ((3L, 2L, 0.918296)))
+  }
+
+  test("entropy over documents is bounded by log2 of the alphabet") {
+    val out = q("ta_entropy").cache()
+    assert(out.count() > 0)
+    val bad = out.filter(col("entropy_bits") < 0.0 ||
+      col("entropy_bits") > log2(col("n_distinct").cast("double")) + lit(1e-9))
+    assert(bad.isEmpty)
+  }
+
+  test("q_mode picks the max-count priority with the deterministic tiebreak") {
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey", "o_orderpriority")
+      .as[(Long, String)].collect().toSeq
+    val exp = rows.groupBy(_._1).map { case (ck, rs) =>
+      val counts = rs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val (pr, n) = counts.toSeq.maxBy { case (p, n) => (n, p) }
+      (ck, pr, n)
+    }.toSet
+    val got = q("q_mode").as[(Long, String, Long)].collect().toSet
+    assert(got === exp)
+  }
+
+  test("q_corr equals a BigDecimal-exact replay") {
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      .as[(String, Long, Long)].collect().toSeq
+    val exp = rows.groupBy(_._1).map { case (f, rs) =>
+      val n = BigInt(rs.size)
+      val sx = rs.map(r => BigInt(r._2)).sum
+      val sy = rs.map(r => BigInt(r._3)).sum
+      val sxx = rs.map(r => BigInt(r._2) * r._2).sum
+      val syy = rs.map(r => BigInt(r._3) * r._3).sum
+      val sxy = rs.map(r => BigInt(r._2) * r._3).sum
+      val corr = (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble))
+      (f, rs.size.toLong,
+        BigDecimal(corr).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = q("q_corr").as[(String, Long, Double)].collect().toSet
+    assert(got === exp)
+  }
+
+  test("q_histogram bins partition orders and bound their members") {
+    val out = q("q_histogram").cache()
+    val total = out.agg(sum("n_orders")).as[Long].head()
+    assert(total === spark.read.parquet(s"$sf/orders.parquet").count())
+    // every member price must lie inside [bin_lo, bin_lo + width)
+    val bad = out.filter(col("min_price") < col("bin_lo") ||
+      col("max_price") >= col("bin_lo") + lit(50000.0))
+    assert(bad.isEmpty)
+  }
+
+  test("ana_sessionize: sessions partition events, gaps split, dense indexes") {
+    val out = q("ana_sessionize").cache()
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(out.agg(sum("n_events")).as[Long].head() === nEvents)
+    // brute replay: per user, sort by (ts, event_id), split on >30min gaps
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val gap = 1800L * 1000000000L
+    val expSessions = ev.groupBy(_._1).toSeq.flatMap { case (uid, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._2))
+      val idx = sorted.scanLeft((0L, 0L)) { case ((i, prev), r) =>
+        (if (prev == 0L || r._3 - prev > gap) i + 1 else i, r._3)
+      }.tail.map(_._1)
+      sorted.zip(idx).groupBy(_._2).map { case (sidx, grp) =>
+        (uid, sidx, grp.size.toLong,
+          grp.map(_._1._3).min / 1000L,
+          (grp.map(_._1._3).max - grp.map(_._1._3).min) / 1000000000L)
+      }
+    }.toSet
+    val got = out.select("user_id", "session_idx", "n_events", "start_us", "dur_s")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === expSessions)
+  }
+
+  test("ana_basket_lift matches its definition on collected baskets") {
+    val out = q("ana_basket_lift")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").select("l_orderkey", "l_partkey")
+    val pt = spark.read.parquet(s"$sf/part.parquet").select("p_partkey", "p_brand")
+    val baskets = li.join(pt, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as[Long], col("p_brand").as[String])
+      .collect().toSeq.distinct
+    val byBrand = baskets.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nt = baskets.map(_._1).distinct.size.toLong
+    val exp = baskets.groupBy(_._1).values.flatMap { items =>
+      val brands = items.map(_._2).sorted
+      for { a <- brands; b <- brands if a < b } yield (a, b)
+    }.groupBy(identity).map { case ((a, b), xs) =>
+      val nab = xs.size.toLong
+      (a, b, nab, byBrand(a), byBrand(b),
+        BigDecimal((nt * nab).toDouble / (byBrand(a) * byBrand(b)).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    assert(out === exp)
+  }
+}
