@@ -45,33 +45,110 @@ object Graph {
 
   /** Every triangle exactly once as `(a, b, c)`, canonicalized to
     * `a < b < c` by node id (so the output is orientation-independent
-    * and an id-ordered SQL replay matches row for row). */
-  def triangles(edges: DataFrame): DataFrame = {
-    // Degrees in the undirected graph (each edge counts both endpoints).
-    val deg = edges.select(col("u").as("n"))
+    * and an id-ordered SQL replay matches row for row).
+    *
+    * Regime choice (the measured-gate discipline of Components.run):
+    * when the graph fits the broadcast budget (`broadcastCloseLimit`
+    * edges), the EDGE-ITERATOR runs — out-adjacency broadcasts and each
+    * edge intersects its endpoints' neighbor lists map-side, so the
+    * Σ outdeg² wedge stream never materializes. Past the gate it
+    * degrades to the keyed wedge-enumeration join — the plan that holds
+    * at any scale; callers at true 100 TB edge counts pass 0 to force
+    * it. The input is cached for its four scans (degrees ×2,
+    * orientation, gate count) and released once the result is pinned;
+    * the orientation itself is pinned for its wedge/adjacency/closing
+    * readers. */
+  def triangles(edges: DataFrame,
+                broadcastCloseLimit: Long = 4000000L): DataFrame = {
+    val shim = org.apache.spark.sql.GraftShim
+    val e = edges.cache()
+    val m = e.count()
+    val small = m <= broadcastCloseLimit
+    if (small) {
+      // Degrees pin as a TINY checkpoint (|V| rows); orientation is then
+      // two broadcast joins over the cached input — pure map-side, cheap
+      // to recompute per consumer, so the m-row orientation itself is
+      // never materialized.
+      val deg = degreesOf(e).localCheckpoint()
+      try closeByIntersection(orientWith(e, deg, smallGraph = true))
+        .localCheckpoint()
+      finally { e.unpersist(); shim.unpersistCheckpoint(deg) }
+    } else {
+      // Large regime: the orientation (two keyed shuffle joins) is read
+      // by both wedge legs and the closing probe — pin it once, the
+      // Components per-round discipline (swap in reliable checkpoint()
+      // for production runs).
+      val oriented = orientWith(e, degreesOf(e), smallGraph = false)
+        .localCheckpoint()
+      try closeByWedgeJoin(oriented).localCheckpoint()
+      finally { e.unpersist(); shim.unpersistCheckpoint(oriented) }
+    }
+  }
+
+  /** Degrees in the undirected graph (each edge counts both endpoints). */
+  private def degreesOf(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
 
-    // Orient low-(deg, id) -> high-(deg, id). Carry the destination's
-    // rank key so wedge pairs can be ordered without re-joining degrees.
-    val du = deg.select(col("n").as("u"), col("deg").as("du"))
-    val dv = deg.select(col("n").as("v"), col("deg").as("dv"))
+  /** Orient low-(deg, id) -> high-(deg, id). Carries the destination's
+    * rank key so wedge pairs can be ordered without re-joining degrees.
+    * Under the small-graph gate the degree table (|V| rows — never more
+    * than the edge set the gate already measured) broadcasts, making
+    * both annotation joins map-side. */
+  private def orientWith(edges: DataFrame, deg: DataFrame,
+                         smallGraph: Boolean): DataFrame = {
+    val bcast = (d: DataFrame) => if (smallGraph) broadcast(d) else d
+    val du = bcast(deg.select(col("n").as("u"), col("deg").as("du")))
+    val dv = bcast(deg.select(col("n").as("v"), col("deg").as("dv")))
     val uKey = struct(col("du").as("d"), col("u").as("i"))
     val vKey = struct(col("dv").as("d"), col("v").as("i"))
-    val oriented = edges.join(du, "u").join(dv, "v")
+    edges.join(du, "u").join(dv, "v")
       .select(
         when(uKey < vKey, col("u")).otherwise(col("v")).as("src"),
         when(uKey < vKey, col("v")).otherwise(col("u")).as("dst"),
         when(uKey < vKey, vKey).otherwise(uKey).as("dkey"))
+  }
 
+  /** Small-graph regime: EDGE-ITERATOR with a broadcast adjacency. The
+    * out-neighbor lists (total entries = m — the gate already measured
+    * it) broadcast, each oriented edge (u, v) intersects N⁺(u) ∩ N⁺(v)
+    * MAP-SIDE, and each survivor w closes exactly one triangle (w is the
+    * orientation-max vertex: the other two edges of the triangle fail
+    * the intersection, so nothing double-counts). The Σ outdeg² wedge
+    * stream is never materialized — no exchange, no join rows, just a
+    * per-edge O(outdeg(u)+outdeg(v)) hash intersection (measured: the
+    * wedge-join plan's dominant stage disappears). */
+  private def closeByIntersection(oriented: DataFrame): DataFrame = {
+    val adj = oriented.groupBy("src").agg(collect_list(col("dst")).as("nbrs"))
+    val empty = array().cast(
+      org.apache.spark.sql.types.ArrayType(oriented.schema("dst").dataType))
+    val srt = sort_array(array(col("src"), col("dst"), col("w")))
+    oriented
+      .join(broadcast(adj.select(col("src").as("u2"), col("nbrs").as("nu"))),
+        col("src") === col("u2"), "left")
+      .join(broadcast(adj.select(col("src").as("v2"), col("nbrs").as("nv"))),
+        col("dst") === col("v2"), "left")
+      .select(col("src"), col("dst"),
+        explode(array_intersect(coalesce(col("nu"), empty),
+          coalesce(col("nv"), empty))).as("w"))
+      .select(element_at(srt, 1).as("a"), element_at(srt, 2).as("b"),
+        element_at(srt, 3).as("c"))
+  }
+
+  /** Large-graph regime: the classic wedge enumeration — pairs of
+    * out-neighbors at the low-degree apex (Σ outdeg² = O(m^1.5) rows,
+    * the arboricity bound) closed against the oriented edge set with a
+    * keyed shuffle join. Every stage is a keyed equi-join that
+    * partitions cleanly at any scale; this is the plan that holds when
+    * the adjacency no longer broadcasts. */
+  private def closeByWedgeJoin(oriented: DataFrame): DataFrame = {
     // Wedges at the apex: unordered out-neighbor pairs, ordered by the
     // orientation rank key so the closing edge is probed ONCE per wedge.
     val e1 = oriented.select(col("src"), col("dst").as("b"), col("dkey").as("bk"))
     val e2 = oriented.select(col("src"), col("dst").as("c"), col("dkey").as("ck"))
     val wedges = e1.join(e2, Seq("src")).filter(col("bk") < col("ck"))
       .select(col("src").as("a"), col("b"), col("c"))
-
-    // Close against the oriented edges (b -> c in orientation order).
     val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
     val srt = sort_array(array(col("a"), col("b"), col("c")))
     wedges.join(closing, Seq("b", "c"))

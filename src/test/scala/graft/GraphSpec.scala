@@ -48,6 +48,12 @@ class GraphSpec extends SparkSpec {
     assert(got.count() === got.distinct().count())
   }
 
+  test("edge-iterator and wedge-join regimes find the identical triangle set") {
+    val gated = Graph.triangles(edges)
+    val shuffled = Graph.triangles(edges, broadcastCloseLimit = 0L)
+    assert(gated.exceptAll(shuffled).isEmpty && shuffled.exceptAll(gated).isEmpty)
+  }
+
   test("per-node counts sum to 3× the triangle count") {
     val nTri = Graph.triangles(edges).count()
     val sumCounts = Graph.triangleCounts(edges)
