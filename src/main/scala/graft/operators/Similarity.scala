@@ -807,4 +807,75 @@ object Similarity {
       .select(col(idCol), round(cosine(col("v"), typedlit(query)), 6).as("cosine"))
       .filter(col("cosine") >= lit(minCosine))
   }
+
+  /** MAXIMAL MARGINAL RELEVANCE rerank: from the exact top-`topN`
+    * candidates by cosine, greedily select `k` results maximizing
+    * `lambda·rel(d) − mu·max_{s∈S} sim(d, s)` — the diversity rerank
+    * that keeps a retrieval page (or a curated training slice) from
+    * filling with near-duplicates of the best hit.
+    *
+    * Plan shape: relevance scoring + top-N is the fully distributed
+    * [[topK]] path (map-side cosine, TakeOrdered cut); the greedy
+    * selection then runs on the DRIVER over the collected top-N rows —
+    * a ROUTE-bounded collect (topN rows, a serving-side constant ≤ a
+    * broadcast side), the same discipline as the ANN stores' probe
+    * routes. The quadratic step is O(topN·k) driver flops over vectors
+    * already paid for — never a distributed all-pairs. `lambda` and
+    * `mu` are taken verbatim (NOT mu = 1−lambda: binary 1−0.7 ≠ the
+    * literal 0.3 an engine replay would use, and the score comparison
+    * must be bit-identical to the oracle's unrolled greedy).
+    *
+    * Determinism: relevance and pairwise similarities are 6dp-rounded
+    * before any comparison (the repo-wide cosine rule); ties break to
+    * the lower id. Output: `(rank, vec_id, relevance, max_sim,
+    * mmr_score)`, one row per selected result in selection order. */
+  def mmrRerank(df: DataFrame, vecCol: String, idCol: String,
+                query: DataFrame, topN: Int, k: Int,
+                lambda: Double, mu: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qrows = query.select(asDouble(col(vecCol)).as("q_v")).limit(2).collect()
+    require(qrows.length == 1, "mmrRerank expects exactly one query row")
+    val qv = qrows(0).getSeq[Double](0)
+
+    val cand = df
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("rel", round(cosine(col("v"), typedlit(qv)), 6))
+      .orderBy(col("rel").desc, col("id"))
+      .limit(topN)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+
+    // Driver greedy — every arithmetic step mirrors the engine replay:
+    // sequential-fold dot/norm (ascending dimension order), 6dp HALF_UP
+    // rounding, (score DESC, id ASC) argmax.
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def sim(a: Array[Double], b: Array[Double]): Double =
+      r6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+
+    val selected = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Double, Double, Double)]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    while (selected.length < k && chosen.length < cand.length) {
+      val best = cand.iterator
+        .filterNot { case (id, _, _) => chosen.exists(_._1 == id) }
+        .map { case (id, v, rel) =>
+          val ms = if (chosen.isEmpty) 0.0
+            else chosen.iterator.map(s => sim(v, s._2)).max
+          (id, v, rel, ms, lambda * rel - mu * ms)
+        }
+        .reduce { (a, b) =>
+          if (b._5 > a._5 || (b._5 == a._5 && b._1 < a._1)) b else a
+        }
+      selected += ((selected.length + 1L, best._1, best._3, best._4, r6(best._5)))
+      chosen += ((best._1, best._2))
+    }
+    selected.toSeq.toDF("rank", "vec_id", "relevance", "max_sim", "mmr_score")
+  }
 }

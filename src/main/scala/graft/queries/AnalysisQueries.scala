@@ -233,6 +233,26 @@ object AnalysisQueries {
           expr("min(ts) div 1000").as("start_us"),
           expr("(max(ts) - min(ts)) div 1000000000").as("dur_s"),
           money(sum(col("vc"))).as("total_value"))
+    }),
+
+    // GAPS-AND-ISLANDS: each user's maximal streaks of CONSECUTIVE
+    // active days — the engagement-streak analysis. Day index is pure
+    // integer `div` on epoch-nanos (the ana_retention rule); the island
+    // key is the classic day − row_number() constant: one (user,
+    // day)-dedup, one per-user window bounded by days-per-user (a data
+    // constant, never corpus-shaped), one keyed aggregate
+    "ana_islands" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dayNs = 86400L * 1000000000L
+      val w = Window.partitionBy("user_id").orderBy(col("day"))
+      t(s, d, "events")
+        .select(col("user_id"), expr(s"ts div $dayNs").as("day"))
+        .distinct()
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+          count(lit(1)).as("n_days"))
+        .drop("grp")
     })
   )
 
@@ -353,6 +373,15 @@ object AnalysisQueries {
                 min(tsn) // 1000 AS start_us,
                 (max(tsn) - min(tsn)) // 1000000000 AS dur_s,
                 CAST(sum(vc) AS DOUBLE)/100.0 AS total_value
-         FROM s GROUP BY 1, 2"""
+         FROM s GROUP BY 1, 2""",
+    "ana_islands" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+                           epoch_ns(ts) // 86400000000000 AS day FROM events),
+           g AS (SELECT user_id, day,
+                        day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+                 FROM a)
+         SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+                count(*) AS n_days
+         FROM g GROUP BY user_id, grp"""
   )
 }

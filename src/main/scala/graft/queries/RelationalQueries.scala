@@ -679,7 +679,45 @@ object RelationalQueries {
           (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
           .as("corr"))
-    })
+    }),
+
+    // per-group LEAST-SQUARES line (price ~ quantity, in cents) — the
+    // q_corr moment discipline: one pass of decimal(38,0)-exact sums,
+    // then slope/intercept in doubles cast from identical exact
+    // integers; the closed form is two deterministic IEEE ops per group
+    "q_linreg" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val m = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          cents(col("l_quantity")).as("x"), cents(col("l_extendedprice")).as("y"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("nl"),
+          sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+          sum(dec(col("x") * col("x"))).as("sxx"),
+          sum(dec(col("x") * col("y"))).as("sxy"))
+        .withColumn("n", dec(col("nl")))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      m.select(col("flag"), col("nl").as("n_rows"),
+        round(slope, 6).as("slope"),
+        round((col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("n").cast("double"), 6).as("intercept"))
+    }),
+
+    // FIRST/LAST value per group — realized as min_by/max_by hash
+    // aggregates over the composite (date, key) order, NOT a
+    // first_value/last_value window: the aggregate combines map-side and
+    // never sorts a group on one reducer, the same argument as q_mode
+    "q_first_last" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), cents(col("o_totalprice")).as("pc"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          money(min_by(col("pc"),
+            struct(col("o_orderdate"), col("o_orderkey")))).as("first_price"),
+          money(max_by(col("pc"),
+            struct(col("o_orderdate"), col("o_orderkey")))).as("last_price")))
   )
 
   /** Distinct co-purchase edges `(u, v)`, `u < v`: part pairs appearing
@@ -1215,6 +1253,41 @@ object RelationalQueries {
                 round(CAST(n*sxy - sx*sy AS DOUBLE)
                       / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
                          * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr
-         FROM a"""
+         FROM a""",
+    "q_linreg" ->
+      """WITH b AS (SELECT l_returnflag AS flag,
+                           CAST(round(l_quantity*100) AS BIGINT) AS x,
+                           CAST(round(l_extendedprice*100) AS BIGINT) AS y
+                    FROM lineitem),
+           a AS (SELECT flag,
+                        CAST(count(*) AS HUGEINT) AS n,
+                        CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+                        CAST(sum(x*x) AS HUGEINT) AS sxx,
+                        CAST(sum(x*y) AS HUGEINT) AS sxy
+                 FROM b GROUP BY 1),
+           f AS (SELECT flag, n, sx, sy,
+                        CAST(n*sxy - sx*sy AS DOUBLE)
+                        / CAST(n*sxx - sx*sx AS DOUBLE) AS slope
+                 FROM a)
+         SELECT flag, CAST(n AS BIGINT) AS n_rows, round(slope, 6) AS slope,
+                round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE), 6) AS intercept
+         FROM f""",
+    // window replay of the min_by/max_by realization: same composite
+    // (date, key) order, same money projection
+    "q_first_last" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                           CAST(round(o_totalprice*100) AS BIGINT) AS pc
+                    FROM orders),
+           r AS (SELECT *,
+                        row_number() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey) AS ra,
+                        row_number() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rd
+                 FROM o)
+         SELECT o_custkey, count(*) AS n_orders,
+                CAST(min(CASE WHEN ra = 1 THEN pc END) AS DOUBLE)/100.0 AS first_price,
+                CAST(min(CASE WHEN rd = 1 THEN pc END) AS DOUBLE)/100.0 AS last_price
+         FROM r GROUP BY 1"""
   )
 }

@@ -205,6 +205,19 @@ object SimQueries {
       Similarity.topK(e, "embedding", "vec_id", e.filter(col("vec_id") === 0), k = 10)
     }),
 
+    // MMR DIVERSITY RERANK over the exact top-20: greedy
+    // λ·rel − μ·max-sim-to-selected selection of 5 — retrieval scoring
+    // stays fully distributed, the greedy runs on the ROUTE-bounded
+    // collected candidate page (20 rows — the ANN stores' probe-route
+    // discipline); oracle = the greedy UNROLLED as 5 chained CTEs over
+    // the same rounded relevance/similarity values
+    "sim_mmr_rerank" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.mmrRerank(e.filter(col("vec_id") =!= 0), "embedding", "vec_id",
+        e.filter(col("vec_id") === 0), topN = 20, k = 5,
+        lambda = 0.7, mu = 0.3)
+    }),
+
     "sim_ann_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.ivfAssign(e, "embedding", "vec_id",
@@ -1182,6 +1195,44 @@ object SimQueries {
                    round(${fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * q.v[CAST(i AS INT)])")} / (a.nrm * q.nrm), 6) AS cosine
             FROM n a CROSS JOIN q)
           QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id) <= 10""",
+    // the greedy unrolled: step i picks argmax(0.7·rel − 0.3·max-sim to
+    // the i−1 already selected), ties to the lower id — the literal
+    // weights (0.7, 0.3) match mmrRerank's verbatim params, never 1−λ
+    "sim_mmr_rerank" -> {
+      def step(i: Int) =
+        s"""s$i AS (SELECT * FROM (
+                SELECT c.vec_id, c.rel, max(p.sim) AS ms,
+                       0.7*c.rel - 0.3*max(p.sim) AS sc
+                FROM cand c JOIN p ON p.ia = c.vec_id
+                     AND p.ib IN (SELECT vec_id FROM sel${i - 1})
+                WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+                GROUP BY c.vec_id, c.rel)
+              QUALIFY row_number() OVER (ORDER BY sc DESC, vec_id) = 1),
+           sel$i AS (SELECT vec_id FROM sel${i - 1}
+                     UNION ALL SELECT vec_id FROM s$i)"""
+      val out = (1 to 5).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, vec_id, rel AS relevance, ms AS max_sim, round(sc, 6) AS mmr_score FROM s$i")
+        .mkString("\n         UNION ALL ")
+      s"""WITH n AS (${normed(vecs)}),
+            q AS (SELECT v, nrm FROM n WHERE vec_id = 0),
+            scored AS (SELECT b.vec_id, round($pairDot2 / (b.nrm * q.nrm), 6) AS rel
+                       FROM n b CROSS JOIN q WHERE b.vec_id <> 0),
+            cand AS (SELECT vec_id, rel FROM (
+                      SELECT vec_id, rel,
+                             row_number() OVER (ORDER BY rel DESC, vec_id) AS rn
+                      FROM scored) WHERE rn <= 20),
+            cv AS (SELECT c.vec_id, n.v, n.nrm FROM cand c JOIN n USING (vec_id)),
+            p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                         round($pairDot / (a.nrm * b.nrm), 6) AS sim
+                  FROM cv a JOIN cv b ON a.vec_id <> b.vec_id),
+            s1 AS (SELECT * FROM (
+                    SELECT vec_id, rel, CAST(0.0 AS DOUBLE) AS ms, 0.7*rel AS sc
+                    FROM cand)
+                   QUALIFY row_number() OVER (ORDER BY sc DESC, vec_id) = 1),
+            sel1 AS (SELECT vec_id FROM s1),
+            ${(2 to 5).map(step).mkString(",\n            ")}
+          $out"""
+    },
     // brute-force range scan — cluster pruning is lossless by the
     // triangle inequality, so the oracle never needs to see it
     "sim_range_search" ->

@@ -115,7 +115,7 @@ object TextQueries {
       run.labels
     })
 
-  val defs: Map[String, QFn] = Map(
+  val defs: Map[String, QFn] = Map[String, QFn](
     "dedup_exact_docs" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), "text", "doc_id")),
 
@@ -1150,6 +1150,59 @@ object TextQueries {
     // ta_lm_perplexity determinism discipline)
     "ta_entropy" -> ((s, d) =>
       graft.functions.TextStats.charEntropy(t(s, d, "documents"), "doc_id", "text"))
+  ) ++ Map[String, QFn](
+
+    // ZIPF FIT: least-squares slope of ln(freq) over ln(rank) for the
+    // top-500 corpus terms — the power-law health check of a training
+    // mix (natural corpora slope ≈ −1; template/spam mass flattens or
+    // steepens it). Term counts are ONE map-side-combined aggregate;
+    // the top-500 cut is TakeOrderedAndProject (per-partition top-N,
+    // never a global sort); ranking and the 4 regression folds then run
+    // over a 500-row bounded frame, each fold in rank order — the
+    // ta_lm_perplexity determinism discipline for the ln sums
+    "ta_zipf_fit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = t(s, d, "documents")
+        .select(explode(tokens(normalizeText(col("text")))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(500)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n").desc, col("term"))))
+      def foldOver(f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+          org.apache.spark.sql.Column) =
+        aggregate(sort_array(collect_list(struct(col("rank"), col("n")))),
+          lit(0.0d), (acc, p) => acc + f(p.getField("rank").cast("double"),
+            p.getField("n").cast("double")))
+      val m = terms.agg(count(lit(1)).as("n_terms"),
+        foldOver((r, _) => log(r)).as("slr"),
+        foldOver((_, n) => log(n)).as("slf"),
+        foldOver((r, _) => log(r) * log(r)).as("slr2"),
+        foldOver((r, n) => log(r) * log(n)).as("slrlf"))
+      val nd = col("n_terms").cast("double")
+      val slope = (nd * col("slrlf") - col("slr") * col("slf")) /
+        (nd * col("slr2") - col("slr") * col("slr"))
+      m.select(col("n_terms"), round(slope, 6).as("slope"),
+        round((col("slf") - slope * col("slr")) / nd, 6).as("intercept"))
+    }),
+
+    // l-DIVERSITY AUDIT — ta_k_anonymize's second guarantee: a QI class
+    // can be k-large yet leak when every member shares ONE sensitive
+    // value; each (nation × segment) class must carry >= l distinct
+    // sensitive bands. Class stats are ONE map-side-combined aggregate
+    // bounded by QI cardinality — never corpus rows through a window
+    "ta_l_diversity" -> ((s, d) => {
+      val l = 2
+      t(s, d, "customer")
+        .select(col("c_nationkey").cast("string").as("nat"),
+          col("c_mktsegment").as("seg"),
+          when(col("c_acctbal") < 0, "debt")
+            .when(col("c_acctbal") < 5000, "low")
+            .otherwise("high").as("sens"))
+        .groupBy("nat", "seg")
+        .agg(count(lit(1)).as("n"), count_distinct(col("sens")).as("n_sens"))
+        .withColumn("diverse", col("n_sens") >= l)
+    })
   )
 
   // ---- generated oracle fragments ----
@@ -2334,6 +2387,43 @@ object TextQueries {
          SELECT doc_id, n_chars, n_distinct,
                 round((ln(CAST(n_chars AS DOUBLE)) - slc / CAST(n_chars AS DOUBLE))
                       / ln(2.0), 6) AS entropy_bits
-         FROM agg"""
+         FROM agg""",
+    // rank-ordered list_reduce folds = the Spark aggregate()'s exact
+    // double-add order; same closed form over identical doubles
+    "ta_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS term
+                      FROM documents),
+           tc AS (SELECT term, count(*) AS n FROM tok WHERE term <> '' GROUP BY 1),
+           top AS (SELECT * FROM (
+                     SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rank
+                     FROM tc)
+                   WHERE rank <= 500),
+           f AS (SELECT count(*) AS n_terms,
+                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                          list(ln(CAST(rank AS DOUBLE)) ORDER BY rank)), (a,b) -> a + b) AS slr,
+                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                          list(ln(CAST(n AS DOUBLE)) ORDER BY rank)), (a,b) -> a + b) AS slf,
+                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                          list(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)) ORDER BY rank)), (a,b) -> a + b) AS slr2,
+                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                          list(ln(CAST(rank AS DOUBLE)) * ln(CAST(n AS DOUBLE)) ORDER BY rank)), (a,b) -> a + b) AS slrlf
+                 FROM top),
+           g AS (SELECT n_terms,
+                        (CAST(n_terms AS DOUBLE)*slrlf - slr*slf)
+                        / (CAST(n_terms AS DOUBLE)*slr2 - slr*slr) AS slope,
+                        slr, slf
+                 FROM f)
+         SELECT n_terms, round(slope, 6) AS slope,
+                round((slf - slope*slr) / CAST(n_terms AS DOUBLE), 6) AS intercept
+         FROM g""",
+    "ta_l_diversity" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS VARCHAR) AS nat, c_mktsegment AS seg,
+                           CASE WHEN c_acctbal < 0 THEN 'debt'
+                                WHEN c_acctbal < 5000 THEN 'low'
+                                ELSE 'high' END AS sens
+                    FROM customer)
+         SELECT nat, seg, count(*) AS n, count(DISTINCT sens) AS n_sens,
+                count(DISTINCT sens) >= 2 AS diverse
+         FROM c GROUP BY 1, 2"""
   )
 }

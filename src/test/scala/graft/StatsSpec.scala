@@ -109,6 +109,93 @@ class StatsSpec extends SparkSpec {
     assert(got === expSessions)
   }
 
+  test("q_linreg equals a BigDecimal-exact replay and predicts the group mean") {
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      .as[(String, Long, Long)].collect().toSeq
+    val exp = rows.groupBy(_._1).map { case (f, rs) =>
+      val n = BigInt(rs.size)
+      val sx = rs.map(r => BigInt(r._2)).sum
+      val sy = rs.map(r => BigInt(r._3)).sum
+      val sxx = rs.map(r => BigInt(r._2) * r._2).sum
+      val sxy = rs.map(r => BigInt(r._2) * r._3).sum
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      val icept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (f, rs.size.toLong, r6(slope), r6(icept))
+    }.toSet
+    val got = q("q_linreg").as[(String, Long, Double, Double)].collect().toSet
+    assert(got === exp)
+  }
+
+  test("q_first_last equals the sorted-per-customer replay") {
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")),
+        round(col("o_totalprice") * 100).cast("long"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val exp = rows.groupBy(_._1).map { case (ck, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._2))
+      (ck, rs.size.toLong, sorted.head._4 / 100.0, sorted.last._4 / 100.0)
+    }.toSet
+    val got = q("q_first_last").as[(Long, Long, Double, Double)].collect().toSet
+    assert(got === exp)
+  }
+
+  test("ana_islands: streaks are maximal, disjoint, and cover all active days") {
+    val out = q("ana_islands").cache()
+    val active = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct().as[(Long, Long)].collect().toSeq
+    val exp = active.groupBy(_._1).flatMap { case (uid, rs) =>
+      val days = rs.map(_._2).sorted
+      val islands = days.foldLeft(List.empty[List[Long]]) {
+        case (acc @ (cur :: rest), d) if d == cur.head + 1 => (d :: cur) :: rest
+        case (acc, d) => List(d) :: acc
+      }
+      islands.map(isl => (uid, isl.min, isl.max, isl.size.toLong))
+    }.toSet
+    val got = out.as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === exp)
+  }
+
+  test("ta_zipf_fit slope is the least-squares fit over the ranked counts") {
+    val (nTerms, slope, icept) =
+      q("ta_zipf_fit").as[(Long, Double, Double)].head()
+    assert(nTerms > 10)
+    assert(slope < 0.0, "term frequencies must decay with rank")
+    // replay the regression from the collected ranked counts
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("t").count().as[(String, Long)].collect().toSeq
+    val ranked = counts.sortBy { case (t, n) => (-n, t) }.take(500).zipWithIndex
+      .map { case ((_, n), i) => (i + 1.0, n.toDouble) }
+    val (slr, slf, slr2, slrlf) = ranked.foldLeft((0.0, 0.0, 0.0, 0.0)) {
+      case ((a, b, c2, d2), (r, n)) =>
+        (a + math.log(r), b + math.log(n),
+          c2 + math.log(r) * math.log(r), d2 + math.log(r) * math.log(n))
+    }
+    val nd = ranked.size.toDouble
+    val expSlope = (nd * slrlf - slr * slf) / (nd * slr2 - slr * slr)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(slope === r6(expSlope))
+    assert(icept === r6((slf - expSlope * slr) / nd))
+  }
+
+  test("ta_l_diversity: a class is diverse iff it carries >= 2 sensitive bands") {
+    val out = q("ta_l_diversity")
+      .as[(String, String, Long, Long, Boolean)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, _, n, ns, div) => div === (ns >= 2) && ns <= n })
+    assert(out.forall { case (_, _, _, ns, _) => ns >= 1 && ns <= 3 })
+  }
+
   test("ana_basket_lift matches its definition on collected baskets") {
     val out = q("ana_basket_lift")
       .as[(String, String, Long, Long, Long, Double)].collect().toSet
