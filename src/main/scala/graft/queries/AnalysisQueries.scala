@@ -253,8 +253,79 @@ object AnalysisQueries {
         .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
           count(lit(1)).as("n_days"))
         .drop("grp")
+    }),
+
+    // RFM SEGMENTATION: every customer scored 1–4 on Recency (days since
+    // last order), Frequency (order count), Monetary (total spend) —
+    // the classic CRM segmentation. Each quartile assignment is the
+    // q_ntile construction: global rank from Rank.withGroupRank's
+    // two-level exchange (never a one-reducer `ntile() OVER ()` sort of
+    // all customers), then NTILE's exact integer tile rule — identical
+    // to DuckDB's native ntile, which the oracle uses. Three rank
+    // passes over the CUSTOMER AGGREGATE (rows = customers, not orders)
+    "ana_rfm" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_custkey"),
+        expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS BIGINT)").as("day"),
+        cents(col("o_totalprice")).as("pc"))
+      val c = o.groupBy("o_custkey").agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("f"), sum(col("pc")).cast("bigint").as("mc"))
+      val g = c.agg(max(col("last_day")).as("gmax"))
+      val base = c.crossJoin(broadcast(g))
+        .select(col("o_custkey"), (col("gmax") - col("last_day")).as("r_days"),
+          col("f"), col("mc"))
+      val scored = Seq(("r_days", "r_score"), ("f", "f_score"), ("mc", "m_score"))
+        .foldLeft(base) { case (df, (v, out)) => tileN(df, v, out, tiles = 4) }
+      scored.select(col("o_custkey"), col("r_days"), col("f").as("n_orders"),
+        money(col("mc")).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm"))
+    }),
+
+    // PARETO / revenue-concentration curve: customers ranked by spend,
+    // cut into spend deciles, each decile's share and the cumulative
+    // share ("top 10% of customers carry X% of revenue"). The decile
+    // assignment is the same two-level-rank + exact-tile construction;
+    // the cumulative window then runs over TEN rows. Shares are one
+    // double division over exact integer cents
+    "ana_pareto" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, d, "orders").groupBy("o_custkey")
+        .agg(sum(cents(col("o_totalprice"))).cast("bigint").as("mc"))
+        .withColumn("neg_mc", -col("mc")).withColumn("__g", lit(1))
+      val deciled = tileN(c, "neg_mc", "decile", tiles = 10)
+      val per = deciled.groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum(col("mc")).cast("bigint").as("rc"))
+      val tot = per.agg(sum(col("rc")).cast("bigint").as("tc"))
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per.crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_customers"), money(col("rc")).as("revenue"),
+          round(sum(col("rc")).over(w).cast("double") / col("tc").cast("double"), 6)
+            .as("cum_share"))
     })
   )
+
+  /** NTILE(`tiles`) over `(valueCol ASC, o_custkey ASC)` without the
+    * one-reducer global sort: global rank from Rank.withGroupRank's
+    * two-level construction (the `__g` constant group makes it a single
+    * logical group range-partitioned across the cluster), then the exact
+    * tile rule — first n%tiles tiles take ceil(n/tiles) rows (q_ntile's
+    * arithmetic, proven ≡ native ntile by RankSpec + the q_ntile
+    * oracle). Drops the rank/n helper columns so passes can chain. */
+  private def tileN(df: org.apache.spark.sql.DataFrame, valueCol: String,
+                    outCol: String, tiles: Int): org.apache.spark.sql.DataFrame = {
+    val ranked = graft.operators.Rank.withGroupRank(
+      if (df.columns.contains("__g")) df else df.withColumn("__g", lit(1)),
+      Seq("__g"), valueCol, tiebreakCols = Seq("o_custkey"))
+    def ceilDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      floor((a + b - lit(1)) / b).cast("bigint")
+    val q = floor(col("n") / tiles).cast("bigint")
+    val m = col("n") % tiles
+    val cut = m * (q + lit(1))
+    val tile = when(col("rank") <= cut, ceilDiv(col("rank"), q + lit(1)))
+      .otherwise(m + ceilDiv(col("rank") - cut, greatest(q, lit(1))))
+    ranked.withColumn(outCol, tile).drop("rank", "n")
+  }
 
   val oracle: Map[String, String] = Map(
     "ana_text_price_join" ->
@@ -382,6 +453,44 @@ object AnalysisQueries {
                  FROM a)
          SELECT user_id, min(day) AS start_day, max(day) AS end_day,
                 count(*) AS n_days
-         FROM g GROUP BY user_id, grp"""
+         FROM g GROUP BY user_id, grp""",
+    // native ntile(4) per dimension — must equal the two-level rank +
+    // exact tile rule (the q_ntile equivalence)
+    "ana_rfm" ->
+      """WITH o AS (SELECT o_custkey,
+                           epoch_us(o_orderdate) // 86400000000 AS day,
+                           CAST(round(o_totalprice*100) AS BIGINT) AS pc
+                    FROM orders),
+           c AS (SELECT o_custkey, max(day) AS last_day, count(*) AS f,
+                        CAST(sum(pc) AS BIGINT) AS mc
+                 FROM o GROUP BY 1),
+           g AS (SELECT max(last_day) AS gmax FROM c),
+           b AS (SELECT o_custkey, gmax - last_day AS r_days, f, mc FROM c, g),
+           t AS (SELECT *,
+                        CAST(ntile(4) OVER (ORDER BY r_days, o_custkey) AS BIGINT) AS r_score,
+                        CAST(ntile(4) OVER (ORDER BY f, o_custkey) AS BIGINT) AS f_score,
+                        CAST(ntile(4) OVER (ORDER BY mc, o_custkey) AS BIGINT) AS m_score
+                 FROM b)
+         SELECT o_custkey, r_days, f AS n_orders,
+                CAST(mc AS DOUBLE)/100.0 AS monetary,
+                r_score, f_score, m_score,
+                r_score*100 + f_score*10 + m_score AS rfm
+         FROM t""",
+    "ana_pareto" ->
+      """WITH c AS (SELECT o_custkey,
+                           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS mc
+                    FROM orders GROUP BY 1),
+           d AS (SELECT o_custkey, mc,
+                        CAST(ntile(10) OVER (ORDER BY mc DESC, o_custkey) AS BIGINT) AS decile
+                 FROM c),
+           p AS (SELECT decile, count(*) AS n_customers,
+                        CAST(sum(mc) AS BIGINT) AS rc
+                 FROM d GROUP BY 1),
+           tot AS (SELECT CAST(sum(rc) AS BIGINT) AS tc FROM p)
+         SELECT decile, n_customers, CAST(rc AS DOUBLE)/100.0 AS revenue,
+                round(CAST(sum(rc) OVER (ORDER BY decile
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                      / CAST(tc AS DOUBLE), 6) AS cum_share
+         FROM p, tot"""
   )
 }

@@ -196,6 +196,45 @@ class StatsSpec extends SparkSpec {
     assert(out.forall { case (_, _, _, ns, _) => ns >= 1 && ns <= 3 })
   }
 
+  test("ana_rfm quartiles equal the sorted-replay exact tile rule") {
+    val out = q("ana_rfm").cache()
+    def tileOf(rank: Long, n: Long, t: Long): Long = {
+      val qq = n / t; val m = n % t; val cut = m * (qq + 1)
+      if (rank <= cut) (rank + qq) / (qq + 1)
+      else m + (rank - cut + math.max(qq, 1) - 1) / math.max(qq, 1)
+    }
+    val rows = out.select("o_custkey", "r_days", "n_orders", "r_score")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val n = rows.size.toLong
+    val expR = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case (r, i) => r._1 -> tileOf(i + 1L, n, 4) }.toMap
+    assert(rows.map(r => r._1 -> r._4).toMap === expR)
+    val badRange = out.filter(col("r_score") < 1 || col("r_score") > 4 ||
+      col("f_score") < 1 || col("f_score") > 4 ||
+      col("m_score") < 1 || col("m_score") > 4)
+    assert(badRange.isEmpty)
+    assert(out.filter(col("rfm") =!=
+      col("r_score") * 100 + col("f_score") * 10 + col("m_score")).isEmpty)
+  }
+
+  test("ana_pareto: concentration curve is monotone, balanced, and sums to 1") {
+    val rows = q("ana_pareto").orderBy("decile")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(rows.map(_._1) === (1L to 10L))
+    // balanced deciles: sizes differ by at most one
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1)
+    // top decile carries the most revenue; shares monotone to 1.0
+    assert(rows.head._3 >= rows.last._3)
+    assert(rows.map(_._4).sliding(2).forall { case Seq(a, b) => a <= b; case _ => true })
+    assert(math.abs(rows.last._4 - 1.0) < 1e-9)
+    val totalRevenue = rows.map(_._3).sum
+    val expTotal = spark.read.parquet(s"$sf/orders.parquet")
+      .select(round(col("o_totalprice") * 100).cast("long")).as[Long]
+      .collect().sum / 100.0
+    assert(math.abs(totalRevenue - expTotal) < 1e-6)
+  }
+
   test("ana_basket_lift matches its definition on collected baskets") {
     val out = q("ana_basket_lift")
       .as[(String, String, Long, Long, Long, Double)].collect().toSet
