@@ -156,6 +156,54 @@ object Graph {
         element_at(srt, 3).as("c"))
   }
 
+  /** INTEGER-EXACT PageRank over an undirected edge list: `(n, pr)`
+    * after `iters` power iterations, every quantity a BIGINT.
+    *
+    * The float formulation is unreproducible across engines (sum order,
+    * division rounding); here rank mass is an integer at `scale` and
+    * the update is pure integer arithmetic with DETERMINISTIC floor
+    * semantics — `contrib = pr div deg`, `pr' = floor((1−d)·scale) +
+    * (dampNum · Σ contrib) div dampDen` — so any engine that replays
+    * the same divisions gets the SAME bigints, hash-exact. (The floored
+    * mass leak is bounded by |V|·deg per iteration — a rank analysis
+    * tool cares about ordering and magnitude, which floor at scale 10⁹
+    * perturbs ~10 orders below.)
+    *
+    * Scale shape: per iteration ONE keyed join of the degree-annotated
+    * adjacency (pinned once, m rows) against the rank table and ONE
+    * keyed aggregate — the rank table broadcasts under the node-count
+    * gate (the Components.run measured-gate discipline), degrades to a
+    * shuffle join past it; each iteration pins its result (the
+    * Components fixpoint discipline) so plans never compound. */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+               scale: Long = 1000000000L, dampNum: Long = 85L,
+               dampDen: Long = 100L,
+               broadcastNodesLimit: Long = 4000000L): DataFrame = {
+    val shim = org.apache.spark.sql.GraftShim
+    val adj = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adjd = adj.join(deg, "src").localCheckpoint()
+    val nNodes = deg.count() // deg is adjd's subtree; count is cheap post-pin
+    val small = nNodes <= broadcastNodesLimit
+    val base = lit(((dampDen - dampNum) * scale) / dampDen)
+    var pr = adjd.select(col("src").as("n")).distinct()
+      .withColumn("pr", lit(scale)).localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val prSide = if (small) broadcast(pr) else pr
+      val next = adjd.join(prSide, col("src") === col("n"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst").as("n"))
+        .agg(sum(col("c")).cast("bigint").as("s"))
+        .select(col("n"),
+          (base + expr(s"($dampNum * s) div $dampDen")).cast("bigint").as("pr"))
+        .localCheckpoint()
+      shim.unpersistCheckpoint(pr)
+      pr = next
+    }
+    try pr finally shim.unpersistCheckpoint(adjd)
+  }
+
   /** Neighborhood Jaccard similarity for every node pair at distance 2:
     * `(a, b, n_common, deg_a, deg_b, jaccard)` with `a < b`, where
     * `jaccard = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|`. Pairs sharing no

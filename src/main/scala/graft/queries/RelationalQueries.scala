@@ -627,6 +627,17 @@ object RelationalQueries {
     "q_node_jaccard" -> ((s, d) =>
       graft.operators.Graph.nodeJaccard(copurchaseEdges(s, d, minSupport = 2))),
 
+    // INTEGER-EXACT PageRank (3 power iterations, damping 85/100, rank
+    // mass at scale 10⁹): item centrality on the co-purchase graph.
+    // Every quantity is a BIGINT with deterministic floor semantics —
+    // no float ever enters, so the oracle's unrolled replay is
+    // hash-exact by construction, not by rounding; one keyed
+    // join + aggregate per iteration, rank table broadcast under the
+    // node gate (operators/Graph.pageRank)
+    "q_pagerank" -> ((s, d) =>
+      graft.operators.Graph.pageRank(copurchaseEdges(s, d, minSupport = 1))
+        .withColumnRenamed("n", "part")),
+
     // per-group MODE with a deterministic tiebreak — two hash aggregates
     // with map-side partial combine ((cust, priority) counts are bounded
     // by cust × 5, then one max_by per customer); the mode never
@@ -729,7 +740,14 @@ object RelationalQueries {
     * the pairs with map-side combine. Measured 6.4 → ~2 s on the sf0.1
     * derivation vs the items-distinct + self-join + distinct plan. */
   private def copurchaseEdges(s: org.apache.spark.sql.SparkSession, d: String,
-                              minSupport: Long): org.apache.spark.sql.DataFrame = {
+                              minSupport: Long): org.apache.spark.sql.DataFrame =
+    copurchaseCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + d + "|" + minSupport,
+      _ => copurchaseEdgesUncached(s, d, minSupport).localCheckpoint())
+
+  private def copurchaseEdgesUncached(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      minSupport: Long): org.apache.spark.sql.DataFrame = {
     val baskets = t(s, d, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
@@ -753,18 +771,29 @@ object RelationalQueries {
     new java.util.concurrent.ConcurrentHashMap[
       String, (org.apache.spark.sql.SparkSession, String, String)]()
 
-  /** Query keys that read [[bucketCache]] — surfaced through
-    * `SparkEntry.memoizedQueries` so Bench clears the memo before every
-    * timed pass: the artifact's median then measures the COLD
-    * build-tables+join cost consistently (three rounds of `unstable`
-    * flags came from pass 1 paying the managed-table build while passes
-    * 2-3 rode the memo), and the `warm` entry records the amortized
-    * join-only serving shape. */
-  val memoized: Set[String] = Set("q_bucketed_join")
+  /** Query keys that read [[bucketCache]] or [[copurchaseCache]] —
+    * surfaced through `SparkEntry.memoizedQueries` so Bench clears the
+    * memo before every timed pass: the artifact's median then measures
+    * the COLD build+consume cost consistently (three rounds of
+    * `unstable` flags came from pass 1 paying the managed-table build
+    * while passes 2-3 rode the memo), and the `warm` entry records the
+    * amortized serving shape. */
+  val memoized: Set[String] =
+    Set("q_bucketed_join", "q_triangle_count", "q_pagerank", "q_node_jaccard")
+
+  /** The derived co-purchase graph is ONE ingest-time stage consumed by
+    * the whole graph family (triangles, PageRank, node Jaccard) — the
+    * preparedLabels discipline: each (app, sf dir, support) edge set
+    * pins once per application and every consumer reads the pinned
+    * frame instead of re-running the basket expansion. */
+  private val copurchaseCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.DataFrame]()
 
   /** Drop the memoized bucketed tables (managed — DROP deletes their
-    * data) so the next consumer pays the full ingest-time build again.
-    * Same single-threaded-caller contract as the other clearMemos. */
+    * data) and release the pinned co-purchase edge sets, so the next
+    * consumer pays the full ingest-time build again. Same
+    * single-threaded-caller contract as the other clearMemos. */
   def clearMemos(): Unit = {
     bucketCache.values.forEach { case (s, ot, lt) =>
       Seq(ot, lt).foreach { tbl =>
@@ -773,6 +802,11 @@ object RelationalQueries {
       }
     }
     bucketCache.clear()
+    copurchaseCache.values.forEach { df =>
+      try org.apache.spark.sql.GraftShim.unpersistCheckpoint(df)
+      catch { case _: Throwable => () }
+    }
+    copurchaseCache.clear()
   }
 
   private def bucketedTables(s: org.apache.spark.sql.SparkSession,
@@ -1219,6 +1253,24 @@ object RelationalQueries {
                 round(CAST(n_common AS DOUBLE)
                       / CAST(da.deg + db.deg - n_common AS DOUBLE), 6) AS jaccard
          FROM com JOIN deg da ON da.n = com.a JOIN deg db ON db.n = com.b""",
+    // three power iterations unrolled; every step integer-exact
+    "q_pagerank" -> {
+      def iter(i: Int) =
+        s"""c$i AS (SELECT e.dst AS n, sum(p.pr // e.deg) AS s
+                 FROM ed e JOIN pr${i - 1} p ON p.n = e.src
+                 GROUP BY 1),
+           pr$i AS (SELECT n, 150000000 + (85 * s) // 100 AS pr FROM c$i)"""
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+                  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+           adj AS (SELECT u AS src, v AS dst FROM e0
+                   UNION ALL SELECT v, u FROM e0),
+           deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY 1),
+           ed AS (SELECT a.src, a.dst, d.deg FROM adj a JOIN deg d ON d.src = a.src),
+           pr0 AS (SELECT src AS n, CAST(1000000000 AS BIGINT) AS pr FROM deg),
+           ${(1 to 3).map(iter).mkString(",\n           ")}
+         SELECT n AS part, CAST(pr AS BIGINT) AS pr FROM pr3"""
+    },
     // native window replay of the two-hash-agg mode: highest count wins,
     // ties break to the larger priority string (max_by's struct order)
     "q_mode" ->

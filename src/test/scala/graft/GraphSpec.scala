@@ -81,6 +81,30 @@ class GraphSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("pageRank equals an exact integer driver replay on real data") {
+    val got = Graph.pageRank(edges).as[(Long, Long)].collect().toMap
+    // driver replay with the same floor semantics
+    val es = edges.as[(Long, Long)].collect().toSeq
+    val adj = (es ++ es.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    var pr = adj.keys.map(_ -> 1000000000L).toMap
+    (1 to 3).foreach { _ =>
+      val contrib = pr.map { case (n, p) => n -> p / deg(n) }
+      pr = adj.keys.map { v =>
+        val s = adj(v).iterator.map(u => contrib(u)).sum
+        v -> (150000000L + 85L * s / 100L)
+      }.toMap
+    }
+    assert(got === pr)
+  }
+
+  test("pageRank ranks the hub of a star above its leaves") {
+    val star = (1L to 50L).map(i => (i, 99L)).toDF("u", "v")
+    val pr = Graph.pageRank(star).as[(Long, Long)].collect().toMap
+    assert(pr(99L) > pr(1L) * 10, s"hub pr ${pr(99L)} vs leaf ${pr(1L)}")
+    assert((1L to 50L).map(pr).distinct.size === 1, "symmetric leaves tie exactly")
+  }
+
   test("nodeJaccard on real edges: jaccard in (0,1], common ≤ min degree") {
     val out = Graph.nodeJaccard(edges).cache()
     assert(out.count() > 0)
