@@ -11,6 +11,14 @@ object StreamQueries {
   val defs: Map[String, QFn] = Map(
     "stream_window_agg" -> ((s, d) => Events.hourlyAgg(t(s, d, "events"))),
 
+    // per-hour TOP-K active users: streaming state is the plain
+    // (window, user) count sum-agg — incremental, mergeable, bounded by
+    // active users per open window — and the top-k FINALIZES at read
+    // time (rank never lives in state); the finalize sort is bounded by
+    // users-per-window. StreamSpec drives the stream-sink parity
+    "stream_topk_window" -> ((s, d) =>
+      Events.topkActiveUsers(t(s, d, "events"), k = 3)),
+
     // per-hour approximate distinct users via the oracle-exact HLL
     // sketch: the register state is a per-(window, bucket) MAX — exactly
     // the mergeable shape a streaming agg maintains incrementally, so
@@ -205,6 +213,13 @@ object StreamQueries {
                 count(*) AS n,
                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
          FROM events GROUP BY 1, 2""",
+    "stream_topk_window" ->
+      """WITH c AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                           user_id, count(*) AS n
+                    FROM events GROUP BY 1, 2)
+         SELECT hour, user_id, n,
+                row_number() OVER (PARTITION BY hour ORDER BY n DESC, user_id) AS rnk
+         FROM c QUALIFY rnk <= 3""",
     "stream_sessionize" ->
       """WITH e AS (
            SELECT user_id, event_id, epoch_us(ts) AS ts_us,

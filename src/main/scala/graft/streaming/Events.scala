@@ -59,6 +59,42 @@ object Events {
       .agg(count(lit(1)).as("n"),
         graft.queries.Common.money(sum(graft.queries.Common.cents(col("value")))).as("sum_value"))
 
+  /** Per-hour TOP-K active users. The streaming form splits the classic
+    * way: the (window, user) count STATE is a plain incremental sum-agg
+    * ([[windowUserCountsStream]] — mergeable by addition, the
+    * stream_distinct_approx register discipline), and the bounded top-k
+    * FINALIZES at read time from that state ([[finalizeTopkUsers]]) —
+    * rank never lives in streaming state. The finalize window partitions
+    * by hour, so each sort is bounded by users-per-window (a data
+    * constant), never the stream's length. */
+  def topkActiveUsers(events: DataFrame, k: Int = 3): DataFrame =
+    finalizeTopkUsers(
+      events
+        .select(date_format(date_trunc("hour", tsCol(col("ts"))),
+          "yyyy-MM-dd HH:mm:ss").as("hour"), col("user_id"))
+        .groupBy("hour", "user_id").agg(count(lit(1)).as("n")),
+      k)
+
+  /** Read-time finalize for [[topkActiveUsers]]: rank within each window
+    * (count desc, user asc) and keep the top k. Runs identically over
+    * the batch counts and a streaming sink of [[windowUserCountsStream]]
+    * (StreamSpec drives the parity). */
+  def finalizeTopkUsers(counts: DataFrame, k: Int): DataFrame =
+    counts
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("hour").orderBy(col("n").desc, col("user_id"))))
+      .filter(col("rnk") <= k)
+
+  /** The streaming state behind [[topkActiveUsers]]: watermarked
+    * per-(window, user) counts — incremental, mergeable, bounded by
+    * active users per open window. */
+  def windowUserCountsStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_t", tsCol(col("ts")))
+      .withWatermark("ts_t", "2 hours")
+      .groupBy(window(col("ts_t"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+
   /** Inner join pairing each right event with left events of the same key
     * inside `(t_right − window, t_right]`. One definition serves batch AND
     * stream-stream: with a watermark on both inputs, Spark bounds the join

@@ -27,6 +27,21 @@ class StreamSpec extends SparkSpec {
     assert(viaStream === spark.read.parquet(s"$sf/events.parquet").count())
   }
 
+  test("top-k active users: streaming count state + read-time finalize ≡ batch") {
+    val qy = Events.windowUserCountsStream(eventsStream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("topkstate").start()
+    qy.processAllAvailable(); qy.stop()
+    val sinkCounts = spark.table("topkstate")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("user_id"), col("n"))
+    val viaStream = Events.finalizeTopkUsers(sinkCounts, 3)
+      .as[(String, Long, Long, Int)].collect().toSet
+    val viaBatch = q("stream_topk_window")
+      .as[(String, Long, Long, Int)].collect().toSet
+    assert(viaBatch.nonEmpty && viaStream === viaBatch)
+  }
+
   test("batch hourlyAgg matches streaming window totals per event_type") {
     val batch = q("stream_window_agg")
       .groupBy("event_type").agg(sum("n").as("n")).as[(String, Long)].collect().toMap
