@@ -1186,6 +1186,30 @@ object TextQueries {
         round((col("slf") - slope * col("slr")) / nd, 6).as("intercept"))
     }),
 
+    // LEXICAL DIVERSITY — the vocabulary-flatness quality signal
+    // (ta_entropy's token-level sibling): type-token ratio and hapax
+    // fraction per doc. Template/boilerplate mass repeats a tiny
+    // vocabulary (low TTR, low hapax); natural prose does not. ONE
+    // explode + two hash aggregates, map-side partial combine absorbing
+    // the token fan-out — the shuffle carries (doc, token) counts,
+    // never raw tokens; ratios are single double divisions over exact
+    // integers
+    "ta_ttr" -> ((s, d) => {
+      val cnt = t(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(normalizeText(col("text")))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      cnt.groupBy("doc_id")
+        .agg(sum(col("c")).cast("bigint").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).cast("bigint").as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+            .as("ttr"),
+          round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6)
+            .as("hapax_frac"))
+    }),
+
     // l-DIVERSITY AUDIT — ta_k_anonymize's second guarantee: a QI class
     // can be k-large yet leak when every member shares ONE sensitive
     // value; each (nation × segment) class must carry >= l distinct
@@ -2416,6 +2440,21 @@ object TextQueries {
          SELECT n_terms, round(slope, 6) AS slope,
                 round((slf - slope*slr) / CAST(n_terms AS DOUBLE), 6) AS intercept
          FROM g""",
+    "ta_ttr" ->
+      """WITH tok AS (SELECT doc_id,
+                             unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS t
+                      FROM documents),
+           cnt AS (SELECT doc_id, t, count(*) AS c
+                   FROM tok WHERE t <> '' GROUP BY 1, 2),
+           agg AS (SELECT doc_id,
+                          CAST(sum(c) AS BIGINT) AS n_tokens,
+                          count(*) AS n_types,
+                          CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+                   FROM cnt GROUP BY 1)
+         SELECT doc_id, n_tokens, n_types, n_hapax,
+                round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+                round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_frac
+         FROM agg""",
     "ta_l_diversity" ->
       """WITH c AS (SELECT CAST(c_nationkey AS VARCHAR) AS nat, c_mktsegment AS seg,
                            CASE WHEN c_acctbal < 0 THEN 'debt'

@@ -188,6 +188,27 @@ class StatsSpec extends SparkSpec {
     assert(icept === r6((slf - expSlope * slr) / nd))
   }
 
+  test("ta_ttr matches a hand-derived fixture via the collected replay") {
+    val out = q("ta_ttr").cache()
+    assert(out.count() > 0)
+    // invariants: types <= tokens, hapax <= types, ratios in (0, 1]
+    assert(out.filter(col("n_types") > col("n_tokens") ||
+      col("n_hapax") > col("n_types") ||
+      col("ttr") <= 0.0 || col("ttr") > 1.0 ||
+      col("hapax_frac") < 0.0 || col("hapax_frac") > 1.0).isEmpty)
+    // exact replay for one doc
+    val (docId, text) = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].head()
+    val toks = text.toLowerCase.replaceAll("[^a-z0-9 ]", "")
+      .replaceAll(" +", " ").trim.split(" ").filter(_.nonEmpty)
+    val counts = toks.groupBy(identity).view.mapValues(_.length).toMap
+    val row = out.filter(col("doc_id") === docId)
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(row._2 === toks.length.toLong)
+    assert(row._3 === counts.size.toLong)
+    assert(row._4 === counts.values.count(_ == 1).toLong)
+  }
+
   test("ta_l_diversity: a class is diverse iff it carries >= 2 sensitive bands") {
     val out = q("ta_l_diversity")
       .as[(String, String, Long, Long, Boolean)].collect().toSeq
