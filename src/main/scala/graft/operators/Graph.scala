@@ -32,6 +32,35 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Result checkpoints handed to callers. `localCheckpoint()` pins
+    * block-store blocks that `Dataset.unpersist` never releases (see
+    * GraftShim.unpersistCheckpoint) and the operator cannot know when a
+    * caller is done reading, so every RESULT pin is tracked here and
+    * [[releaseResults]] frees them in bulk — `RelationalQueries
+    * .clearMemos` calls it between bench passes, tools call it between
+    * measurement points. Without the registry each cold pass leaked one
+    * m-row checkpoint until ContextCleaner GC happened to collect it. */
+  private val resultPins =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def pinResult(df: DataFrame): DataFrame = {
+    val p = df.localCheckpoint()
+    resultPins.add(p)
+    p
+  }
+
+  /** Release every result checkpoint handed out since the last call.
+    * Callers own the safety argument: no frame derived from a previous
+    * result may still be read after this. */
+  def releaseResults(): Unit = {
+    var df = resultPins.poll()
+    while (df != null) {
+      try org.apache.spark.sql.GraftShim.unpersistCheckpoint(df)
+      catch { case _: Throwable => () } // a stopped session: nothing to free
+      df = resultPins.poll()
+    }
+  }
+
   /** Per-node triangle participation counts: `(n, n_tri)` for every node
     * in at least one triangle. Each triangle {a,b,c} contributes one to
     * all three members. Input: distinct `(u, v)` with `u < v`. */
@@ -70,8 +99,7 @@ object Graph {
       // to recompute per consumer, so the m-row orientation itself is
       // never materialized.
       val deg = degreesOf(e).localCheckpoint()
-      try closeByIntersection(orientWith(e, deg, smallGraph = true))
-        .localCheckpoint()
+      try pinResult(closeByIntersection(orientWith(e, deg, smallGraph = true)))
       finally { e.unpersist(); shim.unpersistCheckpoint(deg) }
     } else {
       // Large regime: the orientation (two keyed shuffle joins) is read
@@ -80,7 +108,7 @@ object Graph {
       // for production runs).
       val oriented = orientWith(e, degreesOf(e), smallGraph = false)
         .localCheckpoint()
-      try closeByWedgeJoin(oriented).localCheckpoint()
+      try pinResult(closeByWedgeJoin(oriented))
       finally { e.unpersist(); shim.unpersistCheckpoint(oriented) }
     }
   }
@@ -201,6 +229,9 @@ object Graph {
       shim.unpersistCheckpoint(pr)
       pr = next
     }
+    // the final rank table is a RESULT pin — tracked for releaseResults,
+    // not freed here (the caller hasn't read it yet)
+    resultPins.add(pr)
     try pr finally shim.unpersistCheckpoint(adjd)
   }
 

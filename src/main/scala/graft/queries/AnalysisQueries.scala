@@ -274,7 +274,8 @@ object AnalysisQueries {
         .select(col("o_custkey"), (col("gmax") - col("last_day")).as("r_days"),
           col("f"), col("mc"))
       val scored = Seq(("r_days", "r_score"), ("f", "f_score"), ("mc", "m_score"))
-        .foldLeft(base) { case (df, (v, out)) => tileN(df, v, out, tiles = 4) }
+        .foldLeft(base) { case (df, (v, out)) =>
+          tileN(df, v, out, tiles = 4, tiebreakCols = Seq("o_custkey")) }
       scored.select(col("o_custkey"), col("r_days"), col("f").as("n_orders"),
         money(col("mc")).as("monetary"),
         col("r_score"), col("f_score"), col("m_score"),
@@ -292,7 +293,8 @@ object AnalysisQueries {
       val c = t(s, d, "orders").groupBy("o_custkey")
         .agg(sum(cents(col("o_totalprice"))).cast("bigint").as("mc"))
         .withColumn("neg_mc", -col("mc")).withColumn("__g", lit(1))
-      val deciled = tileN(c, "neg_mc", "decile", tiles = 10)
+      val deciled = tileN(c, "neg_mc", "decile", tiles = 10,
+        tiebreakCols = Seq("o_custkey"))
       val per = deciled.groupBy("decile")
         .agg(count(lit(1)).as("n_customers"), sum(col("mc")).cast("bigint").as("rc"))
       val tot = per.agg(sum(col("rc")).cast("bigint").as("tc"))
@@ -305,18 +307,25 @@ object AnalysisQueries {
     })
   )
 
-  /** NTILE(`tiles`) over `(valueCol ASC, o_custkey ASC)` without the
+  /** NTILE(`tiles`) over `(valueCol ASC, tiebreak ASC)` without the
     * one-reducer global sort: global rank from Rank.withGroupRank's
     * two-level construction (the `__g` constant group makes it a single
     * logical group range-partitioned across the cluster), then the exact
     * tile rule — first n%tiles tiles take ceil(n/tiles) rows (q_ntile's
     * arithmetic, proven ≡ native ntile by RankSpec + the q_ntile
-    * oracle). Drops the rank/n helper columns so passes can chain. */
+    * oracle). The tiebreak columns are the caller's (they must make the
+    * total order unique, or tile assignment is partition-dependent);
+    * defaulting a key column here silently mis-ranked any non-orders
+    * frame. Drops the rank/n helper columns so passes can chain. */
   private def tileN(df: org.apache.spark.sql.DataFrame, valueCol: String,
-                    outCol: String, tiles: Int): org.apache.spark.sql.DataFrame = {
+                    outCol: String, tiles: Int,
+                    tiebreakCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(tiebreakCols.forall(df.columns.contains),
+      s"tileN tiebreak columns ${tiebreakCols.mkString(",")} missing from " +
+        df.columns.mkString(","))
     val ranked = graft.operators.Rank.withGroupRank(
       if (df.columns.contains("__g")) df else df.withColumn("__g", lit(1)),
-      Seq("__g"), valueCol, tiebreakCols = Seq("o_custkey"))
+      Seq("__g"), valueCol, tiebreakCols = tiebreakCols)
     def ceilDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       floor((a + b - lit(1)) / b).cast("bigint")
     val q = floor(col("n") / tiles).cast("bigint")

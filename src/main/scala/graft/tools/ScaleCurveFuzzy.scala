@@ -111,6 +111,72 @@ object ScaleCurveFuzzy {
       }
     }
 
+    // ---- cross-table JOIN at d=2 on 200-char names (round-17 verdict
+    // item): the segment-pigeonhole join path priced under a ×k blow-up,
+    // like editNeighborsSeg's length sweep but through editJoin. The
+    // blow-up is NOT tag-prefixing here: segment blocking keys are
+    // SUBSTRINGS, so tag-prefixed copies of a shared body would still
+    // collide on body segments and candidate mass would scale ×k² (the
+    // verify kills those pairs, but the exchange would have paid them —
+    // exactly what this curve must expose, not mask). Instead every
+    // (base, copy) gets its OWN md5-chain body, so cross-name segment
+    // collisions are structurally absent and true link mass is exactly
+    // nBase×k: left = planted originals, right = each original with two
+    // substitutions (dist 2, inside different segments), links must be
+    // one per right name.
+    locally {
+      val d = 2
+      val l = 200
+      val nB = 128
+      val blocks = (l + 31) / 32
+      def longName(seed: Column): Column =
+        concat((0 until blocks).map(i =>
+          md5(concat(seed, lit("#"), lit(i)))): _*).substr(1, l)
+      def subAt(s: Column, pos: Int, c: String): Column =
+        concat(s.substr(1, pos - 1), lit(c), s.substr(pos + 1, l))
+      def sides(f: Int): (DataFrame, DataFrame) = {
+        val seeds = spark.range(nB * f)
+          .select(concat(col("id"), lit("@"), lit(f)).as("seed"))
+        val left = seeds.select(longName(col("seed")).as("name"))
+        val right = seeds.select(
+          subAt(subAt(longName(col("seed")), 9, "Z"), 45, "Z").as("name"))
+        (left.localCheckpoint(), right.localCheckpoint())
+      }
+      // discarded warm-up (the ScaleCurveGraph lesson: an un-warmed ×1
+      // point inflates the fit's origin and the α gate passes on noise)
+      locally {
+        val (wl, wr) = sides(1)
+        FuzzyLink.editJoin(wl, "name", wr, "name", d, segmentBlocking = true).count()
+        org.apache.spark.sql.GraftShim.unpersistCheckpoint(wl)
+        org.apache.spark.sql.GraftShim.unpersistCheckpoint(wr)
+      }
+      var joinPts = Vector[(Long, Double)]()
+      var jLinks = Map[Int, Long]()
+      Seq(1, 4, 10).foreach { f =>
+        val (lhs, rhs) = sides(f)
+        val (n, wallSec) = timed(
+          FuzzyLink.editJoin(lhs, "name", rhs, "name", d,
+            segmentBlocking = true).count())
+        jLinks += f -> n
+        joinPts :+= ((nB.toLong * f, wallSec))
+        val line = f"""{"op":"fuzzy_join_len","scheme":"seg","max_dist":$d,"name_len":$l,"n_left":${nB * f},"links":$n,"wall_sec":$wallSec%.2f}"""
+        println(line); sb.append(line).append('\n')
+        org.apache.spark.sql.GraftShim.unpersistCheckpoint(lhs)
+        org.apache.spark.sql.GraftShim.unpersistCheckpoint(rhs)
+      }
+      Seq(1, 4, 10).foreach { f =>
+        require(jLinks(f) == nB.toLong * f,
+          s"fuzzy_join_len links not exactly ${nB} x $f: ${jLinks(f)} — " +
+            "a planted d=2 pair was missed (recall hole) or a spurious pair passed")
+      }
+      val (n0, w0) = joinPts.head; val (n1, w1) = joinPts.last
+      val alphaJ = math.log(w1 / w0) / math.log(n1.toDouble / n0)
+      val aLine = f"""{"op":"fuzzy_join_len","alpha_wall":$alphaJ%.3f,"links_exact_xk":true,"fit_range":[$n0,$n1]}"""
+      println(aLine); sb.append(aLine).append('\n')
+      require(alphaJ < 1.35,
+        f"editJoin d=2 L=200 wall α=$alphaJ%.3f over ×10 growth — super-linear")
+    }
+
     // ---- LENGTH sweep (round-16 verdict item): the d=2 deletion
     // neighborhood is ~|s|²/2 variants per name — price that against the
     // segment pigeonhole, which ships O(d²) fixed-width keys per name.
