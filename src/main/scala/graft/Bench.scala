@@ -113,10 +113,13 @@ object Bench {
       case None =>
         val shm = new java.io.File("/dev/shm")
         // 32 GiB headroom: sf0.1 ephemeral stores total a few GB and are
-        // swept per pass; refuse tmpfs rather than fail writes mid-suite
+        // swept per pass; refuse tmpfs rather than fail writes mid-suite.
+        // Root is PER-PROCESS: a shared root would let one run's exit
+        // hook delete a concurrent (or zombie) run's live scratch.
         if (shm.isDirectory && shm.canWrite &&
           shm.getUsableSpace > 32L * 1024 * 1024 * 1024)
-          Some("/dev/shm/graft_bench_scratch") else None
+          Some("/dev/shm/graft_bench_scratch_" + ProcessHandle.current().pid())
+        else None
     }
     scratchRoot.foreach { root =>
       val dir = new java.io.File(root)

@@ -304,6 +304,46 @@ object AnalysisQueries {
         .select(col("decile"), col("n_customers"), money(col("rc")).as("revenue"),
           round(sum(col("rc")).over(w).cast("double") / col("tc").cast("double"), 6)
             .as("cum_share"))
+    }),
+
+    // WELCH'S T-TEST from exact integer moments — the A/B readout
+    // (urgent/high-priority orders vs the rest, per market segment) as
+    // the q_corr discipline: ONE keyed join + ONE aggregation pass
+    // accumulates n, Σx, Σx² per (segment, variant) as decimal(38,0)
+    // (map-side combined — never a per-group sort or a second scan),
+    // then mean/variance/t run in doubles cast from identical exact
+    // integers, so both engines execute the same IEEE op sequence on
+    // the same bits. Never Spark's stddev/var aggregates: their
+    // streaming doubles are partition-order-dependent
+    "ana_ab_ttest" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val o = t(s, d, "orders").select(col("o_custkey"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("va"),
+        cents(col("o_totalprice")).as("pc"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val g = o.join(cust, o("o_custkey") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(
+          sum(when(col("va"), 1L)).cast("bigint").as("n_a"),
+          sum(when(!col("va"), 1L)).cast("bigint").as("n_b"),
+          sum(when(col("va"), dec(col("pc")))).as("sa"),
+          sum(when(!col("va"), dec(col("pc")))).as("sb"),
+          sum(when(col("va"), dec(col("pc")) * dec(col("pc")))).as("qa"),
+          sum(when(!col("va"), dec(col("pc")) * dec(col("pc")))).as("qb"))
+        .filter(col("n_a") > 1 && col("n_b") > 1)
+      val ma = dbl(col("sa")) / dbl(col("n_a"))
+      val mb = dbl(col("sb")) / dbl(col("n_b"))
+      val va = (dbl(col("qa")) - dbl(col("sa")) * dbl(col("sa")) / dbl(col("n_a"))) /
+        (dbl(col("n_a")) - 1.0)
+      val vb = (dbl(col("qb")) - dbl(col("sb")) * dbl(col("sb")) / dbl(col("n_b"))) /
+        (dbl(col("n_b")) - 1.0)
+      g.select(col("segment"), col("n_a"), col("n_b"),
+        round(ma / 100.0, 6).as("mean_a"),
+        round(mb / 100.0, 6).as("mean_b"),
+        round((ma - mb) / sqrt(va / dbl(col("n_a")) + vb / dbl(col("n_b"))), 6)
+          .as("t_stat"))
     })
   )
 
@@ -500,6 +540,28 @@ object AnalysisQueries {
                 round(CAST(sum(rc) OVER (ORDER BY decile
                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
                       / CAST(tc AS DOUBLE), 6) AS cum_share
-         FROM p, tot"""
+         FROM p, tot""",
+    // same moment discipline: HUGEINT-exact sums, then the identical
+    // double op sequence (division association mirrored term by term)
+    "ana_ab_ttest" ->
+      """WITH m AS (SELECT c.c_mktsegment AS segment,
+                           o.o_orderpriority IN ('1-URGENT','2-HIGH') AS va,
+                           CAST(round(o.o_totalprice*100) AS BIGINT) AS pc
+                    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+           g AS (SELECT segment,
+                        CAST(count(*) FILTER (WHERE va) AS BIGINT) AS n_a,
+                        CAST(count(*) FILTER (WHERE NOT va) AS BIGINT) AS n_b,
+                        CAST(sum(CASE WHEN va THEN pc END) AS DOUBLE) AS sa,
+                        CAST(sum(CASE WHEN NOT va THEN pc END) AS DOUBLE) AS sb,
+                        CAST(sum(CASE WHEN va THEN CAST(pc AS HUGEINT)*pc END) AS DOUBLE) AS qa,
+                        CAST(sum(CASE WHEN NOT va THEN CAST(pc AS HUGEINT)*pc END) AS DOUBLE) AS qb
+                 FROM m GROUP BY 1)
+         SELECT segment, n_a, n_b,
+                round(sa/CAST(n_a AS DOUBLE)/100.0, 6) AS mean_a,
+                round(sb/CAST(n_b AS DOUBLE)/100.0, 6) AS mean_b,
+                round((sa/CAST(n_a AS DOUBLE) - sb/CAST(n_b AS DOUBLE))
+                      / sqrt(((qa - sa*sa/CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+                           + ((qb - sb*sb/CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE)), 6) AS t_stat
+         FROM g WHERE n_a > 1 AND n_b > 1"""
   )
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.etl.{Clean, Normalize}
+import graft.functions.TextFunctions.hash31
 import Common._
 
 /** SURVEY.md §2.A — the reference's listings/reviews ETL operators
@@ -594,7 +595,45 @@ object EtlQueries {
         stat("reviews_store", "n_listings", count(lit(1)), rev),
         stat("reviews_store", "n_reviews", sum(size(col("reviews"))), rev)
       ).reduce(_ unionAll _)
-    })
+    }),
+
+    // SMALL-FILE COMPACTION (`OPTIMIZE` without the z-order): an
+    // incremental writer fragments a table into tiny files and every
+    // scan then pays one task + footer read per file — at 100 TB the
+    // FILE COUNT, not the byte count, throttles the scheduler. The key
+    // runs the real lifecycle each pass: a 64-file fragmented store
+    // (built once per app+sf — the damage), `Compact.filesInPlace`
+    // (measured-bytes target sizing + the park-promote swap), then the
+    // result READ BACK FROM THE COMPACTED STORE — the oracle reads the
+    // original table, so the hash passes iff compaction was lossless
+    // row for row. File-count assertions live in EtlSpec (a file count
+    // isn't SQL-expressible)
+    "etl_compact_files" -> ((s, d) => {
+      val store = fragmentedDir(s, d) + "/orders"
+      graft.sinks.Compact.filesInPlace(s, store, targetFileBytes = 4L << 20)
+      s.read.parquet(store)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // TABLE CONTENT CHECKSUM — the cross-engine reconciliation
+    // primitive: after any migration/backfill/replication, compare
+    // per-slice (n_rows, Σ digest, XOR digest) instead of shipping
+    // rows. Order-free by construction (sum/xor commute), pure map +
+    // one aggregate — ZERO repartitioning constraints, so any engine
+    // with md5 reproduces it over any partitioning. The row repr uses
+    // only exactly-stringifiable values (bigints + raw strings — never
+    // a float's engine-specific repr); digests are the 31-bit md5
+    // prefix so a bigint SUM cannot overflow below ~4×10⁹ rows/slice
+    // (decimal(38,0) past that)
+    "etl_checksum" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(col("c_mktsegment").as("segment"),
+          hash31(concat_ws("|", col("c_custkey"), col("c_name"),
+            col("c_nationkey"), cents(col("c_acctbal")))).as("h"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h")).cast("bigint").as("sum_digest"),
+          expr("bit_xor(h)").cast("bigint").as("xor_digest")))
   )
 
   /** Two parquet snapshot generations of `orders` with DIFFERENT schemas
@@ -621,6 +660,23 @@ object EtlQueries {
       snapshotTmp.add(base.toFile)
       t(s, d, "documents").write.mode("overwrite").json(base.toString + "/docs")
       base.toString + "/docs"
+    })
+
+  /** Fragmented orders store for `etl_compact_files`, written once per
+    * (application, sf dir) — 64 deliberately tiny files, the shape an
+    * incremental writer leaves behind. Compaction then runs IN PLACE on
+    * it per invocation (pass 1 collapses 64 → few; later passes rewrite
+    * the already-compacted store at the same target — the result rows,
+    * which the oracle hashes, are pass-invariant either way). */
+  private def fragmentedDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    snapshotCache.computeIfAbsent("frag|" + s.sparkContext.applicationId + "|" + d, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft_frag")
+      snapshotHook
+      snapshotTmp.add(base.toFile)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(64).write.mode("overwrite").parquet(base.toString + "/orders")
+      base.toString
     })
 
   /** Scratch root for `pipeline_reference_etl`'s loaded stores — one temp
@@ -1090,6 +1146,24 @@ object EtlQueries {
                 CASE WHEN l.c_custkey IS NOT NULL THEN l.seg
                      ELSE b.c_mktsegment END AS c_mktsegment
          FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
-         WHERE l.op IS DISTINCT FROM 'D'"""
+         WHERE l.op IS DISTINCT FROM 'D'""",
+
+    // the oracle reads the ORIGINAL table — the hash passes iff the
+    // fragment → compact → read-back trip was lossless row for row
+    "etl_compact_files" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+
+    // identical digest construction over the identical exact row repr
+    "etl_checksum" ->
+      """WITH r AS (SELECT c_mktsegment AS segment,
+                           CAST('0x' || substr(md5(
+                             concat_ws('|', c_custkey, c_name, c_nationkey,
+                               CAST(round(c_acctbal*100) AS BIGINT))), 1, 8)
+                             AS BIGINT) % 2147483647 AS h
+                    FROM customer)
+         SELECT segment, count(*) AS n_rows,
+                CAST(sum(h) AS BIGINT) AS sum_digest,
+                CAST(bit_xor(h) AS BIGINT) AS xor_digest
+         FROM r GROUP BY 1"""
   )
 }

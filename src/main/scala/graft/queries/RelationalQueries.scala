@@ -734,7 +734,97 @@ object RelationalQueries {
           money(min_by(col("pc"),
             struct(col("o_orderdate"), col("o_orderkey")))).as("first_price"),
           money(max_by(col("pc"),
-            struct(col("o_orderdate"), col("o_orderkey")))).as("last_price")))
+            struct(col("o_orderdate"), col("o_orderkey")))).as("last_price"))),
+
+    // 2-D SKYLINE (Pareto frontier: cheapest-for-its-size parts —
+    // minimize price, maximize size): the catalog question "which
+    // offers are not strictly beaten on both axes" — the two-phase
+    // sorted sweep (operators/Skyline: range exchange + local prune,
+    // then the exact global pass over the bounded survivor set; never
+    // the quadratic NOT EXISTS self-join, never a full-table
+    // single-partition window). Equal (price, size) rows do not
+    // dominate each other and all survive — SkylineSpec proves the
+    // two-phase plan ≡ brute force on tie/dup fixtures and real data
+    "q_skyline" -> ((s, d) => {
+      val p = t(s, d, "part").select(col("p_partkey"),
+        cents(col("p_retailprice")).as("pc"), col("p_size").cast("bigint").as("sz"))
+      graft.operators.Skyline.pareto2d(p, "pc", "sz", col("p_partkey"))
+        .select(col("p_partkey"), money(col("pc")).as("price"),
+          col("sz").as("size"))
+    }),
+
+    // INTERVAL OVERLAP by sweep-line: peak concurrent in-transit
+    // shipments per supplier (interval = shipdate → shipdate + a
+    // deterministic transit time). The naive form is an interval
+    // self-join (quadratic per supplier); the sweep is two linear
+    // shuffles — ±1 boundary events aggregated per (supplier, day)
+    // BEFORE the window (same-day order inside the running sum would
+    // otherwise be engine-dependent), then one cumulative window per
+    // supplier and a max_by. Peak date ties break to the EARLIEST day
+    // via the (conc, -day) struct max — deterministic cross-engine
+    "q_interval_overlap" -> ((s, d) => {
+      val iv = t(s, d, "lineitem").select(col("l_suppkey").as("sk"),
+        to_date(col("l_shipdate")).as("ds"),
+        (col("l_orderkey") % 30 + 1).cast("int").as("transit"))
+      val ev = iv.select(col("sk"), col("ds").as("dt"), lit(1L).as("delta"))
+        .unionAll(iv.select(col("sk"),
+          date_add(col("ds"), col("transit")).as("dt"), lit(-1L).as("delta")))
+        .groupBy("sk", "dt").agg(sum(col("delta")).as("net"))
+      val w = Window.partitionBy("sk").orderBy("dt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("conc", sum(col("net")).over(w))
+        .withColumn("di", datediff(col("dt"), to_date(lit("1970-01-01"))).cast("long"))
+        .groupBy(col("sk").as("l_suppkey"))
+        .agg(max(struct(col("conc").as("c"), (-col("di")).as("nd"))).as("pk"))
+        .select(col("l_suppkey"), col("pk.c").as("max_concurrent"),
+          date_add(to_date(lit("1970-01-01")), (-col("pk.nd")).cast("int")).as("peak_date"))
+    }),
+
+    // CALENDAR GAP FILL: each customer's monthly order series completed
+    // with explicit zero rows for inactive months between their first
+    // and last active month — the densify step every time-series
+    // feature pipeline needs (a rolling average over a sparse series
+    // silently skips the gaps). The calendar GENERATES per key
+    // (sequence + explode — rows bounded by Σ span, never a cross join
+    // against a global calendar), then ONE left join back; month index
+    // is pure integer arithmetic, identical in any engine
+    "q_gap_fill" -> ((s, d) => {
+      val m = t(s, d, "orders").select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + (month(col("o_orderdate")) - 1)).as("mi"),
+        cents(col("o_totalprice")).as("pc"))
+        .groupBy("o_custkey", "mi")
+        .agg(count(lit(1)).as("n_orders"), sum(col("pc")).cast("bigint").as("sc"))
+      val cal = m.groupBy("o_custkey")
+        .agg(min(col("mi")).as("lo"), max(col("mi")).as("hi"))
+        .select(col("o_custkey"), explode(sequence(col("lo"), col("hi"))).as("mi"))
+      cal.join(m, Seq("o_custkey", "mi"), "left")
+        .select(col("o_custkey"), col("mi").cast("bigint").as("month_index"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          money(coalesce(col("sc"), lit(0L))).as("spend"))
+    }),
+
+    // CUMULATIVE DISTINCT users per event type by day — the growth-curve
+    // query. A windowed count_distinct would carry per-window user sets
+    // (state explodes with the distinct count); instead each (type,
+    // user) contributes ONE first-seen row (a min-aggregate — map-side
+    // combined, state bounded by distinct pairs), new-user counts roll
+    // up per day, and the cumulative sum runs over the tiny (type, day)
+    // frame. Active days with zero new users still appear (left join
+    // against the distinct day calendar), so the curve is gap-free
+    "q_cum_distinct" -> ((s, d) => {
+      val dayNs = 86400L * 1000000000L
+      val ev = t(s, d, "events").select(col("event_type"), col("user_id"),
+        expr(s"ts div $dayNs").as("day"))
+      val firstDay = ev.groupBy("event_type", "user_id").agg(min(col("day")).as("day"))
+      val newPerDay = firstDay.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("new_users"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select("event_type", "day").distinct()
+        .join(newPerDay, Seq("event_type", "day"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+    })
   )
 
   /** Distinct co-purchase edges `(u, v)`, `u < v`: part pairs appearing
@@ -1387,6 +1477,67 @@ object RelationalQueries {
          SELECT o_custkey, count(*) AS n_orders,
                 CAST(min(CASE WHEN ra = 1 THEN pc END) AS DOUBLE)/100.0 AS first_price,
                 CAST(min(CASE WHEN rd = 1 THEN pc END) AS DOUBLE)/100.0 AS last_price
-         FROM r GROUP BY 1"""
+         FROM r GROUP BY 1""",
+
+    // the ONE-PHASE global sweep (DuckDB is single-node): same dominance
+    // rule, no partition pruning needed — the two-phase plan must equal it
+    "q_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+                           CAST(round(p_retailprice*100) AS BIGINT) AS pc,
+                           CAST(p_size AS BIGINT) AS sz
+                    FROM part),
+           w AS (SELECT p_partkey, pc, sz,
+                        max(sz) OVER (ORDER BY pc
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+                        max(sz) OVER (PARTITION BY pc) AS m2
+                 FROM p)
+         SELECT p_partkey, CAST(pc AS DOUBLE)/100.0 AS price, sz AS size
+         FROM w WHERE (m1 IS NULL OR m1 < sz) AND m2 = sz""",
+
+    "q_interval_overlap" ->
+      """WITH iv AS (SELECT l_suppkey AS sk, CAST(l_shipdate AS DATE) AS ds,
+                            CAST(l_orderkey % 30 + 1 AS INTEGER) AS transit
+                     FROM lineitem),
+           ev AS (SELECT sk, dt, CAST(sum(delta) AS BIGINT) AS net
+                  FROM (SELECT sk, ds AS dt, 1 AS delta FROM iv
+                        UNION ALL
+                        SELECT sk, ds + transit AS dt, -1 AS delta FROM iv)
+                  GROUP BY 1, 2),
+           run AS (SELECT sk, dt,
+                          sum(net) OVER (PARTITION BY sk ORDER BY dt
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+                   FROM ev),
+           mx AS (SELECT sk, max(conc) AS mc FROM run GROUP BY 1)
+         SELECT r.sk AS l_suppkey, CAST(m.mc AS BIGINT) AS max_concurrent,
+                min(r.dt) AS peak_date
+         FROM run r JOIN mx m ON r.sk = m.sk AND r.conc = m.mc
+         GROUP BY 1, 2""",
+
+    "q_gap_fill" ->
+      """WITH m AS (SELECT o_custkey,
+                           year(o_orderdate)*12 + (month(o_orderdate)-1) AS mi,
+                           count(*) AS n_orders,
+                           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sc
+                    FROM orders GROUP BY 1, 2),
+           sp AS (SELECT o_custkey, min(mi) AS lo, max(mi) AS hi FROM m GROUP BY 1),
+           cal AS (SELECT o_custkey, CAST(u.mi AS BIGINT) AS mi
+                   FROM sp, unnest(range(lo, hi + 1)) AS u(mi))
+         SELECT cal.o_custkey, cal.mi AS month_index,
+                CAST(coalesce(m.n_orders, 0) AS BIGINT) AS n_orders,
+                CAST(coalesce(m.sc, 0) AS DOUBLE)/100.0 AS spend
+         FROM cal LEFT JOIN m ON cal.o_custkey = m.o_custkey AND cal.mi = m.mi""",
+
+    "q_cum_distinct" ->
+      """WITH ev AS (SELECT event_type, user_id,
+                            epoch_ns(ts) // 86400000000000 AS day FROM events),
+           f AS (SELECT event_type, user_id, min(day) AS day FROM ev GROUP BY 1, 2),
+           npd AS (SELECT event_type, day, count(*) AS new_users FROM f GROUP BY 1, 2),
+           cal AS (SELECT DISTINCT event_type, day FROM ev)
+         SELECT cal.event_type, cal.day,
+                CAST(coalesce(npd.new_users, 0) AS BIGINT) AS new_users,
+                CAST(sum(coalesce(npd.new_users, 0)) OVER (
+                  PARTITION BY cal.event_type ORDER BY cal.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+         FROM cal LEFT JOIN npd ON cal.event_type = npd.event_type AND cal.day = npd.day"""
   )
 }

@@ -836,6 +836,37 @@ object SimQueries {
         .agg(count(lit(1)).as("n_overlap"))
         .select(lit(10).as("k"), col("n_overlap"),
           round(col("n_overlap").cast("double") / 10.0, 6).as("recall"))
+    }),
+
+    // EMBEDDING DRIFT MONITOR: per-dimension centroid shift between two
+    // corpus slices (here: even/odd vec_id — in production: last week's
+    // embeddings vs this week's, or model v1 vs v2). The first check a
+    // serving pipeline runs before trusting a re-embedded corpus: a
+    // drifted dimension means re-tuned thresholds or a stale index.
+    // ONE posexplode + ONE map-side-combined aggregate — the exchange
+    // carries (dim, slice) partial sums, never vectors; sums are exact
+    // BIGINT micro-units (RandomProjection.quantized, guard included)
+    // so the means are single double divisions over identical integers
+    // in both engines (at true 100 TB row counts the micro-unit sums
+    // outgrow BIGINT ~1e12 rows/dim — swap to decimal(38,0), the q_corr
+    // headroom note)
+    "sim_drift" -> ((s, d) => {
+      val dims = 64
+      val q = t(s, d, "embeddings")
+        .select((col("vec_id") % 2 === 0).as("old"),
+          posexplode(graft.operators.RandomProjection.quantized(
+            col("embedding"), dims)).as(Seq("dim", "v")))
+        .groupBy("dim")
+        .agg(
+          sum(when(col("old"), 1L)).cast("bigint").as("n_old"),
+          sum(when(!col("old"), 1L)).cast("bigint").as("n_new"),
+          sum(when(col("old"), col("v"))).cast("bigint").as("so"),
+          sum(when(!col("old"), col("v"))).cast("bigint").as("sn"))
+      val mo = (col("so").cast("double") / col("n_old").cast("double")) / 1000000.0
+      val mn = (col("sn").cast("double") / col("n_new").cast("double")) / 1000000.0
+      q.select(col("dim"), col("n_old"), col("n_new"),
+        round(mo, 6).as("mean_old"), round(mn, 6).as("mean_new"),
+        round(mn - mo, 6).as("shift"))
     })
   )
 
@@ -1712,6 +1743,28 @@ object SimQueries {
             FROM na a
             JOIN qa ON a.centroid_id = qa.centroid_id
             JOIN qs b ON b.q_id = qa.q_id)
-          QUALIFY rank <= 5"""
+          QUALIFY rank <= 5""",
+
+    // per-dim micro-unit sums replayed exactly; the same division
+    // association ((s/n)/1e6) so the doubles are bit-identical
+    "sim_drift" ->
+      """WITH e AS (SELECT vec_id % 2 = 0 AS old,
+                           list_transform(embedding,
+                             x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+                    FROM embeddings),
+           u AS (SELECT old, CAST(r.i - 1 AS INT) AS dim, qv[CAST(r.i AS INT)] AS v
+                 FROM e, unnest(range(1, len(qv)+1)) AS r(i)),
+           g AS (SELECT dim,
+                        CAST(count(*) FILTER (WHERE old) AS BIGINT) AS n_old,
+                        CAST(count(*) FILTER (WHERE NOT old) AS BIGINT) AS n_new,
+                        CAST(sum(CASE WHEN old THEN v END) AS BIGINT) AS so,
+                        CAST(sum(CASE WHEN NOT old THEN v END) AS BIGINT) AS sn
+                 FROM u GROUP BY 1)
+         SELECT dim, n_old, n_new,
+                round(CAST(so AS DOUBLE)/CAST(n_old AS DOUBLE)/1000000.0, 6) AS mean_old,
+                round(CAST(sn AS DOUBLE)/CAST(n_new AS DOUBLE)/1000000.0, 6) AS mean_new,
+                round(CAST(sn AS DOUBLE)/CAST(n_new AS DOUBLE)/1000000.0
+                      - CAST(so AS DOUBLE)/CAST(n_old AS DOUBLE)/1000000.0, 6) AS shift
+         FROM g"""
   )
 }

@@ -191,6 +191,33 @@ object StreamQueries {
       Events.timeWindowJoin(clicks, purchases, "c_user", "p_user", "c_t", "p_t", 30)
         .groupBy(col("c_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // EXACTLY-ONCE SINK, oracle-checked (ExactlyOnceSpec proves the
+    // property, this key puts it under the DuckDB gate): foreachBatch
+    // delivers at-least-once — the same sink closure the streaming path
+    // uses (DocStoreSink.appendRecordsInto) ingests two micro-batches
+    // and then the second batch AGAIN (the post-crash redelivery), into
+    // a FRESH store each pass (full cold lifecycle). The read-back per
+    // user must equal the oracle's one-shot DISTINCT aggregation —
+    // at-least-once input × idempotent set-union sink = exactly-once
+    // output, with no transaction log
+    "stream_replay_merge" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val store = java.nio.file.Files.createTempDirectory("graft_replay")
+        .toString + "/docs"
+      val sink = graft.sinks.DocStoreSink.appendRecordsInto(
+        store, "user_id", Seq("event_id"), "events", Nil) _
+      val ev = t(s, d, "events").select(col("user_id"), col("event_id"))
+      val b1 = ev.filter(col("event_id") % 2 === 0)
+      val b2 = ev.filter(col("event_id") % 2 =!= 0)
+      sink(b1, 0L)
+      sink(b2, 1L)
+      sink(b2, 1L) // the redelivery a crash-restart produces
+      s.read.parquet(store).select(col("user_id"),
+        size(col("events")).cast("bigint").as("n_events"),
+        aggregate(col("events"), lit(0L),
+          (a, x) => a + x.getField("event_id")).as("sum_event_id"))
     })
   )
 
@@ -321,6 +348,13 @@ object StreamQueries {
          JOIN (SELECT user_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase') p
            ON c.user_id = p.user_id
           AND c.c_us > p.p_us - 1800000000 AND c.c_us <= p.p_us
-         GROUP BY 1"""
+         GROUP BY 1""",
+    // the one-shot DISTINCT aggregation the replayed streaming load must
+    // equal exactly (set-union arrays = distinct event sets)
+    "stream_replay_merge" ->
+      """SELECT user_id,
+                CAST(count(DISTINCT event_id) AS BIGINT) AS n_events,
+                CAST(sum(DISTINCT event_id) AS BIGINT) AS sum_event_id
+         FROM events GROUP BY 1"""
   )
 }

@@ -1210,6 +1210,32 @@ object TextQueries {
             .as("hapax_frac"))
     }),
 
+    // N-GRAM NOVELTY: per doc, the fraction of its distinct word
+    // 3-grams FIRST seen in this doc (ownership = min doc_id over the
+    // corpus) — the curation dial between dedup (novelty ≈ 0 is a
+    // near-copy) and quality (boilerplate-heavy docs score low without
+    // being copies of any single doc). The exchange ships (doc, hash31)
+    // pairs — 8-byte gram digests, NEVER gram strings (the Dedup.exact
+    // rule) — through one min-aggregate and one keyed join back; both
+    // engines hash identically so intra-doc digest collisions (distinct
+    // grams, same 31-bit hash) collapse the same way on both sides
+    "ta_novelty" -> ((s, d) => {
+      val gr = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(wordNgrams(col("text"), 3))).as("g"))
+        .select(col("doc_id"), hash31(col("g")).as("h"))
+        .distinct()
+      val first = gr.groupBy("h").agg(min(col("doc_id")).as("own"))
+      gr.join(first, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("own") === col("doc_id"), 1L).otherwise(0L))
+            .cast("bigint").as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6)
+            .as("novelty"))
+    }),
+
     // l-DIVERSITY AUDIT — ta_k_anonymize's second guarantee: a QI class
     // can be k-large yet leak when every member shares ONE sensitive
     // value; each (nation × segment) class must carry >= l distinct
@@ -2463,6 +2489,20 @@ object TextQueries {
                     FROM customer)
          SELECT nat, seg, count(*) AS n, count(DISTINCT sens) AS n_sens,
                 count(DISTINCT sens) >= 2 AS diverse
-         FROM c GROUP BY 1, 2"""
+         FROM c GROUP BY 1, 2""",
+
+    // the shared word-3-gram CTEs + the hash31 digest, so intra-doc
+    // digest collisions collapse identically on both sides
+    "ta_novelty" ->
+      s"""WITH $duckNgramCtes,
+            ed AS (SELECT DISTINCT doc_id,
+                          CAST('0x'||substr(md5(u.g),1,8) AS BIGINT) % 2147483647 AS h
+                   FROM g, unnest(s) AS u(g)),
+            f AS (SELECT h, min(doc_id) AS own FROM ed GROUP BY 1)
+          SELECT ed.doc_id, count(*) AS n_grams,
+                 CAST(sum(CASE WHEN f.own = ed.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                 round(CAST(sum(CASE WHEN f.own = ed.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6) AS novelty
+          FROM ed JOIN f USING (h) GROUP BY 1"""
   )
 }

@@ -34,6 +34,36 @@ object StreamSmoke {
     println(s"stream windows=${rows.count()} events_via_stream=$streamN events_batch=$batchN")
     rows.orderBy(col("window.start")).show(3, truncate = false)
 
+    // EXACTLY-ONCE SINK (round-17): foreachBatch delivers AT-LEAST-ONCE —
+    // a crash between the store write and the checkpoint commit re-offers
+    // the batch on restart. The doc-store sink is idempotent (scalar
+    // upsert + array SET union), so the replay is a no-op: at-least-once
+    // input × idempotent sink = exactly-once output, no transaction log.
+    // Driven here through the real writeStream path, then the redelivery
+    // simulated by re-invoking the sink closure on the delivered batch.
+    locally {
+      val store = java.nio.file.Files.createTempDirectory("graft_eo_smoke")
+        .toString + "/docs"
+      val sink = graft.sinks.DocStoreSink.appendRecordsInto(
+        store, "user_id", Seq("event_id", "value"), "events", Nil) _
+      val evStream = graft.sources.Tables.normalizeEventTs(
+        spark.readStream.schema(schema).parquet(s"$dir/events.parque[t]"))
+        .select(col("user_id"), col("event_id"), col("value"))
+      val eq = evStream.writeStream.foreachBatch(sink).start()
+      eq.processAllAvailable(); eq.stop()
+      val once = spark.read.parquet(store)
+        .selectExpr("count(*) AS docs", "sum(size(events)) AS evs").head()
+      // redeliver the ENTIRE input as one batch (the worst-case replay)
+      sink(graft.sources.Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("value")), 99L)
+      val replayed = spark.read.parquet(store)
+        .selectExpr("count(*) AS docs", "sum(size(events)) AS evs").head()
+      println(s"exactly_once docs=${once.getLong(0)} events=${once.getLong(1)} " +
+        s"after_replay docs=${replayed.getLong(0)} events=${replayed.getLong(1)} " +
+        s"invariant=${once == replayed}")
+      require(once == replayed, "replay changed the doc store — sink not idempotent")
+    }
+
     // multimodal: payload plumbing + stubbed batched decode
     import graft.multimodal.Multimodal
     val media = Multimodal.withPayload(spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
