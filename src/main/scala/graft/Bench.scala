@@ -73,7 +73,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
-    val heavyS = sys.env.getOrElse("SPARK_GRAFT_HEAVY_S", "5.0").toDouble
+    // 7 s (round 17, was 5): with scratch on tmpfs and the co-purchase
+    // stores prepared, the quiet-host cold passes of the graph family,
+    // the dedup pair builds, and ana_median_by_group sit in 3.5–6.5 s —
+    // a 5 s cap collapsed ~10 honest keys to single-pass medians (the
+    // exact artifact fragility the capped-key healing rule exists to
+    // paper over); 7 s keeps the cap for genuinely heavy keys only
+    val heavyS = sys.env.getOrElse("SPARK_GRAFT_HEAVY_S", "7.0").toDouble
     // composed whole-pipeline keys get a larger cap: their one cold pass
     // IS the entire multi-stage composition, and capping it permanently
     // left pipeline_corpus_prep a 1-pass median in every round's artifact
@@ -84,13 +90,16 @@ object Bench {
     // a fixed 480 s was right for ≤96 keys but a 178-key suite under the
     // cold-median discipline honestly needs ~800 s, so the driver's
     // no-env-var artifact collapsed ~31 late-suite keys to single
-    // contended passes and read as a fake uniform regression). 5 s/key is
-    // ~3× the measured quiet per-key cost (140 s / 168 keys ≈ 0.83 s),
-    // leaving the same headroom 480 s gave the 96-key suite, and stays
-    // far inside the driver's kill window (round-9 notes: >30 min).
+    // contended passes and read as a fake uniform regression). 7 s/key
+    // (round 17, was 5): the composed store-lifecycle keys now run REAL
+    // 3-pass medians instead of permanent single-pass caps (~8 keys ×
+    // ~2 extra 8 s passes), and the measured quiet 231-key wall is
+    // ~1300-1500 s — 5 s/key deadline-hit the tail of an honest run.
+    // 7 s/key = ~27 min worst case at 236 keys, still inside the
+    // driver's kill window (round-9 notes: >30 min).
     val nBench = (if (only.isEmpty) SparkEntry.queries.keySet else only).size
     val deadlineS = sys.env.get("SPARK_GRAFT_DEADLINE_S").map(_.toDouble)
-      .getOrElse(math.max(480.0, 5.0 * nBench))
+      .getOrElse(math.max(480.0, 7.0 * nBench))
     val suiteT0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - suiteT0) / 1e9
     // SCRATCH ROUTING (round-16 postmortem): the sandbox's disk write

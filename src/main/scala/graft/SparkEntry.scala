@@ -38,7 +38,12 @@ object SparkEntry {
   def composedQueries: Set[String] =
     Set("pipeline_corpus_prep", "pipeline_embedding_prep", "dedup_band_store",
       "dedup_band_delete", "dedup_band_rebucket", "dedup_band_merge",
-      "pipeline_reference_etl", "etl_zorder_optimize")
+      "pipeline_reference_etl", "etl_zorder_optimize",
+      // three sequential swapWrite loads incl. a replayed batch — the
+      // whole exactly-once lifecycle per pass
+      "stream_replay_merge",
+      // builds BOTH bucketed managed tables cold before the join
+      "q_bucketed_join")
 
   /** Drop every application-lifetime memoized stage (checkpoint blocks
     * released, ANN store files deleted, bucketed tables dropped); the

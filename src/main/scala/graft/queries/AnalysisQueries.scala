@@ -344,6 +344,27 @@ object AnalysisQueries {
         round(mb / 100.0, 6).as("mean_b"),
         round((ma - mb) / sqrt(va / dbl(col("n_a")) + vb / dbl(col("n_b"))), 6)
           .as("t_stat"))
+    }),
+
+    // SEASONALITY INDEX — month-of-year decomposition: each calendar
+    // month's average order value against the all-time average (index
+    // > 1 = a hot month). ONE map-side-combined aggregate bounded by 12
+    // groups; the grand total rides a broadcast 1-row cross join (never
+    // a driver collect); index = two double divisions over exact cents
+    "ana_seasonality" -> ((s, d) => {
+      val per = t(s, d, "orders")
+        .select(month(col("o_orderdate")).as("m"),
+          cents(col("o_totalprice")).as("pc"))
+        .groupBy("m")
+        .agg(count(lit(1)).as("n_orders"), sum(col("pc")).cast("bigint").as("sc"))
+      val tot = per.agg(sum(col("n_orders")).cast("bigint").as("tn"),
+        sum(col("sc")).cast("bigint").as("tc"))
+      val avgM = col("sc").cast("double") / col("n_orders").cast("double")
+      val avgAll = col("tc").cast("double") / col("tn").cast("double")
+      per.crossJoin(broadcast(tot))
+        .select(col("m").cast("bigint").as("month"), col("n_orders"),
+          round(avgM / 100.0, 6).as("avg_order_value"),
+          round(avgM / avgAll, 6).as("seasonal_index"))
     })
   )
 
@@ -562,6 +583,17 @@ object AnalysisQueries {
                 round((sa/CAST(n_a AS DOUBLE) - sb/CAST(n_b AS DOUBLE))
                       / sqrt(((qa - sa*sa/CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
                            + ((qb - sb*sb/CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE)), 6) AS t_stat
-         FROM g WHERE n_a > 1 AND n_b > 1"""
+         FROM g WHERE n_a > 1 AND n_b > 1""",
+    "ana_seasonality" ->
+      """WITH per AS (SELECT month(o_orderdate) AS m, count(*) AS n_orders,
+                             CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sc
+                      FROM orders GROUP BY 1),
+           tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS tn,
+                          CAST(sum(sc) AS BIGINT) AS tc FROM per)
+         SELECT CAST(m AS BIGINT) AS month, n_orders,
+                round(CAST(sc AS DOUBLE)/CAST(n_orders AS DOUBLE)/100.0, 6) AS avg_order_value,
+                round((CAST(sc AS DOUBLE)/CAST(n_orders AS DOUBLE))
+                      / (CAST(tc AS DOUBLE)/CAST(tn AS DOUBLE)), 6) AS seasonal_index
+         FROM per, tot"""
   )
 }

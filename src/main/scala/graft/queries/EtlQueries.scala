@@ -633,7 +633,39 @@ object EtlQueries {
         .groupBy("segment")
         .agg(count(lit(1)).as("n_rows"),
           sum(col("h")).cast("bigint").as("sum_digest"),
-          expr("bit_xor(h)").cast("bigint").as("xor_digest")))
+          expr("bit_xor(h)").cast("bigint").as("xor_digest"))),
+
+    // LATE-ARRIVING DIMENSION repair — the warehouse load-order problem:
+    // facts land before their dimension rows (a new product sells before
+    // the catalog feed ships it). Orphans must QUARANTINE, not drop or
+    // null-join, and the repair must resolve them once the late dim
+    // batch arrives. One broadcast-able anti-join splits the feed
+    // (quarantine mass is bounded by the orphan rate, not the fact
+    // table); the repair joins ONLY the quarantine against the late
+    // batch. Output = per-stage (n_rows, Σ qty cents) ledger — the hash
+    // proves conservation: matched + quarantined = all, repaired =
+    // quarantined (every orphan resolved by the full dim)
+    "etl_orphan_repair" -> ((s, d) => {
+      val facts = t(s, d, "lineitem").select(col("l_partkey"),
+        cents(col("l_quantity")).as("qc"))
+      val dimV1 = t(s, d, "part").filter(col("p_partkey") % 10 =!= 0)
+        .select(col("p_partkey"))
+      val dimLate = t(s, d, "part").filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey"))
+      val matched = facts.join(dimV1, facts("l_partkey") === dimV1("p_partkey"),
+        "left_semi")
+      val quarantine = facts.join(dimV1, facts("l_partkey") === dimV1("p_partkey"),
+        "left_anti")
+      val repaired = quarantine.join(dimLate,
+        quarantine("l_partkey") === dimLate("p_partkey"), "left_semi")
+      def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).cast("bigint").as("n_rows"),
+          sum(col("qc")).cast("bigint").as("sum_qty_cents"))
+          .select(lit(name).as("stage"), col("n_rows"), col("sum_qty_cents"))
+      stage("matched_v1", matched)
+        .unionAll(stage("quarantined", quarantine))
+        .unionAll(stage("repaired", repaired))
+    })
   )
 
   /** Two parquet snapshot generations of `orders` with DIFFERENT schemas
@@ -1164,6 +1196,23 @@ object EtlQueries {
          SELECT segment, count(*) AS n_rows,
                 CAST(sum(h) AS BIGINT) AS sum_digest,
                 CAST(bit_xor(h) AS BIGINT) AS xor_digest
-         FROM r GROUP BY 1"""
+         FROM r GROUP BY 1""",
+
+    "etl_orphan_repair" ->
+      """WITH f AS (SELECT l_partkey, CAST(round(l_quantity*100) AS BIGINT) AS qc
+                    FROM lineitem),
+           d1 AS (SELECT p_partkey FROM part WHERE p_partkey % 10 <> 0),
+           dl AS (SELECT p_partkey FROM part WHERE p_partkey % 10 = 0),
+           m AS (SELECT * FROM f WHERE l_partkey IN (SELECT p_partkey FROM d1)),
+           q AS (SELECT * FROM f WHERE l_partkey NOT IN (SELECT p_partkey FROM d1)),
+           r AS (SELECT * FROM q WHERE l_partkey IN (SELECT p_partkey FROM dl))
+         SELECT 'matched_v1' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(qc) AS BIGINT) AS sum_qty_cents FROM m
+         UNION ALL
+         SELECT 'quarantined', CAST(count(*) AS BIGINT),
+                CAST(sum(qc) AS BIGINT) FROM q
+         UNION ALL
+         SELECT 'repaired', CAST(count(*) AS BIGINT),
+                CAST(sum(qc) AS BIGINT) FROM r"""
   )
 }

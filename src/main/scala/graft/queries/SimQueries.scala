@@ -867,6 +867,29 @@ object SimQueries {
       q.select(col("dim"), col("n_old"), col("n_new"),
         round(mo, 6).as("mean_old"), round(mn, 6).as("mean_new"),
         round(mn - mo, 6).as("shift"))
+    }),
+
+    // THRESHOLD CALIBRATION SWEEP: the histogram of same-cluster pair
+    // cosines — the curve you read BEFORE picking a dedup/search τ
+    // (guessing τ=0.8 without it is folklore; the histogram shows where
+    // the near-dup mass actually separates from the background). Pairs
+    // are BLOCKED by the label column (the IVF-bucket stand-in — the
+    // same candidates-within-a-cluster shape the dedup/ANN family
+    // exchanges), never all-pairs; cosine is the shared sequential-fold
+    // construction (Similarity.cosine ≡ the oracle's list_reduce), the
+    // bucket a floor over an identical double
+    "sim_threshold_sweep" -> ((s, d) => {
+      val n = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val a = n.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
+      val b = n.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
+      a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+        .select(floor(graft.operators.Similarity.cosine(col("va"), col("vb"))
+          * 10).cast("bigint").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("tau_lo", round(col("bucket").cast("double") / 10.0, 1))
     })
   )
 
@@ -1765,6 +1788,22 @@ object SimQueries {
                 round(CAST(sn AS DOUBLE)/CAST(n_new AS DOUBLE)/1000000.0, 6) AS mean_new,
                 round(CAST(sn AS DOUBLE)/CAST(n_new AS DOUBLE)/1000000.0
                       - CAST(so AS DOUBLE)/CAST(n_old AS DOUBLE)/1000000.0, 6) AS shift
-         FROM g"""
+         FROM g""",
+
+    "sim_threshold_sweep" ->
+      s"""WITH e AS (SELECT vec_id, label,
+                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+            n AS (SELECT vec_id, label, v,
+                         sqrt(${fold("list_transform(v, x -> x*x)")}) AS nrm
+                  FROM e),
+            p AS (SELECT floor(
+                           ${fold("list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)])")}
+                           / (a.nrm * b.nrm) * 10) AS bucket
+                  FROM n a JOIN n b
+                    ON a.label = b.label AND a.vec_id < b.vec_id)
+          SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_pairs,
+                 round(CAST(bucket AS DOUBLE)/10.0, 1) AS tau_lo
+          FROM p GROUP BY p.bucket"""
   )
 }

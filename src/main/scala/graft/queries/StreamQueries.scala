@@ -218,6 +218,32 @@ object StreamQueries {
         size(col("events")).cast("bigint").as("n_events"),
         aggregate(col("events"), lit(0L),
           (a, x) => a + x.getField("event_id")).as("sum_event_id"))
+    }),
+
+    // LATE-DATA AUDIT — how much history a watermark horizon would
+    // drop: an event is LATE when its event time sits more than
+    // `horizon` behind the max event time already seen in its stream
+    // (arrival order = event_id, the deterministic stand-in for offset
+    // order). The sizing question every `withWatermark` call should be
+    // answered by data, not folklore. Batch form: one per-type window
+    // over arrival order carrying a running max — the same per-key
+    // linear shuffle the streaming state machine pays; lateness stats
+    // are exact nanos integers
+    "stream_late_audit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val horizonNs = 3600L * 1000000000L
+      val w = Window.partitionBy("event_type").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "events").select(col("event_type"), col("event_id"), col("ts"))
+        .withColumn("wm", max(col("ts")).over(w) - horizonNs)
+        .withColumn("late_ns",
+          when(col("ts") < col("wm"), col("wm") - col("ts")).otherwise(lit(0L)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_ns") > 0, 1L).otherwise(0L)).cast("bigint").as("n_late"),
+          max(col("late_ns")).cast("bigint").as("max_late_ns"),
+          sum(col("late_ns")).cast("bigint").as("sum_late_ns"))
     })
   )
 
@@ -355,6 +381,21 @@ object StreamQueries {
       """SELECT user_id,
                 CAST(count(DISTINCT event_id) AS BIGINT) AS n_events,
                 CAST(sum(DISTINCT event_id) AS BIGINT) AS sum_event_id
-         FROM events GROUP BY 1"""
+         FROM events GROUP BY 1""",
+    "stream_late_audit" ->
+      """WITH w AS (SELECT event_type, epoch_ns(ts) AS tn,
+                           max(epoch_ns(ts)) OVER (PARTITION BY event_type
+                             ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                             - 3600000000000 AS wm
+                    FROM events),
+           l AS (SELECT event_type,
+                        CASE WHEN tn < wm THEN wm - tn ELSE 0 END AS late_ns
+                 FROM w)
+         SELECT event_type, count(*) AS n_events,
+                CAST(sum(CASE WHEN late_ns > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                CAST(max(late_ns) AS BIGINT) AS max_late_ns,
+                CAST(sum(late_ns) AS BIGINT) AS sum_late_ns
+         FROM l GROUP BY 1"""
   )
 }

@@ -1210,6 +1210,29 @@ object TextQueries {
             .as("hapax_frac"))
     }),
 
+    // CODE-VS-PROSE detector — the corpus-routing filter between langid
+    // and quality: code must route to a code pipeline (different
+    // tokenizer, different quality rules), not score as bad prose. Pure
+    // symbol-density heuristic over a removal-diff character count
+    // (length minus length-after-strip — one codegen'd regexp, no
+    // explode). Corpus docs are prose, so code-shaped variants are
+    // PLANTED deterministically per doc_id (the ta_url_canon pattern)
+    // and the oracle replays the identical construction + arithmetic
+    "ta_code_score" -> ((s, d) => {
+      val txt = when(col("doc_id") % 7 === 0,
+        concat(col("text"), expr(
+          "repeat(' if (x==1) { return y[0]; }', CAST(doc_id % 3 + 1 AS INT))")))
+        .otherwise(col("text"))
+      val stripped = regexp_replace(txt, "[{}();=<>\\[\\]]", "")
+      t(s, d, "documents").select(col("doc_id"),
+        length(txt).cast("bigint").as("n_chars"),
+        (length(txt) - length(stripped)).cast("bigint").as("n_code_chars"))
+        .select(col("doc_id"), col("n_chars"), col("n_code_chars"),
+          round(col("n_code_chars").cast("double") / col("n_chars").cast("double"), 6)
+            .as("code_ratio"))
+        .withColumn("is_code", col("code_ratio") >= 0.005)
+    }),
+
     // N-GRAM NOVELTY: per doc, the fraction of its distinct word
     // 3-grams FIRST seen in this doc (ownership = min doc_id over the
     // corpus) — the curation dial between dedup (novelty ≈ 0 is a
@@ -2490,6 +2513,23 @@ object TextQueries {
          SELECT nat, seg, count(*) AS n, count(DISTINCT sens) AS n_sens,
                 count(DISTINCT sens) >= 2 AS diverse
          FROM c GROUP BY 1, 2""",
+
+    "ta_code_score" ->
+      """WITH t AS (SELECT doc_id,
+                           CASE WHEN doc_id % 7 = 0
+                                THEN text || repeat(' if (x==1) { return y[0]; }',
+                                                    CAST(doc_id % 3 + 1 AS INT))
+                                ELSE text END AS txt
+                    FROM documents),
+           m AS (SELECT doc_id, CAST(length(txt) AS BIGINT) AS n_chars,
+                        CAST(length(txt) - length(
+                          regexp_replace(txt, '[{}();=<>\[\]]', '', 'g')) AS BIGINT)
+                          AS n_code_chars
+                 FROM t)
+         SELECT doc_id, n_chars, n_code_chars,
+                round(CAST(n_code_chars AS DOUBLE)/CAST(n_chars AS DOUBLE), 6) AS code_ratio,
+                round(CAST(n_code_chars AS DOUBLE)/CAST(n_chars AS DOUBLE), 6) >= 0.005 AS is_code
+         FROM m""",
 
     // the shared word-3-gram CTEs + the hash31 digest, so intra-doc
     // digest collisions collapse identically on both sides

@@ -138,6 +138,70 @@ class SkylineSpec extends SparkSpec {
     assert(q(2) == 0.25)
   }
 
+  test("etl_orphan_repair: mass conservation — matched + quarantined = all, repaired = quarantined") {
+    val m = q("etl_orphan_repair").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val all = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("count(*)", "sum(CAST(round(l_quantity*100) AS BIGINT))")
+      .as[(Long, Long)].head()
+    assert(m("matched_v1")._1 + m("quarantined")._1 == all._1)
+    assert(m("matched_v1")._2 + m("quarantined")._2 == all._2)
+    // the late dim batch carries exactly the keys v1 lacked — every
+    // orphan resolves
+    assert(m("repaired") == m("quarantined"))
+    assert(m("quarantined")._1 > 0, "fixture must actually quarantine something")
+  }
+
+  test("ta_code_score separates the planted code variants from prose") {
+    val r = q("ta_code_score").select("doc_id", "is_code")
+      .as[(Long, Boolean)].collect()
+    val (planted, prose) = r.partition(_._1 % 7 == 0)
+    assert(planted.nonEmpty && planted.forall(_._2),
+      "every planted code-suffixed doc must flag")
+    assert(prose.forall(!_._2), "no prose doc may flag")
+  }
+
+  test("stream_late_audit ≡ brute-force watermark replay") {
+    val horizon = 3600L * 1000000000L
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "event_id", "ts")
+      .as[(String, Long, Long)].collect()
+    val brute = ev.groupBy(_._1).map { case (et, xs) =>
+      var runMax = Long.MinValue
+      var nLate = 0L; var maxL = 0L; var sumL = 0L
+      xs.sortBy(_._2).foreach { case (_, _, ts) =>
+        if (runMax != Long.MinValue && ts < runMax - horizon) {
+          val l = runMax - horizon - ts
+          nLate += 1; maxL = math.max(maxL, l); sumL += l
+        }
+        runMax = math.max(runMax, ts)
+      }
+      et -> ((xs.size.toLong, nLate, maxL, sumL))
+    }
+    val got = q("stream_late_audit")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == brute)
+  }
+
+  test("ana_seasonality: months cover the table and the n-weighted index averages to 1") {
+    val r = q("ana_seasonality")
+      .select("month", "n_orders", "seasonal_index")
+      .as[(Long, Long, Double)].collect()
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(r.map(_._2).sum == total)
+    val weighted = r.map(x => x._2 * x._3).sum / total
+    assert(math.abs(weighted - 1.0) < 1e-3,
+      s"n-weighted seasonal index $weighted must average to ~1")
+  }
+
+  test("sim_threshold_sweep: histogram mass equals the blocked pair count") {
+    val nPairs = q("sim_threshold_sweep").agg(sum("n_pairs")).as[Long].head()
+    val perLabel = spark.read.parquet(s"$sf/embeddings.parquet")
+      .groupBy("label").count().as[(Int, Long)].collect()
+    assert(nPairs == perLabel.map { case (_, n) => n * (n - 1) / 2 }.sum)
+  }
+
   test("etl_compact_files: 64 fragments collapse to measured-target file count, losslessly") {
     val before = spark.read.parquet(s"$sf/orders.parquet")
       .select("o_orderkey").as[Long].collect().toSet
