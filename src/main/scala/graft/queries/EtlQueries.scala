@@ -665,6 +665,30 @@ object EtlQueries {
       stage("matched_v1", matched)
         .unionAll(stage("quarantined", quarantine))
         .unionAll(stage("repaired", repaired))
+    }),
+
+    // PSEUDONYMIZATION — the privacy transform `ta_redact_pii` is NOT:
+    // redaction destroys joinability, pseudonymization preserves it
+    // (same input → same stable token, across tables and loads), which
+    // is what analytics on de-identified data actually requires. Tokens
+    // are salted-md5-derived — deterministic, collision-audited in the
+    // same pass (n_distinct tokens must equal n_distinct names; a
+    // truncated-digest collision would silently MERGE two people, the
+    // worst failure mode of the technique — surfaced as a column, not
+    // assumed). Zero shuffles for the map; one aggregate for the audit
+    "etl_pseudonymize" -> ((s, d) => {
+      val salt = "graft_r17" // deployment secret; literal here so the oracle replays
+      val tok = (c: org.apache.spark.sql.Column) =>
+        concat(lit("u"), lpad(hash31(concat(c, lit(salt))).cast("string"), 10, "0"))
+      val rows = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          tok(col("c_name")).as("pseudo_name"))
+      rows.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("c_name")).as("n_names"),
+          countDistinct(col("pseudo_name")).as("n_tokens"),
+          min(col("pseudo_name")).as("min_token"))
+        .withColumn("collision_free", col("n_tokens") === col("n_names"))
     })
   )
 
@@ -1213,6 +1237,18 @@ object EtlQueries {
                 CAST(sum(qc) AS BIGINT) FROM q
          UNION ALL
          SELECT 'repaired', CAST(count(*) AS BIGINT),
-                CAST(sum(qc) AS BIGINT) FROM r"""
+                CAST(sum(qc) AS BIGINT) FROM r""",
+
+    "etl_pseudonymize" ->
+      """WITH r AS (SELECT c_custkey, c_name, c_mktsegment,
+                           'u' || lpad(CAST(CAST('0x' || substr(md5(c_name || 'graft_r17'), 1, 8)
+                             AS BIGINT) % 2147483647 AS VARCHAR), 10, '0') AS pseudo_name
+                    FROM customer)
+         SELECT c_mktsegment, count(*) AS n_rows,
+                CAST(count(DISTINCT c_name) AS BIGINT) AS n_names,
+                CAST(count(DISTINCT pseudo_name) AS BIGINT) AS n_tokens,
+                min(pseudo_name) AS min_token,
+                count(DISTINCT pseudo_name) = count(DISTINCT c_name) AS collision_free
+         FROM r GROUP BY 1"""
   )
 }

@@ -890,6 +890,23 @@ object SimQueries {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_pairs"))
         .withColumn("tau_lo", round(col("bucket").cast("double") / 10.0, 1))
+    }),
+
+    // VECTOR NORM AUDIT — the sanity gate before any cosine/IP index: a
+    // corpus mixing normalized and unnormalized embeddings (two encoder
+    // versions, a bad batch) silently corrupts inner-product search,
+    // and the norm HISTOGRAM is how the mix shows up. Squared norms are
+    // exact BIGINT micro-unit sums (one zero-shuffle fold per row), the
+    // sqrt runs once per row on identical integers, the histogram is a
+    // bounded aggregate
+    "sim_norm_audit" -> ((s, d) => {
+      val q = graft.operators.RandomProjection.quantized(col("embedding"), 64)
+      val ssq = aggregate(transform(q, x => x * x), lit(0L), (a, x) => a + x)
+      t(s, d, "embeddings")
+        .select(col("label"),
+          round(sqrt(ssq.cast("double")) / 1000000.0, 2).as("norm"))
+        .groupBy("label", "norm")
+        .agg(count(lit(1)).as("n_vecs"))
     })
   )
 
@@ -1804,6 +1821,16 @@ object SimQueries {
                     ON a.label = b.label AND a.vec_id < b.vec_id)
           SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_pairs,
                  round(CAST(bucket AS DOUBLE)/10.0, 1) AS tau_lo
-          FROM p GROUP BY p.bucket"""
+          FROM p GROUP BY p.bucket""",
+
+    "sim_norm_audit" ->
+      s"""WITH q AS (SELECT label, list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+                     FROM embeddings),
+            n AS (SELECT label, round(sqrt(CAST(
+                    ${"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(qv, x -> x*x)), (a, x) -> a + x)"}
+                    AS DOUBLE)) / 1000000.0, 2) AS norm
+                  FROM q)
+          SELECT label, norm, count(*) AS n_vecs FROM n GROUP BY 1, 2"""
   )
 }

@@ -244,6 +244,31 @@ object StreamQueries {
           sum(when(col("late_ns") > 0, 1L).otherwise(0L)).cast("bigint").as("n_late"),
           max(col("late_ns")).cast("bigint").as("max_late_ns"),
           sum(col("late_ns")).cast("bigint").as("sum_late_ns"))
+    }),
+
+    // SESSION-GAP HISTOGRAM — the data-driven session-timeout picker
+    // (`stream_sessionize` hardcodes 30 min; this key shows what the
+    // gaps actually look like, the `sim_threshold_sweep` discipline
+    // applied to time): per-user consecutive event gaps in log2-minute
+    // buckets. ONE per-user lag window (the linear keyed shuffle the
+    // sessionizer itself pays) + one bounded aggregate; bucket = exact
+    // integer floor(log2(minutes+1)) via bit length, no float logs
+    "stream_gap_histogram" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gaps = t(s, d, "events").select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(expr("(ts - prev) div 60000000000").as("gap_min"))
+      // bucket = binary-digit count of (gap_min + 1) = floor(log2)+1 —
+      // pure integer arithmetic (no float log), identical in any engine
+      gaps
+        .select(length(conv(col("gap_min") + 1, 10, 2)).cast("bigint").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_gaps"))
+        .withColumn("gap_lo_min",
+          (expr("shiftleft(1L, CAST(bucket - 1 AS INT))") - 1).cast("bigint"))
     })
   )
 
@@ -382,6 +407,16 @@ object StreamQueries {
                 CAST(count(DISTINCT event_id) AS BIGINT) AS n_events,
                 CAST(sum(DISTINCT event_id) AS BIGINT) AS sum_event_id
          FROM events GROUP BY 1""",
+    "stream_gap_histogram" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tn FROM events),
+           g AS (SELECT (tn - lag(tn) OVER (PARTITION BY user_id
+                           ORDER BY tn, event_id)) // 60000000000 AS gap_min
+                 FROM e),
+           b AS (SELECT CAST(length(bin(gap_min + 1)) AS BIGINT) AS bucket
+                 FROM g WHERE gap_min IS NOT NULL)
+         SELECT bucket, count(*) AS n_gaps,
+                CAST((1 << CAST(bucket - 1 AS INT)) - 1 AS BIGINT) AS gap_lo_min
+         FROM b GROUP BY 1""",
     "stream_late_audit" ->
       """WITH w AS (SELECT event_type, epoch_ns(ts) AS tn,
                            max(epoch_ns(ts)) OVER (PARTITION BY event_type
