@@ -365,6 +365,28 @@ object AnalysisQueries {
         .select(col("m").cast("bigint").as("month"), col("n_orders"),
           round(avgM / 100.0, 6).as("avg_order_value"),
           round(avgM / avgAll, 6).as("seasonal_index"))
+    }),
+
+    // NEW vs RETURNING split per month — the growth readout every
+    // subscription/marketplace dashboard leads with: an order is "new"
+    // iff it lands in its customer's FIRST active month. First months
+    // are one min-aggregate (map-side combined, state = customers);
+    // the split then rides a broadcast-able keyed join — never a window
+    // over the raw order stream
+    "ana_new_vs_returning" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + (month(col("o_orderdate")) - 1)).as("mi"),
+        cents(col("o_totalprice")).as("pc"))
+      val first = o.groupBy("o_custkey").agg(min(col("mi")).as("fm"))
+      o.join(first, "o_custkey")
+        .groupBy(col("mi").cast("bigint").as("month_index"))
+        .agg(
+          sum(when(col("mi") === col("fm"), 1L).otherwise(0L)).cast("bigint").as("n_new"),
+          sum(when(col("mi") =!= col("fm"), 1L).otherwise(0L)).cast("bigint").as("n_returning"),
+          money(coalesce(sum(when(col("mi") === col("fm"), col("pc"))), lit(0L))
+            .cast("bigint")).as("rev_new"),
+          money(coalesce(sum(when(col("mi") =!= col("fm"), col("pc"))), lit(0L))
+            .cast("bigint")).as("rev_returning"))
     })
   )
 
@@ -594,6 +616,19 @@ object AnalysisQueries {
                 round(CAST(sc AS DOUBLE)/CAST(n_orders AS DOUBLE)/100.0, 6) AS avg_order_value,
                 round((CAST(sc AS DOUBLE)/CAST(n_orders AS DOUBLE))
                       / (CAST(tc AS DOUBLE)/CAST(tn AS DOUBLE)), 6) AS seasonal_index
-         FROM per, tot"""
+         FROM per, tot""",
+    "ana_new_vs_returning" ->
+      """WITH o AS (SELECT o_custkey,
+                           year(o_orderdate)*12 + (month(o_orderdate)-1) AS mi,
+                           CAST(round(o_totalprice*100) AS BIGINT) AS pc
+                    FROM orders),
+           f AS (SELECT o_custkey, min(mi) AS fm FROM o GROUP BY 1)
+         SELECT CAST(o.mi AS BIGINT) AS month_index,
+                CAST(sum(CASE WHEN o.mi = f.fm THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                CAST(sum(CASE WHEN o.mi <> f.fm THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+                CAST(CAST(coalesce(sum(CASE WHEN o.mi = f.fm THEN pc END), 0) AS BIGINT) AS DOUBLE)/100.0 AS rev_new,
+                CAST(CAST(coalesce(sum(CASE WHEN o.mi <> f.fm THEN pc END), 0) AS BIGINT) AS DOUBLE)/100.0 AS rev_returning
+         FROM o JOIN f USING (o_custkey)
+         GROUP BY 1"""
   )
 }

@@ -1210,6 +1210,41 @@ object TextQueries {
             .as("hapax_frac"))
     }),
 
+    // VOCABULARY COVERAGE curve: the token-mass fraction a top-k
+    // vocabulary covers at k = 100 / 1000 / 10000 — the sizing readout
+    // behind every vocab/tokenizer decision (ta_zipf_fit shows the
+    // SHAPE of the distribution; this shows the cut points a budget
+    // actually buys). Term counts = ONE map-side-combined aggregate;
+    // the top-10k cut is TakeOrderedAndProject (per-partition top-N,
+    // never a global sort of the vocabulary); rank + cumulative mass
+    // run over the bounded 10k-row frame in rank order (the zipf
+    // discipline); total mass rides a 1-row broadcast
+    "ta_vocab_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, d, "documents")
+        .select(explode(tokens(normalizeText(col("text")))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = counts.agg(sum(col("c")).cast("bigint").as("tc"))
+      val top = counts.orderBy(col("c").desc, col("tok")).limit(10000)
+      val w = Window.orderBy(col("c").desc, col("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = top
+        .withColumn("r", row_number().over(w))
+        .withColumn("cum", sum(col("c")).over(w).cast("bigint"))
+      Seq(100, 1000, 10000).map { k =>
+        ranked.filter(col("r") <= k)
+          .agg(max(col("r")).cast("bigint").as("vocab_used"),
+            max(col("cum")).cast("bigint").as("covered_tokens"))
+          .select(lit(k.toLong).as("k"), col("vocab_used"), col("covered_tokens"))
+      }.reduce(_ unionAll _)
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("vocab_used"), col("covered_tokens"),
+          col("tc").as("total_tokens"),
+          round(col("covered_tokens").cast("double") / col("tc").cast("double"), 6)
+            .as("coverage"))
+    }),
+
     // CODE-VS-PROSE detector — the corpus-routing filter between langid
     // and quality: code must route to a code pipeline (different
     // tokenizer, different quality rules), not score as bad prose. Pure
@@ -2513,6 +2548,28 @@ object TextQueries {
          SELECT nat, seg, count(*) AS n, count(DISTINCT sens) AS n_sens,
                 count(DISTINCT sens) >= 2 AS diverse
          FROM c GROUP BY 1, 2""",
+
+    // normalizeText + whitespace tokens replayed; the rank order is the
+    // deterministic (count DESC, token ASC) total order on both sides
+    "ta_vocab_coverage" ->
+      """WITH toks AS (SELECT unnest(string_split(trim(regexp_replace(
+                         regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                         ' +', ' ', 'g')), ' ')) AS tok
+                      FROM documents),
+           c AS (SELECT tok, count(*) AS c FROM toks WHERE length(tok) > 0 GROUP BY 1),
+           tot AS (SELECT CAST(sum(c) AS BIGINT) AS tc FROM c),
+           r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r,
+                        sum(c) OVER (ORDER BY c DESC, tok
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 FROM c QUALIFY r <= 10000),
+           ks AS (SELECT CAST(u.k AS BIGINT) AS k FROM unnest([100, 1000, 10000]) AS u(k))
+         SELECT ks.k,
+                CAST(max(r.r) AS BIGINT) AS vocab_used,
+                CAST(max(r.cum) AS BIGINT) AS covered_tokens,
+                tot.tc AS total_tokens,
+                round(CAST(max(r.cum) AS DOUBLE)/CAST(tot.tc AS DOUBLE), 6) AS coverage
+         FROM ks JOIN r ON r.r <= ks.k CROSS JOIN tot
+         GROUP BY ks.k, tot.tc""",
 
     "ta_code_score" ->
       """WITH t AS (SELECT doc_id,

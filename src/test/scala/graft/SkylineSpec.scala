@@ -230,6 +230,33 @@ class SkylineSpec extends SparkSpec {
     assert(total == spark.read.parquet(s"$sf/embeddings.parquet").count())
   }
 
+  test("ana_new_vs_returning: orders conserve and month one is all-new") {
+    val r = q("ana_new_vs_returning")
+      .select("month_index", "n_new", "n_returning")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(r.map(x => x._2 + x._3).sum == total)
+    assert(r.head._3 == 0, "the first month can contain no returning customers")
+    // every order in a customer's first month is "new": replay directly
+    val expectNew = {
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+        .selectExpr("o_custkey", "year(o_orderdate)*12 + (month(o_orderdate)-1) AS mi")
+        .as[(Long, Long)].collect()
+      val fm = o.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).min }
+      o.count { case (k, mi) => mi == fm(k) }
+    }
+    assert(r.map(_._2).sum == expectNew)
+  }
+
+  test("ta_vocab_coverage is monotone in k and bounded by 1") {
+    val r = q("ta_vocab_coverage").select("k", "coverage", "vocab_used")
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    assert(r.map(_._1).toSeq == Seq(100L, 1000L, 10000L))
+    assert(r.sliding(2).forall(p => p(0)._2 <= p(1)._2))
+    assert(r.forall(x => x._2 > 0 && x._2 <= 1.0))
+    assert(r.forall(x => x._3 <= x._1), "vocab_used can't exceed k")
+  }
+
   test("etl_compact_files: 64 fragments collapse to measured-target file count, losslessly") {
     val before = spark.read.parquet(s"$sf/orders.parquet")
       .select("o_orderkey").as[Long].collect().toSet
