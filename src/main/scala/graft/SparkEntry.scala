@@ -12,14 +12,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EtlQueries.defs ++ AnalysisQueries.defs ++ RelationalQueries.defs ++
-      TextQueries.defs ++ SimQueries.defs ++ StreamQueries.defs
+    EtlQueries.defs ++ AnalysisQueries.defs ++ SqlQueries.defs ++
+      RelationalQueries.defs ++ TextQueries.defs ++ SimQueries.defs ++
+      StreamQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    EtlQueries.oracle ++ AnalysisQueries.oracle ++ RelationalQueries.oracle ++
-      TextQueries.oracle ++ SimQueries.oracle ++ StreamQueries.oracle
+    EtlQueries.oracle ++ AnalysisQueries.oracle ++ SqlQueries.oracle ++
+      RelationalQueries.oracle ++ TextQueries.oracle ++ SimQueries.oracle ++
+      StreamQueries.oracle
 
   /** Queries that read an application-lifetime memoized stage (the shared
     * pair-graph labeling / prebuilt ANN store). Bench calls [[clearMemos]]
@@ -29,6 +31,18 @@ object SparkEntry {
     * separately in the artifact's `warm` map. */
   def memoizedQueries: Set[String] =
     TextQueries.memoized ++ SimQueries.memoized ++ RelationalQueries.memoized
+
+  /** Queries that consume a PREPARED ingest-time artifact (the
+    * co-purchase edge stores [[prepareShared]] builds during warm-up) —
+    * distinct from [[memoizedQueries]]: clearMemos does NOT drop the
+    * prepared store (it releases result checkpoints only), so these
+    * keys' bench medians measure re-read + algorithm — the production
+    * amortized shape — with the build cost billed once in the
+    * artifact's `prepare_s`. Bench surfaces them under a separate
+    * `prepared` field so `memoized`/`memo_cleared` stay accurate and
+    * cross-round trend comparisons know the cold-build rounds (≤16)
+    * and prepared rounds (≥17) measure different things. */
+  def preparedQueries: Set[String] = RelationalQueries.prepared
 
   /** Composed whole-pipeline keys: one cold pass is genuinely the entire
     * multi-stage composition (corpus prep chain; the band-index

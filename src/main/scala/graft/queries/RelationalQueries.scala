@@ -738,17 +738,21 @@ object RelationalQueries {
 
     // 2-D SKYLINE (Pareto frontier: cheapest-for-its-size parts —
     // minimize price, maximize size): the catalog question "which
-    // offers are not strictly beaten on both axes" — the two-phase
-    // sorted sweep (operators/Skyline: range exchange + local prune,
-    // then the exact global pass over the bounded survivor set; never
-    // the quadratic NOT EXISTS self-join, never a full-table
-    // single-partition window). Equal (price, size) rows do not
+    // offers are not strictly beaten on both axes" — the distributed
+    // sorted sweep (operators/Skyline: range exchange on x + local
+    // prune, then a P-row per-partition frontier-top table whose
+    // exclusive prefix max broadcasts back as one map-side filter;
+    // never the quadratic NOT EXISTS self-join, and — round-18
+    // hardening — never a single-partition pass over DATA rows, so the
+    // anti-correlated worst case where the whole table is the frontier
+    // still runs O(n/P) per task). Equal (price, size) rows do not
     // dominate each other and all survive — SkylineSpec proves the
-    // two-phase plan ≡ brute force on tie/dup fixtures and real data
+    // plan ≡ brute force on tie/dup/anti-correlated fixtures and real
+    // data, and bounds the per-task row flow with task metrics
     "q_skyline" -> ((s, d) => {
       val p = t(s, d, "part").select(col("p_partkey"),
         cents(col("p_retailprice")).as("pc"), col("p_size").cast("bigint").as("sz"))
-      graft.operators.Skyline.pareto2d(p, "pc", "sz", col("p_partkey"))
+      graft.operators.Skyline.pareto2d(p, "pc", "sz")
         .select(col("p_partkey"), money(col("pc")).as("price"),
           col("sz").as("size"))
     }),
@@ -900,17 +904,26 @@ object RelationalQueries {
     new java.util.concurrent.ConcurrentHashMap[
       String, (org.apache.spark.sql.SparkSession, String, String)]()
 
-  /** Query keys that read [[bucketCache]] or [[copurchaseStore]] —
-    * surfaced through `SparkEntry.memoizedQueries` so Bench clears the
-    * memo before every timed pass. For q_bucketed_join the clear drops
-    * the managed tables, so its median measures the COLD build+join
-    * (the build IS that operator's point). For the graph family the
-    * clear releases result checkpoints only — the co-purchase store is
-    * a prepared ingest artifact (see [[prepareShared]]), so their
-    * medians measure re-read + algorithm, the production amortized
-    * shape; the `warm` entry demonstrates it stays flat. */
-  val memoized: Set[String] =
-    Set("q_bucketed_join", "q_triangle_count", "q_pagerank", "q_node_jaccard")
+  /** Query keys that read [[bucketCache]] — surfaced through
+    * `SparkEntry.memoizedQueries` so Bench clears the memo before every
+    * timed pass: the clear drops the managed bucketed tables, so the
+    * median measures the COLD build+join (the build IS that operator's
+    * point). The graph family is deliberately NOT here — see
+    * [[prepared]]. */
+  val memoized: Set[String] = Set("q_bucketed_join")
+
+  /** Query keys that consume the PREPARED co-purchase edge stores (see
+    * [[prepareShared]]) — surfaced through `SparkEntry.preparedQueries`.
+    * Bench still calls clearMemos before their timed passes (releasing
+    * the RESULT checkpoints Graph hands out, so passes don't warm each
+    * other), but the edge STORE survives by design: their medians
+    * measure re-read + algorithm, with the shared derivation billed
+    * once in `prepare_s`. Labeled separately from [[memoized]] (round-17
+    * advisory): calling them "memoized + memo_cleared" overstated what
+    * the clear drops, and their bench trend silently changed meaning at
+    * round 17 from cold build+consume to re-read+algorithm. */
+  val prepared: Set[String] =
+    Set("q_triangle_count", "q_pagerank", "q_node_jaccard")
 
   /** The derived co-purchase graph is ONE ingest-time stage consumed by
     * the whole graph family (triangles, PageRank, node Jaccard) — each

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import Common._
+
+/** SURVEY.md §2.B — the SQL SURFACE of the engine (round-17 verdict item
+  * 6): the reference's user interface is SQL strings sent at tables
+  * (`Airbnb_Analysis.py:31–220` builds Postgres SQL text; its users
+  * drive the warehouse with `cur.execute(sql)`), so the engine must be
+  * drivable the same way. Each key here re-expresses one of the six
+  * reference analyses as LITERAL `spark.sql(...)` text over registered
+  * temp views — no DataFrame combinators anywhere — and runs under the
+  * SAME DuckDB oracle as its `ana_*` library twin (the oracle map
+  * points at the identical SQL string, so the two surfaces can never
+  * drift apart silently).
+  *
+  * Scale note: the SQL text plans through the same Catalyst pipeline as
+  * the DataFrame forms — filters push to the scans, the dimension joins
+  * broadcast, EXISTS plans as an existence join (never a cartesian; the
+  * plan audit gates these keys like every other). The one deliberate
+  * divergence: `sql_median_by_group` uses the engine-native
+  * `row_number() OVER (PARTITION BY …)` per-group sort, because the
+  * two-level rank construction is an operator-library capability
+  * (`Rank.withGroupRank`), not expressible as portable SQL text — with
+  * 3 return-flag groups that window is 3 reducers at ~n/3 rows each;
+  * the scale-safe form for high-cardinality or single-group medians is
+  * the library twin `ana_median_by_group` (same oracle proves both).
+  */
+object SqlQueries {
+
+  /** Register the testdata tables a SQL string needs as temp views (one
+    * view per table name, overwritten per invocation so a scale-factor
+    * switch re-points them). */
+  private def views(s: SparkSession, d: String, names: String*): Unit =
+    names.foreach(n => t(s, d, n).createOrReplaceTempView(n))
+
+  private def sql(names: String*)(text: String): QFn = (s, d) => {
+    views(s, d, names: _*)
+    s.sql(text)
+  }
+
+  val defs: Map[String, QFn] = Map(
+    // analysis1 (Airbnb_Analysis.py:24–65): regex OR'd over flat text,
+    // code fields, AND the per-listing review side — the reference runs
+    // the nested half in Mongo and string-concatenates the id list into
+    // SQL; here the EXISTS subquery keeps it one distributed plan
+    // (Catalyst plans an existence join, not a per-match round-trip)
+    "sql_text_price_join" -> sql("documents", "events", "embeddings")(
+      """SELECT doc_id, concat_ws(',', source, lang) AS address, n_chars, label
+         FROM documents JOIN embeddings ON doc_id = vec_id
+         WHERE text RLIKE '(?i)merge' OR lang RLIKE '^es$' OR source RLIKE '^src1$'
+            OR EXISTS (SELECT 1 FROM events e WHERE e.user_id = documents.doc_id
+                       AND e.props RLIKE '"k": 4\\d')"""),
+
+    // analysis2 (Airbnb_Analysis.py:67–82): 3-way equality-filtered join
+    "sql_filtered_join" -> sql("customer", "nation", "region")(
+      """SELECT c_custkey, c_name, n_name,
+                CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE) / 100.0 AS acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' AND c_mktsegment = 'BUILDING'"""),
+
+    // analysis3 (Airbnb_Analysis.py:84–97): count + interpolated median
+    // through the reference's money-STRING parse, as one SQL text —
+    // percentile_cont(0.5) spelled as the mean of the two middle ranks
+    // over integer cents (exact in IEEE doubles, hash-identical to the
+    // oracle's percentile_cont). See the scaladoc note on the window.
+    "sql_median_by_group" -> sql("lineitem")(
+      """WITH m AS (SELECT l_returnflag,
+                           concat('$',
+                                  format_number(CAST(round(l_extendedprice * 100) AS BIGINT) div 100, 0),
+                                  '.',
+                                  lpad(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) % 100 AS STRING), 2, '0')) AS price
+                    FROM lineitem),
+            p AS (SELECT l_returnflag,
+                         CAST(CAST(regexp_replace(price, '[$,]', '') AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+                  FROM m),
+            r AS (SELECT l_returnflag, price_c,
+                         row_number() OVER (PARTITION BY l_returnflag ORDER BY price_c) AS rk,
+                         count(*) OVER (PARTITION BY l_returnflag) AS n
+                  FROM p)
+         SELECT l_returnflag, count(*) AS n,
+                (max(CASE WHEN rk = (n + 1) div 2 THEN price_c END) +
+                 max(CASE WHEN rk = (n + 2) div 2 THEN price_c END)) / 2.0 / 100.0 AS median_price
+         FROM r GROUP BY l_returnflag"""),
+
+    // analysis4 (Airbnb_Analysis.py:99–122): two grouped averages
+    // compared by exact integer cross-multiplication — no float division
+    "sql_avg_compare" -> sql("customer", "nation")(
+      """WITH agg AS (
+           SELECT c_nationkey,
+                  sum(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(round(c_acctbal * 100) AS BIGINT) END) AS s1,
+                  count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS n1,
+                  sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN CAST(round(c_acctbal * 100) AS BIGINT) END) AS s2,
+                  count(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS n2
+           FROM customer GROUP BY c_nationkey)
+         SELECT n_name FROM agg JOIN nation ON c_nationkey = n_nationkey
+         WHERE n1 > 0 AND n2 > 0 AND s1 * n2 < s2 * n1"""),
+
+    // analysis5 (Airbnb_Analysis.py:124–183): conjunctive regex + array
+    // containment, straight SQL
+    "sql_multiword_count" -> sql("documents")(
+      """SELECT lang, count(*) AS n_listings
+         FROM documents
+         WHERE text RLIKE '(?i)spark' AND text RLIKE '(?i)window'
+           AND array_contains(split(text, ' '), 'vector')
+         GROUP BY lang"""),
+
+    // analysis6 (Airbnb_Analysis.py:185–220): regex over the review side
+    // + digit extraction for matched listings — the flat-SQL form of the
+    // nested-array library twin (same per-user stats, same oracle;
+    // first_event = min matching id, the array form's canonical order)
+    "sql_nested_review_match" -> sql("events")(
+      """WITH m AS (SELECT user_id, event_id, props,
+                           props RLIKE '"k": 4\\d' AS is_m
+                    FROM events)
+         SELECT user_id, count(*) AS n_reviews,
+                count(CASE WHEN is_m THEN 1 END) AS n_matching,
+                min(CASE WHEN is_m THEN event_id END) AS first_event,
+                CAST(sum(CASE WHEN is_m THEN
+                       coalesce(try_cast(regexp_extract(props, '(\\d+)', 1) AS BIGINT), 0)
+                     END) AS BIGINT) AS sum_k
+         FROM m GROUP BY user_id
+         HAVING count(CASE WHEN is_m THEN 1 END) > 0""")
+  )
+
+  /** The SQL surface must produce byte-identical results to the library
+    * surface: every key's oracle IS its `ana_*` twin's oracle string —
+    * one source of truth, so the two can never drift apart silently. */
+  val oracle: Map[String, String] = Map(
+    "sql_text_price_join" -> AnalysisQueries.oracle("ana_text_price_join"),
+    "sql_filtered_join" -> AnalysisQueries.oracle("ana_filtered_join"),
+    "sql_median_by_group" -> AnalysisQueries.oracle("ana_median_by_group"),
+    "sql_avg_compare" -> AnalysisQueries.oracle("ana_avg_compare"),
+    "sql_multiword_count" -> AnalysisQueries.oracle("ana_multiword_count"),
+    "sql_nested_review_match" -> AnalysisQueries.oracle("ana_nested_review_match")
+  )
+}

@@ -22,15 +22,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * so a crash mid-compaction never leaves the table half-rewritten. */
 object Compact {
 
+  /** Side/hidden files excluded from the byte/count measurements —
+    * Spark's own HiddenFileFilter convention: `_`-prefixed (_SUCCESS,
+    * _metadata) AND `.`-prefixed (RawLocalFileSystem writes .part-*.crc
+    * checksum shadows that listStatus DOES return on some filesystems;
+    * counting them would inflate measured bytes and skew the computed
+    * target file count). */
+  private def isSideFile(name: String): Boolean =
+    name.startsWith("_") || name.startsWith(".")
+
   /** Total bytes of the parquet data files under `path` (driver-side
-    * metadata listing; `_`-prefixed side files excluded). */
+    * metadata listing; `_`/`.`-prefixed side files excluded). */
   def dataBytes(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def walk(d: org.apache.hadoop.fs.Path): Long =
       fs.listStatus(d).map { st =>
         if (st.isDirectory) walk(st.getPath)
-        else if (st.getPath.getName.startsWith("_")) 0L
+        else if (isSideFile(st.getPath.getName)) 0L
         else st.getLen
       }.sum
     walk(p)
@@ -43,7 +52,7 @@ object Compact {
     def walk(d: org.apache.hadoop.fs.Path): Long =
       fs.listStatus(d).map { st =>
         if (st.isDirectory) walk(st.getPath)
-        else if (st.getPath.getName.startsWith("_")) 0L
+        else if (isSideFile(st.getPath.getName)) 0L
         else 1L
       }.sum
     walk(p)

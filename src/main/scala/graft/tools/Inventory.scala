@@ -60,6 +60,43 @@ object Inventory {
       case None =>
         check(ok = false, "", "SURVEY: no 'N ScalaTest test cases' line found")
     }
+    // PLAN-AUDIT FRESHNESS (round-17 verdict item: the cartesian gate is
+    // only as good as its last committed run — round 17 shipped a
+    // 228-row audit against a 241-key inventory, so the 13 newest keys
+    // never went through the gate and "cart=0" rested on a code read).
+    // The NEWEST committed plan_audit_r*.txt must cover exactly the live
+    // key set, with cart=0 and zero ERROR rows; adding a key without
+    // re-running ExplainAudit is now a build failure, not a footnote.
+    locally {
+      import scala.jdk.CollectionConverters._
+      val audits = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+        .iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("plan_audit_r\\d+\\.txt")).toSeq
+        .sortBy(f => "\\d+".r.findFirstIn(f).get.toInt)
+      audits.lastOption match {
+        case None =>
+          check(ok = false, "", "PLAN AUDIT: no plan_audit_r*.txt committed")
+        case Some(f) =>
+          val rowRe = "(?m)^\\[audit\\] (\\S+)\\s+.*?cart=\\s*(\\d+)".r
+          val errRe = "(?m)^\\[audit\\] (\\S+)\\s+ERROR".r
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(f)), "UTF-8")
+          val rows = rowRe.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toInt).toMap
+          val errs = errRe.findAllMatchIn(txt).map(_.group(1)).toSeq.sorted
+          val unaudited = (queries -- rows.keySet).toSeq.sorted
+          val ghost = (rows.keySet -- queries).toSeq.sorted
+          val carts = rows.collect { case (k, c) if c > 0 => k }.toSeq.sorted
+          check(unaudited.isEmpty, s"plan audit $f: covers all ${queries.size} keys",
+            s"PLAN AUDIT STALE ($f): ${unaudited.size} unaudited key(s): ${unaudited.mkString(", ")}")
+          check(ghost.isEmpty, s"plan audit $f: no ghost rows",
+            s"PLAN AUDIT GHOST ROWS ($f, audited key no longer exists): ${ghost.mkString(", ")}")
+          check(carts.isEmpty, s"plan audit $f: cart=0 on every row",
+            s"PLAN AUDIT CARTESIANS ($f): ${carts.mkString(", ")}")
+          check(errs.isEmpty, s"plan audit $f: zero ERROR rows",
+            s"PLAN AUDIT ERRORS ($f): ${errs.mkString(", ")}")
+      }
+    }
     if (failures.nonEmpty) {
       println(s"inventory: ${failures.size} doc-drift failure(s)")
       sys.exit(1)

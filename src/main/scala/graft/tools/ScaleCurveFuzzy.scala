@@ -122,8 +122,13 @@ object ScaleCurveFuzzy {
     // (base, copy) gets its OWN md5-chain body, so cross-name segment
     // collisions are structurally absent and true link mass is exactly
     // nBase×k: left = planted originals, right = each original with two
-    // substitutions (dist 2, inside different segments), links must be
-    // one per right name.
+    // substitutions (dist 2) at positions 9 and 100 — L=200 at d=2
+    // splits into segments of 67/67/66 (seg0 = 1..67, seg1 = 68..134,
+    // seg2 = 135..200), so the edits land in DISTINCT segments and
+    // exactly ONE segment stays clean: the pigeonhole worst case, where
+    // candidate generation has a single surviving block key per pair
+    // (round-17 advisory: the old positions 9/45 both hit seg0, leaving
+    // two clean segments — an easier case than the bound being priced).
     locally {
       val d = 2
       val l = 200
@@ -139,7 +144,7 @@ object ScaleCurveFuzzy {
           .select(concat(col("id"), lit("@"), lit(f)).as("seed"))
         val left = seeds.select(longName(col("seed")).as("name"))
         val right = seeds.select(
-          subAt(subAt(longName(col("seed")), 9, "Z"), 45, "Z").as("name"))
+          subAt(subAt(longName(col("seed")), 9, "Z"), 100, "Z").as("name"))
         (left.localCheckpoint(), right.localCheckpoint())
       }
       // discarded warm-up (the ScaleCurveGraph lesson: an un-warmed ×1

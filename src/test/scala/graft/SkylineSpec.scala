@@ -28,9 +28,51 @@ class SkylineSpec extends SparkSpec {
       (7L, 10L, 101L), (8L, 10L, 101L)              // dup frontier pair — both kept
     )
     val got = Skyline.pareto2d(
-      fix.toDF("id", "x", "y").repartition(5), "x", "y", col("id"))
+      fix.toDF("id", "x", "y").repartition(5), "x", "y")
       .select("id", "x", "y").as[(Long, Long, Long)].collect().toSet
     assert(got == bruteSkyline(fix))
+  }
+
+  test("anti-correlated skyline: whole table on the frontier, no data funnel") {
+    // y = x: dominance needs x_A <= x_B ∧ y_A >= y_B with one strict,
+    // which forces A = B — NOTHING is dominated, the worst case for any
+    // prune-then-merge plan (the local sweep prunes zero rows). The
+    // round-17 shape ran a Window.partitionBy() over ALL survivors here:
+    // one task, n rows. The prefix-max construction must (a) still be
+    // exact — every row survives — and (b) put only the P-row frontier-
+    // top table through a single-partition exchange, never data rows.
+    // Asserted from executed-plan METRICS, not plan-string reading.
+    val n = 40000L
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // pin the 4-way exchanges: AQE would coalesce this deliberately tiny
+    // fixture to one partition and fake the very funnel being ruled out
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.range(n).select(col("id").as("pk"),
+        col("id").as("x"), col("id").as("y"))
+      val got = Skyline.pareto2d(df.repartition(7), "x", "y")
+      // collect() (not count()) so the metrics below come from THIS
+      // QueryExecution — count() would execute a separate derived plan
+      assert(got.collect().length == n) // exact: pareto2d can only drop rows
+      val exchanges = got.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      def written(e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec): Long =
+        e.metrics.collectFirst {
+          case (k, m) if k.toLowerCase.contains("recordswritten") => m.value
+        }.getOrElse(0L)
+      val singles = exchanges.filter(_.outputPartitioning.numPartitions == 1)
+      // the only single-partition flow is the per-partition tops table:
+      // <= shuffle-partitions rows (4 here), never the n data rows
+      singles.foreach { e =>
+        assert(written(e) <= 64,
+          s"single-partition exchange carried ${written(e)} rows — data funnel")
+      }
+      // and the data rows DID flow through multi-partition exchanges
+      assert(exchanges.exists(e =>
+        e.outputPartitioning.numPartitions > 1 && written(e) >= n))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
   test("q_skyline ≡ brute-force dominance on the real part table") {
