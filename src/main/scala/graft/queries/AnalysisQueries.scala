@@ -387,6 +387,49 @@ object AnalysisQueries {
             .cast("bigint")).as("rev_new"),
           money(coalesce(sum(when(col("mi") =!= col("fm"), col("pc"))), lit(0L))
             .cast("bigint")).as("rev_returning"))
+    }),
+
+    // CHURN — the complement of ana_retention: users active in a 30-day
+    // bucket with NO activity in the next one. Time bucket is pure
+    // integer `div` on epoch-nanos (the ana_retention rule — calendar
+    // months round-trip differently across engines). The "did they come
+    // back" probe is one self ANTI-join on (user, bucket+1) over the
+    // DE-DUPED activity set (rows = user-months, never events); the
+    // final bucket has no observable next month, so it is excluded via
+    // a 1-row broadcast max — never a driver collect
+    "ana_churn" -> ((s, d) => {
+      val mNs = 30L * 86400L * 1000000000L
+      val a = t(s, d, "events")
+        .select(col("user_id"), expr(s"ts div $mNs").as("mi")).distinct()
+      val nxt = a.select(col("user_id"), (col("mi") - 1).as("mi"))
+      val churn = a.join(nxt, Seq("user_id", "mi"), "left_anti")
+        .groupBy("mi").agg(count(lit(1)).as("n_churned"))
+      a.groupBy("mi").agg(count(lit(1)).as("n_active"))
+        .join(churn, Seq("mi"), "left")
+        .na.fill(0L, Seq("n_churned"))
+        .crossJoin(broadcast(a.agg(max(col("mi")).as("mx"))))
+        .filter(col("mi") < col("mx"))
+        .select(col("mi").as("month_index"), col("n_active"), col("n_churned"))
+    }),
+
+    // STICKINESS (DAU/MAU) — the engagement-density readout: average
+    // daily actives over monthly actives per 30-day bucket. One
+    // (user, day) de-dup, then ONE aggregate per bucket (counts +
+    // distincts — all integers); stickiness is two double divisions at
+    // output, deterministic cross-engine
+    "ana_stickiness" -> ((s, d) => {
+      val dayNs = 86400L * 1000000000L
+      t(s, d, "events")
+        .select(col("user_id"), expr(s"ts div $dayNs").as("day")).distinct()
+        .withColumn("mi", expr("day div 30"))
+        .groupBy("mi")
+        .agg(count(lit(1)).as("active_user_days"),
+          count_distinct(col("day")).as("n_days"),
+          count_distinct(col("user_id")).as("mau"))
+        .select(col("mi").as("month_index"), col("active_user_days"),
+          col("n_days"), col("mau"),
+          round(col("active_user_days").cast("double") / col("n_days") / col("mau"), 6)
+            .as("stickiness"))
     })
   )
 
@@ -629,6 +672,24 @@ object AnalysisQueries {
                 CAST(CAST(coalesce(sum(CASE WHEN o.mi = f.fm THEN pc END), 0) AS BIGINT) AS DOUBLE)/100.0 AS rev_new,
                 CAST(CAST(coalesce(sum(CASE WHEN o.mi <> f.fm THEN pc END), 0) AS BIGINT) AS DOUBLE)/100.0 AS rev_returning
          FROM o JOIN f USING (o_custkey)
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "ana_churn" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+                           epoch_ns(ts) // 2592000000000000 AS mi FROM events),
+           mx AS (SELECT max(mi) AS m FROM a)
+         SELECT a.mi AS month_index, count(*) AS n_active,
+                CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+         FROM a LEFT JOIN a b ON b.user_id = a.user_id AND b.mi = a.mi + 1, mx
+         WHERE a.mi < mx.m
+         GROUP BY 1""",
+    "ana_stickiness" ->
+      """WITH ad AS (SELECT DISTINCT user_id,
+                            epoch_ns(ts) // 86400000000000 AS day FROM events),
+           g AS (SELECT user_id, day, day // 30 AS mi FROM ad)
+         SELECT mi AS month_index, count(*) AS active_user_days,
+                count(DISTINCT day) AS n_days, count(DISTINCT user_id) AS mau,
+                round(CAST(count(*) AS DOUBLE) / count(DISTINCT day)
+                      / count(DISTINCT user_id), 6) AS stickiness
+         FROM g GROUP BY 1"""
   )
 }

@@ -635,6 +635,34 @@ object EtlQueries {
           sum(col("h")).cast("bigint").as("sum_digest"),
           expr("bit_xor(h)").cast("bigint").as("xor_digest"))),
 
+    // ANTI-ENTROPY REPAIR PLAN — what `etl_checksum` is FOR: two
+    // replicas of a keyed table (replica B carries a planted
+    // deterministic divergence: dropped keys ≡ 0 mod 997, a 1-cent
+    // corruption on keys ≡ 0 mod 991 — the silent-loss and bit-rot
+    // failure shapes), reconciled by comparing per-slice
+    // (n, Σ digest, XOR digest) triples and emitting ONLY the
+    // divergent slices — the repair transfer list. At 100 TB the
+    // comparison moves `slices × 3 bigints`, never rows; only the
+    // slices named in the output need re-shipping. Pure map + one
+    // aggregate per replica + one slice-keyed join, output bounded by
+    // the divergence rate
+    "etl_anti_entropy" -> ((s, d) => {
+      val a = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"), cents(col("o_totalprice")).as("pc"))
+      val b = a.filter(col("k") % 997 =!= 0)
+        .withColumn("pc", when(col("k") % 991 === 0, col("pc") + 1).otherwise(col("pc")))
+      def digest(df: org.apache.spark.sql.DataFrame, suffix: String) =
+        df.select(expr("k div 1024").as("slice"),
+            hash31(concat_ws("|", col("k"), col("c"), col("pc"))).as("h"))
+          .groupBy("slice")
+          .agg(count(lit(1)).as("n_" + suffix),
+            sum(col("h")).cast("bigint").as("sum_" + suffix),
+            expr("bit_xor(h)").cast("bigint").as("xor_" + suffix))
+      digest(a, "a").join(digest(b, "b"), Seq("slice"), "full_outer")
+        .filter(!(col("n_a") <=> col("n_b")) ||
+          !(col("sum_a") <=> col("sum_b")) || !(col("xor_a") <=> col("xor_b")))
+    }),
+
     // LATE-ARRIVING DIMENSION repair — the warehouse load-order problem:
     // facts land before their dimension rows (a new product sells before
     // the catalog feed ships it). Orphans must QUARANTINE, not drop or
@@ -1221,6 +1249,26 @@ object EtlQueries {
                 CAST(sum(h) AS BIGINT) AS sum_digest,
                 CAST(bit_xor(h) AS BIGINT) AS xor_digest
          FROM r GROUP BY 1""",
+
+    "etl_anti_entropy" ->
+      """WITH a AS (SELECT o_orderkey AS k, o_custkey AS c,
+                           CAST(round(o_totalprice*100) AS BIGINT) AS pc
+                    FROM orders),
+           b AS (SELECT k, c,
+                        CASE WHEN k % 991 = 0 THEN pc + 1 ELSE pc END AS pc
+                 FROM a WHERE k % 997 <> 0),
+           da AS (SELECT k // 1024 AS slice, count(*) AS n_a,
+                         CAST(sum(CAST('0x' || substr(md5(concat_ws('|', k, c, pc)), 1, 8) AS BIGINT) % 2147483647) AS BIGINT) AS sum_a,
+                         CAST(bit_xor(CAST('0x' || substr(md5(concat_ws('|', k, c, pc)), 1, 8) AS BIGINT) % 2147483647) AS BIGINT) AS xor_a
+                  FROM a GROUP BY 1),
+           db AS (SELECT k // 1024 AS slice, count(*) AS n_b,
+                         CAST(sum(CAST('0x' || substr(md5(concat_ws('|', k, c, pc)), 1, 8) AS BIGINT) % 2147483647) AS BIGINT) AS sum_b,
+                         CAST(bit_xor(CAST('0x' || substr(md5(concat_ws('|', k, c, pc)), 1, 8) AS BIGINT) % 2147483647) AS BIGINT) AS xor_b
+                  FROM b GROUP BY 1)
+         SELECT slice, n_a, sum_a, xor_a, n_b, sum_b, xor_b
+         FROM da FULL JOIN db USING (slice)
+         WHERE n_a IS DISTINCT FROM n_b OR sum_a IS DISTINCT FROM sum_b
+            OR xor_a IS DISTINCT FROM xor_b""",
 
     "etl_orphan_repair" ->
       """WITH f AS (SELECT l_partkey, CAST(round(l_quantity*100) AS BIGINT) AS qc

@@ -677,6 +677,39 @@ object RelationalQueries {
     // engines see bit-identical inputs to the same sqrt/divide sequence.
     // Never Spark's `corr` aggregate: its streaming-covariance doubles
     // are partition-order-dependent — a nondeterministic hash
+    // MEDIAN ABSOLUTE DEVIATION — the robust dispersion statistic
+    // (stddev is one outlier away from useless; MAD is the
+    // outlier-screening scale every data-quality monitor wants). TWO
+    // exact rank-selection passes, both the Rank.withGroupRank
+    // two-level construction (never a per-group value buffer or a
+    // one-reducer sort): pass 1 picks the median as the SUM of the two
+    // middle cents (med2 = 2·median — integers stay integers), the
+    // 3-row med2 table broadcast-joins back, dev2 = |2·pc − med2| is
+    // again a bigint, pass 2 picks ITS middle-rank sum (mad2 =
+    // 4·MAD cents). Output divides once at the end — the identical
+    // IEEE op sequence the oracle's percentile_cont path produces,
+    // because every intermediate is an exactly representable double
+    "q_median_abs_dev" -> ((s, d) => {
+      val p = t(s, d, "lineitem")
+        .select(col("l_returnflag"), cents(col("l_extendedprice")).as("pc"))
+      def at(rank: org.apache.spark.sql.Column, v: String) =
+        max(when(col("rank") === rank, col(v)))
+      def mid1 = call_function("div", col("n") + 1, lit(2L))
+      def mid2 = call_function("div", col("n") + 2, lit(2L))
+      val med2 = graft.operators.Rank.withGroupRank(p, Seq("l_returnflag"), "pc")
+        .groupBy("l_returnflag")
+        .agg((at(mid1, "pc") + at(mid2, "pc")).as("med2"))
+      val dev = p.join(med2, "l_returnflag")
+        .select(col("l_returnflag"), col("med2"),
+          abs(lit(2L) * col("pc") - col("med2")).as("dev2"))
+      graft.operators.Rank.withGroupRank(dev, Seq("l_returnflag"), "dev2")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          (max(col("med2")).cast("double") / lit(2.0) / lit(100.0)).as("median_price"),
+          ((at(mid1, "dev2") + at(mid2, "dev2")).cast("double") / lit(4.0) / lit(100.0))
+            .as("mad"))
+    }),
+
     "q_corr" -> ((s, d) => {
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       val m = t(s, d, "lineitem")
@@ -1439,6 +1472,19 @@ object RelationalQueries {
          FROM b GROUP BY 1""",
     // HUGEINT moments = the Spark side's decimal(38,0) sums: both engines
     // cast the SAME exact integers to double before the one sqrt/divide
+    "q_median_abs_dev" ->
+      """WITH p AS (SELECT l_returnflag,
+                           CAST(round(l_extendedprice*100) AS BIGINT) AS pc
+                    FROM lineitem),
+           m AS (SELECT l_returnflag,
+                        CAST(2*percentile_cont(0.5) WITHIN GROUP (ORDER BY pc) AS BIGINT) AS med2
+                 FROM p GROUP BY 1),
+           dv AS (SELECT p.l_returnflag, m.med2, abs(2*p.pc - m.med2) AS dev2
+                  FROM p JOIN m USING (l_returnflag))
+         SELECT l_returnflag, count(*) AS n_rows,
+                CAST(max(med2) AS DOUBLE)/2.0/100.0 AS median_price,
+                CAST(CAST(2*percentile_cont(0.5) WITHIN GROUP (ORDER BY dev2) AS BIGINT) AS DOUBLE)/4.0/100.0 AS mad
+         FROM dv GROUP BY 1""",
     "q_corr" ->
       """WITH b AS (SELECT l_returnflag AS flag,
                            CAST(round(l_quantity*100) AS BIGINT) AS x,

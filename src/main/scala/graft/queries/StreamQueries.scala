@@ -202,6 +202,32 @@ object StreamQueries {
     // user must equal the oracle's one-shot DISTINCT aggregation —
     // at-least-once input × idempotent set-union sink = exactly-once
     // output, with no transaction log
+    // TTL DEDUP — dropDuplicatesWithinWatermark's batch twin: an event
+    // is SUPPRESSED when the previous event with the same
+    // (user, event_type) key arrived within the TTL horizon (1 h).
+    // Last-SEEN semantics, deliberately: the streaming state machine
+    // keeps exactly one timestamp per key and refreshes it on every
+    // arrival — so the batch form is one lag() over the key-partitioned
+    // arrival order, the same per-key linear shuffle the executor pays,
+    // with per-reducer work bounded by events-per-key. All time
+    // arithmetic is integer nanos; per-type keep/suppress tallies
+    // aggregate map-side
+    "stream_dedup_ttl" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val ttlNs = 3600L * 1000000000L
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("keep", lag(col("ts"), 1).over(w).isNull ||
+          col("ts") - lag(col("ts"), 1).over(w) > ttlNs)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("keep"), 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).cast("bigint").as("n_suppressed"))
+    }),
+
     "stream_replay_merge" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val store = sweptTempDir("graft_replay") + "/docs"
@@ -416,6 +442,17 @@ object StreamQueries {
          SELECT bucket, count(*) AS n_gaps,
                 CAST((1 << CAST(bucket - 1 AS INT)) - 1 AS BIGINT) AS gap_lo_min
          FROM b GROUP BY 1""",
+    "stream_dedup_ttl" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_ns(ts) AS tn
+                    FROM events),
+           k AS (SELECT event_type,
+                        (lag(tn) OVER w IS NULL OR tn - lag(tn) OVER w > 3600000000000) AS keep
+                 FROM e WINDOW w AS (PARTITION BY user_id, event_type
+                                     ORDER BY tn, event_id))
+         SELECT event_type, count(*) AS n_events,
+                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed
+         FROM k GROUP BY 1""",
     "stream_late_audit" ->
       """WITH w AS (SELECT event_type, epoch_ns(ts) AS tn,
                            max(epoch_ns(ts)) OVER (PARTITION BY event_type

@@ -350,6 +350,57 @@ object TextQueries {
     // corpus itself is a single scan with no Exchange at any scale.
     // TextSimSpec asserts the hard guarantee: every released
     // non-residual class has >= k members
+    // DISCLOSURE-CONTROLLED RELEASE — the census-style pair to
+    // ta_k_anonymize/ta_l_diversity: publish per-(lang, source) cell
+    // counts with (a) CELL SUPPRESSION below threshold k=5 (a small
+    // cell IS a disclosure — its count releases as NULL with the
+    // suppression flagged) and (b) additive integer noise on surviving
+    // cells, clamped at 0. The noise here is a SEEDED PRF stand-in
+    // (md5 of the cell key + salt → a symmetric integer in [-3, 3]) —
+    // deterministic so the cross-engine oracle gate can hold; a
+    // production release swaps ONE expression for a true discrete
+    // Laplace/geometric sampler at calibrated ε (the mm_* stub rule:
+    // plumbing real, sampler pluggable). One aggregate + one map —
+    // never a per-row pass over suppressed data
+    "ta_dp_counts" -> ((s, d) => {
+      val h = graft.functions.TextFunctions.hash31(
+        concat_ws("|", col("lang"), col("source"), lit("dp_salt_r18")))
+      t(s, d, "documents").groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"))
+        .select(col("lang"), col("source"),
+          when(col("n") >= 5,
+            greatest(lit(0L), col("n") + (h % 7) - lit(3L))).as("n_noised"),
+          (col("n") < 5).as("suppressed"))
+    }),
+
+    // WINSORIZED MEAN — the robust pair to q_outlier_iqr: per-language
+    // mean document length with values clamped to the exact [p10, p90]
+    // rank picks (a single tail crawler distorts a raw mean; clamping
+    // at measured deciles is the standard robust estimator). Both
+    // bounds are ONE Rank.withGroupRank pass (the two-level exchange —
+    // never a per-group buffer) + one conditional-max agg at integer
+    // rank cuts ceil(n/10) / ceil(9n/10) (pure integer div, identical
+    // in both engines); the tiny per-lang bounds table broadcast-joins
+    // back and the clamped sum stays exact bigint to the final divide
+    "ta_winsorize" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+      def at(rank: org.apache.spark.sql.Column) =
+        max(when(col("rank") === rank, col("n_chars"))).cast("bigint")
+      val bounds = graft.operators.Rank.withGroupRank(docs, Seq("lang"),
+          "n_chars", tiebreakCols = Seq("doc_id"))
+        .groupBy("lang")
+        .agg(at(call_function("div", col("n") + 9, lit(10L))).as("p10"),
+          at(call_function("div", col("n") * 9 + 9, lit(10L))).as("p90"))
+      docs.join(broadcast(bounds), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          max(col("p10")).as("p10"), max(col("p90")).as("p90"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("mean_raw"),
+          round(sum(greatest(col("p10"), least(col("p90"), col("n_chars"))))
+            .cast("double") / count(lit(1)), 6).as("mean_winsor"))
+    }),
+
     "ta_k_anonymize" -> ((s, d) => {
       val k = 4
       val cust = t(s, d, "customer").select(col("c_custkey"),
@@ -1809,6 +1860,33 @@ object TextQueries {
           FROM b"""
     },
     // the class sizes replayed as a window count; same >= k gate
+    "ta_dp_counts" ->
+      """WITH c AS (SELECT lang, source, count(*) AS n
+                    FROM documents GROUP BY 1, 2),
+           h AS (SELECT lang, source, n,
+                        CAST('0x' || substr(md5(concat_ws('|', lang, source, 'dp_salt_r18')), 1, 8)
+                          AS BIGINT) % 2147483647 AS hh
+                 FROM c)
+         SELECT lang, source,
+                CASE WHEN n >= 5
+                     THEN greatest(CAST(0 AS BIGINT), n + (hh % 7) - 3) END AS n_noised,
+                n < 5 AS suppressed
+         FROM h""",
+    "ta_winsorize" ->
+      """WITH r AS (SELECT lang, n_chars,
+                           row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+                           count(*) OVER (PARTITION BY lang) AS n
+                    FROM documents),
+           b AS (SELECT lang,
+                        CAST(min(CASE WHEN rk = (n+9)//10 THEN n_chars END) AS BIGINT) AS p10,
+                        CAST(min(CASE WHEN rk = (9*n+9)//10 THEN n_chars END) AS BIGINT) AS p90
+                 FROM r GROUP BY 1)
+         SELECT d.lang, count(*) AS n, b.p10, b.p90,
+                round(CAST(sum(d.n_chars) AS DOUBLE) / count(*), 6) AS mean_raw,
+                round(CAST(sum(greatest(b.p10, least(b.p90, d.n_chars))) AS DOUBLE)
+                      / count(*), 6) AS mean_winsor
+         FROM documents d JOIN b USING (lang)
+         GROUP BY 1, 3, 4""",
     "ta_k_anonymize" ->
       """WITH c AS (SELECT c_custkey,
                            CAST(c_nationkey AS VARCHAR) AS nat,

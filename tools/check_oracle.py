@@ -29,19 +29,36 @@ def canon(v):
     if isinstance(v, list): return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
 
-def main(sf_dir, out_dir, json_path=None):
+def main(sf_dir, out_dir, json_path=None, resume_log=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     results = {}
+    # --resume <prior log>: trust that log's PASS lines and skip those
+    # keys (the multi-hour sf0.1 replay has no other checkpointing; a
+    # killed run would otherwise restart from zero). Only PASS rows are
+    # trusted — anything else re-runs.
+    if resume_log:
+        import re, os
+        if os.path.exists(resume_log):
+            for line in open(resume_log):
+                m = re.match(r"PASS (\S+) \((\d+) rows\)", line.strip())
+                if m and m.group(1) in oracle:
+                    results[m.group(1)] = {"status": "pass",
+                                           "rows": int(m.group(2)),
+                                           "resumed": True}
+                    n_pass += 1
+            print(f"resumed {n_pass} PASS results from {resume_log}")
     def fail(name, reason):
         nonlocal n_fail
         print(f"FAIL {name}: {reason}")
         results[name] = {"status": "fail", "reason": reason[:300]}
         n_fail += 1
     for name, sql in sorted(oracle.items()):
+        if name in results:
+            continue
         try:
             exp = con.execute(sql).fetchdf()
         except Exception as e:
@@ -82,10 +99,14 @@ def main(sf_dir, out_dir, json_path=None):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    jp = None
+    jp = rl = None
     args = sys.argv[1:]
     if "--json" in args:
         i = args.index("--json")
         jp = args[i + 1]
         args = args[:i] + args[i + 2:]
-    sys.exit(main(args[0], args[1], jp))
+    if "--resume" in args:
+        i = args.index("--resume")
+        rl = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sys.exit(main(args[0], args[1], jp, rl))
