@@ -393,23 +393,27 @@ object AnalysisQueries {
     // bucket with NO activity in the next one. Time bucket is pure
     // integer `div` on epoch-nanos (the ana_retention rule — calendar
     // months round-trip differently across engines). The "did they come
-    // back" probe is one self ANTI-join on (user, bucket+1) over the
-    // DE-DUPED activity set (rows = user-months, never events); the
-    // final bucket has no observable next month, so it is excluded via
-    // a 1-row broadcast max — never a driver collect
+    // back" probe is a per-user lead() over the DE-DUPED activity set
+    // (rows = user-months, never events): churned in mi iff the user's
+    // NEXT active bucket is absent or skips mi+1 — ONE user-key shuffle
+    // and no self-join (the first cut self-anti-joined a and a.shifted,
+    // which planned 9 exchanges where this plans 4; per-reducer work is
+    // bounded by buckets-per-user, a data constant). The final bucket
+    // has no observable next month, so it is excluded via a 1-row
+    // broadcast max — never a driver collect
     "ana_churn" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val mNs = 30L * 86400L * 1000000000L
       val a = t(s, d, "events")
         .select(col("user_id"), expr(s"ts div $mNs").as("mi")).distinct()
-      val nxt = a.select(col("user_id"), (col("mi") - 1).as("mi"))
-      val churn = a.join(nxt, Seq("user_id", "mi"), "left_anti")
-        .groupBy("mi").agg(count(lit(1)).as("n_churned"))
-      a.groupBy("mi").agg(count(lit(1)).as("n_active"))
-        .join(churn, Seq("mi"), "left")
-        .na.fill(0L, Seq("n_churned"))
+      val w = Window.partitionBy("user_id").orderBy("mi")
+      a.withColumn("nxt", lead(col("mi"), 1).over(w))
         .crossJoin(broadcast(a.agg(max(col("mi")).as("mx"))))
         .filter(col("mi") < col("mx"))
-        .select(col("mi").as("month_index"), col("n_active"), col("n_churned"))
+        .groupBy(col("mi").as("month_index"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("nxt").isNull || col("nxt") > col("mi") + 1, 1L)
+            .otherwise(0L)).cast("bigint").as("n_churned"))
     }),
 
     // STICKINESS (DAU/MAU) — the engagement-density readout: average
