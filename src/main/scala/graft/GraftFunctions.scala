@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotProduct, L2Norm, Md5Prefix31, MinKDistinct, MisraGriesCandidates, SimHash60, SortedIntersectCount}
+import graft.expressions.{DotProduct, L2Norm, Md5Prefix31, MedianLong, MinKDistinct, MisraGriesCandidates, SimHash60, SortedIntersectCount}
 
 /** SQL-surface registration for graft's native expressions, so
   * `spark.sql("SELECT graft_dot(a, b) ...")` works alongside the Column
@@ -38,7 +38,12 @@ object GraftFunctions {
     // k smallest distinct BIGINTs / Misra-Gries heavy-hitter candidates
     "graft_min_k" -> (es => MinKDistinct(es(0), intArg(es(1), "graft_min_k"))),
     "graft_heavy_candidates" ->
-      (es => MisraGriesCandidates(es(0), intArg(es(1), "graft_heavy_candidates"))))
+      (es => MisraGriesCandidates(es(0), intArg(es(1), "graft_heavy_candidates"))),
+    // exact interpolated median of a BIGINT column (counting-median:
+    // state is value→count, O(distinct values) not O(rows)) — the
+    // SQL-surface scale-safe median (round-18 verdict item 6); see
+    // expressions/MedianLongAgg.scala for the domain-boundedness contract
+    "graft_median_long" -> (es => MedianLong(es.head)))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -53,6 +53,12 @@ object Skyline {
     * minimized, `yCol` maximized; both must be orderable and non-null
     * (null ordering would make "dominated" undefined — filter first). */
   def pareto2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    // same reserved-name rule as Rank.withGroupRank: an input already
+    // carrying one of the internal working columns would silently
+    // produce wrong skyline rows instead of failing fast
+    val reserved = Seq("__pid", "__pref", "__ytop", "__m1", "__m2")
+    require(!reserved.exists(df.columns.contains),
+      s"pareto2d: input must not carry ${reserved.mkString("/")} columns")
     // range exchange on x only: equal keys hash to one partition under
     // RangePartitioner, so partition order is STRICT on x across
     // partitions — the prefix-max test needs no equal-x carve-out.

@@ -202,14 +202,20 @@ object StreamQueries {
     // user must equal the oracle's one-shot DISTINCT aggregation —
     // at-least-once input × idempotent set-union sink = exactly-once
     // output, with no transaction log
-    // TTL DEDUP — dropDuplicatesWithinWatermark's batch twin: an event
-    // is SUPPRESSED when the previous event with the same
-    // (user, event_type) key arrived within the TTL horizon (1 h).
-    // Last-SEEN semantics, deliberately: the streaming state machine
-    // keeps exactly one timestamp per key and refreshes it on every
-    // arrival — so the batch form is one lag() over the key-partitioned
-    // arrival order, the same per-key linear shuffle the executor pays,
-    // with per-reducer work bounded by events-per-key. All time
+    // TTL DEDUP: an event is SUPPRESSED when the previous event with
+    // the same (user, event_type) key arrived within the TTL horizon
+    // (1 h). Last-SEEN semantics, deliberately — suppression is
+    // anchored to the immediately preceding ARRIVAL, refreshed by every
+    // event whether kept or suppressed. NOTE this deliberately DIFFERS
+    // from Spark's dropDuplicatesWithinWatermark, whose state is
+    // first-seen anchored (a duplicate does NOT extend the expiry of
+    // the stored key): under a steady sub-TTL drip, first-seen emits
+    // one event per TTL window while last-seen emits only the first —
+    // a streaming twin of this key must be built on
+    // mapGroupsWithState with refresh-on-arrival, not on the built-in
+    // operator. The batch form is one lag() over the key-partitioned
+    // arrival order, the same per-key linear shuffle the executor
+    // pays, with per-reducer work bounded by events-per-key. All time
     // arithmetic is integer nanos; per-type keep/suppress tallies
     // aggregate map-side
     "stream_dedup_ttl" -> ((s, d) => {

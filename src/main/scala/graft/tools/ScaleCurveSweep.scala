@@ -113,8 +113,20 @@ object ScaleCurveSweep {
     // ---- compaction: fragments and bytes both x k, fixed target ----
     locally {
       val targetBytes = 1L << 20 // 1 MiB files
+      // every scratch store (warm-up + the three factors, hundreds of MB
+      // at factor 10) registers here and dies with the JVM — the sweep
+      // must not leak gigabytes of temp parquet across runs (round-18
+      // advisory; same rule as StreamQueries.sweptTempDir)
+      val scratch = scala.collection.mutable.ListBuffer[java.nio.file.Path]()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+        }
+        scratch.foreach(p => rm(p.toFile))
+      }))
       def store(f: Int): String = {
         val base = java.nio.file.Files.createTempDirectory("graft_curve_frag")
+        scratch += base
         val p = base.toString + "/t"
         spark.range(400000L * f)
           .select(col("id"), expr("xxhash64(id)").as("a"),

@@ -84,6 +84,23 @@ class AnalysisSpec extends SparkSpec {
     assert(staged === ((2L, 1L)), "user 10's click precedes their view")
   }
 
+  // Round-18 verdict item 3: the SQL surface must be TYPED like the
+  // library surface, not just value-equal — in SQL text the literals
+  // 2.0/100.0 parse as DECIMAL while lit(2.0) is DoubleType, so a twin
+  // pair can silently drift to DECIMAL(33,11)-vs-DOUBLE (the round-18
+  // sql_median_by_group hash fail). Pin every pair's (name, dataType)
+  // schema equal so any future literal-type drift fails here first.
+  test("every sql_* key's result schema equals its ana_* twin's schema") {
+    val pairs = Seq("text_price_join", "filtered_join", "median_by_group",
+      "avg_compare", "multiword_count", "nested_review_match")
+    pairs.foreach { p =>
+      def sig(name: String) =
+        q(name).schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+      assert(sig(s"sql_$p") === sig(s"ana_$p"),
+        s"sql_$p schema drifted from ana_$p")
+    }
+  }
+
   test("retention: every cohort is fully present at offset 0 and offsets are non-negative") {
     val out = q("ana_retention").cache()
     assert(out.filter($"offset" < 0).isEmpty)

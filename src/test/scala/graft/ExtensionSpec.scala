@@ -41,6 +41,59 @@ class ExtensionSpec extends SparkSpec {
     assert(e.getMessage.contains("INTEGER literal"))
   }
 
+  test("graft_median_long: exact interpolated median, mergeable across partitions") {
+    GraftFunctions.register(spark)
+    // odd n: the middle value; even n: mean of the two middle values —
+    // and counts must survive partial-aggregate merges, so spread the
+    // rows across many partitions
+    Seq(("a", 1L), ("a", 3L), ("a", 100L),                    // odd: 3.0
+        ("b", 1L), ("b", 2L), ("b", 3L), ("b", 4L),           // even: 2.5
+        ("c", 7L))                                            // single: 7.0
+      .toDF("g", "v").repartition(8).createOrReplaceTempView("med_in")
+    val r = spark.sql(
+      "SELECT g, graft_median_long(v) AS m FROM med_in GROUP BY g")
+      .as[(String, Double)].collect().toMap
+    assert(r === Map("a" -> 3.0, "b" -> 2.5, "c" -> 7.0))
+    // nulls are ignored; an all-null group is NULL (percentile_cont rule)
+    Seq(("a", Some(5L)), ("a", None), ("b", None))
+      .toDF("g", "v").createOrReplaceTempView("med_null_in")
+    val rn = spark.sql(
+      "SELECT g, graft_median_long(v) AS m FROM med_null_in GROUP BY g")
+      .as[(String, Option[Double])].collect().toMap
+    assert(rn === Map("a" -> Some(5.0), "b" -> None))
+    // duplicate-heavy input exercises the value→count state (the whole
+    // point: O(distinct) not O(rows))
+    val dup = spark.range(0, 10000).selectExpr("id % 7 AS v")
+    dup.createOrReplaceTempView("med_dup_in")
+    val md = spark.sql("SELECT graft_median_long(v) AS m FROM med_dup_in")
+      .as[Double].head()
+    assert(md === 3.0)
+    // matches Spark's own exact median on random longs
+    val rnd = spark.range(0, 999).selectExpr("xxhash64(id) % 1000 AS v")
+    rnd.createOrReplaceTempView("med_rnd_in")
+    val (ours, theirs) = spark.sql(
+      "SELECT graft_median_long(v), median(v) FROM med_rnd_in")
+      .as[(Double, Double)].head()
+    assert(ours === theirs)
+  }
+
+  test("sql_median_by_group plans window-free (the scale-safe SQL median)") {
+    // round-18 verdict item 6: the SQL surface must not silently plan a
+    // per-group single-reducer sort. With graft_median_long the key is a
+    // plain aggregate: NO Window node (and hence no per-group total
+    // sort) anywhere in the optimized plan.
+    val df = q("sql_median_by_group")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, "sql_median_by_group must not plan a Window")
+    // and it still agrees with the library twin to the bit
+    val sqlSide = df.as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    val twin = q("ana_median_by_group").as[(String, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(sqlSide === twin)
+  }
+
   test("GraftExtensions injects functions into a fresh session (deployment path)") {
     val orig = spark
     // getOrCreate returns the active session unchanged, so clear the
