@@ -76,14 +76,23 @@ object AnalysisQueries {
     // format (testdata has no string money column), then parsed back with
     // Clean.parseMoney — parse and median are exercised in ONE plan, not as
     // two separately-tested operators.
-    // the median itself is EXACT RANK SELECTION, two-level
-    // (operators/Rank.scala): Spark's `percentile` aggregate buffers
-    // every group value in executor memory — the memory-side twin of the
-    // per-group single-reducer window, and the same 100× scale-killer.
-    // percentile_cont(0.5) = mean of the values at 1-based ranks
-    // (n+1) div 2 and (n+2) div 2 (equal when n is odd); integer cents
-    // make both halves exact in IEEE doubles, so the hash still matches
-    // the oracle's percentile_cont to the bit
+    // the median itself is the EXACT COUNTING-MEDIAN aggregate
+    // (expressions/MedianLongAgg.scala — state O(distinct cents), map-
+    // side combined, no window and no per-group sort anywhere): Spark's
+    // `percentile` aggregate buffers every group value in executor
+    // memory — the memory-side twin of the per-group single-reducer
+    // window, and the same 100× scale-killer. Round 19 (optimization):
+    // this key previously spelled the same median as the two-level rank
+    // construction (operators/Rank.scala) — correct and scale-safe, but
+    // a measured ~4× heavier plan here (range exchange + localCheckpoint
+    // materialization + count/offset/broadcast/join/window vs ONE hash
+    // aggregate; scale_curve.jsonl: both flat, rank at the higher
+    // constant). graft_median_long returns the same
+    // percentile_cont(0.5) = (v(r1) + v(r2)) / 2.0 over the identical
+    // bigints — BIGINT sum then IEEE double ops, so the hash still
+    // matches the oracle's percentile_cont to the bit (and the single
+    // aggregation pass evaluates the regex money parse exactly once, so
+    // the old materializeInput checkpoint is gone too).
     "ana_median_by_group" -> ((s, d) => {
       val c0 = cents(col("l_extendedprice"))
       val moneyStr = concat(lit("$"),
@@ -93,14 +102,10 @@ object AnalysisQueries {
         .select(col("l_returnflag"), moneyStr.as("price"))
         .select(col("l_returnflag"),
           (graft.etl.Clean.parseMoney(col("price")) * 100).cast("bigint").as("price_c"))
-      def at(rank: org.apache.spark.sql.Column) =
-        max(when(col("rank") === rank, col("price_c")))
-      graft.operators.Rank.withGroupRank(parsed, Seq("l_returnflag"), "price_c",
-          materializeInput = true) // the regex money parse must not run twice
+      parsed
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          ((at(call_function("div", col("n") + 1, lit(2L))) +
-            at(call_function("div", col("n") + 2, lit(2L)))) / lit(2.0) / lit(100.0))
+          (graft.expressions.MedianLongAgg.medianLong(col("price_c")) / lit(100.0))
             .as("median_price"))
     }),
 

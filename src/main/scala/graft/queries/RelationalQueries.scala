@@ -680,34 +680,33 @@ object RelationalQueries {
     // MEDIAN ABSOLUTE DEVIATION — the robust dispersion statistic
     // (stddev is one outlier away from useless; MAD is the
     // outlier-screening scale every data-quality monitor wants). TWO
-    // exact rank-selection passes, both the Rank.withGroupRank
-    // two-level construction (never a per-group value buffer or a
-    // one-reducer sort): pass 1 picks the median as the SUM of the two
-    // middle cents (med2 = 2·median — integers stay integers), the
-    // 3-row med2 table broadcast-joins back, dev2 = |2·pc − med2| is
-    // again a bigint, pass 2 picks ITS middle-rank sum (mad2 =
-    // 4·MAD cents). Output divides once at the end — the identical
+    // exact counting-median aggregates (expressions/MedianLongAgg.scala
+    // — state O(distinct cents), map-side combined; never a per-group
+    // value buffer or a one-reducer sort): pass 1 recovers med2 =
+    // 2·median as a BIGINT ((v1+v2)/2.0 · 2 — integers stay exact in
+    // doubles), the 3-row med2 table broadcast-joins back, dev2 =
+    // |2·pc − med2| is again a bigint, pass 2 medians THAT (mad2/2 =
+    // (d1+d2)/2.0). Output divides once at the end — the identical
     // IEEE op sequence the oracle's percentile_cont path produces,
-    // because every intermediate is an exactly representable double
+    // because every intermediate is an exactly representable double.
+    // Round 19 (optimization): both passes previously ran the
+    // Rank.withGroupRank two-level construction — scale-safe but a
+    // measured ~4× heavier plan per pass (range exchange +
+    // localCheckpoint materialization + offset broadcast + local-rank
+    // window vs ONE hash aggregate); values and hash are unchanged
     "q_median_abs_dev" -> ((s, d) => {
+      import graft.expressions.MedianLongAgg.medianLong
       val p = t(s, d, "lineitem")
         .select(col("l_returnflag"), cents(col("l_extendedprice")).as("pc"))
-      def at(rank: org.apache.spark.sql.Column, v: String) =
-        max(when(col("rank") === rank, col(v)))
-      def mid1 = call_function("div", col("n") + 1, lit(2L))
-      def mid2 = call_function("div", col("n") + 2, lit(2L))
-      val med2 = graft.operators.Rank.withGroupRank(p, Seq("l_returnflag"), "pc")
-        .groupBy("l_returnflag")
-        .agg((at(mid1, "pc") + at(mid2, "pc")).as("med2"))
+      val med2 = p.groupBy("l_returnflag")
+        .agg((medianLong(col("pc")) * lit(2.0)).cast("bigint").as("med2"))
       val dev = p.join(med2, "l_returnflag")
         .select(col("l_returnflag"), col("med2"),
           abs(lit(2L) * col("pc") - col("med2")).as("dev2"))
-      graft.operators.Rank.withGroupRank(dev, Seq("l_returnflag"), "dev2")
-        .groupBy("l_returnflag")
+      dev.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
           (max(col("med2")).cast("double") / lit(2.0) / lit(100.0)).as("median_price"),
-          ((at(mid1, "dev2") + at(mid2, "dev2")).cast("double") / lit(4.0) / lit(100.0))
-            .as("mad"))
+          (medianLong(col("dev2")) / lit(2.0) / lit(100.0)).as("mad"))
     }),
 
     "q_corr" -> ((s, d) => {
