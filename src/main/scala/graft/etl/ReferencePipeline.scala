@@ -55,14 +55,27 @@ object ReferencePipeline {
     // scan+clean+window-dedup chain would re-execute once per table
     val cleaned = clean(raw, cfg).cache()
     try {
+      // materialize the cache with ONE pass before fanning out: the six
+      // concurrent sink jobs below would otherwise race to compute the
+      // same cached partitions (block-level caching doesn't coordinate
+      // first computation) and duplicate the clean chain's work
+      cleaned.count()
       val tables = Normalize.splitTables(cleaned, cfg.key, cfg.tableSchema)
       val docs = Normalize.docProject(cleaned, cfg.docFlat, cfg.docNested._1, cfg.docNested._2)
-      tables.foreach { case (name, df) =>
+      // the six keyed stores are INDEPENDENT sinks fed by the same cached
+      // frame (distinct paths, no fence, no ordering contract) — overlap
+      // their write jobs (guide §2.6; Concurrent.scaladoc) instead of
+      // paying six sequential commit tails. Each store's bytes are
+      // byte-identical to the sequential form.
+      val sinks: Seq[(String, org.apache.spark.sql.DataFrame)] =
+        tables.toSeq :+ ("documents_store" -> docs)
+      Concurrent.awaitAll(3)(sinks.map { case (name, df) => () =>
+        // the reference UPSERTS docs into its Mongo collection
+        // (Listings_ETL.py:154-188) — an overwrite would drop docs
+        // absent from this batch; the table stores are the Postgres
+        // replace_index='id' analog, same merge either way
         graft.sinks.ParquetSink.upsertInto(spark, s"$outDir/$name", df, cfg.key, Nil)
-      }
-      // the reference UPSERTS docs into its Mongo collection (Listings_ETL
-      // .py:154-188) — an overwrite would drop docs absent from this batch
-      graft.sinks.ParquetSink.upsertInto(spark, s"$outDir/documents_store", docs, cfg.key, Nil)
+      })
       tables + ("documents_store" -> docs)
     } finally { cleaned.unpersist(): Unit }
   }

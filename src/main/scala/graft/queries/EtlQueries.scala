@@ -525,8 +525,10 @@ object EtlQueries {
         col("c_acctbal") * 2, col("c_custkey") % 4 + 2)
 
       // the reference's entry format is CSV — both batches take the hop
-      batch1.write.option("header", "true").mode("overwrite").csv(s"$csvBase/b1")
-      batch2.write.option("header", "true").mode("overwrite").csv(s"$csvBase/b2")
+      // (independent paths: overlap the two extract writes, guide §2.6)
+      graft.etl.Concurrent.awaitAll(2)(Seq(
+        () => batch1.write.option("header", "true").mode("overwrite").csv(s"$csvBase/b1"),
+        () => batch2.write.option("header", "true").mode("overwrite").csv(s"$csvBase/b2")))
       val cfg = ReferencePipeline.Config(
         key = "id",
         moneyCols = Seq("price"),

@@ -1010,13 +1010,17 @@ object RelationalQueries {
         }
         if (loc.exists()) rm(loc)
       }
-      graft.sinks.BucketedSink.writeBucketed(
-        t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
-        ot, "o_orderkey", 8)
-      graft.sinks.BucketedSink.writeBucketed(
-        t(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey"),
-          cents(col("l_quantity")).as("qc")),
-        lt, "o_orderkey", 8)
+      // the two bucketed sides are independent managed tables — overlap
+      // their build jobs (guide §2.6; graft.etl.Concurrent): the big
+      // lineitem write's tasks back-fill the orders write's commit tail
+      graft.etl.Concurrent.awaitAll(2)(Seq(
+        () => graft.sinks.BucketedSink.writeBucketed(
+          t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+          ot, "o_orderkey", 8),
+        () => graft.sinks.BucketedSink.writeBucketed(
+          t(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+            cents(col("l_quantity")).as("qc")),
+          lt, "o_orderkey", 8)))
       (s, ot, lt)
     })
     (ot, lt)

@@ -398,9 +398,13 @@ object SimQueries {
       deleteRecursively(new java.io.File(src))
       def assign(part: org.apache.spark.sql.DataFrame) =
         Similarity.ivfAssign(part, "embedding", "vec_id", cents, "cid", keepVec = true)
-      // parity split: both shards are non-empty at every scale factor
-      graft.sinks.AnnStore.write(assign(e.filter(pmod(col("vec_id"), lit(2)) === 0)), dst)
-      graft.sinks.AnnStore.write(assign(e.filter(pmod(col("vec_id"), lit(2)) === 1)), src)
+      // parity split: both shards are non-empty at every scale factor;
+      // independent store roots — overlap the two builds (guide §2.6)
+      graft.etl.Concurrent.awaitAll(2)(Seq(
+        () => graft.sinks.AnnStore.write(
+          assign(e.filter(pmod(col("vec_id"), lit(2)) === 0)), dst),
+        () => graft.sinks.AnnStore.write(
+          assign(e.filter(pmod(col("vec_id"), lit(2)) === 1)), src)))
       graft.sinks.AnnStore.merge(s, src, dst)
       Similarity.ivfSearchAssigned(
         graft.sinks.AnnStore.read(s, dst), "vec_id", cents, "cid", "embedding",

@@ -228,10 +228,15 @@ object TextQueries {
       deleteRecursively(new java.io.File(src))
       val par = s.sparkContext.defaultParallelism
       val hist = doc.filter(col("doc_id") % 3 =!= 0).repartition(par)
-      graft.sinks.BandStore.write(hist.filter(col("doc_id") % 2 === 0),
-        "text", "doc_id", dst, buckets = 16)
-      graft.sinks.BandStore.write(hist.filter(col("doc_id") % 2 =!= 0),
-        "text", "doc_id", src, buckets = 16)
+      // the two crawl shards are independent store roots (each write
+      // holds its own writer fence) — overlap their index builds
+      // (guide §2.6; graft.etl.Concurrent), exactly the shape a real
+      // two-shard ingest runs
+      graft.etl.Concurrent.awaitAll(2)(Seq(
+        () => graft.sinks.BandStore.write(hist.filter(col("doc_id") % 2 === 0),
+          "text", "doc_id", dst, buckets = 16),
+        () => graft.sinks.BandStore.write(hist.filter(col("doc_id") % 2 =!= 0),
+          "text", "doc_id", src, buckets = 16)))
       graft.sinks.BandStore.merge(s, src, dst)
       graft.sinks.BandStore.probe(s, dst,
         doc.filter(col("doc_id") % 3 === 0).repartition(par),

@@ -202,26 +202,33 @@ object BandStore {
     val m = Dedup.minhashed(df, textCol, idCol, p.k, p.rowsPerBand, p.shingleN)
       .filter(size(col("hs")) > 0).cache()
     try {
+      // materialize the sketch ONCE before fanning out — the two
+      // concurrent table writes below would otherwise race to compute
+      // the same cached partitions and sketch every doc twice
+      m.count()
       val bandCols =
         if (p.leanSigs) Seq(explode(col("bands")).as("band"), col(idCol),
           size(col("hs")).as("n_sh"))
         else Seq(explode(col("bands")).as("band"), col(idCol),
           size(col("hs")).as("n_sh"), col("sig"))
-      bucketAligned(
-        m.select(bandCols: _*)
-          .withColumn("bucket", pmod(xxhash64(col("band")), lit(p.buckets))),
-        col(idCol), p.buckets)
-        .write.mode(mode).partitionBy("bucket").parquet(bandsDir(path))
       // lean: the signature lives ONCE on the per-doc table — a parquet
       // column sibling to hs, so each fetch prunes the other's bytes
       val docCols =
         if (p.leanSigs) Seq(col(idCol), col("hs"), col("sig"))
         else Seq(col(idCol), col("hs"))
-      bucketAligned(
-        m.select(docCols: _*)
-          .withColumn("bucket", pmod(xxhash64(col(idCol)), lit(p.buckets))),
-        col(idCol), p.buckets)
-        .write.mode(mode).partitionBy("bucket").parquet(docsDir(path))
+      // the two tables are independent dirs fed by the one cached sketch
+      // — overlap their writes (guide §2.6; graft.etl.Concurrent)
+      graft.etl.Concurrent.awaitAll(2)(Seq(
+        () => bucketAligned(
+          m.select(bandCols: _*)
+            .withColumn("bucket", pmod(xxhash64(col("band")), lit(p.buckets))),
+          col(idCol), p.buckets)
+          .write.mode(mode).partitionBy("bucket").parquet(bandsDir(path)),
+        () => bucketAligned(
+          m.select(docCols: _*)
+            .withColumn("bucket", pmod(xxhash64(col(idCol)), lit(p.buckets))),
+          col(idCol), p.buckets)
+          .write.mode(mode).partitionBy("bucket").parquet(docsDir(path))))
     } finally { m.unpersist(); () }
   }
 
@@ -353,9 +360,13 @@ object BandStore {
           val docTargets: Seq[Long] = ts
             .select(pmod(xxhash64(col(idCol)), lit(p.buckets)).as("bucket"))
             .distinct().collect().map(_.getLong(0)).toIndexedSeq
-          val rewritten = Seq(
-            "bands" -> bandsDir(path), "docs" -> docsDir(path)).flatMap {
-            case (table, dir) =>
+          // the two table purges are independent dirs under the one held
+          // fence — overlap route + rewrite per table (guide §2.6);
+          // results keep the fixed bands-then-docs order
+          val branches = Seq("bands" -> bandsDir(path), "docs" -> docsDir(path))
+          val branchOut = new Array[Seq[(String, Long)]](branches.size)
+          graft.etl.Concurrent.awaitAll(2)(branches.zipWithIndex.map {
+            case ((table, dir), bi) => () => {
               val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
               val targets: Seq[Long] =
                 if (table == "docs") {
@@ -374,8 +385,10 @@ object BandStore {
                   targets.map(b => s"$Prefix$b"),
                   spark.read.parquet(dir).filter(col("bucket").isin(targets: _*))
                     .join(tsb, Seq(idCol), "left_anti"))
-              targets.map(table -> _)
-          }
+              branchOut(bi) = targets.map(table -> _)
+            }
+          })
+          val rewritten = branchOut.toSeq.flatten
           // the sidecar drops last: every earlier crash leaves a masked,
           // consistent store; reaching here means the rows are gone
           rootFs.delete(new Path(tombstoneDir(path)), true)
@@ -548,17 +561,22 @@ object BandStore {
       if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
       val bands = spark.read.parquet(bandsDir(path)).drop("bucket")
         .withColumn("bucket", pmod(xxhash64(col("band")), lit(newBuckets)))
-      bands.repartition(newBuckets, col("bucket"))
-        .write.partitionBy("bucket").parquet(tmpRoot.toString + "/bands")
       // the doc table's id column is whatever the caller named it at
       // write time — everything except (hs, sig, bucket) is the id
       val docsDf = spark.read.parquet(docsDir(path))
       val idCol = docsDf.columns
         .filterNot(Set("hs", "sig", "bucket")).head
-      docsDf.drop("bucket")
-        .withColumn("bucket", pmod(xxhash64(col(idCol)), lit(newBuckets)))
-        .repartition(newBuckets, col("bucket"))
-        .write.partitionBy("bucket").parquet(tmpRoot.toString + "/docs")
+      // the two scratch-table rewrites are independent dirs under the
+      // one held fence — overlap them (guide §2.6); the commit marker
+      // below still lands strictly after BOTH complete, so the crash
+      // windows are unchanged
+      graft.etl.Concurrent.awaitAll(2)(Seq(
+        () => bands.repartition(newBuckets, col("bucket"))
+          .write.partitionBy("bucket").parquet(tmpRoot.toString + "/bands"),
+        () => docsDf.drop("bucket")
+          .withColumn("bucket", pmod(xxhash64(col(idCol)), lit(newBuckets)))
+          .repartition(newBuckets, col("bucket"))
+          .write.partitionBy("bucket").parquet(tmpRoot.toString + "/docs")))
       // pending tombstones are store state — they travel with the tree
       tombstones(spark, path).foreach(
         _.write.parquet(tmpRoot.toString + "/_tombstones"))
@@ -612,8 +630,12 @@ object BandStore {
     // one fence at the store root serializes writers across BOTH tables
     PartitionSwap.withWriterLock(rootFs, path, "BandStore") {
       recoverRebucket(rootFs, path)
-      Seq("bands" -> bandsDir(path), "docs" -> docsDir(path)).flatMap {
-        case (table, dir) =>
+      // independent dirs under the one held fence — overlap the two
+      // table compactions (guide §2.6); fixed bands-then-docs order out
+      val branches = Seq("bands" -> bandsDir(path), "docs" -> docsDir(path))
+      val branchOut = new Array[Seq[(String, Long)]](branches.size)
+      graft.etl.Concurrent.awaitAll(2)(branches.zipWithIndex.map {
+        case ((table, dir), bi) => () => {
           val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
           PartitionSwap.recoverSwap(fs, dir, Prefix, Tags)
           val targets = PartitionSwap.fragmented(fs, dir, Prefix, maxFiles)
@@ -627,8 +649,10 @@ object BandStore {
               // never fooled — it is duplicate-blind by construction)
               spark.read.parquet(dir).filter(col("bucket").isin(targets: _*))
                 .distinct())
-          targets.map(table -> _)
-      }
+          branchOut(bi) = targets.map(table -> _)
+        }
+      })
+      branchOut.toSeq.flatten
     }
   }
 

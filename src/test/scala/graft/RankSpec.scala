@@ -93,18 +93,25 @@ class RankSpec extends SparkSpec {
     }
   }
 
-  test("ana_median_by_group plan: no per-group window or percentile buffer over corpus rows") {
+  test("ana_median_by_group plan: no window at all — one counting-median hash aggregate") {
     withAqeOff {
       val df = q("ana_median_by_group")
-      val specs = corpusWindowSpecs(df, "price_c")
-      assert(specs.nonEmpty, "expected a corpus-side window (the local rank)")
-      specs.foreach { s =>
-        assert(s.exists(_.contains("__pid")),
-          s"corpus window partitioned by ${s.mkString(",")} — a per-group single-reducer sort")
-      }
+      // round 19: the key moved from the two-level rank construction to
+      // the graft_median_long counting aggregate (state O(distinct
+      // cents), map-side combined) — the plan must carry NO window of
+      // any kind over corpus rows and NO sort, just the aggregate
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        "expected a window-free counting-median plan")
+      val planStr = plan.toString
+      assert(planStr.contains("graft_median_long"),
+        "expected the graft_median_long counting aggregate in the plan")
       // the memory-buffering exact percentile aggregate must be gone too
-      assert(!df.queryExecution.executedPlan.toString.contains("percentile("),
+      assert(!planStr.contains("percentile("),
         "exact percentile aggregate buffers every group value in executor memory")
+      assert(plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.isEmpty, "expected no sort anywhere — counting median never orders rows")
     }
   }
 
