@@ -545,9 +545,6 @@ object EtlQueries {
           "host_metrics" -> Seq("listings_count")),
         docFlat = Seq("id", "name"),
         docNested = ("host_desc", Seq("host_id", "about")))
-      ReferencePipeline.run(s, graft.sources.Tables.csv(s, s"$csvBase/b1"), cfg, out)
-      ReferencePipeline.run(s, graft.sources.Tables.csv(s, s"$csvBase/b2"), cfg, out)
-
       // reviews: two overlapping daily batches (o_orderkey%6==0 rows are
       // re-delivered in batch B — at-least-once), exact dups planted in A,
       // unparseable listing ids planted everywhere (coerce→null→drop)
@@ -561,10 +558,23 @@ object EtlQueries {
       val rvA = rv.filter(col("o_orderkey") % 2 === 0)
         .unionAll(rv.filter(col("o_orderkey") % 26 === 0))
       val rvB = rv.filter(col("o_orderkey") % 2 =!= 0 || col("o_orderkey") % 6 === 0)
-      ReferencePipeline.loadReviews(s, rvA, s"$out/reviews_store",
-        "listing_id", Seq("rdate", "comments"))
-      ReferencePipeline.loadReviews(s, rvB, s"$out/reviews_store",
-        "listing_id", Seq("rdate", "comments"))
+      // two ORDERED chains — day-1-then-day-2 listings loads, A-then-B
+      // review loads — that are independent of EACH OTHER (disjoint
+      // store paths: the table/doc stores vs reviews_store; the stats
+      // below read both only after both chains land). The reference runs
+      // them as two separate Airflow DAGs, i.e. concurrently — overlap
+      // the chains (guide §2.6), keep each chain's order
+      graft.etl.Concurrent.awaitAll(2)(Seq(
+        () => {
+          ReferencePipeline.run(s, graft.sources.Tables.csv(s, s"$csvBase/b1"), cfg, out)
+          ReferencePipeline.run(s, graft.sources.Tables.csv(s, s"$csvBase/b2"), cfg, out)
+        },
+        () => {
+          ReferencePipeline.loadReviews(s, rvA, s"$out/reviews_store",
+            "listing_id", Seq("rdate", "comments"))
+          ReferencePipeline.loadReviews(s, rvB, s"$out/reviews_store",
+            "listing_id", Seq("rdate", "comments"))
+        }))
 
       // every stat reads the LOADED store back from disk
       def rb(name: String) = s.read.parquet(s"$out/$name")
