@@ -430,16 +430,28 @@ object SimQueries {
             x.cast("double") * 0.5)
             .otherwise(x.cast("double"))).as("v"))
       val corpus = base.unionByName(variant)
-      val pairs = graft.operators.RandomProjection
-        .rpLshPairs(corpus, "v", "vec_id", dims = 64, threshold = 0.9)
-        .select("id_a", "id_b")
-      // min-id representative per cluster: every clustered non-minimum drops
-      val drops = graft.operators.Components.run(pairs, "id_a", "id_b")
-        .labels.filter(col("id") =!= col("comp"))
-        .select(col("id").as("vec_id"))
+      // the dedup side (LSH pairs → components → drops) and the codebook
+      // side (PQ train over the FULL corpus — deliberately not the
+      // survivors, so the two sides share no dependency) are both
+      // eager multi-job stages; overlap them (guide §2.6;
+      // graft.etl.Concurrent) — each side's own op sequence, and so its
+      // hash, is untouched
+      var drops: org.apache.spark.sql.DataFrame = null
+      var cb: org.apache.spark.sql.DataFrame = null
+      graft.etl.Concurrent.awaitAll(2)(Seq(
+        () => {
+          val pairs = graft.operators.RandomProjection
+            .rpLshPairs(corpus, "v", "vec_id", dims = 64, threshold = 0.9)
+            .select("id_a", "id_b")
+          // min-id representative per cluster: every clustered
+          // non-minimum drops
+          drops = graft.operators.Components.run(pairs, "id_a", "id_b")
+            .labels.filter(col("id") =!= col("comp"))
+            .select(col("id").as("vec_id"))
+        },
+        () => cb = graft.operators.ProductQuant.train(
+          corpus, "v", "vec_id", m = 4, k = 8, dims = 64, iters = 2)))
       val survivors = corpus.join(drops, Seq("vec_id"), "left_anti")
-      val cb = graft.operators.ProductQuant.train(
-        corpus, "v", "vec_id", m = 4, k = 8, dims = 64, iters = 2)
       val codeSum = graft.operators.ProductQuant
         .encode(survivors, "v", "vec_id", cb, m = 4, dims = 64)
         .select(col("vec_id"),
